@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config._
+import graft.config.Step._
+import graft.rules.{EntityCatalog, Messages, StepInterpreter, SyncFilters}
+import graft.functions.GraftFunctions
+import graft.templating.Templating
+import graft.audit.Auditing
+
+/** Correctness queries for the rule-step vocabulary (SURVEY §2.1/§2.2), each
+  * paired with DuckDB oracle SQL over the same parquet tables. Aggregates of
+  * doubles are cast to DECIMAL on both sides so sums are order-independent
+  * and hash-exact.
+  */
+object CoreQueries {
+
+  def catalog(spark: SparkSession, dir: String, names: String*): EntityCatalog =
+    EntityCatalog(names.map(n => n -> spark.read.parquet(s"$dir/$n.parquet")): _*)
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark has no native type
+    * for; read nanos as long and convert with integer division (ns since
+    * epoch overflows double precision, so no `/` arithmetic).
+    */
+  def loadEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  private def run(cat: EntityCatalog, steps: Step*): EntityCatalog = {
+    StepInterpreter.evaluateAll(cat, steps)
+    cat
+  }
+
+  /** DuckDB SQL for the NHS mod-11 check over a 10-char digit string `s`. */
+  private def mod11Sql(s: String): String = {
+    val total = (1 to 9).map(i => s"CAST(substring($s, $i, 1) AS INT) * ${11 - i}").mkString(" + ")
+    s"""(CASE WHEN NOT regexp_matches($s, '^[0-9]{10}$$') THEN false
+       | ELSE (11 - (CASE WHEN ($total) % 11 = 0 THEN 11 ELSE ($total) % 11 END))
+       |      = CAST(substring($s, 10, 1) AS INT) END)""".stripMargin.replaceAll("\n", " ")
+  }
+
+  private val lineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+  private val customerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_add" -> ((s, dir) => run(catalog(s, dir, "lineitem"),
+      Add("lineitem", "disc_price", "l_extendedprice * (1 - l_discount)"),
+      Select("lineitem", MultiExpr("l_orderkey", "l_linenumber", "disc_price")))("lineitem")),
+
+    "q_remove" -> ((s, dir) => run(catalog(s, dir, "part"),
+      Remove("part", "p_type"))("part")),
+
+    "q_select" -> ((s, dir) => run(catalog(s, dir, "part"),
+      Select("part", MultiExpr.Aliased(Seq(
+        "p_partkey" -> "pk",
+        "upper(p_name)" -> "name_up",
+        "concat(p_brand, '-', p_type)" -> "brand_type",
+        "cast(floor(p_retailprice) as bigint)" -> "rp"))))("part")),
+
+    "q_select_distinct" -> ((s, dir) => run(catalog(s, dir, "lineitem"),
+      Select("lineitem", MultiExpr.Raw("l_returnflag, l_linestatus"), distinct = true))("lineitem")),
+
+    "q_group_by" -> ((s, dir) => run(catalog(s, dir, "lineitem"),
+      GroupBy("lineitem",
+        groupBy = MultiExpr.Raw("l_returnflag, l_linestatus"),
+        aggColumns = MultiExpr.Aliased(Seq(
+          "cast(sum(cast(l_quantity as decimal(20,4))) as decimal(38,4))" -> "sum_qty",
+          "cast(count(1) as bigint)" -> "cnt",
+          "min(l_shipdate)" -> "min_ship",
+          "max(cast(l_extendedprice as decimal(20,4)))" -> "max_price"))))("lineitem")),
+
+    "q_group_pivot" -> ((s, dir) => run(catalog(s, dir, "lineitem"),
+      GroupBy("lineitem",
+        groupBy = MultiExpr.Raw("l_linestatus"),
+        aggColumns = MultiExpr(
+          "cast(sum(cast(l_quantity as decimal(20,4))) as decimal(38,4))"),
+        pivotColumn = Some("l_returnflag"),
+        pivotValues = Some(Seq("A", "N", "R"))))("lineitem")),
+
+    "q_filter" -> ((s, dir) => run(catalog(s, dir, "lineitem"),
+      Filter("lineitem", "l_quantity > 45 AND l_discount < 0.05"),
+      Select("lineitem", MultiExpr.Raw("l_orderkey, l_linenumber, l_quantity, l_discount")))("lineitem")),
+
+    "q_left_join" -> ((s, dir) => run(catalog(s, dir, "orders", "customer"),
+      LeftJoin("orders", "customer", "orders.o_custkey = customer.c_custkey",
+        MultiExpr.Aliased(Seq(
+          "customer.c_name" -> "c_name",
+          "customer.c_mktsegment" -> "c_mktsegment"))))("orders")),
+
+    "q_join_conflict" -> ((s, dir) => run(catalog(s, dir, "orders", "customer"),
+      LeftJoin("orders", "customer", "orders.o_custkey = customer.c_custkey",
+        MultiExpr.Aliased(Seq(
+          "customer.c_custkey" -> "O_CUSTKEY",
+          "upper(customer.c_mktsegment)" -> "O_ORDERSTATUS"))))("orders")),
+
+    "q_inner_join" -> ((s, dir) => run(catalog(s, dir, "lineitem", "part"),
+      InnerJoin("lineitem", "part", "lineitem.l_partkey = part.p_partkey",
+        MultiExpr.Aliased(Seq(
+          "part.p_brand" -> "p_brand",
+          "lineitem.l_extendedprice - part.p_retailprice" -> "price_delta"))))("lineitem")),
+
+    "q_one_to_one_join" -> ((s, dir) => run(catalog(s, dir, "lineitem", "orders"),
+      OneToOneJoin("lineitem", "orders", "lineitem.l_orderkey = orders.o_orderkey",
+        MultiExpr.Aliased(Seq(
+          "orders.o_orderdate" -> "o_orderdate",
+          "orders.o_orderpriority" -> "o_orderpriority"))))("lineitem")),
+
+    "q_semi_join" -> ((s, dir) => run(catalog(s, dir, "customer", "orders"),
+      Filter("orders", "o_totalprice > 400000", newEntityName = Some("big_orders")),
+      SemiJoin("customer", "big_orders", "customer.c_custkey = big_orders.o_custkey"))("customer")),
+
+    "q_anti_join" -> ((s, dir) => run(catalog(s, dir, "customer", "orders"),
+      Filter("orders", "o_totalprice > 400000", newEntityName = Some("big_orders")),
+      AntiJoin("customer", "big_orders", "customer.c_custkey = big_orders.o_custkey"))("customer")),
+
+    "q_has_match" -> ((s, dir) => run(catalog(s, dir, "customer", "orders"),
+      GroupBy("orders", MultiExpr.Raw("o_custkey"),
+        MultiExpr.Aliased(Seq("max(o_totalprice)" -> "max_price")),
+        newEntityName = Some("cust_max")),
+      HasMatch("customer", "cust_max",
+        "customer.c_custkey = cust_max.o_custkey AND cust_max.max_price > 300000",
+        columnName = "has_big_order"))("customer")),
+
+    "q_join_header" -> ((s, dir) => run(catalog(s, dir, "nation", "region"),
+      GroupBy("region", MultiExpr.Exprs(Nil),
+        MultiExpr.Aliased(Seq("cast(count(1) as bigint)" -> "n_regions")),
+        newEntityName = Some("hdr")),
+      JoinHeader("nation", "hdr", "hdr"),
+      Select("nation", MultiExpr.Aliased(Seq(
+        "n_nationkey" -> "n_nationkey",
+        "n_name" -> "n_name",
+        "hdr.n_regions" -> "n_regions"))))("nation")),
+
+    "q_union" -> ((s, dir) => run(catalog(s, dir, "customer"),
+      Select("customer", MultiExpr.Aliased(Seq(
+        "c_custkey" -> "c_custkey", "c_name" -> "c_name")), newEntityName = Some("a")),
+      Filter("a", "c_custkey <= 750"),
+      Select("customer", MultiExpr.Aliased(Seq(
+        "c_custkey" -> "C_CUSTKEY", "c_acctbal" -> "C_ACCTBAL")), newEntityName = Some("b")),
+      Filter("b", "C_CUSTKEY > 750"),
+      Union("a", "b", newEntityName = Some("u")))("u")),
+
+    "q_identify_orphans" -> ((s, dir) => run(catalog(s, dir, "customer", "orders"),
+      Filter("orders", "o_totalprice > 400000", newEntityName = Some("big_orders")),
+      IdentifyOrphans("customer", "big_orders", "customer.c_custkey = big_orders.o_custkey"),
+      IdentifyOrphans("customer", "orders", "customer.c_custkey = orders.o_custkey"),
+      Select("customer", MultiExpr.Raw("c_custkey, IsOrphaned")))("customer")),
+
+    "q_copy_entity" -> ((s, dir) => run(catalog(s, dir, "region"),
+      CopyEntity("region", "region2"),
+      Add("region2", "origin", "'copy'"))("region2")),
+
+    "q_rename_entity" -> ((s, dir) => run(catalog(s, dir, "region"),
+      RenameEntity("region", "regions_renamed"),
+      Select("regions_renamed", MultiExpr.Raw("r_regionkey, r_name")))("regions_renamed")),
+
+    "q_remove_entity" -> ((s, dir) => {
+      val cat = run(catalog(s, dir, "region"),
+        CopyEntity("region", "r1"), CopyEntity("region", "r2"),
+        RemoveEntity("r1"), RemoveEntities(Seq("region")))
+      import s.implicits._
+      cat.names.sorted.toDF("entity_name")
+    }),
+
+    "q_refdata" -> ((s, dir) => {
+      val cat = EntityCatalog(
+        Map("customer" -> s.read.parquet(s"$dir/customer.parquet")),
+        refdata = Map("nation" -> s.read.parquet(s"$dir/nation.parquet")))
+      StepInterpreter.evaluate(cat,
+        LeftJoin("customer", "refdata_nation",
+          "customer.c_nationkey = refdata_nation.n_nationkey",
+          MultiExpr.Aliased(Seq("refdata_nation.n_name" -> "nation_name"))))
+      cat("customer")
+    }),
+
+    "q_latest_record" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      Auditing.latestRecords(orders,
+        partitionBy = Seq(col("o_custkey")),
+        orderBy = Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    }),
+
+    "q_window_events" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(20,6)")).cast("decimal(38,6)").as("sum_val"))),
+
+    "q_events_json" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("int")).cast("bigint").as("sum_k"),
+          count(lit(1)).as("cnt"))),
+
+    "q_templating" -> ((s, dir) => {
+      val rendered = Templating.render(
+        "o_orderdate >= to_timestamp('{{start_date | add_months(2)}}') AND o_totalprice > {{min_price}}",
+        Map("start_date" -> "1998-01-15", "min_price" -> 250000))
+      run(catalog(s, dir, "orders"),
+        Filter("orders", rendered),
+        Select("orders", MultiExpr.Raw("o_orderkey, o_orderdate, o_totalprice")))("orders")
+    }),
+
+    "q_udfs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      run(catalog(s, dir, "lineitem"),
+        Filter("lineitem",
+          "over_10(l_quantity) AND under_5k(l_extendedprice) AND x_not_greater_than_y(l_discount, l_tax)"),
+        Select("lineitem", MultiExpr.Raw("l_orderkey, l_linenumber")))("lineitem")
+    }),
+
+    "q_udf_domain" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      run(catalog(s, dir, "customer"),
+        Select("customer", MultiExpr.Aliased(Seq(
+          "c_custkey" -> "c_custkey",
+          "check_correct_numeric_signage(c_acctbal, '+')" -> "pos_ok",
+          "nhsno_mod11_check(lpad(cast(c_custkey as string), 10, '0'))" -> "nhs_ok",
+          "is_valid_national_org(case when c_custkey % 2 = 0 then 'ORG01' else 'ORGX' end)" -> "org_ok",
+          "number_matches_within_tolerance(cast(c_acctbal as decimal(38,10)), cast(0 as decimal(38,10)), cast(1000 as decimal(38,10)))" -> "near_zero"))))("customer")
+    }),
+
+    "q_sync_filters" -> ((s, dir) => {
+      val cat = catalog(s, dir, "lineitem")
+      SyncFilters(cat, Seq(
+        DeferredFilter("lineitem", "l_quantity <= 48",
+          Reporting("QTY_HIGH", "Quantity {{l_quantity}} too high")),
+        DeferredFilter("lineitem", "l_discount <= 0.08",
+          Reporting("DISC_HIGH", "Discount too high")),
+        DeferredFilter("lineitem", "l_tax < 0.07",
+          Reporting("TAX_WARN", "Tax unusually high", emit = "warning"))))
+      cat("lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }),
+
+    "q_sync_messages" -> ((s, dir) => {
+      val cat = catalog(s, dir, "lineitem")
+      val msgs = SyncFilters(cat, Seq(
+        DeferredFilter("lineitem", "l_quantity <= 48",
+          Reporting("QTY_HIGH", "Quantity {{l_quantity}} too high")),
+        DeferredFilter("lineitem", "l_discount <= 0.08",
+          Reporting("DISC_HIGH", "Discount too high")),
+        DeferredFilter("lineitem", "l_tax < 0.07",
+          Reporting("TAX_WARN", "Tax unusually high", emit = "warning"))))
+      msgs.reduce(_ unionByName _).groupBy("ErrorCode").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_notify" -> ((s, dir) => {
+      val cat = catalog(s, dir, "orders")
+      val msgs = StepInterpreter.evaluate(cat,
+        Notify("orders", "o_totalprice > 400000",
+          Reporting("BIG_ORDER", "Order {{o_orderkey}} priority {{o_orderpriority}}"))).get
+      msgs.select("Entity", "FailureType", "Status", "ErrorMessage", "ErrorCode")
+    }),
+
+    "q_error_report" -> ((s, dir) => {
+      val cat = catalog(s, dir, "orders")
+      val msgs = StepInterpreter.evaluate(cat,
+        Notify("orders", "o_totalprice > 400000",
+          Reporting("BIG_ORDER", "Order too big", category = Some("Bad value"),
+            errorLocation = Some("o_totalprice")))).get
+      Messages.aggregateReport(msgs)
+    })
+  )
+
+  private def mod11Oracle: String =
+    mod11Sql("lpad(CAST(c_custkey AS VARCHAR), 10, '0')")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_add" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS disc_price FROM lineitem",
+    "q_remove" ->
+      "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
+    "q_select" ->
+      "SELECT p_partkey AS pk, upper(p_name) AS name_up, concat(p_brand, '-', p_type) AS brand_type, CAST(floor(p_retailprice) AS BIGINT) AS rp FROM part",
+    "q_select_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_group_by" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty, " +
+        "CAST(count(1) AS BIGINT) AS cnt, min(l_shipdate) AS min_ship, " +
+        "max(CAST(l_extendedprice AS DECIMAL(20,4))) AS max_price FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q_group_pivot" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'A') AS DECIMAL(38,4)) AS \"A\", " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'N') AS DECIMAL(38,4)) AS \"N\", " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'R') AS DECIMAL(38,4)) AS \"R\" " +
+        "FROM lineitem GROUP BY l_linestatus"),
+    "q_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05",
+    "q_left_join" ->
+      (s"SELECT ${ordersCols.map("o." + _).mkString(", ")}, c.c_name, c.c_mktsegment " +
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),
+    "q_join_conflict" ->
+      ("SELECT o.o_orderkey, c.c_custkey AS \"O_CUSTKEY\", upper(c.c_mktsegment) AS \"O_ORDERSTATUS\", " +
+        "o.o_totalprice, o.o_orderdate, o.o_orderpriority " +
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),
+    "q_inner_join" ->
+      (s"SELECT ${lineitemCols.map("l." + _).mkString(", ")}, p.p_brand, " +
+        "l.l_extendedprice - p.p_retailprice AS price_delta " +
+        "FROM lineitem l INNER JOIN part p ON l.l_partkey = p.p_partkey"),
+    "q_one_to_one_join" ->
+      (s"SELECT ${lineitemCols.map("l." + _).mkString(", ")}, o.o_orderdate, o.o_orderpriority " +
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"),
+    "q_semi_join" ->
+      (s"SELECT ${customerCols.mkString(", ")} FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_totalprice > 400000 AND c.c_custkey = o.o_custkey)"),
+    "q_anti_join" ->
+      (s"SELECT ${customerCols.mkString(", ")} FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_totalprice > 400000 AND c.c_custkey = o.o_custkey)"),
+    "q_has_match" ->
+      (s"SELECT ${customerCols.mkString(", ")}, EXISTS (SELECT 1 FROM " +
+        "(SELECT o_custkey, max(o_totalprice) AS max_price FROM orders GROUP BY o_custkey) m " +
+        "WHERE c.c_custkey = m.o_custkey AND m.max_price > 300000) AS has_big_order FROM customer c"),
+    "q_join_header" ->
+      "SELECT n_nationkey, n_name, (SELECT CAST(count(1) AS BIGINT) FROM region) AS n_regions FROM nation",
+    "q_union" ->
+      ("SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS \"C_ACCTBAL\" FROM customer WHERE c_custkey <= 750 " +
+        "UNION ALL SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal AS \"C_ACCTBAL\" " +
+        "FROM customer WHERE c_custkey > 750"),
+    "q_identify_orphans" ->
+      ("SELECT c_custkey, (NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_totalprice > 400000 AND c.c_custkey = o.o_custkey)) " +
+        "OR (NOT EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)) AS IsOrphaned FROM customer c"),
+    "q_copy_entity" ->
+      "SELECT r_regionkey, r_name, 'copy' AS origin FROM region",
+    "q_rename_entity" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "q_remove_entity" ->
+      "SELECT 'r2' AS entity_name",
+    "q_refdata" ->
+      (s"SELECT ${customerCols.mkString(", ")}, n.n_name AS nation_name " +
+        "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey"),
+    "q_latest_record" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate FROM " +
+        "(SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t " +
+        "WHERE rn = 1"),
+    "q_window_events" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(1) AS cnt, " +
+        "CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_val FROM events GROUP BY 1, 2"),
+    "q_events_json" ->
+      ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
+        "count(1) AS cnt FROM events GROUP BY event_type"),
+    "q_templating" ->
+      ("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1998-03-15' AND o_totalprice > 250000"),
+    "q_udfs" ->
+      ("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_quantity > 10 AND l_extendedprice < 5000 AND l_discount <= l_tax"),
+    "q_udf_domain" ->
+      (s"SELECT c_custkey, CASE WHEN c_acctbal IS NULL THEN NULL ELSE c_acctbal >= 0 END AS pos_ok, " +
+        s"$mod11Oracle AS nhs_ok, (c_custkey % 2 = 0) AS org_ok, " +
+        "abs(CAST(c_acctbal AS DECIMAL(38,10)) - CAST(0 AS DECIMAL(38,10))) <= CAST(1000 AS DECIMAL(38,10)) AS near_zero " +
+        "FROM customer"),
+    "q_sync_filters" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem " +
+        "WHERE l_quantity <= 48 AND l_discount <= 0.08"),
+    "q_sync_messages" ->
+      ("SELECT * FROM (" +
+        "SELECT 'QTY_HIGH' AS ErrorCode, count(1) AS n FROM lineitem WHERE NOT (l_quantity <= 48) " +
+        "UNION ALL SELECT 'DISC_HIGH', count(1) FROM lineitem WHERE NOT (l_discount <= 0.08) " +
+        "UNION ALL SELECT 'TAX_WARN', count(1) FROM lineitem WHERE NOT (l_tax < 0.07)) t"),
+    "q_notify" ->
+      ("SELECT 'orders' AS Entity, 'record' AS FailureType, 'error' AS Status, " +
+        "'Order ' || CAST(o_orderkey AS VARCHAR) || ' priority ' || o_orderpriority AS ErrorMessage, " +
+        "'BIG_ORDER' AS ErrorCode FROM orders WHERE o_totalprice > 400000"),
+    "q_error_report" ->
+      ("SELECT 'record' AS Type, 'orders' AS Table, 'o_totalprice' AS Data_Item, " +
+        "'Bad value' AS Category, 'BIG_ORDER' AS Error_Code, count(1) AS Count " +
+        "FROM orders WHERE o_totalprice > 400000")
+  )
+}

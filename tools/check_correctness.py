@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs graft.Verify output (parquet per query + oracle_sql.json) against DuckDB
+views over the same sf parquet tables; compares row counts, column names and
+a hash of sorted values (columns sorted by name, rows sorted by all columns).
+"""
+import json
+import math
+import sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_signature(rel):
+    cols = list(rel.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = rel.fetchall()
+    canon_rows = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.sha256()
+    for row in canon_rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return sorted(cols), len(rows), h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            mine = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            mc, mn, mh = frame_signature(mine)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"ok": False, "error": f"result read: {e}"}
+            continue
+        try:
+            ref = con.sql(sql)
+            rc, rn, rh = frame_signature(ref)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"ok": False, "error": f"oracle: {e}"}
+            continue
+        ok = (mc == rc) and (mn == rn) and (mh == rh)
+        results[name] = {
+            "ok": ok, "rows": mn, "oracle_rows": rn,
+            "cols_match": mc == rc, "hash_match": mh == rh,
+        }
+        if mc != rc:
+            results[name]["cols"] = mc
+            results[name]["oracle_cols"] = rc
+    n_ok = sum(1 for r in results.values() if r.get("ok"))
+    print(json.dumps(results, indent=1))
+    print(f"\n{n_ok}/{len(results)} queries match", file=sys.stderr)
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
