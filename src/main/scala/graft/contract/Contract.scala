@@ -1,0 +1,239 @@
+package graft.contract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.rules.Messages
+
+/** Columnar data-contract application: validate + cast, the engine's heaviest
+  * operator.
+  *
+  * The reference validates per-row with pydantic model instantiation inside
+  * `df.rdd.map` (Python workers, ref: spark/contract.py:92-199) and casts via
+  * generated SQL (ref: spark_helpers.py:516-621). Here BOTH halves are column
+  * logic in a single projection each: per-field checks accumulate an
+  * `array<struct>` of errors per row, and the typed cast mirrors the
+  * reference's TRIM / regex-guarded TRY_TO_TIMESTAMP / TRANSFORM / STRUCT
+  * statement generator. No per-row interpreter, no serialization boundary —
+  * the whole contract stays inside whole-stage codegen and scales linearly.
+  *
+  * Error categories follow the reference (ref: core_engine/message.py:67-73):
+  * Blank (missing mandatory), Wrong format (unparseable/regex), Bad value
+  * (constraint violated).
+  */
+object Contract {
+
+  val RecordIndexColumn: String = Messages.RecordIndexColumn
+
+  private val errorStruct = "struct<field:string,category:string,message:string,value:string>"
+
+  /** Stringified interchange form: every leaf cast to string, preserving
+    * array/struct shape (ref: backends/utilities.py:84-116 stringify_model,
+    * pipeline/pipeline.py:198-246).
+    */
+  def stringify(df: DataFrame): DataFrame = {
+    def conv(c: Column, dt: DataType): Column = dt match {
+      case ArrayType(et, _) => transform(c, x => conv(x, et))
+      case StructType(fs)   => struct(fs.map(f => conv(c.getField(f.name), f.dataType).as(f.name)).toSeq: _*)
+      case _                => c.cast(StringType)
+    }
+    df.select(df.schema.fields.map(f => conv(col(s"`${f.name}`"), f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  // ---------------------------------------------------------------- numeric / format regexes
+  private val intRegex = "^[+-]?[0-9]+$"
+  private val floatRegex = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  private val boolValues = Seq("true", "false", "0", "1")
+  // ref: metadata_parser/domain_types.py:32
+  private val postcodeRegex = "^[a-zA-Z]{1,2}[0-9]([a-zA-Z]?|[0-9]?) [0-9][a-zA-Z]{2}$"
+  private val orgIdRegex = "^[A-Z0-9]{3,5}$" // ref: domain_types.py:239-255
+  private val nullPostcodes = Seq("tba", "tbc", "na", "n/a", "no valid")
+
+  private def nhsCheckExpr(c: Column): Column = {
+    val cleaned = regexp_replace(regexp_replace(c, " ", ""), "-", "")
+    val total = (1 to 9).map(i => substring(cleaned, i, 1).cast(IntegerType) * lit(11 - i))
+      .reduce(_ + _)
+    val rem = total % 11
+    val check = lit(11) - when(rem === 0, 11).otherwise(rem)
+    cleaned.rlike("^[0-9]{10}$") && check === substring(cleaned, 10, 1).cast(IntegerType)
+  }
+
+  /** Normalise as the reference does (ref: domain_types.py:181-191): strip
+    * spaces, null out placeholder values, re-insert the space before the
+    * 3-char incode, uppercase.
+    */
+  private def postcodeNormExpr(c: Column): Column = {
+    val nospace = regexp_replace(c, " ", "")
+    val outcode = regexp_replace(nospace, ".{3}$", "")
+    val incode = regexp_extract(nospace, "(.{3})$", 1)
+    val norm = upper(concat(outcode, lit(" "), incode))
+    when(nospace === "" || lower(nospace).isin(nullPostcodes: _*), lit(null)).otherwise(norm)
+  }
+
+  /** Does this stringified value parse as the declared scalar type? */
+  private def formatOk(c: Column, f: FieldSpec): Column = f.typeName match {
+    case "int" | "long" | "conint"         => trim(c).rlike(intRegex)
+    case "float" | "double" | "decimal" | "condecimal" => trim(c).rlike(floatRegex)
+    case "bool"                            => lower(trim(c)).isin(boolValues: _*)
+    case "date" | "conformatteddate" => f.format match {
+      case Some(fmt) => trim(c).rlike(FieldSpec.strptimeToRegex(fmt)) &&
+        try_to_timestamp(trim(c), lit(FieldSpec.strptimeToJava(fmt))).isNotNull
+      case None => trim(c).cast(DateType).isNotNull
+    }
+    case "datetime" | "formatteddatetime" => f.format match {
+      case Some(fmt) => trim(c).rlike(FieldSpec.strptimeToRegex(fmt)) &&
+        try_to_timestamp(trim(c), lit(FieldSpec.strptimeToJava(fmt))).isNotNull
+      case None => trim(c).cast(TimestampType).isNotNull
+    }
+    case "time" | "formattedtime" =>
+      trim(c).rlike("^\\d{2}:\\d{2}(:\\d{2})?$")
+    case "nhsnumber" | "permissivenhsno" => nhsCheckExpr(trim(c))
+    case "postcode"    => postcodeNormExpr(trim(c)).isNull || postcodeNormExpr(trim(c)).rlike(postcodeRegex)
+    case "orgid"       => trim(c).rlike(orgIdRegex)
+    case "alphanumeric" => trim(c).rlike("^[a-zA-Z0-9]*$")
+    case "identifier"  => trim(c).rlike("^[a-zA-Z0-9_-]*$")
+    case _             => lit(true) // str: any text is well-formed
+  }
+
+  /** Constraint checks -> Seq of (failCondition, category, message). */
+  private def constraintChecks(c: Column, f: FieldSpec): Seq[(Column, String, String)] = {
+    val t = trim(c)
+    val asNum = t.cast("decimal(38,10)")
+    Seq(
+      f.minLength.map(n => (length(t) < n, "Bad value", s"shorter than ${n} characters")),
+      f.maxLength.map(n => (length(t) > n, "Bad value", s"longer than ${n} characters")),
+      f.regex.map(r => (!t.rlike(r), "Wrong format", s"does not match pattern")),
+      f.ge.map(v => (asNum < v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be >= $v")),
+      f.le.map(v => (asNum > v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be <= $v")),
+      f.gt.map(v => (asNum <= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be > $v")),
+      f.lt.map(v => (asNum >= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be < $v"))
+    ).flatten
+  }
+
+  /** All error structs for one field as an array<struct> Column. */
+  private def fieldErrors(f: FieldSpec): Column = {
+    val c = col(s"`${f.name}`")
+    val isMissing = c.isNull || trim(c.cast(StringType)) === ""
+    def err(category: String, message: String): Column =
+      struct(lit(f.name).as("field"), lit(category).as("category"),
+        lit(message).as("message"), c.cast(StringType).as("value"))
+
+    val blank: Column =
+      when(isMissing && lit(f.mandatory), array(err("Blank", "cannot be blank")))
+        .otherwise(array().cast(s"array<$errorStruct>"))
+
+    if (f.fields.nonEmpty || f.isArray) {
+      // Nested/array fields: mandatory-presence validated here; element-level
+      // checks are applied post-cast by rules (parity with the observed corpus).
+      blank
+    } else {
+      val fmtFail = when(!isMissing && !formatOk(c, f), array(err("Wrong format", "has wrong format")))
+        .otherwise(array().cast(s"array<$errorStruct>"))
+      val constraints = constraintChecks(c, f).map { case (cond, cat, msg) =>
+        when(!isMissing && formatOk(c, f) && cond, array(err(cat, msg)))
+          .otherwise(array().cast(s"array<$errorStruct>"))
+      }
+      (Seq(blank, fmtFail) ++ constraints).reduce(concat(_, _))
+    }
+  }
+
+  /** One projection computing every field's errors; rows with no errors keep
+    * an empty array.
+    */
+  def withErrors(df: DataFrame, spec: EntitySpec, errorsCol: String = "__errors__"): DataFrame = {
+    val allErrors = spec.fields.map(fieldErrors) match {
+      case Nil => array().cast(s"array<$errorStruct>")
+      case xs  => xs.reduce(concat(_, _))
+    }
+    df.withColumn(errorsCol, allErrors)
+  }
+
+  /** Validation messages as a DataFrame in the canonical message schema. */
+  def validate(df: DataFrame, spec: EntitySpec): DataFrame = {
+    val withErrs = withErrors(df, spec)
+    val hasIndex = df.columns.contains(RecordIndexColumn)
+    withErrs
+      .select(explode(col("__errors__")).as("e"),
+        (if (hasIndex) col(RecordIndexColumn) else lit(null).cast(LongType)).as("__ri__"))
+      .select(
+        lit(spec.name).as("Entity"),
+        lit(null).cast(StringType).as("Key"),
+        lit("record").as("FailureType"),
+        lit("error").as("Status"),
+        col("e.category").as("ErrorType"),
+        col("e.field").as("ErrorLocation"),
+        concat(col("e.field"), lit(" "), col("e.message")).as("ErrorMessage"),
+        when(col("e.category") === "Blank", "FieldBlank")
+          .when(col("e.category") === "Wrong format", "WrongFormat")
+          .otherwise("BadValue").as("ErrorCode"),
+        col("e.field").as("ReportingField"),
+        col("__ri__").as("RecordIndex"),
+        col("e.value").as("Value"),
+        col("e.category").as("Category"))
+  }
+
+  // ---------------------------------------------------------------- cast
+  private def targetType(f: FieldSpec): DataType = f.typeName match {
+    case "int" | "long" | "conint"   => LongType
+    case "float" | "double"          => DoubleType
+    case "bool"                      => BooleanType
+    case "date" | "conformatteddate" => DateType
+    case "datetime" | "formatteddatetime" => TimestampType
+    case "decimal" | "condecimal"    =>
+      DecimalType(f.precision.getOrElse(38), f.scale.getOrElse(18))
+    case _                           => StringType // str + domain/string types + time
+  }
+
+  /** Cast statement for one (possibly nested) field over a stringified column
+    * (ref: spark_helpers.py:516-621): TRIM for scalars, regex-guarded
+    * TRY_TO_TIMESTAMP for formatted dates, TRANSFORM for arrays, STRUCT
+    * recursion for models. Failed casts become null; MESSAGES decide
+    * rejection, not the cast.
+    */
+  private def castExpr(c: Column, f: FieldSpec): Column = {
+    def scalar(x: Column): Column = f.typeName match {
+      case "date" | "conformatteddate" | "datetime" | "formatteddatetime" =>
+        val parsed = f.format match {
+          case Some(fmt) =>
+            when(trim(x).rlike(FieldSpec.strptimeToRegex(fmt)),
+              try_to_timestamp(trim(x), lit(FieldSpec.strptimeToJava(fmt))))
+              .otherwise(lit(null).cast(TimestampType))
+          case None => trim(x).cast(TimestampType)
+        }
+        parsed.cast(targetType(f))
+      case "postcode" => postcodeNormExpr(trim(x))
+      case "bool" =>
+        when(lower(trim(x)).isin("true", "1"), lit(true))
+          .when(lower(trim(x)).isin("false", "0"), lit(false))
+          .otherwise(lit(null).cast(BooleanType))
+      case _ => trim(x).cast(targetType(f))
+    }
+    def go(x: Column, spec: FieldSpec): Column =
+      if (spec.fields.nonEmpty)
+        struct(spec.fields.map(sf => go(x.getField(sf.name), sf).as(sf.name)): _*)
+      else scalar(x)
+    if (f.isArray) transform(c, x => go(x, f.copy(isArray = false)))
+    else go(c, f)
+  }
+
+  /** Project the stringified frame to typed columns (one projection). */
+  def cast(df: DataFrame, spec: EntitySpec): DataFrame = {
+    val keep = if (df.columns.contains(RecordIndexColumn))
+      Seq(col(RecordIndexColumn)) else Nil
+    df.select(spec.fields.map(f => castExpr(col(s"`${f.name}`"), f).as(f.name)) ++ keep: _*)
+  }
+
+  /** Full contract: (typed entity, validation messages). */
+  def apply(df: DataFrame, spec: EntitySpec): (DataFrame, DataFrame) =
+    (cast(df, spec), validate(df, spec))
+
+  /** Post-hoc record rejection: drop rows whose index appears in the error
+    * frame (ref: spark_helpers.py:393-431 anti-join on __record_index__).
+    */
+  def filterContractErrors(entity: DataFrame, messages: DataFrame): DataFrame = {
+    val bad = messages
+      .where(col("FailureType") === "record" && col("Status") =!= "informational")
+      .select(col("RecordIndex").as(RecordIndexColumn)).distinct()
+    entity.join(broadcast(bad), Seq(RecordIndexColumn), "left_anti")
+  }
+}

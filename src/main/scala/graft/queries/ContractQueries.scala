@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.contract.{Contract, EntitySpec, FieldSpec}
+import graft.readers.Readers
+
+/** Correctness queries for the contract validate+cast operator and the
+  * CSV/JSON/XML readers (record-index chain included).
+  */
+object ContractQueries {
+
+  private def lineitemSubset(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Stringify -> typed cast round-trip: output must equal the original typed values.
+    "q_contract_cast" -> ((s, dir) => {
+      val spec = EntitySpec("lineitem", Seq(
+        FieldSpec("l_orderkey", "long", mandatory = true),
+        FieldSpec("l_linenumber", "long", mandatory = true),
+        FieldSpec("l_quantity", "double"),
+        FieldSpec("l_returnflag", "str", maxLength = Some(1)),
+        FieldSpec("l_shipdate", "datetime")))
+      Contract.cast(Contract.stringify(lineitemSubset(s, dir)), spec)
+    }),
+
+    // Formatted-date cast: %d/%m/%Y with a guaranteed-invalid value lane.
+    "q_contract_dates" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_orderkey").cast("string").as("l_orderkey"),
+        col("l_linenumber").cast("string").as("l_linenumber"),
+        when(col("l_linenumber") === 1, lit("31/02/1995"))
+          .otherwise(date_format(col("l_shipdate"), "dd/MM/yyyy")).as("ship_d"))
+      val spec = EntitySpec("lineitem", Seq(
+        FieldSpec("l_orderkey", "long"),
+        FieldSpec("l_linenumber", "long"),
+        FieldSpec("ship_d", "date", format = Some("%d/%m/%Y"))))
+      Contract.cast(input, spec)
+    }),
+
+    // Validation message aggregation: Blank / Bad value / Wrong format lanes.
+    "q_contract_errors" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_orderkey").cast("string").as("order_id"),
+        nullif(col("l_returnflag"), lit("R")).as("flag"),
+        col("l_quantity").cast("string").as("qty"),
+        when(col("l_discount") > 0.08, concat(lit("x"), col("l_quantity").cast("string")))
+          .otherwise(col("l_quantity").cast("string")).as("weird"))
+      val spec = EntitySpec("lineitem", Seq(
+        FieldSpec("order_id", "long", mandatory = true),
+        FieldSpec("flag", "str", mandatory = true),
+        FieldSpec("qty", "double", le = Some(BigDecimal(49))),
+        FieldSpec("weird", "float")))
+      Contract.validate(input, spec)
+        .groupBy("ErrorLocation", "Category", "ErrorCode")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Record index + validate + anti-join rejection protocol end-to-end.
+    "q_contract_reject" -> ((s, dir) => {
+      val indexed = Readers.addRecordIndex(Contract.stringify(lineitemSubset(s, dir)))
+      val spec = EntitySpec("lineitem", Seq(
+        FieldSpec("l_orderkey", "long", mandatory = true),
+        FieldSpec("l_linenumber", "long", mandatory = true),
+        FieldSpec("l_quantity", "double", le = Some(BigDecimal(49))),
+        FieldSpec("l_returnflag", "str", regex = Some("^[AN]$")),
+        FieldSpec("l_shipdate", "datetime")))
+      val (typed, messages) = Contract(indexed, spec)
+      Contract.filterContractErrors(typed, messages)
+        .select("l_orderkey", "l_linenumber")
+    }),
+
+    // CSV -> stringified + __record_index__ -> typed cast.
+    "q_reader_csv" -> ((s, dir) => {
+      val tmp = "/tmp/graft_q_reader_csv"
+      s.read.parquet(s"$dir/part.parquet")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .sort("p_partkey").coalesce(1)
+        .write.mode("overwrite").option("header", value = true).csv(tmp)
+      val spec = EntitySpec("part", Seq(
+        FieldSpec("p_partkey", "long"), FieldSpec("p_name", "str"),
+        FieldSpec("p_brand", "str"), FieldSpec("p_size", "long")))
+      Contract.cast(Readers.readCsv(s, tmp, spec), spec)
+    }),
+
+    // JSONL with declared schema.
+    "q_reader_json" -> ((s, dir) => {
+      val tmp = "/tmp/graft_q_reader_json"
+      s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .sort("o_orderkey").coalesce(1)
+        .write.mode("overwrite").json(tmp)
+      val spec = EntitySpec("orders", Seq(
+        FieldSpec("o_orderkey", "long"), FieldSpec("o_orderpriority", "str"),
+        FieldSpec("o_totalprice", "double")))
+      Contract.cast(Readers.readJson(s, tmp, spec, multiLine = false), spec)
+    }),
+
+    // XML via Spark 4 built-in source, rowTag record shaping.
+    "q_reader_xml" -> ((s, dir) => {
+      val tmp = "/tmp/graft_q_reader_xml"
+      s.read.parquet(s"$dir/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .sort("n_nationkey").coalesce(1)
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "nation").option("rootTag", "nations").save(tmp)
+      val spec = EntitySpec("nation", Seq(
+        FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
+        FieldSpec("n_regionkey", "long")))
+      Contract.cast(Readers.readXml(s, tmp, spec, rowTag = "nation"), spec)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_contract_cast" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate FROM lineitem",
+    "q_contract_dates" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_linenumber = 1 THEN NULL ELSE CAST(l_shipdate AS DATE) END AS ship_d FROM lineitem"),
+    "q_contract_errors" ->
+      ("SELECT * FROM (" +
+        "SELECT 'flag' AS ErrorLocation, 'Blank' AS Category, 'FieldBlank' AS ErrorCode, count(1) AS n " +
+        "FROM lineitem WHERE l_returnflag = 'R' " +
+        "UNION ALL SELECT 'qty', 'Bad value', 'BadValue', count(1) FROM lineitem WHERE l_quantity > 49 " +
+        "UNION ALL SELECT 'weird', 'Wrong format', 'WrongFormat', count(1) FROM lineitem WHERE l_discount > 0.08) t"),
+    "q_contract_reject" ->
+      ("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_quantity <= 49 AND l_returnflag IN ('A', 'N')"),
+    "q_reader_csv" ->
+      ("SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS p_size, " +
+        "row_number() OVER (ORDER BY p_partkey) AS __record_index__ FROM part"),
+    "q_reader_json" ->
+      ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+        "row_number() OVER (ORDER BY o_orderkey) AS __record_index__ FROM orders"),
+    "q_reader_xml" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey, " +
+        "row_number() OVER (ORDER BY n_nationkey) AS __record_index__ FROM nation")
+  )
+}

@@ -1,0 +1,117 @@
+package graft.readers
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.contract.EntitySpec
+import graft.rules.Messages
+
+/** File readers producing the engine's ingest form: a STRINGIFIED frame (all
+  * leaf columns string — typing happens in the contract stage) plus a 1-based
+  * `__record_index__`.
+  *
+  * Record-index semantics follow the reference exactly
+  * (ref: spark_helpers.py:489-499): `rdd.zipWithIndex`, 1-based, assigned at
+  * ingest before any shuffle — NOT `monotonically_increasing_id` (which is
+  * non-contiguous and partition-dependent).
+  */
+object Readers {
+
+  val RecordIndexColumn: String = Messages.RecordIndexColumn
+
+  /** Add the 1-based record index. zipWithIndex needs one pass to count
+    * partition sizes; index order = file/row order at ingest.
+    */
+  def addRecordIndex(df: DataFrame): DataFrame = {
+    if (df.columns.contains(RecordIndexColumn)) return df
+    val schema = StructType(df.schema.fields :+ StructField(RecordIndexColumn, LongType))
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  def dropRecordIndex(df: DataFrame): DataFrame = df.drop(RecordIndexColumn)
+
+  private def stringSchema(spec: EntitySpec): StructType =
+    StructType(spec.fields.map(f => StructField(f.name, StringType)))
+
+  /** CSV with the reference's reader options
+    * (ref: spark/readers/csv.py:25-109): declared schema (never inferred),
+    * all-string read, header handling, optional empty-string->null.
+    */
+  final case class CsvOptions(
+      sep: String = ",",
+      header: Boolean = true,
+      quote: String = "\"",
+      escape: String = "\\",
+      multiLine: Boolean = false,
+      encoding: String = "UTF-8",
+      emptyStringAsNull: Boolean = true)
+
+  def readCsv(spark: SparkSession, path: String, spec: EntitySpec,
+              options: CsvOptions = CsvOptions()): DataFrame = {
+    val df = spark.read
+      .schema(stringSchema(spec))
+      .option("sep", options.sep)
+      .option("header", options.header)
+      .option("quote", options.quote)
+      .option("escape", options.escape)
+      .option("multiLine", options.multiLine)
+      .option("encoding", options.encoding)
+      .option("inferSchema", value = false)
+      .csv(path)
+    val out =
+      if (options.emptyStringAsNull)
+        df.select(df.columns.map(c => when(col(s"`$c`") === "", lit(null)).otherwise(col(s"`$c`")).as(c)).toIndexedSeq: _*)
+      else df
+    addRecordIndex(out)
+  }
+
+  /** Header-vs-schema check (ref: backends/readers/csv.py:202-225): the
+    * file's header must contain every declared field (case-insensitive).
+    * Returns missing names.
+    */
+  def checkCsvHeader(spark: SparkSession, path: String, spec: EntitySpec,
+                     sep: String = ","): Seq[String] = {
+    val first = spark.read.option("header", value = false).csv(path).limit(1).collect()
+    val headerCols = first.headOption.map(_.toSeq.map(v => Option(v).fold("")(_.toString.trim.toLowerCase)))
+      .getOrElse(Nil)
+    spec.fields.map(_.name).filterNot(n => headerCols.contains(n.toLowerCase))
+  }
+
+  /** JSON (multiline or JSONL) with declared schema
+    * (ref: spark/readers/json.py:23-74). Nested fields stay nested; leaves
+    * are read as strings for the contract stage.
+    */
+  def readJson(spark: SparkSession, path: String, spec: EntitySpec,
+               multiLine: Boolean = true): DataFrame = {
+    val df = spark.read
+      .schema(jsonSchema(spec))
+      .option("multiLine", multiLine)
+      .json(path)
+    addRecordIndex(df)
+  }
+
+  private def jsonSchema(spec: EntitySpec): StructType = {
+    def fieldType(f: graft.contract.FieldSpec): DataType = {
+      val base: DataType =
+        if (f.fields.nonEmpty) StructType(f.fields.map(sf => StructField(sf.name, fieldType(sf.copy(isArray = false)))))
+        else StringType
+      if (f.isArray) ArrayType(base) else base
+    }
+    StructType(spec.fields.map(f => StructField(f.name, fieldType(f))))
+  }
+
+  /** XML via Spark 4's built-in XML source (the reference uses the spark-xml
+    * package + lxml, ref: spark/readers/xml.py:59-212 and
+    * backends/readers/xml.py). rowTag selects the record element.
+    */
+  def readXml(spark: SparkSession, path: String, spec: EntitySpec,
+              rowTag: String): DataFrame = {
+    val df = spark.read
+      .format("xml")
+      .schema(jsonSchema(spec))
+      .option("rowTag", rowTag)
+      .load(path)
+    addRecordIndex(df)
+  }
+}
