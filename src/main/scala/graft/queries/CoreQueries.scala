@@ -11,8 +11,10 @@ import graft.audit.Auditing
 
 /** Correctness queries for the rule-step vocabulary (SURVEY §2.1/§2.2), each
   * paired with DuckDB oracle SQL over the same parquet tables. Aggregates of
-  * doubles are cast to DECIMAL on both sides so sums are order-independent
-  * and hash-exact.
+  * doubles are summed as DECIMAL (order-independent, exact) and the final
+  * aggregate cast to DOUBLE on both sides — the unscaled sums stay below
+  * 2^53 so decimal→double is the identical correctly-rounded value in both
+  * engines, independent of each engine's decimal wire representation.
   */
 object CoreQueries {
 
@@ -22,8 +24,14 @@ object CoreQueries {
   /** The events table carries TIMESTAMP(NANOS) which Spark has no native type
     * for; read nanos as long and convert with integer division (ns since
     * epoch overflows double precision, so no `/` arithmetic).
+    *
+    * The legacy nanosAsLong conf is set on an isolated child session (shared
+    * SparkContext, private SQLConf) so the caller's session state is never
+    * mutated — 37 queries share one session in the driver harness and the
+    * conf changes how every later parquet read resolves NANOS timestamps.
     */
-  def loadEvents(s: SparkSession, dir: String): DataFrame = {
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -73,16 +81,16 @@ object CoreQueries {
       GroupBy("lineitem",
         groupBy = MultiExpr.Raw("l_returnflag, l_linestatus"),
         aggColumns = MultiExpr.Aliased(Seq(
-          "cast(sum(cast(l_quantity as decimal(20,4))) as decimal(38,4))" -> "sum_qty",
+          "cast(sum(cast(l_quantity as decimal(20,4))) as double)" -> "sum_qty",
           "cast(count(1) as bigint)" -> "cnt",
           "min(l_shipdate)" -> "min_ship",
-          "max(cast(l_extendedprice as decimal(20,4)))" -> "max_price"))))("lineitem")),
+          "cast(max(cast(l_extendedprice as decimal(20,4))) as double)" -> "max_price"))))("lineitem")),
 
     "q_group_pivot" -> ((s, dir) => run(catalog(s, dir, "lineitem"),
       GroupBy("lineitem",
         groupBy = MultiExpr.Raw("l_linestatus"),
         aggColumns = MultiExpr(
-          "cast(sum(cast(l_quantity as decimal(20,4))) as decimal(38,4))"),
+          "cast(sum(cast(l_quantity as decimal(20,4))) as double)"),
         pivotColumn = Some("l_returnflag"),
         pivotValues = Some(Seq("A", "N", "R"))))("lineitem")),
 
@@ -194,7 +202,7 @@ object CoreQueries {
       loadEvents(s, dir)
         .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(20,6)")).cast("decimal(38,6)").as("sum_val"))),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))),
 
     "q_events_json" -> ((s, dir) =>
       loadEvents(s, dir)
@@ -285,14 +293,14 @@ object CoreQueries {
     "q_select_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_group_by" ->
-      ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sum_qty, " +
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty, " +
         "CAST(count(1) AS BIGINT) AS cnt, min(l_shipdate) AS min_ship, " +
-        "max(CAST(l_extendedprice AS DECIMAL(20,4))) AS max_price FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+        "CAST(max(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS max_price FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     "q_group_pivot" ->
       ("SELECT l_linestatus, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'A') AS DECIMAL(38,4)) AS \"A\", " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'N') AS DECIMAL(38,4)) AS \"N\", " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'R') AS DECIMAL(38,4)) AS \"R\" " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS \"A\", " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS \"N\", " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS \"R\" " +
         "FROM lineitem GROUP BY l_linestatus"),
     "q_filter" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05",
@@ -345,7 +353,7 @@ object CoreQueries {
         "WHERE rn = 1"),
     "q_window_events" ->
       ("SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(1) AS cnt, " +
-        "CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_val FROM events GROUP BY 1, 2"),
+        "CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_val FROM events GROUP BY 1, 2"),
     "q_events_json" ->
       ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
         "count(1) AS cnt FROM events GROUP BY event_type"),
