@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextStats}
+import graft.similarity.Similarity
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline operators (dedup / similarity / text analysis /
+  * multimodal) as correctness queries over the driver's `documents` and
+  * `embeddings` tables, with exact DuckDB oracles wherever the computation
+  * is ANSI-SQL-expressible (hash-based ANN variants get rows-only checks).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Shared DuckDB CTE: distinct word-3-gram shingle sets per document,
+    * mirroring [[Dedup.shingles]].
+    */
+  private val shingleCte =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN " +
+      "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) " +
+      "ELSE [array_to_string(ws, ' ')] END AS sh FROM t)"
+
+  /** Exact all-pairs Jaccard join — the oracle for both the prefix-filter
+    * exact join and the MinHash-LSH pipeline (whose recall at the chosen
+    * band geometry is 1 up to ~1e-35 miss probability).
+    */
+  private def allPairsSql(selectCols: String): String =
+    s"$shingleCte SELECT $selectCols FROM (" +
+      "SELECT a.doc_id AS a, b.doc_id AS b, " +
+      "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p WHERE jaccard >= 0.5"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.prefixFilterJoin(docs(s, dir), "doc_id", "text", shingleSize = 3, threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashDedup(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, numBands = 32, threshold = 0.5)
+        .select("a", "b")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("sh", Dedup.simHash(col("text")))
+        .select(col("doc_id"), col("sh.hi").as("hi"), col("sh.lo").as("lo"))),
+
+    "q_text_stats" -> ((s, dir) => {
+      val cols = col("doc_id") +: TextStats.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, dir).select(cols: _*)
+    }),
+
+    "q_text_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextStats.languageId(col("text")).as("pred_lang"),
+        round(TextStats.stopwordRatio(TextStats.tokens(lower(col("text"))),
+          TextStats.StopwordLists.toMap.apply("en")), 6).as("en_score"))),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"),
+        TextStats.bpeishTokenCount(col("text")).cast("bigint").as("n_bpeish_tokens"))),
+
+    "q_embed_knn" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+
+    "q_embed_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, numPlanes = 8)
+    }),
+
+    "q_embed_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfKnn(e, e.where(col("vec_id") < 10),
+        centroids = e.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    }),
+
+    "q_multimodal_meta" -> ((s, dir) => {
+      val bin = col("text").cast("binary")
+      docs(s, dir)
+        .withColumn("m", Multimodal.mediaMeta(bin))
+        .select(col("doc_id"), col("m.byte_len").as("byte_len"),
+          col("m.content_sha256").as("content_sha256"), col("m.magic_hex").as("magic_hex"),
+          size(Multimodal.frameSample(bin, frameSize = 32, stride = 16)).cast("bigint").as("n_frames"))
+    }),
+
+    "q_multimodal_decode" -> ((s, dir) => {
+      val withBin = docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeFeatures(withBin, "payload", "features", dim = 16)
+        .select(col("doc_id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 6).as("f1"),
+          size(col("features")).cast("bigint").as("dim"))
+    })
+  )
+
+  private val statsSql: String = {
+    val ws = "regexp_split_to_array(text, '\\s+')"
+    "SELECT doc_id, " +
+      s"len($ws)::BIGINT AS n_tokens, " +
+      s"len(list_distinct($ws))::BIGINT AS n_distinct_tokens, " +
+      s"CAST(round(len(list_distinct($ws))::DOUBLE / len($ws)::DOUBLE, 6) AS DOUBLE) AS distinct_ratio, " +
+      s"CAST(round(list_sum(list_transform($ws, w -> length(w)))::DOUBLE / len($ws)::DOUBLE, 6) AS DOUBLE) AS mean_token_len, " +
+      "CAST(round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1)::DOUBLE, 6) AS DOUBLE) AS alpha_ratio, " +
+      "CAST(round((len(list_distinct(" + ws + "))::DOUBLE / len(" + ws + ")::DOUBLE " +
+      " + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1)::DOUBLE " +
+      s" + (CASE WHEN len($ws) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) " +
+      s" + (CASE WHEN list_sum(list_transform($ws, w -> length(w)))::DOUBLE / len($ws)::DOUBLE BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)" +
+      ") / 4, 6) AS DOUBLE) AS quality_score " +
+      "FROM documents"
+  }
+
+  private val langidSql: String = {
+    val ws = "regexp_split_to_array(lower(text), '\\s+')"
+    def score(words: Seq[String]): String = {
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($ws, w -> list_contains($list, w)))::DOUBLE / len($ws)::DOUBLE"
+    }
+    val byLang = TextStats.StopwordLists.map { case (l, w) => l -> score(w) }.toMap
+    val Seq(de, en, es, fr) = Seq("de", "en", "es", "fr").map(byLang)
+    "SELECT doc_id, lang, " +
+      s"CASE WHEN greatest($de, $en, $es, $fr) = 0 THEN 'und' " +
+      s"WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de' " +
+      s"WHEN $en >= $es AND $en >= $fr THEN 'en' " +
+      s"WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS pred_lang, " +
+      s"CAST(round($en, 6) AS DOUBLE) AS en_score FROM documents"
+  }
+
+  private val simhashSql: String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "w AS (SELECT doc_id, unnest(ws) AS word FROM t), " +
+      "h AS (SELECT doc_id, list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(word, '')]), (a, b) -> (a * 31 + b) % 4294967296) AS wh FROM w), " +
+      "v AS (SELECT doc_id, i, sum(CASE WHEN ((wh * (2 * i + 1) + i * i * 2654435761) % 4294967296) >= 2147483648 " +
+      "THEN 1 ELSE -1 END) AS vote FROM h CROSS JOIN range(64) r(i) GROUP BY doc_id, i), " +
+      "bits AS (SELECT doc_id, i, CASE WHEN vote > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM v) " +
+      "SELECT doc_id, " +
+      "CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi, " +
+      "CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo " +
+      "FROM bits GROUP BY doc_id"
+
+  private val fingerprintSql: String =
+    "SELECT doc_id, list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(text, '')]), (a, b) -> (a * 31 + b) % 4294967296) AS fp, " +
+      s"len(regexp_extract_all(text, '${TextStats.BpeishPattern}'))::BIGINT AS n_bpeish_tokens " +
+      "FROM documents"
+
+  private val knnSql: String =
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), " +
+      "p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos " +
+      "FROM q JOIN embeddings c ON q.vec_id != c.vec_id), " +
+      "r AS (SELECT query_id, neighbor_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM p) " +
+      "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
+      "CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= 5"
+
+  private val multimodalSql: String =
+    "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, " +
+      "sha256(text) AS content_sha256, " +
+      "lower(hex(encode(substring(text, 1, 8)))) AS magic_hex, " +
+      "CASE WHEN octet_length(encode(text)) >= 32 THEN " +
+      "floor((octet_length(encode(text)) - 32) / 16)::BIGINT + 1 ELSE 1::BIGINT END AS n_frames " +
+      "FROM documents"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS dup_count FROM documents GROUP BY 1",
+    "q_dedup_ngram" -> allPairsSql("a, b, jaccard"),
+    "q_dedup_minhash" -> allPairsSql("a, b"),
+    "q_dedup_simhash" -> simhashSql,
+    "q_text_stats" -> statsSql,
+    "q_text_langid" -> langidSql,
+    "q_doc_fingerprint" -> fingerprintSql,
+    "q_embed_knn" -> knnSql,
+    "q_multimodal_meta" -> multimodalSql
+    // q_embed_ann_lsh / q_embed_ivf / q_multimodal_decode: hash-derived
+    // buckets and float32 stub features are not ANSI-SQL replicable →
+    // rows-only driver check; recall vs the exact baseline is asserted in
+    // ScalaTest instead.
+  )
+}

@@ -1,0 +1,138 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three strategies:
+  *   - [[bruteForceKnn]] — exact cosine top-k; the correctness baseline.
+  *     Broadcast the (small) query set against the corpus: one narrow pass
+  *     over the big side, a partial top-k per partition via window.
+  *   - [[lshKnn]] — random-hyperplane (sign) LSH: bucket by bit code with
+  *     multi-probe (Hamming-1 neighbors), exact re-rank inside candidate
+  *     buckets only. The 100 TB path: candidate generation is an equi-join
+  *     on the bucket key.
+  *   - [[ivfKnn]] — IVF-style coarse quantization: assign vectors to their
+  *     nearest centroid cell, probe the `nProbe` closest cells per query,
+  *     exact re-rank within probed cells.
+  *
+  * All vector math is columnar (zip_with / aggregate fold in double), no
+  * UDFs; element order of the fold is ascending index so results are
+  * bit-reproducible across engines.
+  */
+object Similarity {
+
+  /** Elementwise-double dot product, sequential fold (index order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot / (||a|| * ||b||), matching
+    * `list_cosine_similarity` arithmetic (double throughout).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for the rows of `queries` against `corpus`.
+    * `queries` is broadcast (it is the small side by construction); the
+    * corpus is scanned once, cosine computed per (query, vector) pair, and
+    * top-k selected by window rank with a deterministic (cosine desc, id)
+    * tiebreak.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim),
+    * uniform in [-1, 1): derived from xxhash64 so plans need no literal
+    * weight arrays.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane * 131071 + dim), lit(2000000L)) - 1000000L).cast("double") / 1000000.0
+
+  /** Sign-LSH bit code (array of `numPlanes` 0/1 longs) for a vector. */
+  def lshBits(vec: Column, numPlanes: Int): Column =
+    transform(sequence(lit(0), lit(numPlanes - 1)), p =>
+      when(aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, x) => acc + x) >= 0, 1L).otherwise(0L))
+
+  private def bitsToCode(bits: Column): Column =
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+
+  /** Approximate top-k: candidates are corpus vectors sharing the query's
+    * bucket or any Hamming-1 probe bucket; exact cosine re-rank inside
+    * candidates. Recall tunes with `numPlanes` (fewer planes = bigger
+    * buckets = higher recall, more compute).
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      bitsToCode(lshBits(col(vecCol), numPlanes)).as("bucket"))
+    // query probes: own bucket + every Hamming-1 bucket (flip one bit)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        lshBits(col(vecCol), numPlanes).as("bits"))
+      .withColumn("probe", explode(probeCodes(col("bits"), numPlanes)))
+      .drop("bits")
+    val scored = broadcast(probes).join(c, col("probe") === col("bucket")
+        && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .dropDuplicates("query_id", "neighbor_id")
+    topK(scored, k)
+  }
+
+  /** Own bucket code plus all Hamming-1 codes (one bit flipped). */
+  private def probeCodes(bits: Column, numPlanes: Int): Column =
+    flatten(array(
+      array(bitsToCode(bits)),
+      transform(sequence(lit(0), lit(numPlanes - 1)), i =>
+        bitsToCode(zip_with(bits, sequence(lit(0), lit(numPlanes - 1)),
+          (b, d) => when(d === i, lit(1L) - b).otherwise(b))))))
+
+  /** IVF-style coarse quantization. `centroids` are any deterministic
+    * sample of corpus rows (caller picks, e.g. `vec_id % 50 == 0`). Corpus
+    * vectors are assigned to their nearest centroid (broadcast join —
+    * centroid count is small); each query probes the `nProbe` nearest
+    * cells and re-ranks exactly within them.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("cell_cos").desc, col("cell_id"))
+      df.join(cent)
+        .withColumn("cell_cos", cosine(col(vec), col("c_vec")))
+        .withColumn("cell_rank", row_number().over(w))
+        .where(col("cell_rank") <= keep)
+        .drop("c_vec", "cell_cos", "cell_rank")
+    }
+    val c = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec")),
+      "neighbor_id", "n_vec", 1)
+    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", nProbe)
+    val scored = broadcast(q).join(c, Seq("cell_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .dropDuplicates("query_id", "neighbor_id")
+    topK(scored, k)
+  }
+}

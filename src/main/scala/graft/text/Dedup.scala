@@ -1,0 +1,217 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * Three tiers, all bucketed (never all-pairs at scale):
+  *   - exact dedup: hash group-by on normalized text;
+  *   - exact set-similarity join: prefix filtering (PPJoin-style candidate
+  *     generation — complete for a Jaccard threshold, see [[prefixFilterJoin]]);
+  *   - approximate: MinHash signatures + LSH banding with an exact verify
+  *     pass over bucket-cohabiting candidates only.
+  *
+  * All heavy lifting stays in Spark SQL higher-order functions over array
+  * columns (no UDFs, no driver collection); candidate generation shuffles on
+  * band/token keys so the plans scale horizontally. Beyond-parity operator
+  * (reference has no dedup; driver brief requires it for the 100 TB
+  * training-data path).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text column.
+    * Documents shorter than `n` words contribute their whole text as a
+    * single shingle so they still participate in joins.
+    */
+  def shingles(textCol: Column, n: Int): Column = {
+    val ws = split(textCol, " ")
+    val grams = transform(
+      sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ws, (i + o + 1).cast("int"))): _*))
+    when(size(ws) >= n, array_distinct(grams))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** Deterministic affine-permutation constants for MinHash, derived from
+    * `seed` via splitmix64 (public-domain mixing constants).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  val MersennePrime31: Long = 2147483647L // 2^31 - 1
+
+  /** MinHash signature (array<bigint> of length `numHashes`) over a shingle
+    * array column. Base hash = xxhash64 masked to 31 bits; permutation i is
+    * h -> (a_i * h + b_i) mod (2^31 - 1), products bounded well inside
+    * int64. One xxhash per shingle, then numHashes * |shingles| cheap
+    * multiply-mods — all columnar, no UDF.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val as = Array.tabulate(numHashes)(i => 1L + math.floorMod(splitmix64(seed + 2L * i), MersennePrime31 - 1))
+    val bs = Array.tabulate(numHashes)(i => math.floorMod(splitmix64(seed + 2L * i + 1), MersennePrime31))
+    val aArr = array(as.map(lit): _*)
+    val bArr = array(bs.map(lit): _*)
+    val baseHashes = transform(shingleCol, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i =>
+        array_min(transform(baseHashes,
+          h => pmod(element_at(aArr, (i + 1).cast("int")) * h + element_at(bArr, (i + 1).cast("int")),
+            lit(MersennePrime31)))))
+  }
+
+  /** Explode a signature into (bandIndex, bandHash) rows: `numBands` bands of
+    * `rowsPerBand` signature positions each. Pairs agreeing on any full band
+    * become candidates; P(candidate) = 1 - (1 - s^r)^b.
+    */
+  def bandColumns(sigCol: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBands - 1)),
+      j => xxhash64(j, slice(sigCol, j * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Candidate pairs (idA < idB) from LSH banding. Bucketed: pairs are only
+    * generated inside a (band, bandHash) bucket; `maxBucketSize` caps the
+    * quadratic blow-up on pathological buckets (skew guard — at 100 TB a
+    * degenerate shingle set would otherwise explode one reducer).
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
+                    numBands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = 10000): DataFrame = {
+    val banded = docs
+      .select(col(idCol), posexplode(bandColumns(col(sigCol), numBands, rowsPerBand)).as(Seq("band", "band_hash")))
+    banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(pairCombinations(array_sort(col("ids")))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+  }
+
+  /** All i<j combinations of a sorted id array as struct(a, b). */
+  private def pairCombinations(sortedIds: Column): Column =
+    flatten(transform(
+      sequence(lit(0), size(sortedIds) - 2),
+      i => transform(
+        sequence(i + 1, size(sortedIds) - 1),
+        j => struct(element_at(sortedIds, (i + 1).cast("int")).as("a"),
+          element_at(sortedIds, (j + 1).cast("int")).as("b")))))
+
+  /** Exact Jaccard over two array columns, computed as
+    * |intersect| / |union| in double — identical arithmetic to the DuckDB
+    * oracle (`len(list_intersect)/len(list_distinct(list_concat))`).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Verify candidate pairs with exact Jaccard over the shingle sets; keeps
+    * pairs with jaccard >= threshold. Joins candidates back to the (small
+    * relative to pairs) per-doc shingle table twice — shuffle joins on the
+    * id keys, no broadcast assumption.
+    */
+  def verifyPairs(candidates: DataFrame, docShingles: DataFrame,
+                  idCol: String, shingleCol: String, threshold: Double): DataFrame = {
+    val left = docShingles.select(col(idCol).as("a"), col(shingleCol).as("sh_a"))
+    val right = docShingles.select(col(idCol).as("b"), col(shingleCol).as("sh_b"))
+    candidates
+      .join(left, "a")
+      .join(right, "b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pair detection, end to end: shingle →
+    * signature → banded buckets → candidate pairs → exact verify. With
+    * r small (e.g. 2) recall at the threshold is effectively 1
+    * (miss probability (1 - t^r)^b), so the output equals the exact join's.
+    */
+  def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 128,
+                   numBands: Int = 32, threshold: Double = 0.5,
+                   seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+    val withSig = withShingles.withColumn("sig", minHashSignature(col("sh"), numHashes, seed))
+    val candidates = lshCandidates(withSig, idCol, "sig", numBands, rowsPerBand)
+    verifyPairs(candidates, withShingles, idCol, "sh", threshold)
+  }
+
+  /** Exact Jaccard-threshold self-join via prefix filtering.
+    *
+    * Tokens are globally ordered (here by xxhash64 — any total order is
+    * correct; frequency order is a selectivity optimization left as a knob)
+    * and each document emits only its first |S| - ceil(t*|S|) + 1 tokens.
+    * Two sets with Jaccard >= t must share >= ceil(t*|S|) tokens, so they
+    * must collide on at least one prefix token — candidate generation is
+    * COMPLETE for the threshold, and the verify pass is exact. Candidates
+    * are generated by an equi-join on token (shuffle on token key), never
+    * all-pairs.
+    */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+    // Total order on tokens: (xxhash64, token) struct sort — the token
+    // tiebreak keeps the order globally consistent even under a hash
+    // collision, which completeness of prefix filtering depends on.
+    val sorted = withShingles.withColumn("sh_sorted",
+      array_sort(transform(col("sh"), s => struct(xxhash64(s).as("h"), s.as("s")))))
+    val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
+    val prefixes = sorted
+      .select(col(idCol), explode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("s"))).as("tok"))
+    val candidates = prefixes.as("x").join(prefixes.as("y"),
+        col("x.tok") === col("y.tok") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    verifyPairs(candidates, withShingles, idCol, "sh", threshold)
+  }
+
+  /** Exact-duplicate grouups: hash group-by on (optionally normalized) text.
+    * Output: one row per distinct text, the surviving (minimum) id and the
+    * duplicate count. Shuffles on the 256-bit content hash only.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** Deterministic 32-bit polynomial word hash (h = h*31 + codepoint mod
+    * 2^32, seed 17) — chosen to be replicable in ANSI SQL by the oracle
+    * (fold over codepoints), unlike xxhash64.
+    */
+  def wordHash(word: Column): Column =
+    aggregate(
+      filter(split(word, ""), c => c =!= ""),
+      lit(17L),
+      (h, c) => pmod(h * 31 + ascii(c), lit(4294967296L)))
+
+  /** 64-bit SimHash of a whitespace-tokenized text column, returned as a
+    * struct(hi, lo) of two non-negative 32-bit halves (avoids int64 sign
+    * pitfalls across engines). Bit i of the signature is the sign of the
+    * term-frequency-weighted vote sum of bit i of each word's derived
+    * bit-hash g_i(w) = ((h(w)*(2i+1) + i^2*2654435761) mod 2^32) >> 31.
+    */
+  def simHash(textCol: Column): Column = {
+    val words = split(textCol, " ")
+    val hashes = transform(words, w => wordHash(w))
+    val votes = transform(
+      sequence(lit(0), lit(63)),
+      i =>
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc +
+            when(pmod(h * (i * 2 + 1) + i * i * lit(2654435761L), lit(4294967296L)) >= lit(2147483648L), 1L)
+              .otherwise(-1L)))
+    val bits = transform(votes, v => when(v > 0, 1L).otherwise(0L))
+    val half = (from: Int) =>
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc + element_at(bits, (i + from + 1).cast("int")).cast("long") * pow(lit(2.0), i).cast("long"))
+    struct(half(32).as("hi"), half(0).as("lo"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization stats,
+  * quality scoring, n-gram-free language ID heuristic, and document
+  * fingerprinting. Everything is a pure Column expression (per-row, no
+  * shuffle, no UDF) so the operators map over 100 TB as a narrow stage.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(textCol: Column): Column = split(textCol, "\\s+")
+
+  /** BPE-ish subword count: runs of letters, single digits, or runs of
+    * non-alphanumeric-non-space — a simplified GPT-2-style pretokenizer.
+    * `regexp_count` keeps it inside codegen.
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]+"
+  def bpeishTokenCount(textCol: Column): Column = regexp_count(textCol, lit(BpeishPattern))
+
+  /** Per-language closed-class word lists for the language-ID heuristic.
+    * Tiny on purpose: language ID at corpus scale is a ratio of
+    * stopword hits per candidate language, argmax with a deterministic
+    * alphabetical tiebreak.
+    */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "en"))
+
+  /** Fraction of tokens present in `words` (a fixed list). */
+  def stopwordRatio(toks: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(wordArr, t))).cast("double") / size(toks).cast("double")
+  }
+
+  /** Predicted language: argmax of per-language stopword ratio with
+    * alphabetical-first tiebreak; "und" (undetermined) when no list hits.
+    */
+  def languageId(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val scored = StopwordLists.zipWithIndex.map { case ((lang, words), i) =>
+      // struct comparison is field-order lexicographic: score first, then
+      // negated alphabetical rank so ties resolve to the FIRST language.
+      struct(stopwordRatio(toks, words).as("score"), lit(-i).as("nrank"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality heuristics per document (ref motivation: Gopher/C4-style
+    * quality filters): token count, distinct ratio, mean token length,
+    * alpha ratio, and a composite [0,1] score.
+    */
+  def qualityColumns(textCol: Column): Seq[(String, Column)] = {
+    val toks = tokens(textCol)
+    val nTokens = size(toks)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTokens.cast("double")
+    val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTokens.cast("double")
+    val alphaRatio = (length(regexp_replace(textCol, "[^a-zA-Z]", "")).cast("double")
+      / greatest(length(textCol), lit(1)).cast("double"))
+    val lengthOk = (nTokens >= 10 && nTokens <= 100000).cast("double")
+    val tokLenOk = (meanTokLen >= lit(2.0) && meanTokLen <= lit(12.0)).cast("double")
+    val score = round((distinctRatio + alphaRatio + lengthOk + tokLenOk) / 4, 6)
+    Seq(
+      "n_tokens" -> nTokens.cast("bigint"),
+      "n_distinct_tokens" -> size(array_distinct(toks)).cast("bigint"),
+      "distinct_ratio" -> round(distinctRatio, 6),
+      "mean_token_len" -> round(meanTokLen, 6),
+      "alpha_ratio" -> round(alphaRatio, 6),
+      "quality_score" -> score)
+  }
+
+  /** 32-bit polynomial rolling-hash fingerprint of the whole text
+    * (h = h*31 + codepoint mod 2^32, seed 17) — deterministic, ANSI-SQL
+    * replicable, order-sensitive (unlike a bag-of-words hash).
+    */
+  def fingerprint(textCol: Column): Column =
+    aggregate(
+      filter(split(textCol, ""), c => c =!= ""),
+      lit(17L),
+      (h, c) => pmod(h * 31 + ascii(c), lit(4294967296L)))
+}
