@@ -234,6 +234,8 @@ object Contract {
     val bad = messages
       .where(col("FailureType") === "record" && col("Status") =!= "informational")
       .select(col("RecordIndex").as(RecordIndexColumn)).distinct()
-    entity.join(broadcast(bad), Seq(RecordIndexColumn), "left_anti")
+    // No broadcast hint: the reject set is unbounded (a bad submission can
+    // fail billions of rows) — AQE picks broadcast when it is actually small.
+    entity.join(bad, Seq(RecordIndexColumn), "left_anti")
   }
 }

@@ -61,7 +61,12 @@ object ContractQueries {
 
     // Record index + validate + anti-join rejection protocol end-to-end.
     "q_contract_reject" -> ((s, dir) => {
+      // Persist the indexed stringified frame: zipWithIndex materializes the
+      // RDD, and both the typed-cast and the message lineages read it — the
+      // reference checkpoints this to parquet between stages for the same
+      // reason (pipeline/pipeline.py:198-246).
       val indexed = Readers.addRecordIndex(Contract.stringify(lineitemSubset(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val spec = EntitySpec("lineitem", Seq(
         FieldSpec("l_orderkey", "long", mandatory = true),
         FieldSpec("l_linenumber", "long", mandatory = true),

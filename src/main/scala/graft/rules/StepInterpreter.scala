@@ -89,53 +89,21 @@ object StepInterpreter {
 
     case j: OneToOneJoin =>
       val outName = j.newEntityName.getOrElse(j.entityName)
-      if (j.performIntegrityCheck) {
-        // Source rows are tagged with a per-row id BEFORE the join so that one
-        // aggregation over the joined plan decides integrity: the join is 1:1
-        // iff total joined rows == distinct source ids. Single Spark action,
-        // vs the reference's two full `count()` jobs (spark/rules.py:250-251).
-        val rid = "__graft_rid__"
-        val src = catalog(j.entityName).withColumn(rid, monotonically_increasing_id())
-        val srcAliased = src.alias(j.entityName)
-        val tgt = catalog(j.targetName).alias(j.targetName)
-        val joined = srcAliased.join(tgt, expr(j.joinCondition), "left")
-        val row = joined.agg(count(lit(1)).as("n"), count_distinct(col(rid)).as("d")).head()
-        if (row.getLong(0) != row.getLong(1))
-          throw new ConstraintException(
-            s"Multiple matches for some records from '${j.entityName}' for condition '${j.joinCondition}'",
-            s"records in source entity ('${j.entityName}') must match at most a single record " +
-              s"in the target (${j.targetName})")
-        val srcNoRid = src.drop(rid).alias(j.entityName)
-        catalog(outName) = resolveJoinNameConflicts(
-          srcNoRid, joined.drop(rid), j.entityName, j.newColumns)
-      } else {
-        val (src, joined) = performJoin(catalog, j.entityName, j.targetName, j.joinCondition, "left")
-        catalog(outName) = resolveJoinNameConflicts(src, joined, j.entityName, j.newColumns)
-      }
+      if (j.performIntegrityCheck)
+        assertOneToOne(catalog, j.entityName, j.targetName, j.joinCondition)
+      val (src, joined) = performJoin(catalog, j.entityName, j.targetName, j.joinCondition, "left")
+      catalog(outName) = resolveJoinNameConflicts(src, joined, j.entityName, j.newColumns)
       None
 
     case j: HasMatch =>
       // Left join then re-evaluate the condition as the match flag
       // (ref: spark/rules.py:210-229 — coalesce(cond, false)).
-      val rid = "__graft_rid__"
-      val needCheck = j.performIntegrityCheck
-      val srcBase = catalog(j.entityName)
-      val src = (if (needCheck) srcBase.withColumn(rid, monotonically_increasing_id())
-                 else srcBase).alias(j.entityName)
-      val tgt = catalog(j.targetName).alias(j.targetName)
-      val joined = src.join(tgt, expr(j.joinCondition), "left")
-      if (needCheck) {
-        val row = joined.agg(count(lit(1)).as("n"), count_distinct(col(rid)).as("d")).head()
-        if (row.getLong(0) != row.getLong(1))
-          throw new ConstraintException(
-            s"Multiple matches for some records from '${j.entityName}' for condition '${j.joinCondition}'",
-            s"records in source entity ('${j.entityName}') must match at most a single record " +
-              s"in the target (${j.targetName})")
-      }
+      if (j.performIntegrityCheck)
+        assertOneToOne(catalog, j.entityName, j.targetName, j.joinCondition)
+      val (_, joined) = performJoin(catalog, j.entityName, j.targetName, j.joinCondition, "left")
       val result = joined
         .select(col(s"${j.entityName}.*"),
           coalesce(expr(j.joinCondition), lit(false)).alias(j.columnName))
-        .drop(rid)
       catalog(j.newEntityName.getOrElse(j.entityName)) = result
       None
 
@@ -199,6 +167,117 @@ object StepInterpreter {
   /** Evaluate a sequence of steps, returning all emitted message frames. */
   def evaluateAll(catalog: EntityCatalog, steps: Seq[Step]): Seq[DataFrame] =
     steps.flatMap(s => evaluate(catalog, s))
+
+  // ------------------------------------------------------------ 1:1 integrity
+
+  /** Conjunctive analysis of a join condition between `src` and `tgt`:
+    * equality pairs plus single-side residual predicates. `None` when the
+    * condition is anything more exotic (parentheses, OR, cross-side
+    * inequality) — callers fall back to the generic check.
+    */
+  private[graft] final case class EquiCondition(
+      equis: Seq[(String, String)], srcPreds: Seq[String], tgtPreds: Seq[String])
+
+  private[graft] def analyzeCondition(cond: String, src: String, tgt: String): Option[EquiCondition] = {
+    if (cond.exists(c => c == '(' || c == ')')) return None
+    val conjuncts = splitTopLevelAnd(cond)
+    def refs(c: String, alias: String): Boolean =
+      java.util.regex.Pattern
+        .compile("(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(alias) + "`?\\s*\\.")
+        .matcher(c).find()
+    val colRef = ("(?i)^\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*\\.\\s*`?" +
+      "([A-Za-z_][A-Za-z0-9_]*)`?\\s*$").r
+    val equis = Seq.newBuilder[(String, String)]
+    val srcPreds = Seq.newBuilder[String]
+    val tgtPreds = Seq.newBuilder[String]
+    conjuncts.foreach { c =>
+      val (hasSrc, hasTgt) = (refs(c, src), refs(c, tgt))
+      if (hasSrc && hasTgt) {
+        if (c.matches("(?s).*(<=|>=|!=|<>|<|>).*") || c.count(_ == '=') != 1) return None
+        val Array(l, r) = c.split("=", 2)
+        (l, r) match {
+          case (colRef(la, lc), colRef(ra, rc))
+              if la.equalsIgnoreCase(src) && ra.equalsIgnoreCase(tgt) =>
+            equis += ((lc, rc))
+          case (colRef(la, lc), colRef(ra, rc))
+              if la.equalsIgnoreCase(tgt) && ra.equalsIgnoreCase(src) =>
+            equis += ((rc, lc))
+          case _ => return None
+        }
+      } else if (hasSrc) srcPreds += c
+      else if (hasTgt) tgtPreds += c
+      else return None // unqualified reference — side unknown, be safe
+    }
+    val result = EquiCondition(equis.result(), srcPreds.result(), tgtPreds.result())
+    if (result.equis.isEmpty) None else Some(result)
+  }
+
+  /** Split on top-level AND, respecting quotes (no paren nesting — the
+    * analyzer bails on parentheses before calling this).
+    */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur += c; if (c == quote) quote = 0; i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; cur += c; i += 1
+      } else if ((i + 3 <= s.length) && s.substring(i, i + 3).equalsIgnoreCase("and")
+          && (i == 0 || !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_')
+          && (i + 3 == s.length || !s.charAt(i + 3).isLetterOrDigit && s.charAt(i + 3) != '_')) {
+        out += cur.result().trim; cur.clear(); i += 3
+      } else { cur += c; i += 1 }
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Throw when the left join `src -> tgt` under `condition` would match some
+    * source row more than once.
+    *
+    * Fast path (equi conditions, the overwhelmingly common case): a source
+    * row can multi-match only if the (filtered) target holds DUPLICATE key
+    * tuples that at least one (filtered) source row joins to — so the check
+    * aggregates the TARGET keys, keeps the (usually empty) duplicate set,
+    * and semi-joins it against distinct source keys. The big source side is
+    * scanned once for its key columns only and never shuffled at full width;
+    * the reference runs two full `count()` jobs over the joined plan
+    * (ref: spark/rules.py:250-251).
+    *
+    * Fallback (theta conditions): one aggregation over the joined plan —
+    * joined rows == distinct source row-ids — which Catalyst prunes to the
+    * condition's columns.
+    */
+  private def assertOneToOne(catalog: EntityCatalog, entity: String, target: String,
+                             condition: String): Unit = {
+    val violated = analyzeCondition(condition, entity, target) match {
+      case Some(ec) =>
+        val srcF = ec.srcPreds.foldLeft(catalog(entity).alias(entity))((d, p) => d.where(expr(p)))
+        val tgtF = ec.tgtPreds.foldLeft(catalog(target).alias(target))((d, p) => d.where(expr(p)))
+        val keyNames = ec.equis.indices.map(i => s"__k$i")
+        val tgtKeys = tgtF.select(ec.equis.zipWithIndex.map { case ((_, t), i) => col(s"`$t`").as(s"__k$i") }: _*)
+        val srcKeys = srcF.select(ec.equis.zipWithIndex.map { case ((s, _), i) => col(s"`$s`").as(s"__k$i") }: _*)
+        val dupKeys = tgtKeys.groupBy(keyNames.map(col): _*)
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1).drop("__n")
+        !dupKeys.join(srcKeys, keyNames, "left_semi").isEmpty
+      case None =>
+        val rid = "__graft_rid__"
+        val src = catalog(entity).withColumn(rid, monotonically_increasing_id()).alias(entity)
+        val joined = src.join(catalog(target).alias(target), expr(condition), "left")
+        val row = joined.agg(count(lit(1)).as("n"), count_distinct(col(rid)).as("d")).head()
+        row.getLong(0) != row.getLong(1)
+    }
+    if (violated)
+      throw new ConstraintException(
+        s"Multiple matches for some records from '$entity' for condition '$condition'",
+        s"records in source entity ('$entity') must match at most a single record " +
+          s"in the target ($target)")
+  }
 
   private def performJoin(catalog: EntityCatalog, entity: String, target: String,
                           condition: String, joinType: String): (DataFrame, DataFrame) = {
