@@ -78,12 +78,12 @@ object Contract {
     case "date" | "conformatteddate" => f.format match {
       case Some(fmt) => trim(c).rlike(FieldSpec.strptimeToRegex(fmt)) &&
         try_to_timestamp(trim(c), lit(FieldSpec.strptimeToJava(fmt))).isNotNull
-      case None => trim(c).cast(DateType).isNotNull
+      case None => trim(c).try_cast(DateType).isNotNull // try_cast: ANSI-mode safe
     }
     case "datetime" | "formatteddatetime" => f.format match {
       case Some(fmt) => trim(c).rlike(FieldSpec.strptimeToRegex(fmt)) &&
         try_to_timestamp(trim(c), lit(FieldSpec.strptimeToJava(fmt))).isNotNull
-      case None => trim(c).cast(TimestampType).isNotNull
+      case None => trim(c).try_cast(TimestampType).isNotNull
     }
     case "time" | "formattedtime" =>
       trim(c).rlike("^\\d{2}:\\d{2}(:\\d{2})?$")
@@ -98,7 +98,7 @@ object Contract {
   /** Constraint checks -> Seq of (failCondition, category, message). */
   private def constraintChecks(c: Column, f: FieldSpec): Seq[(Column, String, String)] = {
     val t = trim(c)
-    val asNum = t.cast("decimal(38,10)")
+    val asNum = t.try_cast("decimal(38,10)")
     Seq(
       f.minLength.map(n => (length(t) < n, "Bad value", s"shorter than ${n} characters")),
       f.maxLength.map(n => (length(t) > n, "Bad value", s"longer than ${n} characters")),
@@ -198,7 +198,7 @@ object Contract {
             when(trim(x).rlike(FieldSpec.strptimeToRegex(fmt)),
               try_to_timestamp(trim(x), lit(FieldSpec.strptimeToJava(fmt))))
               .otherwise(lit(null).cast(TimestampType))
-          case None => trim(x).cast(TimestampType)
+          case None => trim(x).try_cast(TimestampType)
         }
         parsed.cast(targetType(f))
       case "postcode" => postcodeNormExpr(trim(x))
@@ -206,7 +206,10 @@ object Contract {
         when(lower(trim(x)).isin("true", "1"), lit(true))
           .when(lower(trim(x)).isin("false", "0"), lit(false))
           .otherwise(lit(null).cast(BooleanType))
-      case _ => trim(x).cast(targetType(f))
+      // try_cast everywhere a source value can be malformed: failed casts
+      // must become null (messages decide rejection), and Spark 4's ANSI
+      // default makes plain cast THROW on unparseable input.
+      case _ => trim(x).try_cast(targetType(f))
     }
     def go(x: Column, spec: FieldSpec): Column =
       if (spec.fields.nonEmpty)

@@ -22,10 +22,26 @@ final case class FieldSpec(
     gt: Option[BigDecimal] = None,
     lt: Option[BigDecimal] = None,
     precision: Option[Int] = None,
-    scale: Option[Int] = None
+    scale: Option[Int] = None,
+    default: Option[String] = None, // applied when the raw value is blank
+    functions: Seq[FieldFunction] = Nil // per-field validation functions (§2.8.3)
 )
 
-final case class EntitySpec(name: String, fields: Seq[FieldSpec])
+/** A per-field validation/normalisation function attachment
+  * (ref: metadata_parser/models.py:52-93 ValidationFunctionSpecification).
+  */
+final case class FieldFunction(
+    name: String, // normalise | exclude_word | split | static_key
+    errorType: String = "record_rejection", // record_rejection | file_rejection | warning
+    kwargs: Map[String, String] = Map.empty
+)
+
+final case class EntitySpec(
+    name: String,
+    fields: Seq[FieldSpec],
+    aliases: Map[String, String] = Map.empty, // field name -> accepted alias
+    keyField: Option[String] = None
+)
 
 object FieldSpec {
 

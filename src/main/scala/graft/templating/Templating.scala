@@ -41,10 +41,66 @@ object Templating {
     templates.map(render(_, vars))
 
   private def resolve(token: String, vars: Map[String, Any]): Option[Any] =
-    if ((token.startsWith("'") && token.endsWith("'")) ||
-        (token.startsWith("\"") && token.endsWith("\"")))
-      Some(token.substring(1, token.length - 1))
-    else vars.get(token)
+    evalExpr(token, vars)
+
+  /** Tiny expression evaluator for the jinja subset observed in reference
+    * rule stores (ref: tests/testdata/planets/planet_ruleset.json):
+    * `a or b`, `'lit' + var`, `(expr).upper()`, `repr(x)`, quoted literals.
+    */
+  private[templating] def evalExpr(expr0: String, vars: Map[String, Any]): Option[Any] = {
+    val s = expr0.trim
+    // or-chain: first defined (and non-empty) operand wins
+    val orParts = splitTopLevel(s, " or ")
+    if (orParts.length > 1)
+      return orParts.iterator.map(p => evalExpr(p, vars))
+        .collectFirst { case Some(v) if stringify(v).nonEmpty => v }
+    // concatenation
+    val plusParts = splitTopLevel(s, "+")
+    if (plusParts.length > 1) {
+      val vals = plusParts.map(p => evalExpr(p, vars))
+      return if (vals.forall(_.isDefined)) Some(vals.flatten.map(stringify).mkString) else None
+    }
+    // postfix .upper() / .lower()
+    if (s.endsWith(".upper()")) return evalExpr(s.dropRight(8), vars).map(v => stringify(v).toUpperCase)
+    if (s.endsWith(".lower()")) return evalExpr(s.dropRight(8), vars).map(v => stringify(v).toLowerCase)
+    if (s.startsWith("(") && s.endsWith(")") && balanced(s.substring(1, s.length - 1)))
+      return evalExpr(s.substring(1, s.length - 1), vars)
+    if (s.startsWith("repr(") && s.endsWith(")"))
+      return evalExpr(s.substring(5, s.length - 1), vars).map(v => "'" + stringify(v) + "'")
+    if ((s.startsWith("'") && s.endsWith("'")) || (s.startsWith("\"") && s.endsWith("\"")))
+      return Some(s.substring(1, s.length - 1))
+    vars.get(s)
+  }
+
+  private def balanced(s: String): Boolean = {
+    var depth = 0
+    s.foreach { c =>
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth < 0) return false }
+    }
+    depth == 0
+  }
+
+  /** Split on a separator at paren/quote depth zero. */
+  private def splitTopLevel(s: String, sep: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var quote: Char = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && s.regionMatches(i, sep, 0, sep.length)) {
+        out += s.substring(start, i); start = i + sep.length; i += sep.length
+      } else i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
 
   private val callPattern = """([a-z_]+)\s*\(\s*(.*?)\s*\)""".r
 

@@ -1,0 +1,87 @@
+package graft.contract
+
+import graft.SparkSpec
+import graft.readers.Readers
+import org.apache.spark.sql.functions._
+
+class ContractSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("stringify -> cast round-trips typed values") {
+    val spec = EntitySpec("planets", Seq(
+      FieldSpec("name", "str"), FieldSpec("gravity", "double"),
+      FieldSpec("mean_temp", "long"), FieldSpec("n_moons", "long")))
+    val out = Contract.cast(Contract.stringify(planets), spec)
+    assert(out.schema.map(_.dataType.simpleString) == Seq("string", "double", "bigint", "bigint"))
+    assert(rows(out) == rows(planets.select(col("name"), col("gravity"),
+      col("mean_temp").cast("long"), col("n_moons").cast("long"))))
+  }
+
+  test("mandatory blank produces a Blank/FieldBlank message") {
+    val df = Seq(("", "x"), ("ok", null)).toDF("a", "b")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("a", "str", mandatory = true), FieldSpec("b", "str", mandatory = true)))
+    val msgs = Contract.validate(df, spec)
+    assert(msgs.count() == 2)
+    assert(msgs.select("Category").distinct().collect().map(_.getString(0)).toSeq == Seq("Blank"))
+    assert(msgs.where("ErrorLocation = 'a'").count() == 1)
+  }
+
+  test("unparseable numerics and dates are Wrong format; constraints are Bad value") {
+    val df = Seq(("12x", "5", "2020-13-40"), ("7", "99", "2020-01-31")).toDF("n", "m", "d")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("n", "long"),
+      FieldSpec("m", "long", le = Some(BigDecimal(10))),
+      FieldSpec("d", "date")))
+    val msgs = Contract.validate(df, spec)
+    val got = msgs.select("ErrorLocation", "Category").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("n", "Wrong format"), ("m", "Bad value"), ("d", "Wrong format")))
+  }
+
+  test("formatted date cast parses the declared format and nulls invalid values") {
+    val df = Seq(("31/01/2020"), ("31/02/2020"), ("2020-01-31")).toDF("d")
+    val spec = EntitySpec("e", Seq(FieldSpec("d", "date", format = Some("%d/%m/%Y"))))
+    val out = Contract.cast(df, spec).collect().map(r => Option(r.getDate(0)).map(_.toString))
+    assert(out.toSeq == Seq(Some("2020-01-31"), None, None))
+  }
+
+  test("nhsnumber mod-11 checksum validates") {
+    // 9434765919 is a valid NHS number (mod-11); 9434765918 is not
+    val df = Seq("9434765919", "943 476 5919", "9434765918").toDF("nhs")
+    val spec = EntitySpec("e", Seq(FieldSpec("nhs", "nhsnumber")))
+    val msgs = Contract.validate(df, spec)
+    assert(msgs.count() == 1)
+    assert(msgs.select("Value").collect().map(_.getString(0)).toSeq == Seq("9434765918"))
+  }
+
+  test("postcode normalises and validates; placeholder values become null") {
+    val df = Seq("sw1a1aa", "SW1A 1AA", "TBC", "NOT A PC").toDF("pc")
+    val spec = EntitySpec("e", Seq(FieldSpec("pc", "postcode")))
+    val out = Contract.cast(df, spec).collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("SW1A 1AA"), Some("SW1A 1AA"), None, Some("NOT APC")))
+    val msgs = Contract.validate(df, spec)
+    assert(msgs.select("Value").collect().map(_.getString(0)).toSeq == Seq("NOT A PC"))
+  }
+
+  test("record rejection anti-joins failing record indexes") {
+    val df = Readers.addRecordIndex(
+      Seq(("1", "a"), ("x", "b"), ("3", "c")).toDF("n", "s"))
+    val spec = EntitySpec("e", Seq(FieldSpec("n", "long"), FieldSpec("s", "str")))
+    val (typed, msgs) = Contract(df, spec)
+    val kept = Contract.filterContractErrors(typed, msgs)
+    assert(kept.select("s").collect().map(_.getString(0)).toSet == Set("a", "c"))
+  }
+
+  test("constraint checks: length and range") {
+    val df = Seq(("abcde", "5"), ("ab", "50")).toDF("s", "v")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("s", "str", maxLength = Some(3)),
+      FieldSpec("v", "long", ge = Some(BigDecimal(0)), lt = Some(BigDecimal(10)))))
+    val msgs = Contract.validate(df, spec)
+    val got = msgs.select("ErrorLocation", "Value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("s", "abcde"), ("v", "50")))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vecs = {
+    // 3 tight clusters around orthogonal axes + noise dimension
+    val rnd = new scala.util.Random(7)
+    (0 until 60).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 3) = 1.0f
+      (i.toLong, base.map(v => v + rnd.nextFloat() * 0.1f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("cosine matches a hand-computed value") {
+    val df = Seq((Seq(1.0f, 0.5f), Seq(0.5f, 1.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(c - 0.8) < 1e-9)
+  }
+
+  test("bruteForceKnn returns k deterministic neighbors per query") {
+    val out = Similarity.bruteForceKnn(vecs, vecs.where("vec_id < 3"), "vec_id", "embedding", 5)
+    val grouped = out.select("query_id", "rank").as[(Long, Long)].collect().groupBy(_._1)
+    assert(grouped.keySet == Set(0L, 1L, 2L))
+    assert(grouped.values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    // neighbors of query 0 (cluster 0) should be cluster-0 members (id % 3 == 0)
+    val n0 = out.where("query_id = 0").select("neighbor_id").as[Long].collect()
+    assert(n0.forall(_ % 3 == 0))
+  }
+
+  test("lshKnn achieves high recall vs brute force on clustered data") {
+    val queries = vecs.where("vec_id < 6")
+    val exact = Similarity.bruteForceKnn(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnn(vecs, queries, "vec_id", "embedding", 5, numPlanes = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("ivfKnn with cluster-representative centroids recovers exact neighbors") {
+    val queries = vecs.where("vec_id < 3")
+    val exact = Similarity.bruteForceKnn(vecs, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(vecs, queries, vecs.where("vec_id IN (0, 1, 2)"),
+      "vec_id", "embedding", 3, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("lshBits is deterministic across invocations") {
+    val a = vecs.select(Similarity.lshBits(col("embedding"), 8)).as[Seq[Long]].collect()
+    val b = vecs.select(Similarity.lshBits(col("embedding"), 8)).as[Seq[Long]].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(bits => bits.length == 8 && bits.forall(x => x == 0L || x == 1L)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy cat tonight"), // near-dup of 1
+    (3L, "an entirely different sentence about spark and scala engines"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("shingles produces distinct word n-grams; short docs fall back to whole text") {
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val row1 = sh.where("doc_id = 1").select("sh").as[Seq[String]].head()
+    assert(row1.contains("the quick brown") && row1.contains("lazy dog tonight"))
+    assert(row1.size == 8)
+    val row5 = sh.where("doc_id = 5").select("sh").as[Seq[String]].head()
+    assert(row5 == Seq("short text"))
+  }
+
+  test("exactDedup groups identical texts") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text")
+    assert(out.count() == 4)
+    assert(out.where("dup_count = 2").select("keep_id").as[Long].head() == 1L)
+  }
+
+  test("prefixFilterJoin finds exactly the pairs above the threshold (vs brute force)") {
+    val out = Dedup.prefixFilterJoin(corpus, "doc_id", "text", 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minHashDedup with wide bands matches the exact join output") {
+    val out = Dedup.minHashDedup(corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, numBands = 64, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhash signature of identical texts is identical; jaccard=1 pair verified") {
+    val withSh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val sigs = withSh.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
+      .where("doc_id IN (1, 4)").select("sig").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 64)
+  }
+
+  test("jaccard column computes |I|/|U|") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head() == 0.5)
+  }
+
+  test("simHash is deterministic and identical for identical texts, near for near-dups") {
+    val sh = corpus.withColumn("s", Dedup.simHash(col("text")))
+      .select(col("doc_id"), col("s.hi"), col("s.lo")).as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(sh(1L) == sh(4L))
+    def bits(hl: (Long, Long)): Long = java.lang.Long.bitCount(hl._1 ^ sh(1L)._1) +
+      java.lang.Long.bitCount(hl._2 ^ sh(1L)._2)
+    assert(bits(sh(2L)) < bits(sh(3L))) // near-dup closer than unrelated
+    assert((sh(1L)._1 | sh(1L)._2) >= 0 && sh(1L)._1 < (1L << 32))
+  }
+
+  test("lshCandidates respects the bucket-size cap") {
+    val same = (1 to 20).map(i => (i.toLong, "identical text for everyone here today")).toDF("doc_id", "text")
+    val withSig = same.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), 16))
+    val capped = Dedup.lshCandidates(withSig, "doc_id", "sig", 4, 4, maxBucketSize = 5)
+    assert(capped.count() == 0) // every bucket has 20 ids > cap
+    val uncapped = Dedup.lshCandidates(withSig, "doc_id", "sig", 4, 4, maxBucketSize = 100)
+    assert(uncapped.count() == 190) // 20 choose 2
+  }
+}
