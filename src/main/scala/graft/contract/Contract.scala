@@ -148,16 +148,22 @@ object Contract {
     df.withColumn(errorsCol, allErrors)
   }
 
-  /** Validation messages as a DataFrame in the canonical message schema. */
-  def validate(df: DataFrame, spec: EntitySpec): DataFrame = {
+  /** Validation messages as a DataFrame in the canonical message schema.
+    * Key fields default to the spec's `key_field` (ref: error_utils.py:30-65).
+    */
+  def validate(df: DataFrame, spec: EntitySpec): DataFrame =
+    validate(df, spec, spec.keyField.toSeq)
+
+  def validate(df: DataFrame, spec: EntitySpec, keyFields: Seq[String]): DataFrame = {
     val withErrs = withErrors(df, spec)
     val hasIndex = df.columns.contains(RecordIndexColumn)
     withErrs
       .select(explode(col("__errors__")).as("e"),
-        (if (hasIndex) col(RecordIndexColumn) else lit(null).cast(LongType)).as("__ri__"))
+        (if (hasIndex) col(RecordIndexColumn) else lit(null).cast(LongType)).as("__ri__"),
+        Messages.keyColumn(df.columns.toSeq, keyFields).as("__key__"))
       .select(
         lit(spec.name).as("Entity"),
-        lit(null).cast(StringType).as("Key"),
+        col("__key__").as("Key"),
         lit("record").as("FailureType"),
         lit("error").as("Status"),
         col("e.category").as("ErrorType"),

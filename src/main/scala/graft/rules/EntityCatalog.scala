@@ -19,7 +19,8 @@ final class ConstraintException(message: String, val constraint: String = "")
   */
 final class EntityCatalog(
     initial: Map[String, DataFrame],
-    val refdata: Map[String, DataFrame] = Map.empty
+    val refdata: Map[String, DataFrame] = Map.empty,
+    val keyFields: Map[String, Seq[String]] = Map.empty // entity -> user-facing key fields
 ) {
   val RefdataPrefix = "refdata_"
 
@@ -65,6 +66,7 @@ final class EntityCatalog(
 
 object EntityCatalog {
   def apply(entities: (String, DataFrame)*): EntityCatalog = new EntityCatalog(entities.toMap)
-  def apply(entities: Map[String, DataFrame], refdata: Map[String, DataFrame]): EntityCatalog =
-    new EntityCatalog(entities, refdata)
+  def apply(entities: Map[String, DataFrame], refdata: Map[String, DataFrame],
+            keyFields: Map[String, Seq[String]] = Map.empty): EntityCatalog =
+    new EntityCatalog(entities, refdata, keyFields)
 }

@@ -58,9 +58,19 @@ object Messages {
     if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
   }
 
+  /** The record's key-field values as the user-facing Key string
+    * (ref: common/error_utils.py:30-65 — key values joined by " -- ").
+    */
+  def keyColumn(availableColumns: Seq[String], keyFields: Seq[String]): Column = {
+    val present = keyFields.filter(availableColumns.contains)
+    if (present.isEmpty) lit(null).cast(StringType)
+    else concat_ws(" -- ", present.map(k => col(s"`$k`").cast(StringType)): _*)
+  }
+
   /** Project failing rows of `entity` into message rows. */
   def notifyDF(entity: DataFrame, entityName: String, expression: String,
-               reporting: Reporting, excludedColumns: Seq[String] = Nil): DataFrame = {
+               reporting: Reporting, excludedColumns: Seq[String] = Nil,
+               keyFields: Seq[String] = Nil): DataFrame = {
     val matched0 = entity.where(expr(expression))
     val matched = if (excludedColumns.nonEmpty) matched0.drop(excludedColumns: _*) else matched0
     val cols = matched.columns.toSeq
@@ -69,7 +79,7 @@ object Messages {
       else lit(null).cast(LongType)
     matched.select(
       lit(reporting.reportingEntityOverride.getOrElse(entityName)).as("Entity"),
-      lit(null).cast(StringType).as("Key"),
+      keyColumn(cols, keyFields).as("Key"),
       lit(reporting.failureType).as("FailureType"),
       lit(if (reporting.isInformational) "informational" else "error").as("Status"),
       lit(reporting.failureType).as("ErrorType"),

@@ -63,7 +63,8 @@ object StepInterpreter {
       None
 
     case Notify(entity, expression, reporting, excluded) =>
-      Some(Messages.notifyDF(catalog(entity), entity, expression, reporting, excluded))
+      Some(Messages.notifyDF(catalog(entity), entity, expression, reporting, excluded,
+        catalog.keyFields.getOrElse(entity, Nil)))
 
     case j: SemiJoin =>
       val (_, joined) = performJoin(catalog, j.entityName, j.targetName, j.joinCondition, "left_semi")

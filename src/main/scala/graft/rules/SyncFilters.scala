@@ -34,6 +34,7 @@ object SyncFilters {
       val guardCols = Seq.newBuilder[String]
       var guardIdx = 0
 
+      val keys = catalog.keyFields.getOrElse(entityName, Nil)
       rules.foreach { rule =>
         if (rule.reporting.emit == "record_failure") {
           val guard = s"__filter_${guardIdx}__"
@@ -41,10 +42,12 @@ object SyncFilters {
           val soFar = { guardCols += guard; guardCols.result() }
           modified = modified.withColumn(guard, expr(rule.expression))
           messages += Messages.notifyDF(
-            modified, entityName, s"NOT $guard", rule.reporting, excludedColumns = soFar)
+            modified, entityName, s"NOT $guard", rule.reporting,
+            excludedColumns = soFar, keyFields = keys)
         } else {
           messages += Messages.notifyDF(
-            unmodified, entityName, s"NOT (${rule.expression})", rule.reporting)
+            unmodified, entityName, s"NOT (${rule.expression})", rule.reporting,
+            keyFields = keys)
         }
       }
 
