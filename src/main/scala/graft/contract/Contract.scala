@@ -70,6 +70,50 @@ object Contract {
     when(nospace === "" || lower(nospace).isin(nullPostcodes: _*), lit(null)).otherwise(norm)
   }
 
+  // ---------------------------------------------------------------- per-field functions
+
+  /** Apply the field's validation/normalisation functions in order
+    * (ref: metadata_parser/function_library.py:33-64), each null-passing
+    * (ref: function_library.py:8-29 `_nullcheck`). These transform the RAW
+    * value before format checks and before the cast — pydantic validator
+    * semantics.
+    */
+  private def applyFunctions(c0: Column, f: FieldSpec): Column =
+    f.functions.foldLeft(c0) { (v, fn) =>
+      val blank = v.isNull || trim(v) === ""
+      val applied = fn.name match {
+        case "normalise" =>
+          if (fn.kwargs.get("capitalize").exists(_.equalsIgnoreCase("true")))
+            concat(upper(substring(v, 1, 1)), lower(substring(v, 2, Int.MaxValue)))
+          else v
+        case "exclude_word" =>
+          val word = fn.kwargs.getOrElse("word", "")
+          when(instr(lower(v), word.toLowerCase) > 0, lit(null).cast(StringType)).otherwise(v)
+        case "split" =>
+          val sep = fn.kwargs.getOrElse("split_on", ",")
+          val keep = fn.kwargs.get("keep").map(_.toInt).getOrElse(0)
+          // out-of-range keep -> null (the reference raises a validation error;
+          // a null here feeds the same rejection path via the blank check)
+          get(split(v, java.util.regex.Pattern.quote(sep)), lit(keep))
+        case "static_key" => lit("1")
+        case other =>
+          throw new IllegalArgumentException(s"unknown field function: '$other'")
+      }
+      if (fn.name == "static_key") applied // static_key ignores the input value
+      else when(blank, v).otherwise(applied)
+    }
+
+  /** The value a field is validated and cast from: default applied on blank
+    * (ref: models.py:280-282), then the field functions.
+    */
+  private def effectiveValue(c: Column, f: FieldSpec): Column = {
+    val withDefault = f.default match {
+      case Some(d) => when(c.isNull || trim(c) === "", lit(d)).otherwise(c)
+      case None    => c
+    }
+    applyFunctions(withDefault, f)
+  }
+
   /** Does this stringified value parse as the declared scalar type? */
   private def formatOk(c: Column, f: FieldSpec): Column = f.typeName match {
     case "int" | "long" | "conint"         => trim(c).rlike(intRegex)
@@ -92,7 +136,19 @@ object Contract {
     case "orgid"       => trim(c).rlike(orgIdRegex)
     case "alphanumeric" => trim(c).rlike("^[a-zA-Z0-9]*$")
     case "identifier"  => trim(c).rlike("^[a-zA-Z0-9_-]*$")
+    case "reportingperiodstart" | "reportingperiodend" =>
+      reportingPeriodDate(c, f).isNotNull
     case _             => lit(true) // str: any text is well-formed
+  }
+
+  /** Parse a reporting-period value with its declared format (default
+    * %Y-%m-%d, ref: domain_types.py:569-575).
+    */
+  private def reportingPeriodDate(c: Column, f: FieldSpec): Column = {
+    val fmt = f.format.getOrElse("%Y-%m-%d")
+    when(trim(c).rlike(FieldSpec.strptimeToRegex(fmt)),
+      try_to_timestamp(trim(c), lit(FieldSpec.strptimeToJava(fmt))).cast(DateType))
+      .otherwise(lit(null).cast(DateType))
   }
 
   /** Constraint checks -> Seq of (failCondition, category, message). */
@@ -106,32 +162,72 @@ object Contract {
       f.ge.map(v => (asNum < v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be >= $v")),
       f.le.map(v => (asNum > v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be <= $v")),
       f.gt.map(v => (asNum <= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be > $v")),
-      f.lt.map(v => (asNum >= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be < $v"))
+      f.lt.map(v => (asNum >= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be < $v")),
+      // reporting periods must sit on month boundaries (ref: domain_types.py:585-611)
+      (if (f.typeName == "reportingperiodstart")
+        Some((dayofmonth(reportingPeriodDate(c, f)) =!= 1, "Bad value",
+          "is not the start of the month"))
+      else None),
+      (if (f.typeName == "reportingperiodend")
+        Some((reportingPeriodDate(c, f) =!= last_day(reportingPeriodDate(c, f)), "Bad value",
+          "is not the end of the month"))
+      else None)
     ).flatten
   }
 
   /** All error structs for one field as an array<struct> Column. */
   private def fieldErrors(f: FieldSpec): Column = {
-    val c = col(s"`${f.name}`")
-    val isMissing = c.isNull || trim(c.cast(StringType)) === ""
-    def err(category: String, message: String): Column =
+    val raw = col(s"`${f.name}`")
+    val empty = array().cast(s"array<$errorStruct>")
+
+    def err(value: Column, category: String, message: String): Column =
       struct(lit(f.name).as("field"), lit(category).as("category"),
-        lit(message).as("message"), c.cast(StringType).as("value"))
+        lit(message).as("message"), value.cast(StringType).as("value"))
 
-    val blank: Column =
-      when(isMissing && lit(f.mandatory), array(err("Blank", "cannot be blank")))
-        .otherwise(array().cast(s"array<$errorStruct>"))
-
-    if (f.fields.nonEmpty || f.isArray) {
-      // Nested/array fields: mandatory-presence validated here; element-level
-      // checks are applied post-cast by rules (parity with the observed corpus).
-      blank
+    if (f.isArray && f.fields.isEmpty) {
+      // Per-item validation of scalar arrays (ref: models.py:198-209
+      // `each_item` validators): one error struct per failing element.
+      val isMissing = raw.isNull || size(raw) === 0
+      val blank =
+        if (f.mandatory) when(isMissing, array(err(raw, "Blank", "cannot be blank"))).otherwise(empty)
+        else empty
+      val elemBlank = (x: Column) => {
+        val e = effectiveValue(x, f); e.isNull || trim(e) === ""
+      }
+      val fmtFails = when(isMissing, empty).otherwise(
+        transform(filter(raw, x => !elemBlank(x) && !formatOk(effectiveValue(x, f), f)),
+          x => err(x, "Wrong format", "has wrong format")))
+      val constraintFails = constraintChecks(element_at(raw, 1), f).indices.map { i =>
+        // rebuild each check against the element lambda variable
+        when(isMissing, empty).otherwise(
+          transform(
+            filter(raw, x => {
+              val (cond, _, _) = constraintChecks(effectiveValue(x, f), f)(i)
+              !elemBlank(x) && formatOk(effectiveValue(x, f), f) && cond
+            }),
+            x => {
+              val (_, cat, msg) = constraintChecks(effectiveValue(x, f), f)(i)
+              err(x, cat, msg)
+            }))
+      }
+      (Seq(blank, fmtFails) ++ constraintFails).reduce(concat(_, _))
+    } else if (f.fields.nonEmpty) {
+      // Nested model fields: mandatory presence here; element checks are the
+      // nested spec's concern post-cast (parity with the observed corpus).
+      val isMissing = raw.isNull
+      if (f.mandatory) when(isMissing, array(err(raw, "Blank", "cannot be blank"))).otherwise(empty)
+      else empty
     } else {
-      val fmtFail = when(!isMissing && !formatOk(c, f), array(err("Wrong format", "has wrong format")))
-        .otherwise(array().cast(s"array<$errorStruct>"))
+      val c = effectiveValue(raw, f)
+      val isMissing = c.isNull || trim(c.cast(StringType)) === ""
+      val blank =
+        when(isMissing && lit(f.mandatory), array(err(c, "Blank", "cannot be blank")))
+          .otherwise(empty)
+      val fmtFail = when(!isMissing && !formatOk(c, f),
+        array(err(c, "Wrong format", "has wrong format"))).otherwise(empty)
       val constraints = constraintChecks(c, f).map { case (cond, cat, msg) =>
-        when(!isMissing && formatOk(c, f) && cond, array(err(cat, msg)))
-          .otherwise(array().cast(s"array<$errorStruct>"))
+        when(!isMissing && formatOk(c, f) && cond, array(err(c, cat, msg)))
+          .otherwise(empty)
       }
       (Seq(blank, fmtFail) ++ constraints).reduce(concat(_, _))
     }
@@ -184,6 +280,7 @@ object Contract {
     case "float" | "double"          => DoubleType
     case "bool"                      => BooleanType
     case "date" | "conformatteddate" => DateType
+    case "reportingperiodstart" | "reportingperiodend" => DateType
     case "datetime" | "formatteddatetime" => TimestampType
     case "decimal" | "condecimal"    =>
       DecimalType(f.precision.getOrElse(38), f.scale.getOrElse(18))
@@ -196,33 +293,33 @@ object Contract {
     * recursion for models. Failed casts become null; MESSAGES decide
     * rejection, not the cast.
     */
-  private def castExpr(c: Column, f: FieldSpec): Column = {
-    def scalar(x: Column): Column = f.typeName match {
-      case "date" | "conformatteddate" | "datetime" | "formatteddatetime" =>
-        val parsed = f.format match {
-          case Some(fmt) =>
-            when(trim(x).rlike(FieldSpec.strptimeToRegex(fmt)),
-              try_to_timestamp(trim(x), lit(FieldSpec.strptimeToJava(fmt))))
-              .otherwise(lit(null).cast(TimestampType))
-          case None => trim(x).try_cast(TimestampType)
-        }
-        parsed.cast(targetType(f))
-      case "postcode" => postcodeNormExpr(trim(x))
-      case "bool" =>
-        when(lower(trim(x)).isin("true", "1"), lit(true))
-          .when(lower(trim(x)).isin("false", "0"), lit(false))
-          .otherwise(lit(null).cast(BooleanType))
-      // try_cast everywhere a source value can be malformed: failed casts
-      // must become null (messages decide rejection), and Spark 4's ANSI
-      // default makes plain cast THROW on unparseable input.
-      case _ => trim(x).try_cast(targetType(f))
-    }
-    def go(x: Column, spec: FieldSpec): Column =
-      if (spec.fields.nonEmpty)
-        struct(spec.fields.map(sf => go(x.getField(sf.name), sf).as(sf.name)): _*)
-      else scalar(x)
-    if (f.isArray) transform(c, x => go(x, f.copy(isArray = false)))
-    else go(c, f)
+  private def castExpr(c0: Column, f: FieldSpec): Column =
+    if (f.isArray) transform(c0, x => castExpr(x, f.copy(isArray = false)))
+    else if (f.fields.nonEmpty)
+      struct(f.fields.map(sf => castExpr(c0.getField(sf.name), sf).as(sf.name)): _*)
+    else scalarCast(effectiveValue(c0, f), f)
+
+  private def scalarCast(x: Column, f: FieldSpec): Column = f.typeName match {
+    case "reportingperiodstart" | "reportingperiodend" =>
+      reportingPeriodDate(x, f)
+    case "date" | "conformatteddate" | "datetime" | "formatteddatetime" =>
+      val parsed = f.format match {
+        case Some(fmt) =>
+          when(trim(x).rlike(FieldSpec.strptimeToRegex(fmt)),
+            try_to_timestamp(trim(x), lit(FieldSpec.strptimeToJava(fmt))))
+            .otherwise(lit(null).cast(TimestampType))
+        case None => trim(x).try_cast(TimestampType)
+      }
+      parsed.cast(targetType(f))
+    case "postcode" => postcodeNormExpr(trim(x))
+    case "bool" =>
+      when(lower(trim(x)).isin("true", "1"), lit(true))
+        .when(lower(trim(x)).isin("false", "0"), lit(false))
+        .otherwise(lit(null).cast(BooleanType))
+    // try_cast everywhere a source value can be malformed: failed casts
+    // must become null (messages decide rejection), and Spark 4's ANSI
+    // default makes plain cast THROW on unparseable input.
+    case _ => trim(x).try_cast(targetType(f))
   }
 
   /** Project the stringified frame to typed columns (one projection). */
@@ -232,9 +329,25 @@ object Contract {
     df.select(spec.fields.map(f => castExpr(col(s"`${f.name}`"), f).as(f.name)) ++ keep: _*)
   }
 
+  /** Rename aliased columns to their field names and strip whitespace from
+    * header names (ref: models.py:280, 368-374).
+    */
+  def applyAliases(df: DataFrame, spec: EntitySpec): DataFrame = {
+    val stripped = df.columns.foldLeft(df) { (d, c0) =>
+      if (c0.trim != c0) d.withColumnRenamed(c0, c0.trim) else d
+    }
+    spec.aliases.foldLeft(stripped) { case (d, (field, alias)) =>
+      if (d.columns.contains(alias) && !d.columns.contains(field))
+        d.withColumnRenamed(alias, field)
+      else d
+    }
+  }
+
   /** Full contract: (typed entity, validation messages). */
-  def apply(df: DataFrame, spec: EntitySpec): (DataFrame, DataFrame) =
-    (cast(df, spec), validate(df, spec))
+  def apply(df: DataFrame, spec: EntitySpec): (DataFrame, DataFrame) = {
+    val aliased = applyAliases(df, spec)
+    (cast(aliased, spec), validate(aliased, spec))
+  }
 
   /** Post-hoc record rejection: drop rows whose index appears in the error
     * frame (ref: spark_helpers.py:393-431 anti-join on __record_index__).

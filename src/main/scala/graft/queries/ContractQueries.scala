@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.contract.{Contract, EntitySpec, FieldSpec}
+import graft.contract.{Contract, EntitySpec, FieldFunction, FieldSpec}
 import graft.readers.Readers
 
 /** Correctness queries for the contract validate+cast operator and the
@@ -78,6 +78,42 @@ object ContractQueries {
         .select("l_orderkey", "l_linenumber")
     }),
 
+    // Field functions (normalise/exclude_word/split/static_key) + defaults.
+    "q_contract_functions" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").cast("string").as("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+        col("c_name").as("cust_num"),
+        col("c_mktsegment").as("no_mobile"),
+        col("c_name").as("k"))
+      val spec = EntitySpec("customer", Seq(
+        FieldSpec("c_custkey", "long"),
+        FieldSpec("seg", "str", default = Some("NONE"),
+          functions = Seq(FieldFunction("normalise", kwargs = Map("capitalize" -> "true")))),
+        FieldSpec("cust_num", "long",
+          functions = Seq(FieldFunction("split", kwargs = Map("split_on" -> "#", "keep" -> "1")))),
+        FieldSpec("no_mobile", "str",
+          functions = Seq(FieldFunction("exclude_word", kwargs = Map("word" -> "mobile")))),
+        FieldSpec("k", "long", functions = Seq(FieldFunction("static_key")))))
+      Contract.cast(input, spec)
+    }),
+
+    // Per-element array validation (each_item): failing elements message and
+    // null out independently of the record's other elements.
+    "q_contract_each_item" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(
+          when(col("l_discount") > 0.08, concat(lit("x"), col("l_quantity").cast("string")))
+            .otherwise(col("l_quantity").cast("string")))).as("qtys"))
+        .select(col("l_orderkey").cast("string").as("l_orderkey"), col("qtys"))
+      val spec = EntitySpec("lineitem", Seq(
+        FieldSpec("l_orderkey", "long"),
+        FieldSpec("qtys", "double", isArray = true, le = Some(BigDecimal(45)))))
+      Contract.validate(input, spec)
+        .groupBy("Category", "ErrorCode").agg(count(lit(1)).as("n"))
+    }),
+
     // CSV -> stringified + __record_index__ -> typed cast.
     "q_reader_csv" -> ((s, dir) => {
       val tmp = "/tmp/graft_q_reader_csv"
@@ -134,6 +170,20 @@ object ContractQueries {
     "q_contract_reject" ->
       ("SELECT l_orderkey, l_linenumber FROM lineitem " +
         "WHERE l_quantity <= 49 AND l_returnflag IN ('A', 'N')"),
+    "q_contract_functions" ->
+      ("SELECT c_custkey, " +
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 'None' " +
+        "ELSE upper(substring(c_mktsegment, 1, 1)) || lower(substring(c_mktsegment, 2)) END AS seg, " +
+        "CAST(string_split(c_name, '#')[2] AS BIGINT) AS cust_num, " +
+        "CASE WHEN contains(lower(c_mktsegment), 'mobile') THEN NULL ELSE c_mktsegment END AS no_mobile, " +
+        "CAST(1 AS BIGINT) AS k " +
+        "FROM customer"),
+    "q_contract_each_item" ->
+      ("SELECT * FROM (" +
+        "SELECT 'Bad value' AS Category, 'BadValue' AS ErrorCode, count(1) AS n " +
+        "FROM lineitem WHERE l_discount <= 0.08 AND l_quantity > 45 " +
+        "UNION ALL SELECT 'Wrong format', 'WrongFormat', count(1) " +
+        "FROM lineitem WHERE l_discount > 0.08) t"),
     "q_reader_csv" ->
       ("SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS p_size, " +
         "row_number() OVER (ORDER BY p_partkey) AS __record_index__ FROM part"),

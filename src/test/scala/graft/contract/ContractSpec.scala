@@ -74,6 +74,86 @@ class ContractSpec extends SparkSpec {
     assert(kept.select("s").collect().map(_.getString(0)).toSet == Set("a", "c"))
   }
 
+  test("field functions: normalise, exclude_word, split, static_key") {
+    val df = Seq(("hELLo", "contains BAD word", "a|b|c", "x")).toDF("n", "e", "s", "k")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("n", "str", functions = Seq(FieldFunction("normalise", kwargs = Map("capitalize" -> "true")))),
+      FieldSpec("e", "str", functions = Seq(FieldFunction("exclude_word", kwargs = Map("word" -> "bad")))),
+      FieldSpec("s", "str", functions = Seq(FieldFunction("split", kwargs = Map("split_on" -> "|", "keep" -> "1")))),
+      FieldSpec("k", "long", functions = Seq(FieldFunction("static_key")))))
+    val out = Contract.cast(df, spec).head()
+    assert(out.getString(0) == "Hello")
+    assert(out.isNullAt(1)) // word excluded -> null
+    assert(out.getString(2) == "b")
+    assert(out.getLong(3) == 1L)
+  }
+
+  test("defaults fill blank values before mandatory and type checks") {
+    val df = Seq(("", "x"), ("7", "y")).toDF("n", "s")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("n", "long", mandatory = true, default = Some("0")), FieldSpec("s", "str")))
+    assert(Contract.validate(df, spec).count() == 0) // default fills the blank
+    assert(Contract.cast(df, spec).select("n").as[Long].collect().toSeq == Seq(0L, 7L))
+  }
+
+  test("aliases rename input columns; whitespace-padded headers are stripped") {
+    val df = Seq((1, "x")).toDF("  id  ", "nom")
+    val spec = EntitySpec("e",
+      Seq(FieldSpec("id", "long"), FieldSpec("name", "str")),
+      aliases = Map("name" -> "nom"))
+    val (typed, msgs) = Contract(Contract.stringify(df), spec)
+    assert(typed.columns.toSeq == Seq("id", "name"))
+    assert(msgs.count() == 0)
+  }
+
+  test("array fields validate per element (each_item)") {
+    val df = Seq(
+      (1L, Seq("1", "2", "3")),
+      (2L, Seq("4", "oops", "6", "nope")),
+      (3L, Seq("7", "99"))).toDF("id", "vals")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("id", "long"),
+      FieldSpec("vals", "long", isArray = true, le = Some(BigDecimal(50)))))
+    val msgs = Contract.validate(df, spec)
+    val got = msgs.select("Value", "Category").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("oops", "Wrong format"), ("nope", "Wrong format"), ("99", "Bad value")))
+    // cast: failing elements null out, passing elements type
+    val typed = Contract.cast(df, spec).where("id = 2").select("vals")
+      .collect().head.getSeq[Any](0)
+    assert(typed == Seq(4L, null, 6L, null))
+  }
+
+  test("nested model fields cast each leaf with its own type") {
+    val df = spark.read.json(Seq(
+      """{"id": "1", "inner": {"a": "42", "b": "xyz"}}""").toDS())
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("id", "long"),
+      FieldSpec("inner", fields = Seq(FieldSpec("a", "long"), FieldSpec("b", "str")))))
+    val out = Contract.cast(df, spec)
+    assert(out.schema("inner").dataType.simpleString == "struct<a:bigint,b:string>")
+    val r = out.select("inner.a", "inner.b").head()
+    assert(r.getLong(0) == 42L && r.getString(1) == "xyz")
+  }
+
+  test("reporting periods enforce month boundaries") {
+    val df = Seq(
+      ("2024-02-01", "2024-02-29"),
+      ("2024-02-02", "2024-02-28"),
+      ("bad", "2024-03-31")).toDF("ps", "pe")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("ps", "reportingperiodstart"),
+      FieldSpec("pe", "reportingperiodend")))
+    val msgs = Contract.validate(df, spec)
+    val got = msgs.select("ErrorLocation", "Value", "Category").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("ps", "2024-02-02", "Bad value"),
+      ("pe", "2024-02-28", "Bad value"),
+      ("ps", "bad", "Wrong format")))
+    val typed = Contract.cast(df, spec)
+    assert(typed.schema.forall(_.dataType == org.apache.spark.sql.types.DateType))
+  }
+
   test("constraint checks: length and range") {
     val df = Seq(("abcde", "5"), ("ab", "50")).toDF("s", "v")
     val spec = EntitySpec("e", Seq(
