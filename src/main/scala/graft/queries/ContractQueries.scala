@@ -127,6 +127,41 @@ object ContractQueries {
       Contract.cast(Readers.readCsv(s, tmp, spec), spec)
     }),
 
+    // Headerless CSV: positional mapping + trim + null_values sanitisation.
+    "q_reader_csv_headerless" -> ((s, dir) => {
+      val tmp = "/tmp/graft_q_reader_csv_headerless"
+      s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), concat(lit("  "), col("n_name"), lit(" ")).as("n_name"),
+          when(col("n_regionkey") === 0, lit("NA"))
+            .otherwise(col("n_regionkey").cast("string")).as("n_regionkey"))
+        .sort("n_nationkey").coalesce(1)
+        .write.mode("overwrite").option("header", value = false).csv(tmp)
+      val spec = EntitySpec("nation", Seq(
+        FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
+        FieldSpec("n_regionkey", "long")))
+      Contract.cast(Readers.readCsv(s, tmp, spec,
+        Readers.CsvOptions(header = false, trimValues = true, nullValues = Seq("NA"))), spec)
+    }),
+
+    // Namespaced XML resolves to local-name columns; missing declared
+    // fields pad as nulls.
+    "q_reader_xml_ns" -> ((s, dir) => {
+      val tmp = "/tmp/graft_q_reader_xml_ns/region.xml"
+      val regions = s.read.parquet(s"$dir/region.parquet")
+        .sort("r_regionkey").collect()
+      val body = regions.map(r =>
+        s"  <ns:region><ns:r_regionkey>${r.get(0)}</ns:r_regionkey>" +
+          s"<ns:r_name>${r.get(1)}</ns:r_name></ns:region>").mkString("\n")
+      val xml = s"""<ns:regions xmlns:ns="http://example.org/r">\n$body\n</ns:regions>"""
+      val f = new java.io.File(tmp)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, xml)
+      val spec = EntitySpec("region", Seq(
+        FieldSpec("r_regionkey", "long"), FieldSpec("r_name", "str"),
+        FieldSpec("r_missing", "str")))
+      Contract.cast(Readers.readXml(s, tmp, spec, rowTag = "region"), spec)
+    }),
+
     // JSONL with declared schema.
     "q_reader_json" -> ((s, dir) => {
       val tmp = "/tmp/graft_q_reader_json"
@@ -187,6 +222,14 @@ object ContractQueries {
     "q_reader_csv" ->
       ("SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS p_size, " +
         "row_number() OVER (ORDER BY p_partkey) AS __record_index__ FROM part"),
+    "q_reader_csv_headerless" ->
+      ("SELECT n_nationkey, n_name, " +
+        "CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS n_regionkey, " +
+        "row_number() OVER (ORDER BY n_nationkey) AS __record_index__ FROM nation"),
+    "q_reader_xml_ns" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name, " +
+        "CAST(NULL AS VARCHAR) AS r_missing, " +
+        "row_number() OVER (ORDER BY r_regionkey) AS __record_index__ FROM region"),
     "q_reader_json" ->
       ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
         "row_number() OVER (ORDER BY o_orderkey) AS __record_index__ FROM orders"),

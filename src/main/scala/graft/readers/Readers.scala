@@ -35,8 +35,11 @@ object Readers {
     StructType(spec.fields.map(f => StructField(f.name, StringType)))
 
   /** CSV with the reference's reader options
-    * (ref: spark/readers/csv.py:25-109): declared schema (never inferred),
-    * all-string read, header handling, optional empty-string->null.
+    * (ref: spark/readers/csv.py:25-109 and backends/readers/csv.py:170-225):
+    * declared schema (never inferred), all-string read, header handling
+    * (header=false maps columns POSITIONALLY to the declared field order,
+    * ref: csv.py:170-180), optional per-value trim, a `null_values` list,
+    * and empty-string->null.
     */
   final case class CsvOptions(
       sep: String = ",",
@@ -45,12 +48,14 @@ object Readers {
       escape: String = "\\",
       multiLine: Boolean = false,
       encoding: String = "UTF-8",
-      emptyStringAsNull: Boolean = true)
+      emptyStringAsNull: Boolean = true,
+      trimValues: Boolean = false,
+      nullValues: Seq[String] = Nil)
 
   def readCsv(spark: SparkSession, path: String, spec: EntitySpec,
               options: CsvOptions = CsvOptions()): DataFrame = {
     val df = spark.read
-      .schema(stringSchema(spec))
+      .schema(stringSchema(spec)) // positional: field order = column order
       .option("sep", options.sep)
       .option("header", options.header)
       .option("quote", options.quote)
@@ -59,11 +64,24 @@ object Readers {
       .option("encoding", options.encoding)
       .option("inferSchema", value = false)
       .csv(path)
-    val out =
-      if (options.emptyStringAsNull)
-        df.select(df.columns.map(c => when(col(s"`$c`") === "", lit(null)).otherwise(col(s"`$c`")).as(c)).toIndexedSeq: _*)
-      else df
-    addRecordIndex(out)
+    addRecordIndex(sanitize(df, options))
+  }
+
+  /** Value sanitisation (ref: backends/readers/csv.py:182-200): optional
+    * trim, then null out configured placeholder values and empty strings.
+    */
+  private def sanitize(df: DataFrame, options: CsvOptions): DataFrame = {
+    val needsWork = options.trimValues || options.emptyStringAsNull || options.nullValues.nonEmpty
+    if (!needsWork) return df
+    df.select(df.columns.map { c0 =>
+      val c = col(s"`$c0`")
+      val trimmed = if (options.trimValues) trim(c) else c
+      val nulls = (if (options.emptyStringAsNull) Seq("") else Nil) ++ options.nullValues
+      val out = if (nulls.nonEmpty)
+        when(trimmed.isin(nulls: _*), lit(null).cast(StringType)).otherwise(trimmed)
+      else trimmed
+      out.as(c0)
+    }.toIndexedSeq: _*)
   }
 
   /** Header-vs-schema check (ref: backends/readers/csv.py:202-225): the
@@ -104,13 +122,22 @@ object Readers {
   /** XML via Spark 4's built-in XML source (the reference uses the spark-xml
     * package + lxml, ref: spark/readers/xml.py:59-212 and
     * backends/readers/xml.py). rowTag selects the record element.
+    *
+    * Namespace handling mirrors the reference's strip-then-parse
+    * (ref: backends/readers/xml.py:170-180, spark/readers/xml.py:160-169
+    * retries with a namespaced row tag): the declared schema uses local
+    * names, so `ignoreNamespace` makes prefixed documents resolve to the
+    * same columns. Declared fields missing from the document come back as
+    * null columns because the schema is declared, never inferred
+    * (ref: spark/readers/xml.py:191-195 pads the same way).
     */
   def readXml(spark: SparkSession, path: String, spec: EntitySpec,
-              rowTag: String): DataFrame = {
+              rowTag: String, ignoreNamespace: Boolean = true): DataFrame = {
     val df = spark.read
       .format("xml")
       .schema(jsonSchema(spec))
       .option("rowTag", rowTag)
+      .option("ignoreNamespace", ignoreNamespace)
       .load(path)
     addRecordIndex(df)
   }
