@@ -36,3 +36,68 @@ object Auditing {
     latestRecords(df, keyCols.map(col), Seq(col("updated_at")))
   }
 }
+
+/** The four audit status tables (ref: spark/auditing.py:166-212,
+  * core_engine/models.py:45-146): processing_status, submission_info,
+  * submission_statistics, transfers — append-only parquet under
+  * `<auditDir>/<table>`, Delta-compatible schemas, latest-record reads.
+  * A monotonically increasing sequence breaks ties between appends in the
+  * same timestamp tick.
+  */
+final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, auditDir: String) {
+  import spark.implicits._
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  private def now = new java.sql.Timestamp(System.currentTimeMillis())
+
+  def path(table: String): String = s"$auditDir/$table"
+
+  /** received -> transform -> data_contract -> business_rules ->
+    * error_report -> finished | failed (ref: ProcessingStatus states).
+    */
+  def markStatus(submissionId: String, status: String,
+                 jobRunId: Option[Long] = None,
+                 submissionResult: Option[String] = None): Unit =
+    Auditing.appendAudit(
+      Seq((submissionId, status, jobRunId, submissionResult, now, seq.incrementAndGet()))
+        .toDF("submission_id", "processing_status", "job_run_id", "submission_result",
+          "updated_at", "audit_seq"),
+      path("processing_status"))
+
+  def addSubmissionInfo(submissionId: String, datasetId: String, fileName: String,
+                        fileExtension: String, fileSize: Option[Long] = None,
+                        submittingOrg: Option[String] = None): Unit =
+    Auditing.appendAudit(
+      Seq((submissionId, datasetId, fileName, fileExtension, fileSize, submittingOrg,
+        now, seq.incrementAndGet()))
+        .toDF("submission_id", "dataset_id", "file_name", "file_extension", "file_size",
+          "submitting_org", "updated_at", "audit_seq"),
+      path("submission_info"))
+
+  def addStatistics(submissionId: String, recordCount: Long,
+                    submissionRejections: Long, recordRejections: Long,
+                    warnings: Long): Unit =
+    Auditing.appendAudit(
+      Seq((submissionId, recordCount, submissionRejections, recordRejections, warnings,
+        now, seq.incrementAndGet()))
+        .toDF("submission_id", "record_count", "number_submission_rejections",
+          "number_record_rejections", "number_warnings", "updated_at", "audit_seq"),
+      path("submission_statistics"))
+
+  def addTransfer(submissionId: String, reportName: String, transferId: String,
+                  recipient: Option[String] = None): Unit =
+    Auditing.appendAudit(
+      Seq((submissionId, reportName, transferId, recipient, now, seq.incrementAndGet()))
+        .toDF("submission_id", "report_name", "transfer_id", "recipient",
+          "updated_at", "audit_seq"),
+      path("transfers"))
+
+  /** Latest processing status per submission. */
+  def latestProcessingStatus(): DataFrame =
+    Auditing.latestRecords(spark.read.parquet(path("processing_status")),
+      Seq(col("submission_id")), Seq(col("updated_at"), col("audit_seq")))
+
+  def statusOf(submissionId: String): Option[String] =
+    latestProcessingStatus().where(col("submission_id") === submissionId)
+      .select("processing_status").collect().headOption.map(_.getString(0))
+}

@@ -37,7 +37,12 @@ object Contract {
       case StructType(fs)   => struct(fs.map(f => conv(c.getField(f.name), f.dataType).as(f.name)).toSeq: _*)
       case _                => c.cast(StringType)
     }
-    df.select(df.schema.fields.map(f => conv(col(s"`${f.name}`"), f.dataType).as(f.name)).toIndexedSeq: _*)
+    df.select(df.schema.fields.map { f =>
+      // the synthetic record index survives as long — it is engine metadata,
+      // not user data (the reference stringifies before indexing)
+      if (f.name == RecordIndexColumn) col(s"`${f.name}`")
+      else conv(col(s"`${f.name}`"), f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   // ---------------------------------------------------------------- numeric / format regexes

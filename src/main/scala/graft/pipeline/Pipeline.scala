@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.audit.AuditManager
+import graft.config.Dischema
+import graft.contract.Contract
+import graft.readers.Readers
+import graft.refdata.RefDataLoader
+import graft.report.ErrorSink
+import graft.rules.{EntityCatalog, SyncFilters}
+
+/** The four pipeline services over a working directory with parquet stage
+  * checkpoints (ref: pipeline/pipeline.py:950-977 cluster run;
+  * :198-246 transform, :426-477 data_contract, :546-653 business_rules,
+  * :801-875 error_report):
+  *
+  *   transform/<entity>      stringified rows + __record_index__
+  *   data_contract/<entity>  typed rows (record index kept)
+  *   business_rules/<entity> post-rules rows, contract rejections removed
+  *   errors/<stage>_errors.jsonl, error_reports/{aggregate,detail}
+  *
+  * Stage boundaries are parquet on purpose — restartability is a feature the
+  * reference relies on, and each stage's output is read exactly once by the
+  * next. Audit status transitions mirror the reference's
+  * received -> transform -> data_contract -> business_rules -> error_report
+  * -> finished.
+  */
+object Pipeline {
+
+  final case class SubmissionConfig(
+      submissionId: String,
+      dataFile: String, // submitted data file (or directory)
+      dischema: Dischema.Parsed,
+      workingDir: String,
+      refdataBaseDir: String = ".",
+      auditDir: Option[String] = None,
+      csvOptions: Readers.CsvOptions = Readers.CsvOptions(),
+      xmlRowTags: Map[String, String] = Map.empty) // entity -> rowTag
+
+  final case class PipelineResult(
+      validationFailed: Boolean,
+      recordCounts: Map[String, Long],
+      finalStatus: String)
+
+  private def fileExtension(path: String): String = {
+    val i = path.lastIndexOf('.')
+    if (i < 0) "" else path.substring(i).toLowerCase
+  }
+
+  /** Stage 1: read the submitted file per entity with its configured reader
+    * and checkpoint stringified + indexed rows.
+    */
+  def fileTransformation(spark: SparkSession, cfg: SubmissionConfig): Unit = {
+    val ext = fileExtension(cfg.dataFile)
+    cfg.dischema.entities.foreach { spec =>
+      val readerName = cfg.dischema.readerByEntity
+        .getOrElse(spec.name, Map.empty).getOrElse(ext, defaultReader(ext))
+      val raw = readerName match {
+        case "SparkCSVReader" | "CSVFileReader" =>
+          Readers.readCsv(spark, cfg.dataFile, spec, cfg.csvOptions)
+        case "SparkJSONReader" =>
+          Readers.readJson(spark, cfg.dataFile, spec, multiLine = ext == ".json")
+        case "SparkXMLReader" | "BasicXMLFileReader" | "XMLStreamReader" =>
+          Readers.readXml(spark, cfg.dataFile, spec,
+            rowTag = cfg.xmlRowTags.getOrElse(spec.name, spec.name))
+        case other =>
+          throw new IllegalArgumentException(s"unknown reader: '$other' for ${spec.name}")
+      }
+      Contract.stringify(raw)
+        .write.mode("overwrite").parquet(s"${cfg.workingDir}/transform/${spec.name}")
+    }
+  }
+
+  private def defaultReader(ext: String): String = ext match {
+    case ".csv"            => "SparkCSVReader"
+    case ".json" | ".jsonl" => "SparkJSONReader"
+    case ".xml"            => "SparkXMLReader"
+    case other             => throw new IllegalArgumentException(s"no reader for '$other'")
+  }
+
+  /** Stage 2: contract validate + cast; typed parquet + errors JSONL.
+    * Returns true when any non-informational message was produced.
+    */
+  def dataContract(spark: SparkSession, cfg: SubmissionConfig): Boolean = {
+    var failed = false
+    cfg.dischema.entities.foreach { spec =>
+      val raw = spark.read.parquet(s"${cfg.workingDir}/transform/${spec.name}")
+      val (typed, messages) = Contract(raw, spec)
+      typed.write.mode("overwrite").parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
+      val persisted = messages.persist()
+      ErrorSink.writeFeedbackErrors(persisted, cfg.workingDir, "data_contract")
+      failed |= !persisted.where(col("Status") =!= "informational").isEmpty
+      persisted.unpersist()
+    }
+    failed
+  }
+
+  /** Stage 3: business rules over the typed entities (+ Original<entity>
+    * copies, ref: pipeline.py:581-586), refdata resolved lazily, then
+    * post-hoc contract record rejection and checkpoint.
+    */
+  def businessRules(spark: SparkSession, cfg: SubmissionConfig): Map[String, Long] = {
+    val typed = cfg.dischema.entities.map { spec =>
+      spec.name -> spark.read.parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
+    }.toMap
+    val originals = typed.map { case (n, df) => s"Original$n" -> df }
+    val loader = new RefDataLoader(spark, cfg.dischema.referenceData, cfg.refdataBaseDir)
+    val catalog = new EntityCatalog(
+      typed ++ originals,
+      keyFields = cfg.dischema.entities.flatMap(e => e.keyField.map(k => e.name -> Seq(k))).toMap,
+      refdataProvider = Some(loader.asProvider))
+
+    val ruleMessages = cfg.dischema.rules.flatMap { r =>
+      SyncFilters.applyRules(catalog, r.preSync, r.filters, r.postSync)
+    }
+    ruleMessages.foreach(m => ErrorSink.writeFeedbackErrors(m, cfg.workingDir, "business_rules"))
+
+    val contractErrors = ErrorSink.readFeedbackErrors(spark, cfg.workingDir, "data_contract")
+    cfg.dischema.entities.map { spec =>
+      val out =
+        if (catalog.contains(spec.name)) {
+          val entity = catalog(spec.name)
+          val rejected =
+            if (entity.columns.contains(Contract.RecordIndexColumn))
+              Contract.filterContractErrors(entity,
+                contractErrors.where(col("Entity") === spec.name))
+            else entity
+          rejected.write.mode("overwrite")
+            .parquet(s"${cfg.workingDir}/business_rules/${spec.name}")
+          spark.read.parquet(s"${cfg.workingDir}/business_rules/${spec.name}").count()
+        } else 0L
+      spec.name -> out
+    }.toMap
+  }
+
+  /** Stage 4: aggregate + detail report tables from every stage's JSONL. */
+  def errorReport(spark: SparkSession, cfg: SubmissionConfig): DataFrame = {
+    val all = ErrorSink.readAllFeedbackErrors(spark, cfg.workingDir)
+    val agg = ErrorSink.aggregateReport(all)
+    agg.coalesce(1).write.mode("overwrite")
+      .parquet(s"${cfg.workingDir}/error_reports/aggregate")
+    ErrorSink.detailReport(all).coalesce(1).write.mode("overwrite")
+      .parquet(s"${cfg.workingDir}/error_reports/detail")
+    agg
+  }
+
+  /** Full run with audit status transitions and submission statistics. */
+  def run(spark: SparkSession, cfg: SubmissionConfig): PipelineResult = {
+    val audit = cfg.auditDir.map(new AuditManager(spark, _))
+    audit.foreach { a =>
+      a.addSubmissionInfo(cfg.submissionId, cfg.dischema.entities.map(_.name).mkString(","),
+        cfg.dataFile, fileExtension(cfg.dataFile))
+      a.markStatus(cfg.submissionId, "received")
+    }
+    try {
+      audit.foreach(_.markStatus(cfg.submissionId, "transform"))
+      fileTransformation(spark, cfg)
+      audit.foreach(_.markStatus(cfg.submissionId, "data_contract"))
+      val validationFailed = dataContract(spark, cfg)
+      audit.foreach(_.markStatus(cfg.submissionId, "business_rules"))
+      val counts = businessRules(spark, cfg)
+      audit.foreach(_.markStatus(cfg.submissionId, "error_report"))
+      val all = ErrorSink.readAllFeedbackErrors(spark, cfg.workingDir).persist()
+      errorReport(spark, cfg)
+      audit.foreach { a =>
+        a.addStatistics(cfg.submissionId,
+          recordCount = counts.values.sum,
+          submissionRejections = all.where(col("FailureType") === "submission"
+            && col("Status") =!= "informational").count(),
+          recordRejections = all.where(col("FailureType") === "record"
+            && col("Status") =!= "informational").count(),
+          warnings = all.where(col("Status") === "informational").count())
+        a.markStatus(cfg.submissionId, "finished",
+          submissionResult = Some(if (validationFailed) "validation_failed" else "success"))
+      }
+      all.unpersist()
+      PipelineResult(validationFailed, counts, "finished")
+    } catch {
+      case e: Throwable =>
+        ErrorSink.writeProcessingError(spark, cfg.workingDir, "pipeline",
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+        audit.foreach(_.markStatus(cfg.submissionId, "failed",
+          submissionResult = Some("processing_error")))
+        throw e
+    }
+  }
+}

@@ -20,18 +20,20 @@ final class ConstraintException(message: String, val constraint: String = "")
 final class EntityCatalog(
     initial: Map[String, DataFrame],
     val refdata: Map[String, DataFrame] = Map.empty,
-    val keyFields: Map[String, Seq[String]] = Map.empty // entity -> user-facing key fields
+    val keyFields: Map[String, Seq[String]] = Map.empty, // entity -> user-facing key fields
+    refdataProvider: Option[String => Option[DataFrame]] = None // lazy refdata source
 ) {
   val RefdataPrefix = "refdata_"
 
   private var entities: ListMap[String, DataFrame] = ListMap(initial.toSeq: _*)
 
   def apply(name: String): DataFrame =
-    if (name.startsWith(RefdataPrefix))
-      refdata.getOrElse(
-        name.stripPrefix(RefdataPrefix),
-        throw new NoSuchElementException(s"reference entity not found: $name"))
-    else
+    if (name.startsWith(RefdataPrefix)) {
+      val key = name.stripPrefix(RefdataPrefix)
+      refdata.get(key)
+        .orElse(refdataProvider.flatMap(p => p(key)))
+        .getOrElse(throw new NoSuchElementException(s"reference entity not found: $name"))
+    } else
       entities.getOrElse(name, throw new NoSuchElementException(s"entity not found: $name"))
 
   def update(name: String, df: DataFrame): Unit = {
@@ -55,8 +57,10 @@ final class EntityCatalog(
   def rename(from: String, to: String): Unit = { val df = apply(from); remove(from); update(to, df) }
 
   def contains(name: String): Boolean =
-    if (name.startsWith(RefdataPrefix)) refdata.contains(name.stripPrefix(RefdataPrefix))
-    else entities.contains(name)
+    if (name.startsWith(RefdataPrefix)) {
+      val key = name.stripPrefix(RefdataPrefix)
+      refdata.contains(key) || refdataProvider.exists(p => p(key).isDefined)
+    } else entities.contains(name)
 
   /** Entity names in insertion order (excluding refdata). */
   def names: Seq[String] = entities.keys.toSeq

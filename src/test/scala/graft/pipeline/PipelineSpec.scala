@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.audit.AuditManager
+import graft.config.Dischema
+import graft.refdata.RefDataLoader
+import graft.report.ErrorSink
+
+/** Golden end-to-end pipeline scenario, planets-style
+  * (ref: tests/features/planets.feature:12-38 — contract rejection counts,
+  * surviving rows, error codes, audit status transitions, statistics).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_pipe_").toString
+
+  private val doc =
+    """{
+      | "contract": {
+      |  "datasets": {
+      |   "planets": {
+      |    "fields": {
+      |     "planet": "str",
+      |     "gravity": {"callable": "confloat", "constraints": {"gt": 0}},
+      |     "n_moons": "int"
+      |    },
+      |    "key_field": "planet",
+      |    "mandatory_fields": ["planet", "gravity"]
+      |   }
+      |  }
+      | },
+      | "transformations": {
+      |  "reference_data": {"sats": {"type": "filename", "filename": "sats.parquet"},
+      |                     "unused": {"type": "filename", "filename": "missing.parquet"}},
+      |  "rules": [
+      |   {"operation": "has_match", "entity": "planets", "target": "refdata_sats",
+      |    "join_condition": "planets.planet = refdata_sats.planet AND refdata_sats.sat_name = 'Moon'",
+      |    "column_name": "has_moon"}
+      |  ],
+      |  "filters": [
+      |   {"entity": "planets", "name": "weak", "expression": "gravity < 2",
+      |    "error_code": "HIGH_G", "failure_message": "gravity too strong"},
+      |   {"entity": "planets", "name": "warn_cold", "expression": "n_moons < 100",
+      |    "error_code": "MANY_MOONS", "failure_message": "many moons",
+      |    "is_informational": true}
+      |  ]
+      | }
+      |}""".stripMargin
+
+  private def runPipeline(): (String, Pipeline.PipelineResult, String) = {
+    val base = freshDir()
+    val dataFile = s"$base/planets.csv"
+    // gravity: empty for Venus (mandatory -> contract rejection),
+    // negative for Mars (gt 0 -> contract rejection)
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dataFile),
+      """planet,gravity,n_moons
+        |Mercury,0.38,0
+        |Venus,,0
+        |Earth,1.0,1
+        |Mars,-0.38,2
+        |Jupiter,2.36,95
+        |Saturn,0.92,146
+        |""".stripMargin)
+    satellites.write.mode("overwrite").parquet(s"$base/sats.parquet")
+    val cfg = Pipeline.SubmissionConfig(
+      submissionId = "sub-planets",
+      dataFile = dataFile,
+      dischema = Dischema.parseString(doc),
+      workingDir = s"$base/work",
+      refdataBaseDir = base,
+      auditDir = Some(s"$base/audit"))
+    val result = Pipeline.run(spark, cfg)
+    (base, result, s"$base/work")
+  }
+
+  test("golden scenario: rejections, survivors, codes, audit, statistics") {
+    val (base, result, work) = runPipeline()
+
+    // contract: Venus blank mandatory + Mars gt-0 violation -> 2 rejections
+    assert(result.validationFailed)
+    val contractErrors = ErrorSink.readFeedbackErrors(spark, work, "data_contract")
+    assert(contractErrors.count() == 2)
+    assert(contractErrors.select("Key").collect().map(_.getString(0)).toSet ==
+      Set("Venus", "Mars"))
+
+    // business rules: Jupiter removed by HIGH_G filter; survivors =
+    // 6 - 2 contract rejections - 1 filter rejection = 3
+    assert(result.recordCounts == Map("planets" -> 3L))
+    val out = spark.read.parquet(s"$work/business_rules/planets")
+    assert(out.select("planet").collect().map(_.getString(0)).toSet ==
+      Set("Mercury", "Earth", "Saturn"))
+    // has_match flag computed against refdata loaded through the lazy loader
+    assert(out.where("has_moon").select("planet").collect().map(_.getString(0)).toSeq ==
+      Seq("Earth"))
+
+    // messages: HIGH_G error for Jupiter, MANY_MOONS warning for Saturn
+    val ruleErrors = ErrorSink.readFeedbackErrors(spark, work, "business_rules")
+    val byCode = ruleErrors.groupBy("ErrorCode").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCode == Map("HIGH_G" -> 1L, "MANY_MOONS" -> 1L))
+
+    // report tables exist with the aggregate shape
+    val agg = spark.read.parquet(s"$work/error_reports/aggregate")
+    assert(agg.columns.toSeq == Seq("Type", "Table", "Data_Item", "Category", "Error_Code", "Count"))
+
+    // audit: final status finished/validation_failed; statistics row golden
+    val audit = new AuditManager(spark, s"$base/audit")
+    assert(audit.statusOf("sub-planets").contains("finished"))
+    val stats = spark.read.parquet(s"$base/audit/submission_statistics").collect().head
+    assert(stats.getAs[Long]("record_count") == 3L)
+    assert(stats.getAs[Long]("number_record_rejections") == 3L) // 2 contract + 1 filter
+    assert(stats.getAs[Long]("number_warnings") == 1L)
+  }
+
+  test("refdata loader is lazy and cached; unused sources never open") {
+    val (base, _, _) = runPipeline()
+    val loader = new RefDataLoader(spark,
+      Map("sats" -> Dischema.RefDataSource("filename", "sats.parquet"),
+        "missing" -> Dischema.RefDataSource("filename", "missing.parquet")), base)
+    assert(loader.loadedCount == 0)
+    assert(loader.load("sats").get.count() == 6)
+    assert(loader.loadedCount == 1)
+    loader.load("sats") // cached — no second entry
+    assert(loader.loadedCount == 1)
+    assert(loader.load("nope").isEmpty)
+  }
+
+  test("audit status transitions are ordered and latest wins") {
+    val base = freshDir()
+    val audit = new AuditManager(spark, s"$base/a")
+    Seq("received", "transform", "data_contract", "finished")
+      .foreach(audit.markStatus("s1", _))
+    audit.markStatus("s2", "received")
+    val latest = audit.latestProcessingStatus().collect()
+      .map(r => r.getAs[String]("submission_id") -> r.getAs[String]("processing_status")).toMap
+    assert(latest == Map("s1" -> "finished", "s2" -> "received"))
+  }
+}
