@@ -58,6 +58,15 @@ object Pipeline {
         .getOrElse(spec.name, Map.empty).getOrElse(ext, defaultReader(ext))
       val raw = readerName match {
         case "SparkCSVReader" | "CSVFileReader" =>
+          // header-vs-schema enforcement (ref: backends/readers/csv.py:202-225):
+          // a headered file must name every declared field
+          if (cfg.csvOptions.header) {
+            val missing = Readers.checkCsvHeader(spark, cfg.dataFile, spec, cfg.csvOptions.sep)
+            if (missing.nonEmpty)
+              throw new graft.rules.ConstraintException(
+                s"CSV header for '${spec.name}' is missing declared fields: ${missing.mkString(", ")}",
+                "file header must contain every declared field")
+          }
           Readers.readCsv(spark, cfg.dataFile, spec, cfg.csvOptions)
         case "SparkJSONReader" =>
           Readers.readJson(spark, cfg.dataFile, spec, multiLine = ext == ".json")

@@ -15,6 +15,13 @@ object Templating {
 
   private val Iso = DateTimeFormatter.ISO_LOCAL_DATE
 
+  /** Clock for `days_until` — wall-clock by default (matches the reference's
+    * semantics, ref: templating.py:78-87) but injectable so tests and
+    * correctness oracles can pin it.
+    */
+  @volatile var clock: java.time.Clock = java.time.Clock.systemDefaultZone()
+  private def today(): LocalDate = LocalDate.now(clock)
+
   private val varPattern =
     """\{\{\s*([^{}|]+?)\s*(\|\s*[^{}]+?)?\s*\}\}""".r
 
@@ -113,7 +120,7 @@ object Templating {
       case callPattern("add_years", arg) =>
         value.map(v => Iso.format(parseDate(v).plusYears(arg.trim.toLong)))
       case "days_until" | callPattern("days_until", _) =>
-        value.map(v => ChronoUnit.DAYS.between(LocalDate.now(), parseDate(v)).toString)
+        value.map(v => ChronoUnit.DAYS.between(today(), parseDate(v)).toString)
       case "upper" => value.map(v => stringify(v).toUpperCase)
       case "lower" => value.map(v => stringify(v).toLowerCase)
       case "repr"  => value.map(v => "'" + stringify(v) + "'")
