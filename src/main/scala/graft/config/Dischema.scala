@@ -90,7 +90,8 @@ object Dischema {
         precision = int("max_digits"), scale = int("decimal_places"))
       case "condate"       => FieldSpec(name, "date")
       case "conformatteddate" => FieldSpec(name, "date", format = str("format"))
-      case "formatteddatetime" => FieldSpec(name, "datetime", format = str("format"))
+      case "formatteddatetime" => FieldSpec(name, "formatteddatetime", format = str("format"),
+        timezoneTreatment = str("timezone_treatment"))
       case "formattedtime" => FieldSpec(name, "time", format = str("format"))
       case "postcode" | "nhsnumber" | "permissivenhsno" | "orgid" =>
         FieldSpec(name, if (callableName == "permissivenhsno") "nhsnumber" else callableName)

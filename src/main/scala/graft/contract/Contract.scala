@@ -129,10 +129,15 @@ object Contract {
         try_to_timestamp(trim(c), lit(FieldSpec.strptimeToJava(fmt))).isNotNull
       case None => trim(c).try_cast(DateType).isNotNull // try_cast: ANSI-mode safe
     }
-    case "datetime" | "formatteddatetime" => f.format match {
+    case "datetime" => f.format match {
       case Some(fmt) => trim(c).rlike(FieldSpec.strptimeToRegex(fmt)) &&
         try_to_timestamp(trim(c), lit(FieldSpec.strptimeToJava(fmt))).isNotNull
       case None => trim(c).try_cast(TimestampType).isNotNull
+    }
+    case "formatteddatetime" => f.format match {
+      case Some(fmt) => trim(c).rlike(FieldSpec.strptimeToRegex(fmt)) &&
+        try_to_timestamp(trim(c), lit(FieldSpec.strptimeToJava(fmt))).isNotNull
+      case None => flexDatetime(c).isNotNull
     }
     case "time" | "formattedtime" =>
       trim(c).rlike("^\\d{2}:\\d{2}(:\\d{2})?$")
@@ -145,6 +150,47 @@ object Contract {
       reportingPeriodDate(c, f).isNotNull
     case _             => lit(true) // str: any text is well-formed
   }
+
+  // -------------------------------------------------- flexible datetimes
+
+  private val flexDtRegex =
+    "^([0-9]{4})-?([0-9]{2})-?([0-9]{2})[T ]?([0-9]{2}):?([0-9]{2}):?([0-9]{2})" +
+      "(\\.[0-9]{1,6})?([+-][0-9]{2}:?[0-9]{2})?$"
+
+  /** Normalize the Zulu suffix and the NHS 16-digit / 8T8 forms
+    * (ref: domain_types.py:369-400 reformat_nhs_string_format + Z handling).
+    */
+  private def flexNormalize(c: Column): Column = {
+    val s0 = trim(c)
+    val s1 = when(s0.rlike("[zZ]$"),
+      concat(regexp_replace(s0, "[zZ]$", ""), lit("+00:00"))).otherwise(s0)
+    val digits = regexp_replace(s1, "T", "")
+    val nhs = concat(
+      substring(digits, 1, 4), lit("-"), substring(digits, 5, 2), lit("-"), substring(digits, 7, 2),
+      lit(" "), substring(digits, 9, 2), lit(":"), substring(digits, 11, 2), lit(":"),
+      substring(digits, 13, 2), lit("+"), substring(digits, 15, 2), lit(":00"))
+    when(s1.rlike("^([0-9]{16}|[0-9]{8}T[0-9]{8})$"), nhs).otherwise(s1)
+  }
+
+  /** Multi-pattern datetime parse (ref: domain_types.py:355-401
+    * DEFAULT_PATTERNS — the cross product of dashed/compact date, T/space/no
+    * separator, colon/compact time, optional fraction, optional offset).
+    * Instead of 48 trial parses, one regex canonicalizes to ISO form and a
+    * single try_cast finishes (also rejecting impossible dates).
+    */
+  private[contract] def flexDatetime(c: Column): Column = {
+    val s = flexNormalize(c)
+    def g(i: Int): Column = regexp_extract(s, flexDtRegex, i)
+    val canonical = when(s.rlike(flexDtRegex),
+      concat(g(1), lit("-"), g(2), lit("-"), g(3), lit(" "),
+        g(4), lit(":"), g(5), lit(":"), g(6), g(7), g(8)))
+      .otherwise(lit(null).cast(StringType))
+    canonical.try_cast(TimestampType)
+  }
+
+  /** Did the (normalized) value carry an explicit UTC offset? */
+  private[contract] def flexHasTimezone(c: Column): Column =
+    flexNormalize(c).rlike("[+-][0-9]{2}:?[0-9]{2}$")
 
   /** Parse a reporting-period value with its declared format (default
     * %Y-%m-%d, ref: domain_types.py:569-575).
@@ -168,6 +214,16 @@ object Contract {
       f.le.map(v => (asNum > v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be <= $v")),
       f.gt.map(v => (asNum <= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be > $v")),
       f.lt.map(v => (asNum >= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be < $v")),
+      // timezone policy for flexible datetimes (ref: domain_types.py:420-428)
+      (if (f.typeName == "formatteddatetime" && f.format.isEmpty)
+        f.timezoneTreatment match {
+          case Some("forbid") =>
+            Some((flexHasTimezone(c), "Bad value", "has timezone, but this is forbidden"))
+          case Some("require") =>
+            Some((!flexHasTimezone(c), "Bad value", "missing timezone, but this is required"))
+          case _ => None
+        }
+      else None),
       // reporting periods must sit on month boundaries (ref: domain_types.py:585-611)
       (if (f.typeName == "reportingperiodstart")
         Some((dayofmonth(reportingPeriodDate(c, f)) =!= 1, "Bad value",
@@ -307,6 +363,8 @@ object Contract {
   private def scalarCast(x: Column, f: FieldSpec): Column = f.typeName match {
     case "reportingperiodstart" | "reportingperiodend" =>
       reportingPeriodDate(x, f)
+    case "formatteddatetime" if f.format.isEmpty =>
+      flexDatetime(x)
     case "date" | "conformatteddate" | "datetime" | "formatteddatetime" =>
       val parsed = f.format match {
         case Some(fmt) =>

@@ -24,7 +24,8 @@ final case class FieldSpec(
     precision: Option[Int] = None,
     scale: Option[Int] = None,
     default: Option[String] = None, // applied when the raw value is blank
-    functions: Seq[FieldFunction] = Nil // per-field validation functions (§2.8.3)
+    functions: Seq[FieldFunction] = Nil, // per-field validation functions (§2.8.3)
+    timezoneTreatment: Option[String] = None // formatteddatetime: forbid|permit|require
 )
 
 /** A per-field validation/normalisation function attachment

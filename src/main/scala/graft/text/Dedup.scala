@@ -46,24 +46,14 @@ object Dedup {
   val MersennePrime31: Long = 2147483647L // 2^31 - 1
 
   /** MinHash signature (array<bigint> of length `numHashes`) over a shingle
-    * array column. Base hash = xxhash64 masked to 31 bits; permutation i is
-    * h -> (a_i * h + b_i) mod (2^31 - 1), products bounded well inside
-    * int64. One xxhash per shingle, then numHashes * |shingles| cheap
-    * multiply-mods — all columnar, no UDF.
+    * array column. Base hash = 31-bit Murmur3 of the shingle bytes;
+    * permutation i is h -> (a_i * h + b_i) mod (2^31 - 1), products bounded
+    * well inside int64. Computed by a native codegen Catalyst expression
+    * ([[MinHashSignatureExpr]]) — one pass, |shingles| hashes +
+    * |shingles| * numHashes multiply-mods, inside whole-stage codegen.
     */
-  def minHashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val as = Array.tabulate(numHashes)(i => 1L + math.floorMod(splitmix64(seed + 2L * i), MersennePrime31 - 1))
-    val bs = Array.tabulate(numHashes)(i => math.floorMod(splitmix64(seed + 2L * i + 1), MersennePrime31))
-    val aArr = array(as.map(lit): _*)
-    val bArr = array(bs.map(lit): _*)
-    val baseHashes = transform(shingleCol, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i =>
-        array_min(transform(baseHashes,
-          h => pmod(element_at(aArr, (i + 1).cast("int")) * h + element_at(bArr, (i + 1).cast("int")),
-            lit(MersennePrime31)))))
-  }
+  def minHashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    MinHashSignatureExpr.signature(shingleCol, numHashes, seed)
 
   /** Explode a signature into (bandIndex, bandHash) rows: `numBands` bands of
     * `rowsPerBand` signature positions each. Pairs agreeing on any full band
@@ -136,7 +126,12 @@ object Dedup {
                    numBands: Int = 32, threshold: Double = 0.5,
                    seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // persisted: the shingle table feeds candidate generation AND both sides
+    // of the verify join — recomputing the shingling per consumer triples
+    // the text-processing cost (same reason the reference checkpoints
+    // between stages)
     val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withShingles.withColumn("sig", minHashSignature(col("sh"), numHashes, seed))
     val candidates = lshCandidates(withSig, idCol, "sig", numBands, rowsPerBand)
     verifyPairs(candidates, withShingles, idCol, "sh", threshold)
@@ -156,6 +151,7 @@ object Dedup {
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Total order on tokens: (xxhash64, token) struct sort — the token
     // tiebreak keeps the order globally consistent even under a hash
     // collision, which completeness of prefix filtering depends on.

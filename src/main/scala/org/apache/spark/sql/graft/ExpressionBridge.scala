@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4 moved `Column` to the expression-free sql-api module; the
+  * converter (`classic.ExpressionUtils`) is private[sql], so library code
+  * registering its own expressions reaches it from an sql subpackage — the
+  * established pattern for Spark-native extension libraries.
+  */
+object ExpressionBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -154,6 +154,41 @@ class ContractSpec extends SparkSpec {
     assert(typed.schema.forall(_.dataType == org.apache.spark.sql.types.DateType))
   }
 
+  test("formatteddatetime parses the default multi-pattern family incl. NHS 16-digit") {
+    val df = Seq(
+      "2024-01-31T12:30:45",
+      "20240131 123045",
+      "20240131123045.500",
+      "2024-01-31 12:30:45+01:00",
+      "2024-01-31T12:30:45Z",
+      "2024013112304501",        // NHS 16-digit: ...+01:00
+      "20240131T12304501",       // NHS 8T8
+      "2024-13-31T12:30:45",     // impossible month
+      "not a date").toDF("d")
+    val spec = EntitySpec("e", Seq(FieldSpec("d", "formatteddatetime")))
+    val out = Contract.cast(df, spec).collect().map(r => Option(r.getTimestamp(0)).map(_.toString))
+    assert(out(0).contains("2024-01-31 12:30:45.0"))
+    assert(out(1).contains("2024-01-31 12:30:45.0"))
+    assert(out(2).contains("2024-01-31 12:30:45.5"))
+    assert(out(3).contains("2024-01-31 11:30:45.0")) // +01:00 -> UTC session tz
+    assert(out(4).contains("2024-01-31 12:30:45.0"))
+    assert(out(5).contains("2024-01-31 11:30:45.0"))
+    assert(out(6).contains("2024-01-31 11:30:45.0"))
+    assert(out(7).isEmpty && out(8).isEmpty)
+    assert(Contract.validate(df, spec).count() == 2)
+  }
+
+  test("formatteddatetime timezone policy: forbid and require") {
+    val df = Seq("2024-01-31T12:30:45+01:00", "2024-01-31T12:30:45").toDF("d")
+    def msgs(tz: String) = Contract.validate(df,
+      EntitySpec("e", Seq(FieldSpec("d", "formatteddatetime", timezoneTreatment = Some(tz)))))
+    assert(msgs("forbid").select("Value").collect().map(_.getString(0)).toSeq ==
+      Seq("2024-01-31T12:30:45+01:00"))
+    assert(msgs("require").select("Value").collect().map(_.getString(0)).toSeq ==
+      Seq("2024-01-31T12:30:45"))
+    assert(msgs("permit").count() == 0)
+  }
+
   test("constraint checks: length and range") {
     val df = Seq(("abcde", "5"), ("ab", "50")).toDF("s", "v")
     val spec = EntitySpec("e", Seq(
