@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.contract.{EntitySpec, FieldSpec}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+
+  test("contractStream ingests files through validate+cast to typed parquet") {
+    val base = tmp()
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$in/batch1.csv"),
+      "id,name\n1,ada\nx,broken\n")
+    val spec = EntitySpec("people", Seq(FieldSpec("id", "long"), FieldSpec("name", "str")))
+    val q = Streaming.contractStream(spark, in, spec, "csv", s"$base/out", s"$base/ckpt")
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.schema("id").dataType.simpleString == "bigint")
+    assert(rows(out) == Set(Seq(1L, "ada"), Seq(null, "broken"))) // failed cast -> null
+  }
+
+  test("windowedCounts aggregates per event-time window with a watermark") {
+    val stream = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = Streaming.windowedCounts(
+      stream.toDF().toDF("ts", "k"), "ts", "k", "10 minutes", "5 minutes")
+    val q = df.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((t(1), "a"), (t(2), "a"), (t(11), "b"))
+    q.processAllAvailable()
+    stream.addData((t(40), "a")) // advances the watermark past the first windows
+    q.processAllAvailable()
+    val got = spark.table("win_counts")
+      .select("window_start", "k", "cnt").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", "a", 2L),
+      ("2024-01-01 10:10:00.0", "b", 1L)))
+  }
+
+  test("streamingDedup emits only the first occurrence per key across batches") {
+    val stream = MemoryStream[(Long, String)](spark)
+    val deduped = Streaming.streamingDedup(stream.toDF().toDF("id", "v"), "id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData((1L, "first"), (1L, "dup-same-batch"), (2L, "two"))
+    q.processAllAvailable()
+    stream.addData((1L, "dup-next-batch"), (3L, "three"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(got == Set((1L, "first"), (2L, "two"), (3L, "three")))
+  }
+}
