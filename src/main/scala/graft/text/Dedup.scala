@@ -137,29 +137,33 @@ object Dedup {
     verifyPairs(candidates, withShingles, idCol, "sh", threshold)
   }
 
-  /** Exact Jaccard-threshold self-join via prefix filtering.
+  /** Exact Jaccard-threshold self-join via prefix filtering (PPJoin-style).
     *
-    * Tokens are globally ordered (here by xxhash64 — any total order is
-    * correct; frequency order is a selectivity optimization left as a knob)
-    * and each document emits only its first |S| - ceil(t*|S|) + 1 tokens.
-    * Two sets with Jaccard >= t must share >= ceil(t*|S|) tokens, so they
-    * must collide on at least one prefix token — candidate generation is
-    * COMPLETE for the threshold, and the verify pass is exact. Candidates
-    * are generated by an equi-join on token (shuffle on token key), never
-    * all-pairs.
+    * Tokens are globally ordered RAREST-FIRST (corpus frequency, token
+    * tiebreak — any total order is correct for completeness, but rare-first
+    * makes the emitted prefix tokens the least-shared ones, collapsing the
+    * candidate count on skewed vocabularies) and each document emits only
+    * its first |S| - ceil(t*|S|) + 1 tokens. Two sets with Jaccard >= t
+    * must share >= ceil(t*|S|) tokens, so they must collide on at least one
+    * prefix token — candidate generation is COMPLETE for the threshold, and
+    * the verify pass is exact. Candidates are generated by an equi-join on
+    * token (shuffle on token key), never all-pairs; the extra cost of the
+    * frequency ordering is one narrow token-count aggregation.
     */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Total order on tokens: (xxhash64, token) struct sort — the token
-    // tiebreak keeps the order globally consistent even under a hash
-    // collision, which completeness of prefix filtering depends on.
-    val sorted = withShingles.withColumn("sh_sorted",
-      array_sort(transform(col("sh"), s => struct(xxhash64(s).as("h"), s.as("s")))))
+    val exploded = withShingles.select(col(idCol), explode(col("sh")).as("tok"))
+    val tokCounts = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // per-doc shingles sorted by (corpus count, token): struct order gives
+    // the global rare-first total order with a deterministic tiebreak
+    val sorted = exploded.join(tokCounts, "tok")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
     val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
     val prefixes = sorted
-      .select(col(idCol), explode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("s"))).as("tok"))
+      .select(col(idCol), explode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("tok"))).as("tok"))
     val candidates = prefixes.as("x").join(prefixes.as("y"),
         col("x.tok") === col("y.tok") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
