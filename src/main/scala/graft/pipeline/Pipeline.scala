@@ -154,6 +154,26 @@ object Pipeline {
     agg
   }
 
+  /** Run many submissions concurrently — Spark schedules the jobs fairly
+    * across one session (ref: pipeline.py:957 ThreadPoolExecutor(7); Scala
+    * futures over the shared SparkSession are the JVM equivalent). One
+    * submission's failure does not abort the others.
+    */
+  def runAll(spark: SparkSession, cfgs: Seq[SubmissionConfig],
+             parallelism: Int = 7): Map[String, Either[Throwable, PipelineResult]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = cfgs.map { cfg =>
+        Future(cfg.submissionId ->
+          (try Right(run(spark, cfg)) catch { case e: Throwable => Left(e) }))
+      }
+      Await.result(Future.sequence(fs), Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
   /** Full run with audit status transitions and submission statistics. */
   def run(spark: SparkSession, cfg: SubmissionConfig): PipelineResult = {
     val audit = cfg.auditDir.map(new AuditManager(spark, _))

@@ -77,6 +77,13 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
 
+    "q_embed_neardup" -> ((s, dir) =>
+      // brute force = the exact baseline; the LSH-bucketed variant is the
+      // scale path for genuine near-duplicate (high-cosine) thresholds and
+      // is recall-tested against this in SimilaritySpec
+      Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.45, bruteForce = true)),
+
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, numPlanes = 8)
@@ -187,6 +194,11 @@ object LlmQueries {
     "q_text_langid" -> langidSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_embed_knn" -> knnSql,
+    "q_embed_neardup" ->
+      ("SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
+        "SELECT a.vec_id AS a, b.vec_id AS b, " +
+        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
     "q_multimodal_meta" -> multimodalSql
     // q_embed_ann_lsh / q_embed_ivf / q_multimodal_decode: hash-derived
     // buckets and float32 stub features are not ANSI-SQL replicable →

@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise-double dot product, sequential fold (index order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Elementwise-double dot product, sequential (index order) — native
+    * codegen expression; see [[DoubleDotProductExpr]].
+    */
+  def dot(a: Column, b: Column): Column = DoubleDotProductExpr.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -106,6 +106,35 @@ object Similarity {
       transform(sequence(lit(0), lit(numPlanes - 1)), i =>
         bitsToCode(zip_with(bits, sequence(lit(0), lit(numPlanes - 1)),
           (b, d) => when(d === i, lit(1L) - b).otherwise(b))))))
+
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored variant of
+    * similarity search): candidates from shared sign-LSH buckets with
+    * Hamming-1 probes, exact cosine verify at `threshold`. High-similarity
+    * pairs land in the same bucket with probability (1 - theta/pi)^planes —
+    * near 1 for near-duplicates; brute force over a.id < b.id is the exact
+    * baseline for recall tests.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, numPlanes: Int = 8,
+                         bruteForce: Boolean = false): DataFrame = {
+    val scored =
+      if (bruteForce) {
+        val a = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
+        val b = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"))
+        a.join(b, col("a") < col("b"))
+      } else {
+        val coded = corpus.select(col(idCol), col(vecCol),
+          explode(probeCodes(lshBits(col(vecCol), numPlanes), numPlanes)).as("bucket"))
+        val x = coded.select(col(idCol).as("a"), col(vecCol).as("a_vec"), col("bucket"))
+        val y = coded.select(col(idCol).as("b"), col(vecCol).as("b_vec"), col("bucket"))
+        x.join(y, Seq("bucket")).where(col("a") < col("b"))
+          .dropDuplicates("a", "b")
+      }
+    scored
+      .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
 
   /** IVF-style coarse quantization. `centroids` are any deterministic
     * sample of corpus rows (caller picks, e.g. `vec_id % 50 == 0`). Corpus

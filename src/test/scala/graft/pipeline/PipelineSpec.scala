@@ -126,6 +126,21 @@ class PipelineSpec extends SparkSpec {
     assert(loader.load("nope").isEmpty)
   }
 
+  test("runAll processes submissions concurrently and isolates failures") {
+    val base = freshDir()
+    val good = s"$base/good.csv"
+    java.nio.file.Files.writeString(java.nio.file.Path.of(good),
+      "planet,gravity,n_moons\nEarth,1.0,1\n")
+    satellites.write.mode("overwrite").parquet(s"$base/sats.parquet")
+    def cfg(id: String, file: String) = Pipeline.SubmissionConfig(
+      submissionId = id, dataFile = file, dischema = Dischema.parseString(doc),
+      workingDir = s"$base/work_$id", refdataBaseDir = base)
+    val results = Pipeline.runAll(spark, Seq(
+      cfg("ok", good), cfg("boom", s"$base/does_not_exist.csv")), parallelism = 2)
+    assert(results("ok").toOption.get.recordCounts == Map("planets" -> 1L))
+    assert(results("boom").isLeft)
+  }
+
   test("audit status transitions are ordered and latest wins") {
     val base = freshDir()
     val audit = new AuditManager(spark, s"$base/a")

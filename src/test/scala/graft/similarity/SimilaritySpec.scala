@@ -54,6 +54,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("cosineNearDupPairs: LSH-bucketed matches brute force on near-identical vectors") {
+    val rnd = new scala.util.Random(11)
+    // 10 base vectors, each with a jittered near-duplicate (cosine ~0.9999)
+    val data = (0 until 10).flatMap { i =>
+      val base = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      Seq((i.toLong * 2, base.toSeq),
+        (i.toLong * 2 + 1, base.map(v => v + rnd.nextFloat() * 0.01f).toSeq))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(data, "vec_id", "embedding", 0.999,
+        bruteForce = true).select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(data, "vec_id", "embedding", 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 10) // each jittered twin
+    assert(lsh == exact)
+  }
+
   test("lshBits is deterministic across invocations") {
     val a = vecs.select(Similarity.lshBits(col("embedding"), 8)).as[Seq[Long]].collect()
     val b = vecs.select(Similarity.lshBits(col("embedding"), 8)).as[Seq[Long]].collect()
