@@ -33,18 +33,6 @@ object Dedup {
       .otherwise(array(concat_ws(" ", ws)))
   }
 
-  /** Deterministic affine-permutation constants for MinHash, derived from
-    * `seed` via splitmix64 (public-domain mixing constants).
-    */
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
-  val MersennePrime31: Long = 2147483647L // 2^31 - 1
-
   /** MinHash signature (array<bigint> of length `numHashes`) over a shingle
     * array column. Base hash = 31-bit Murmur3 of the shingle bytes;
     * permutation i is h -> (a_i * h + b_i) mod (2^31 - 1), products bounded
