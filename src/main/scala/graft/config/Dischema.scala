@@ -40,15 +40,22 @@ object Dischema {
 
   private val mapper = new ObjectMapper()
 
-  def parseFile(path: String): Parsed = {
+  /** `globalParams` template the transformation configs upfront (lenient —
+    * unresolved per-record placeholders survive for message templating),
+    * mirroring the reference's global template variables
+    * (ref: base/rules.py:572-584, templating strategy "upfront").
+    */
+  def parseFile(path: String, globalParams: Map[String, Any] = Map.empty): Parsed = {
     val root = mapper.readTree(new java.io.File(path))
     val baseDir = Option(new java.io.File(path).getParent).getOrElse(".")
-    parse(root, name => mapper.readTree(new java.io.File(new java.io.File(baseDir, name).getPath)))
+    parse(root, name => mapper.readTree(new java.io.File(new java.io.File(baseDir, name).getPath)),
+      globalParams)
   }
 
-  def parseString(json: String, ruleStoreLoader: String => String = _ => "{}"): Parsed = {
+  def parseString(json: String, ruleStoreLoader: String => String = _ => "{}",
+                  globalParams: Map[String, Any] = Map.empty): Parsed = {
     val root = mapper.readTree(json)
-    parse(root, name => mapper.readTree(ruleStoreLoader(name)))
+    parse(root, name => mapper.readTree(ruleStoreLoader(name)), globalParams)
   }
 
   // ------------------------------------------------------------------ contract
@@ -247,7 +254,8 @@ object Dischema {
 
   // ------------------------------------------------------------------ whole document
 
-  private def parse(root: JsonNode, loadStore: String => JsonNode): Parsed = {
+  private def parse(root: JsonNode, loadStore: String => JsonNode,
+                    globalParams: Map[String, Any] = Map.empty): Parsed = {
     val contract = Option(root.get("contract")).getOrElse(mapper.createObjectNode())
     val types = Option(contract.get("types")).map(t =>
       t.properties().asScala.map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
@@ -287,13 +295,15 @@ object Dischema {
       }.toMap
 
     def renderNode(node: JsonNode, params: Map[String, Any]): JsonNode = {
-      val rendered = Templating.render(mapper.writeValueAsString(node),
-        params) // templates whole JSON text, then re-parse
+      // lenient: unresolved (per-record) placeholders survive to notify time
+      val rendered = Templating.renderLenient(mapper.writeValueAsString(node),
+        globalParams ++ params)
       mapper.readTree(rendered)
     }
 
     def parseFilterList(node: JsonNode, extraParams: Map[String, Any]): Seq[DeferredFilter] =
-      Option(node).toSeq.flatMap(_.elements().asScala).map { f =>
+      Option(node).toSeq.flatMap(_.elements().asScala).map { f0 =>
+        val f = if (globalParams.nonEmpty) renderNode(f0, extraParams) else f0
         if (f.has("rule_name")) { // business filter from a rule store
           val spec = storeRules.getOrElse(f.get("rule_name").asText,
             throw new IllegalArgumentException(s"rule '${f.get("rule_name").asText}' not in any rule store"))
@@ -310,7 +320,8 @@ object Dischema {
       }
 
     def parseStepList(node: JsonNode): Seq[Step] =
-      Option(node).toSeq.flatMap(_.elements().asScala).map(parseStep)
+      Option(node).toSeq.flatMap(_.elements().asScala)
+        .map(n => parseStep(if (globalParams.nonEmpty) renderNode(n, Map.empty) else n))
 
     // complex rules (from stores) first, then the root rule — reference order
     // (ref: configuration/v1/__init__.py:281-306 _load_rules_and_vars)

@@ -47,6 +47,25 @@ object Templating {
   def renderAll(templates: Seq[String], vars: Map[String, Any]): Seq[String] =
     templates.map(render(_, vars))
 
+  /** Lenient render: unresolved placeholders stay as literal text instead of
+    * raising — used when templating whole rule configs with global/local
+    * variables while per-record `{{field}}` message placeholders must
+    * survive to notify time (ref: base/rules.py:572-584 templates rules
+    * upfront; spark/rules.py:409-411 renders messages per record).
+    */
+  def renderLenient(template: String, vars: Map[String, Any]): String =
+    varPattern.replaceAllIn(template, m => {
+      val base = m.group(1).trim
+      val filters = Option(m.group(2))
+        .map(_.split('|').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val result =
+        try filters.foldLeft(resolve(base, vars))((acc, f) => applyFilter(acc, f, vars))
+        catch { case _: IllegalArgumentException => None } // unknown filter -> leave as-is
+      java.util.regex.Matcher.quoteReplacement(
+        result.map(stringify).getOrElse(m.matched))
+    })
+
   private def resolve(token: String, vars: Map[String, Any]): Option[Any] =
     evalExpr(token, vars)
 

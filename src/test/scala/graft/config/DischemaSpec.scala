@@ -125,6 +125,22 @@ class DischemaSpec extends AnyFunSuite {
     assert(parsed.rules.last.name == "root")
   }
 
+  test("global params template rules upfront; per-record placeholders survive") {
+    val s = """{"transformations": {
+      "rules": [{"operation": "filter_without_notifying", "entity": "planets",
+                 "filter_rule": "gravity > {{min_gravity}}"}],
+      "filters": [{"entity": "planets", "expression": "n_moons < {{max_moons}}",
+                   "error_code": "MOONS",
+                   "failure_message": "{{name}} has too many moons ({{max_moons}} max)"}]}}"""
+    val p = Dischema.parseString(s, globalParams = Map("min_gravity" -> 2, "max_moons" -> 100))
+    assert(p.rootRule.preSync == Seq(Filter("planets", "gravity > 2")))
+    val f = p.rootRule.filters.head
+    assert(f.expression == "n_moons < 100")
+    // {{name}} is a record field, not a global — it must survive for
+    // per-record message templating at notify time
+    assert(f.reporting.message == "{{name}} has too many moons (100 max)")
+  }
+
   test("remove_entities accepts string or array entity") {
     val s = """{"transformations": {"rules": [
       {"operation": "remove_entities", "entity": ["a", "b"]},
