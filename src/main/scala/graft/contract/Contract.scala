@@ -25,7 +25,8 @@ object Contract {
 
   val RecordIndexColumn: String = Messages.RecordIndexColumn
 
-  private val errorStruct = "struct<field:string,category:string,message:string,value:string>"
+  private val errorStruct =
+    "struct<field:string,category:string,message:string,value:string,status:string>"
 
   /** Stringified interchange form: every leaf cast to string, preserving
     * array/struct shape (ref: backends/utilities.py:84-116 stringify_model,
@@ -243,7 +244,13 @@ object Contract {
 
     def err(value: Column, category: String, message: String): Column =
       struct(lit(f.name).as("field"), lit(category).as("category"),
-        lit(message).as("message"), value.cast(StringType).as("value"))
+        lit(message).as("message"), value.cast(StringType).as("value"),
+        lit("error").as("status"))
+
+    def warnErr(value: Column, message: Column): Column =
+      struct(lit(f.name).as("field"), lit("Bad value").as("category"),
+        message.as("message"), value.cast(StringType).as("value"),
+        lit("informational").as("status"))
 
     if (f.isArray && f.fields.isEmpty) {
       // Per-item validation of scalar arrays (ref: models.py:198-209
@@ -290,7 +297,25 @@ object Contract {
         when(!isMissing && formatOk(c, f) && cond, array(err(c, cat, msg)))
           .otherwise(empty)
       }
-      (Seq(blank, fmtFail) ++ constraints).reduce(concat(_, _))
+      // NHS sentinel/test-number warnings: informational, never rejecting —
+      // values that PASS the checksum but indicate test data
+      // (ref: domain_types.py:44-163 SENTINEL_VALUES / starts-with-9 /
+      // palindrome warnings).
+      val warnings =
+        if (f.typeName == "nhsnumber") {
+          val cleaned = regexp_replace(regexp_replace(trim(c), " ", ""), "-", "")
+          val reason =
+            when(cleaned === "0000000000", lit("returned by MPS to indicate no match"))
+              .when(cleaned === "1111111111", lit("common example value given for patient-facing forms"))
+              .when(cleaned === "9999999999", lit("returned by MPS to indicate multiple matches"))
+              .when(cleaned === "0123456789", lit("common example value given for patient-facing forms"))
+              .when(cleaned.startsWith("9"), lit("NHS number starts with '9': this indicates a test number"))
+              .when(cleaned === reverse(cleaned), lit("NHS number is a palindrome: this indicates a test number"))
+          Seq(when(!isMissing && formatOk(c, f) && reason.isNotNull,
+            array(warnErr(c, concat(lit("NHS number possibly invalid ("), reason, lit(")")))))
+            .otherwise(empty))
+        } else Nil
+      (Seq(blank, fmtFail) ++ constraints ++ warnings).reduce(concat(_, _))
     }
   }
 
@@ -322,7 +347,7 @@ object Contract {
         lit(spec.name).as("Entity"),
         col("__key__").as("Key"),
         lit("record").as("FailureType"),
-        lit("error").as("Status"),
+        col("e.status").as("Status"),
         col("e.category").as("ErrorType"),
         col("e.field").as("ErrorLocation"),
         concat(col("e.field"), lit(" "), col("e.message")).as("ErrorMessage"),

@@ -47,13 +47,32 @@ class ContractSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some("2020-01-31"), None, None))
   }
 
-  test("nhsnumber mod-11 checksum validates") {
-    // 9434765919 is a valid NHS number (mod-11); 9434765918 is not
+  test("nhsnumber mod-11 checksum validates; test numbers warn without rejecting") {
+    // 9434765919 is checksum-valid but starts with 9 (test number -> warning);
+    // 9434765918 fails the checksum (error)
     val df = Seq("9434765919", "943 476 5919", "9434765918").toDF("nhs")
     val spec = EntitySpec("e", Seq(FieldSpec("nhs", "nhsnumber")))
     val msgs = Contract.validate(df, spec)
-    assert(msgs.count() == 1)
-    assert(msgs.select("Value").collect().map(_.getString(0)).toSeq == Seq("9434765918"))
+    val errors = msgs.where("Status = 'error'")
+    assert(errors.count() == 1)
+    assert(errors.select("Value").collect().map(_.getString(0)).toSeq == Seq("9434765918"))
+    val warns = msgs.where("Status = 'informational'")
+    assert(warns.count() == 2) // both 9-prefixed forms warn
+    assert(warns.select("ErrorMessage").collect().forall(_.getString(0).contains("test number")))
+    // warnings never reject
+    val kept = Contract.filterContractErrors(
+      graft.readers.Readers.addRecordIndex(df),
+      Contract.validate(graft.readers.Readers.addRecordIndex(df), spec))
+    assert(kept.count() == 2)
+  }
+
+  test("nhsnumber sentinel values warn with their documented reasons") {
+    val df = Seq("9999999999", "0000000000").toDF("nhs")
+    val spec = EntitySpec("e", Seq(FieldSpec("nhs", "nhsnumber")))
+    val msgs = Contract.validate(df, spec).where("Status = 'informational'")
+    val got = msgs.select("ErrorMessage").collect().map(_.getString(0)).toSet
+    assert(got.exists(_.contains("multiple matches")))
+    assert(got.exists(_.contains("no match")))
   }
 
   test("postcode normalises and validates; placeholder values become null") {
