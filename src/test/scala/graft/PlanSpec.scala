@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards: the optimizations the engine depends on
+  * at 100 TB must stay visible in the plans — a silently regressed broadcast
+  * or lost filter pushdown is a scale bug even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q_left_join").contains("BroadcastHashJoin"))
+    assert(plan("q_refdata").contains("BroadcastHashJoin"))
+  }
+
+  test("filters push down to the parquet scan") {
+    val p = formatted(SparkEntry.queries("q_embed_knn")(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(vec_id,10)"))
+  }
+
+  test("column pruning reaches the scan: projection-only queries read few columns") {
+    val p = formatted(SparkEntry.queries("q_filter")(spark, sfDir))
+    // only the 4 projected + 2 filter columns, not all 11 lineitem columns
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.count(_ == ',') < 6, readSchema)
+  }
+
+  test("1:1 integrity output is a single join (no row-id shuffle)") {
+    val p = plan("q_one_to_one_join")
+    assert(!p.contains("monotonically_increasing_id"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("minhash signature is the native codegen expression, not an interpreted HOF") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sig = docs.select(graft.text.Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", graft.text.Dedup.minHashSignature(col("sh"), 128))
+    val p = sig.queryExecution.executedPlan.toString
+    // the signature projection must be the native expression inside a
+    // WholeStageCodegen span (the shingling transform above it is fine —
+    // it is per-row and small; the 128-permutation loop was the hot spot)
+    assert(p.linesIterator.exists(l => l.contains("minhash_signature") && l.trim.startsWith("*")))
+  }
+
+  test("cosine scoring uses the native dot-product expression") {
+    val p = plan("q_embed_knn")
+    assert(p.contains("double_dot_product"))
+    assert(!p.contains("aggregate(zip_with"))
+  }
+
+  test("reject anti-join carries no forced broadcast hint (AQE decides)") {
+    val logical = graft.queries.ContractQueries.queries("q_contract_reject")(spark, sfDir)
+      .queryExecution.logical.toString
+    assert(!logical.toLowerCase.contains("broadcast"))
+  }
+}
