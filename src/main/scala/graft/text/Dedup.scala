@@ -151,9 +151,15 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
     val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
     val prefixes = sorted
-      .select(col(idCol), explode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("tok"))).as("tok"))
+      .select(col(idCol), size(col("sh_sorted")).as("sz"),
+        explode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("tok"))).as("tok"))
+    // length filter: jaccard >= t implies |I| >= t*|U| >= t*max(|x|,|y|) and
+    // |I| <= min(|x|,|y|), so min >= t*max — prunes size-incompatible pairs
+    // before the expensive distinct + verify
     val candidates = prefixes.as("x").join(prefixes.as("y"),
-        col("x.tok") === col("y.tok") && col(s"x.$idCol") < col(s"y.$idCol"))
+        col("x.tok") === col("y.tok") && col(s"x.$idCol") < col(s"y.$idCol")
+          && col("y.sz") >= ceil(lit(threshold) * col("x.sz"))
+          && col("x.sz") >= ceil(lit(threshold) * col("y.sz")))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
     verifyPairs(candidates, withShingles, idCol, "sh", threshold)
