@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Bench/Verify (run) drive a local[32] session over sf0.1 on a 128 GiB
+// box: give them a heap sized for that (r3's 8g default turned the
+// recorded bench into a GC measurement). Tests stay small and parallel.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}"

@@ -30,6 +30,12 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      } finally {
+        // Cache hygiene: queries persist intermediates (shingle tables,
+        // record-indexed frames) whose lifetime must not outlive the query
+        // in a 58-query single-JVM run — leaked blocks poisoned every later
+        // timing in r3.
+        spark.catalog.clearCache()
       }
     }
     def jstr(s: String): String =

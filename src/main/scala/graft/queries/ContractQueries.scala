@@ -67,6 +67,10 @@ object ContractQueries {
       // reason (pipeline/pipeline.py:198-246).
       val indexed = Readers.addRecordIndex(Contract.stringify(lineitemSubset(s, dir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Materialize BEFORE handing to the two consumers (typed + messages):
+      // letting both lineages race to populate the same cache blocks stalls
+      // the whole job (~50x measured at sf0.1). One count() = one pass.
+      indexed.count()
       val spec = EntitySpec("lineitem", Seq(
         FieldSpec("l_orderkey", "long", mandatory = true),
         FieldSpec("l_linenumber", "long", mandatory = true),

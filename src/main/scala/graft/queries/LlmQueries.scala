@@ -46,7 +46,7 @@ object LlmQueries {
 
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashDedup(docs(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 128, numBands = 32, threshold = 0.5)
+        shingleSize = 3, numHashes = 128, numBands = 64, threshold = 0.5)
         .select("a", "b")),
 
     "q_dedup_simhash" -> ((s, dir) =>
@@ -77,10 +77,18 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
 
+    // The scale path: sign-LSH buckets (Hamming-1 multiprobe) + exact cosine
+    // verify. Its oracle replicates the SAME bucketed computation in SQL
+    // (the plane hash is integer-arithmetic-replicable), so the bucketed
+    // plan is hash-checked end to end; recall vs the exact join is asserted
+    // in SimilaritySpec.
     "q_embed_neardup" -> ((s, dir) =>
-      // brute force = the exact baseline; the LSH-bucketed variant is the
-      // scale path for genuine near-duplicate (high-cosine) thresholds and
-      // is recall-tested against this in SimilaritySpec
+      Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 8)),
+
+    // The exact baseline (a.id < b.id cross join): correct at any scale but
+    // O(n^2) by definition — kept registered as the reference answer.
+    "q_embed_neardup_exact" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
         threshold = 0.45, bruteForce = true)),
 
@@ -176,6 +184,37 @@ object LlmQueries {
       "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
       "CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= 5"
 
+  /** DuckDB replica of [[Similarity.cosineNearDupPairs]]'s bucketed path:
+    * the same MINSTD-xorshift-MINSTD plane components, the same sign bits,
+    * the same own+Hamming-1 probe codes, the same bucket equi-join and
+    * exact cosine verify — so the LSH plan itself is hash-checked, not just
+    * its high-recall subset.
+    */
+  private def lshNearDupSql(numPlanes: Int, dim: Int, threshold: Double): String = {
+    // comp(p, d) in [-1, 1): h1 = (p*131071 + d + 1)*48271 mod (2^31-1);
+    // h2 = xor(h1, h1 >> 15)*48271 mod (2^31-1); (h2 mod 2e6 - 1e6)/1e6
+    def comp(p: Int): String = {
+      val h1 = s"(((${p * 131071L}::BIGINT + d + 1) * 48271) % 2147483647)"
+      val h2 = s"((xor($h1, $h1 >> 15) * 48271) % 2147483647)"
+      s"((($h2 % 2000000) - 1000000)::DOUBLE / 1000000.0)"
+    }
+    val bits = (0 until numPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range($dim), d -> embedding[d+1]::DOUBLE * ${comp(p)})) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
+    }.mkString("[", ", ", "]")
+    // probe f = -1 is the vector's own code; f = p flips bit p (MSB-first
+    // code, matching the Spark fold acc*2+b)
+    val codes = (0 until numPlanes).map { p =>
+      s"(CASE WHEN f = $p THEN 1 - bits[${p + 1}] ELSE bits[${p + 1}] END) * ${1L << (numPlanes - 1 - p)}"
+    }.mkString(" + ")
+    s"WITH bv AS (SELECT vec_id, $bits AS bits FROM embeddings), " +
+      s"pr AS (SELECT vec_id, unnest(list_transform(range(-1, $numPlanes), f -> $codes)) AS probe FROM bv), " +
+      "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM pr x JOIN pr y ON x.probe = y.probe AND x.vec_id < y.vec_id) " +
+      "SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
+      "SELECT cand.a, cand.b, list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c " +
+      "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a JOIN embeddings eb ON eb.vec_id = cand.b) t " +
+      s"WHERE c >= $threshold"
+  }
+
   private val multimodalSql: String =
     "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, " +
       "sha256(text) AS content_sha256, " +
@@ -194,7 +233,8 @@ object LlmQueries {
     "q_text_langid" -> langidSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_embed_knn" -> knnSql,
-    "q_embed_neardup" ->
+    "q_embed_neardup" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
+    "q_embed_neardup_exact" ->
       ("SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
         "SELECT a.vec_id AS a, b.vec_id AS b, " +
         "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c " +

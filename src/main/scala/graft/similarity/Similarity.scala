@@ -60,12 +60,22 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** MINSTD → xorshift → MINSTD integer mix on [0, 2^31-1). Chosen over
+    * xxhash64 because every step is exactly replicable in ANSI SQL integer
+    * arithmetic — the DuckDB oracle recomputes the same hyperplanes, so the
+    * bucketed LSH plan itself is hash-checkable end to end.
+    */
+  private[similarity] def mixHash(x: Column): Column = {
+    val h = pmod(x * 48271L, lit(2147483647L))
+    pmod(h.bitwiseXOR(shiftright(h, 15)) * 48271L, lit(2147483647L))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim),
-    * uniform in [-1, 1): derived from xxhash64 so plans need no literal
-    * weight arrays.
+    * uniform in [-1, 1): derived from [[mixHash]] so plans need no literal
+    * weight arrays and oracles can replicate them.
     */
   private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane * 131071 + dim), lit(2000000L)) - 1000000L).cast("double") / 1000000.0
+    (pmod(mixHash(plane * 131071L + dim + 1L), lit(2000000L)) - 1000000L).cast("double") / 1000000.0
 
   /** Sign-LSH bit code (array of `numPlanes` 0/1 longs) for a vector. */
   def lshBits(vec: Column, numPlanes: Int): Column =

@@ -105,13 +105,16 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pair detection, end to end: shingle →
-    * signature → banded buckets → candidate pairs → exact verify. With
-    * r small (e.g. 2) recall at the threshold is effectively 1
-    * (miss probability (1 - t^r)^b), so the output equals the exact join's.
+    * signature → banded buckets → candidate pairs → exact verify. The
+    * default geometry is 128 hashes / 64 bands → r=2 rows per band: a pair
+    * AT the 0.5 threshold misses with probability (1 - t^r)^b =
+    * 0.75^64 ≈ 1e-8, so the output equals the exact join's even for
+    * boundary-similarity pairs. (r=4 — e.g. numBands=32 — would miss ~13%
+    * at the boundary; see the boundary-recall spec.)
     */
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 128,
-                   numBands: Int = 32, threshold: Double = 0.5,
+                   numBands: Int = 64, threshold: Double = 0.5,
                    seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / numBands
     // persisted: the shingle table feeds candidate generation AND both sides
@@ -120,6 +123,10 @@ object Dedup {
     // between stages)
     val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize once before the three consumers race to populate the
+    // same cache blocks (concurrent first-reads of an unmaterialized
+    // persist stall each other — measured 50x on the contract plane)
+    withShingles.count()
     val withSig = withShingles.withColumn("sig", minHashSignature(col("sh"), numHashes, seed))
     val candidates = lshCandidates(withSig, idCol, "sig", numBands, rowsPerBand)
     verifyPairs(candidates, withShingles, idCol, "sh", threshold)
@@ -142,6 +149,7 @@ object Dedup {
                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withShingles.count() // materialize before concurrent consumers (see minHashDedup)
     val exploded = withShingles.select(col(idCol), explode(col("sh")).as("tok"))
     val tokCounts = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     // per-doc shingles sorted by (corpus count, token): struct order gives

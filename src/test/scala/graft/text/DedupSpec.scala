@@ -67,6 +67,28 @@ class DedupSpec extends SparkSpec {
     assert((sh(1L)._1 | sh(1L)._2) >= 0 && sh(1L)._1 < (1L << 32))
   }
 
+  test("minHashDedup default geometry has ~1.0 recall AT the threshold boundary") {
+    // 100 pairs engineered to sit EXACTLY at jaccard = 0.5: each doc is a
+    // set of 30 unique words (shingleSize = 1 -> shingles are the words),
+    // the pair shares 20 of them -> |I|/|U| = 20/40 = 0.5. The default
+    // r=2/b=64 geometry misses a boundary pair with prob 0.75^64 ~ 1e-8;
+    // the r=4 geometry this test guards against would miss ~13 of them.
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 100).flatMap { i =>
+      val shared = (0 until 20).map(j => s"s${i}_$j")
+      val onlyA = (0 until 10).map(j => s"a${i}_$j")
+      val onlyB = (0 until 10).map(j => s"b${i}_$j")
+      Seq((i.toLong * 2, rnd.shuffle(shared ++ onlyA).mkString(" ")),
+        (i.toLong * 2 + 1, rnd.shuffle(shared ++ onlyB).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minHashDedup(docs, "doc_id", "text", shingleSize = 1, threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.forall(_._3 == 0.5))
+    val expected = (0 until 100).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val recall = (pairs.map(p => (p._1, p._2)).toSet & expected).size.toDouble / expected.size
+    assert(recall >= 0.99, s"boundary recall $recall")
+  }
+
   test("lshCandidates respects the bucket-size cap") {
     val same = (1 to 20).map(i => (i.toLong, "identical text for everyone here today")).toDF("doc_id", "text")
     val withSig = same.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
