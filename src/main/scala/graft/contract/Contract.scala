@@ -26,7 +26,7 @@ object Contract {
   val RecordIndexColumn: String = Messages.RecordIndexColumn
 
   private val errorStruct =
-    "struct<field:string,category:string,message:string,value:string,status:string>"
+    "struct<field:string,category:string,message:string,value:string,status:string,failure:string>"
 
   /** Stringified interchange form: every leaf cast to string, preserving
     * array/struct shape (ref: backends/utilities.py:84-116 stringify_model,
@@ -82,7 +82,10 @@ object Contract {
     * (ref: metadata_parser/function_library.py:33-64), each null-passing
     * (ref: function_library.py:8-29 `_nullcheck`). These transform the RAW
     * value before format checks and before the cast — pydantic validator
-    * semantics.
+    * semantics. A function whose `error_type` is `warning` never modifies
+    * the value on failure (the reference's wrapper logs and returns the
+    * original, ref: function_wrapper.py:48-181); rejecting error types null
+    * the value and route a message (see [[functionFailures]]).
     */
   private def applyFunctions(c0: Column, f: FieldSpec): Column =
     f.functions.foldLeft(c0) { (v, fn) =>
@@ -94,13 +97,16 @@ object Contract {
           else v
         case "exclude_word" =>
           val word = fn.kwargs.getOrElse("word", "")
-          when(instr(lower(v), word.toLowerCase) > 0, lit(null).cast(StringType)).otherwise(v)
+          val hit = instr(lower(v), word.toLowerCase) > 0
+          if (fn.errorType == "warning") v // warn-only: value passes through
+          else when(hit, lit(null).cast(StringType)).otherwise(v)
         case "split" =>
           val sep = fn.kwargs.getOrElse("split_on", ",")
           val keep = fn.kwargs.get("keep").map(_.toInt).getOrElse(0)
-          // out-of-range keep -> null (the reference raises a validation error;
-          // a null here feeds the same rejection path via the blank check)
-          get(split(v, java.util.regex.Pattern.quote(sep)), lit(keep))
+          // out-of-range keep -> null for rejecting error types (the message
+          // is routed by functionFailures); warn-only keeps the raw value
+          val part = get(split(v, java.util.regex.Pattern.quote(sep)), lit(keep))
+          if (fn.errorType == "warning") when(part.isNull, v).otherwise(part) else part
         case "static_key" => lit("1")
         case other =>
           throw new IllegalArgumentException(s"unknown field function: '$other'")
@@ -109,16 +115,53 @@ object Contract {
       else when(blank, v).otherwise(applied)
     }
 
+  /** Failure conditions of the field's functions, each with its routed
+    * message/status/failure-kind (ref: function_wrapper.py:48-181 +
+    * models.py:52-93): `record_rejection` -> record-level error,
+    * `file_rejection` -> submission-level error (fails the whole file),
+    * `warning` -> informational record message. Conditions are evaluated
+    * against the value as transformed by the PRECEDING functions (validator
+    * chain order).
+    */
+  private def functionFailures(c0: Column, f: FieldSpec): Seq[(Column, String, String, String)] = {
+    val failures = Seq.newBuilder[(Column, String, String, String)]
+    f.functions.foldLeft(c0) { (v, fn) =>
+      val blank = v.isNull || trim(v) === ""
+      val cond = fn.name match {
+        case "exclude_word" =>
+          val word = fn.kwargs.getOrElse("word", "")
+          Some((instr(lower(v), word.toLowerCase) > 0, s"contains excluded word '$word'"))
+        case "split" =>
+          val sep = fn.kwargs.getOrElse("split_on", ",")
+          val keep = fn.kwargs.get("keep").map(_.toInt).getOrElse(0)
+          Some((get(split(v, java.util.regex.Pattern.quote(sep)), lit(keep)).isNull,
+            s"cannot be split on '$sep' (part $keep missing)"))
+        case _ => None // normalise / static_key cannot fail
+      }
+      cond.foreach { case (hit, msg) =>
+        val (status, failure) = fn.errorType match {
+          case "file_rejection" => ("error", "submission")
+          case "warning"        => ("informational", "record")
+          case _                => ("error", "record")
+        }
+        failures += ((!blank && hit, msg, status, failure))
+      }
+      applyFunctions(v, f.copy(functions = Seq(fn)))
+    }
+    failures.result()
+  }
+
+  /** Default applied on blank (ref: models.py:280-282). */
+  private def defaulted(c: Column, f: FieldSpec): Column = f.default match {
+    case Some(d) => when(c.isNull || trim(c) === "", lit(d)).otherwise(c)
+    case None    => c
+  }
+
   /** The value a field is validated and cast from: default applied on blank
     * (ref: models.py:280-282), then the field functions.
     */
-  private def effectiveValue(c: Column, f: FieldSpec): Column = {
-    val withDefault = f.default match {
-      case Some(d) => when(c.isNull || trim(c) === "", lit(d)).otherwise(c)
-      case None    => c
-    }
-    applyFunctions(withDefault, f)
-  }
+  private def effectiveValue(c: Column, f: FieldSpec): Column =
+    applyFunctions(defaulted(c, f), f)
 
   /** Does this stringified value parse as the declared scalar type? */
   private def formatOk(c: Column, f: FieldSpec): Column = f.typeName match {
@@ -242,15 +285,17 @@ object Contract {
     val raw = col(s"`${f.name}`")
     val empty = array().cast(s"array<$errorStruct>")
 
-    def err(value: Column, category: String, message: String): Column =
+    def mkErr(value: Column, category: String, message: Column,
+              status: String, failure: String): Column =
       struct(lit(f.name).as("field"), lit(category).as("category"),
-        lit(message).as("message"), value.cast(StringType).as("value"),
-        lit("error").as("status"))
+        message.as("message"), value.cast(StringType).as("value"),
+        lit(status).as("status"), lit(failure).as("failure"))
+
+    def err(value: Column, category: String, message: String): Column =
+      mkErr(value, category, lit(message), "error", "record")
 
     def warnErr(value: Column, message: Column): Column =
-      struct(lit(f.name).as("field"), lit("Bad value").as("category"),
-        message.as("message"), value.cast(StringType).as("value"),
-        lit("informational").as("status"))
+      mkErr(value, "Bad value", message, "informational", "record")
 
     if (f.isArray && f.fields.isEmpty) {
       // Per-item validation of scalar arrays (ref: models.py:198-209
@@ -286,10 +331,23 @@ object Contract {
       if (f.mandatory) when(isMissing, array(err(raw, "Blank", "cannot be blank"))).otherwise(empty)
       else empty
     } else {
+      // Field-function failures, routed by each function's error_type
+      // (ref: function_wrapper.py:48-181). A rejecting failure supersedes
+      // the downstream Blank error its nulled value would otherwise raise —
+      // the reference's validator raises exactly one error per field.
+      val base = defaulted(raw, f)
+      val fnFails = functionFailures(base, f)
+      val rejected = fnFails.collect { case (cond, _, "error", _) => cond }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val fnErrs = fnFails.map { case (cond, msg, status, failure) =>
+        when(cond, array(mkErr(base, "Bad value", lit(msg), status, failure)))
+          .otherwise(empty)
+      }
       val c = effectiveValue(raw, f)
       val isMissing = c.isNull || trim(c.cast(StringType)) === ""
       val blank =
-        when(isMissing && lit(f.mandatory), array(err(c, "Blank", "cannot be blank")))
+        when(isMissing && lit(f.mandatory) && !rejected,
+          array(err(c, "Blank", "cannot be blank")))
           .otherwise(empty)
       val fmtFail = when(!isMissing && !formatOk(c, f),
         array(err(c, "Wrong format", "has wrong format"))).otherwise(empty)
@@ -315,7 +373,7 @@ object Contract {
             array(warnErr(c, concat(lit("NHS number possibly invalid ("), reason, lit(")")))))
             .otherwise(empty))
         } else Nil
-      (Seq(blank, fmtFail) ++ constraints ++ warnings).reduce(concat(_, _))
+      (Seq(blank, fmtFail) ++ fnErrs ++ constraints ++ warnings).reduce(concat(_, _))
     }
   }
 
@@ -346,7 +404,7 @@ object Contract {
       .select(
         lit(spec.name).as("Entity"),
         col("__key__").as("Key"),
-        lit("record").as("FailureType"),
+        col("e.failure").as("FailureType"),
         col("e.status").as("Status"),
         col("e.category").as("ErrorType"),
         col("e.field").as("ErrorLocation"),

@@ -102,6 +102,32 @@ object ContractQueries {
       Contract.cast(input, spec)
     }),
 
+    // Function error_type routing: record_rejection -> record/error,
+    // file_rejection -> submission/error, warning -> record/informational;
+    // a rejecting function failure supersedes the Blank error of the value
+    // it nulls (field `a` is mandatory and AUTOMOBILE rows null it).
+    "q_contract_error_types" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").cast("string").as("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("a"),
+        col("c_mktsegment").as("b"),
+        when(col("c_custkey") % 5 === 0, regexp_replace(col("c_name"), "#", "-"))
+          .otherwise(col("c_name")).as("c"))
+      val spec = EntitySpec("customer", Seq(
+        FieldSpec("c_custkey", "long"),
+        FieldSpec("a", "str", mandatory = true,
+          functions = Seq(FieldFunction("exclude_word", kwargs = Map("word" -> "mobile")))),
+        FieldSpec("b", "str",
+          functions = Seq(FieldFunction("exclude_word", errorType = "warning",
+            kwargs = Map("word" -> "mobile")))),
+        FieldSpec("c", "long",
+          functions = Seq(FieldFunction("split", errorType = "file_rejection",
+            kwargs = Map("split_on" -> "#", "keep" -> "1"))))))
+      Contract.validate(input, spec)
+        .groupBy("ErrorLocation", "Status", "FailureType", "ErrorCode")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Per-element array validation (each_item): failing elements message and
     // null out independently of the record's other elements.
     "q_contract_each_item" -> ((s, dir) => {
@@ -217,6 +243,16 @@ object ContractQueries {
         "CASE WHEN contains(lower(c_mktsegment), 'mobile') THEN NULL ELSE c_mktsegment END AS no_mobile, " +
         "CAST(1 AS BIGINT) AS k " +
         "FROM customer"),
+    "q_contract_error_types" ->
+      ("SELECT * FROM (" +
+        "SELECT 'a' AS ErrorLocation, 'error' AS Status, 'record' AS FailureType, " +
+        "'FieldBlank' AS ErrorCode, count(1) AS n FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "UNION ALL SELECT 'a', 'error', 'record', 'BadValue', count(1) " +
+        "FROM customer WHERE contains(lower(c_mktsegment), 'mobile') " +
+        "UNION ALL SELECT 'b', 'informational', 'record', 'BadValue', count(1) " +
+        "FROM customer WHERE contains(lower(c_mktsegment), 'mobile') " +
+        "UNION ALL SELECT 'c', 'error', 'submission', 'BadValue', count(1) " +
+        "FROM customer WHERE c_custkey % 5 = 0) t"),
     "q_contract_each_item" ->
       ("SELECT * FROM (" +
         "SELECT 'Bad value' AS Category, 'BadValue' AS ErrorCode, count(1) AS n " +

@@ -208,6 +208,38 @@ class ContractSpec extends SparkSpec {
     assert(msgs("permit").count() == 0)
   }
 
+  test("function error_type routes record/file rejection and warning lanes") {
+    // a: rejecting exclude_word on a mandatory field — the function failure
+    //    supersedes the Blank error its nulled value would raise
+    // b: warning exclude_word — informational message, value kept
+    // c: file_rejection split — submission-level error
+    val df = Seq(
+      ("automobile park", "automobile park", "Customer#0042"),
+      ("building", "building", "Customer-0042")).toDF("a", "b", "c")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("a", "str", mandatory = true,
+        functions = Seq(FieldFunction("exclude_word", kwargs = Map("word" -> "mobile")))),
+      FieldSpec("b", "str",
+        functions = Seq(FieldFunction("exclude_word", errorType = "warning",
+          kwargs = Map("word" -> "mobile")))),
+      FieldSpec("c", "long",
+        functions = Seq(FieldFunction("split", errorType = "file_rejection",
+          kwargs = Map("split_on" -> "#", "keep" -> "1"))))))
+    val msgs = Contract.validate(df, spec)
+    val got = msgs.select("ErrorLocation", "Status", "FailureType").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got.sorted == Seq(
+      ("a", "error", "record"),          // one error for row 1, no Blank double-count
+      ("b", "informational", "record"),
+      ("c", "error", "submission")))
+    // the warned value passes through to the cast unchanged
+    val typed = Contract.cast(df, spec)
+    assert(typed.select("b").collect().map(_.getString(0)).toSeq ==
+      Seq("automobile park", "building"))
+    assert(typed.select("c").collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(42L), None))
+  }
+
   test("constraint checks: length and range") {
     val df = Seq(("abcde", "5"), ("ab", "50")).toDF("s", "v")
     val spec = EntitySpec("e", Seq(
