@@ -141,6 +141,71 @@ class PipelineSpec extends SparkSpec {
     assert(results("boom").isLeft)
   }
 
+  test("discovery pairs data+metadata, waits for partners, deadletters ambiguity") {
+    val base = freshDir()
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(landing))
+    def put(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$landing/$name"), text)
+    // complete pair
+    put("subA.csv", "planet,gravity,n_moons\nEarth,1.0,1\n")
+    put("subA.metadata.json", """{"dataset_id": "planets", "submitting_org": "X26"}""")
+    // data file whose metadata has not landed yet
+    put("subB.csv", "planet\nMars\n")
+    // three files on one stem: csv + xml + metadata -> all deadlettered
+    put("subC.csv", "planet\nVenus\n")
+    put("subC.xml", "<planets/>")
+    put("subC.metadata.json", """{"dataset_id": "planets"}""")
+    // pair whose metadata is not a JSON mapping -> received-failed
+    put("subD.csv", "planet\nPluto\n")
+    put("subD.metadata.json", """["not", "a", "mapping"]""")
+
+    var n = 0
+    val res = Discovery.discover(spark, landing, s"$base/processed",
+      newId = () => { n += 1; s"id-$n" })
+
+    assert(res.pending == Seq("subB"))
+    assert(res.deadlettered.map(_.split('/').last).toSet ==
+      Set("subC.csv", "subC.xml", "subC.metadata.json"))
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(s"$base/deadletter/subC.xml")))
+    assert(res.received.size == 1 && res.failed.size == 1)
+    val ok = res.received.head
+    assert(ok.info.datasetId.contains("planets") && ok.info.submittingOrg.contains("X26"))
+    assert(ok.info.fileName == "subA" && ok.info.fileExtension == "csv")
+    assert(ok.dataFile.endsWith(s"/${ok.info.submissionId}/subA.csv"))
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(
+      ok.dataFile.stripPrefix("file:"))))
+    assert(res.failed.head.fileName == "subD")
+    // landing now holds only the unpaired file
+    assert(new java.io.File(landing).listFiles().map(_.getName).toSeq == Seq("subB.csv"))
+  }
+
+  test("discovery run feeds paired submissions through the pipeline") {
+    val base = freshDir()
+    val landing = s"$base/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(landing))
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$landing/planets.csv"),
+      "planet,gravity,n_moons\nEarth,1.0,1\nVenus,,0\n")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$landing/planets.metadata.json"),
+      """{"dataset_id": "planets"}""")
+    // unknown dataset -> failed with a processing error, not run
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$landing/other.csv"), "a\n1\n")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$landing/other.metadata.json"),
+      """{"dataset_id": "nope"}""")
+    satellites.write.mode("overwrite").parquet(s"$base/sats.parquet")
+
+    var n = 0
+    val (disc, results) = Discovery.run(spark, landing, s"$base/processed",
+      dischemaFor = d => if (d == "planets") Some(Dischema.parseString(doc)) else None,
+      refdataBaseDir = base, newId = () => { n += 1; s"id-$n" })
+
+    assert(disc.received.size == 2 && disc.failed.size == 1)
+    assert(results.size == 1)
+    val (id, result) = results.head
+    assert(result.toOption.get.recordCounts == Map("planets" -> 1L)) // Venus rejected
+    assert(spark.read.parquet(s"$base/processed/$id/business_rules/planets").count() == 1)
+  }
+
   test("audit status transitions are ordered and latest wins") {
     val base = freshDir()
     val audit = new AuditManager(spark, s"$base/a")
