@@ -186,34 +186,19 @@ object Dedup {
 
   /** Deterministic 32-bit polynomial word hash (h = h*31 + codepoint mod
     * 2^32, seed 17) — chosen to be replicable in ANSI SQL by the oracle
-    * (fold over codepoints), unlike xxhash64.
+    * (fold over codepoints), unlike xxhash64. Computed by the native
+    * [[PolyHashExpr]] (the HOF char-fold formulation is CodegenFallback).
     */
-  def wordHash(word: Column): Column =
-    aggregate(
-      filter(split(word, ""), c => c =!= ""),
-      lit(17L),
-      (h, c) => pmod(h * 31 + ascii(c), lit(4294967296L)))
+  def wordHash(word: Column): Column = TextHashExpressions.fingerprint(word)
 
   /** 64-bit SimHash of a whitespace-tokenized text column, returned as a
     * struct(hi, lo) of two non-negative 32-bit halves (avoids int64 sign
     * pitfalls across engines). Bit i of the signature is the sign of the
     * term-frequency-weighted vote sum of bit i of each word's derived
-    * bit-hash g_i(w) = ((h(w)*(2i+1) + i^2*2654435761) mod 2^32) >> 31.
+    * bit-hash g_i(w) = ((h(w)*(2i+1) + i^2*2654435761) mod 2^32) >> 31,
+    * where h is [[wordHash]] and words are single-space splits (empty words
+    * vote with the seed hash, matching split's limit=-1 semantics).
+    * Computed by the native [[SimHashExpr]] in one scan per document.
     */
-  def simHash(textCol: Column): Column = {
-    val words = split(textCol, " ")
-    val hashes = transform(words, w => wordHash(w))
-    val votes = transform(
-      sequence(lit(0), lit(63)),
-      i =>
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc +
-            when(pmod(h * (i * 2 + 1) + i * i * lit(2654435761L), lit(4294967296L)) >= lit(2147483648L), 1L)
-              .otherwise(-1L)))
-    val bits = transform(votes, v => when(v > 0, 1L).otherwise(0L))
-    val half = (from: Int) =>
-      aggregate(sequence(lit(0), lit(31)), lit(0L),
-        (acc, i) => acc + element_at(bits, (i + from + 1).cast("int")).cast("long") * pow(lit(2.0), i).cast("long"))
-    struct(half(32).as("hi"), half(0).as("lo"))
-  }
+  def simHash(textCol: Column): Column = TextHashExpressions.simHashColumn(textCol)
 }

@@ -76,11 +76,9 @@ object TextStats {
 
   /** 32-bit polynomial rolling-hash fingerprint of the whole text
     * (h = h*31 + codepoint mod 2^32, seed 17) — deterministic, ANSI-SQL
-    * replicable, order-sensitive (unlike a bag-of-words hash).
+    * replicable, order-sensitive (unlike a bag-of-words hash). Computed by
+    * the native [[PolyHashExpr]]: the HOF char-fold is CodegenFallback and
+    * allocates a per-character array per row.
     */
-  def fingerprint(textCol: Column): Column =
-    aggregate(
-      filter(split(textCol, ""), c => c =!= ""),
-      lit(17L),
-      (h, c) => pmod(h * 31 + ascii(c), lit(4294967296L)))
+  def fingerprint(textCol: Column): Column = TextHashExpressions.fingerprint(textCol)
 }

@@ -51,6 +51,16 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("minhash_signature") && l.trim.startsWith("*")))
   }
 
+  test("simhash and fingerprint are native codegen expressions in the plan") {
+    // "*(n)" marks a WholeStageCodegen span on the operator's own line
+    val pSim = plan("q_dedup_simhash")
+    assert(pSim.linesIterator.exists(l => l.contains("simhash") && l.contains("*(")), pSim)
+    val pFp = plan("q_doc_fingerprint")
+    assert(pFp.linesIterator.exists(l => l.contains("poly_fingerprint") && l.contains("*(")), pFp)
+    // no interpreted char-fold HOFs left in either hot path
+    assert(!pSim.contains("aggregate(") && !pFp.contains("aggregate("), pFp)
+  }
+
   test("cosine scoring uses the native dot-product expression") {
     val p = plan("q_embed_knn")
     assert(p.contains("double_dot_product"))
