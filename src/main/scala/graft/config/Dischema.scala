@@ -261,11 +261,31 @@ object Dischema {
       t.properties().asScala.map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
     val datasets = Option(contract.get("datasets")).getOrElse(mapper.createObjectNode())
 
+    // per-(field, category) error-detail overrides: inline object, or a
+    // filename resolved by the same loader as rule stores
+    // (ref: configuration/v1/__init__.py:316-339 load_error_message_info)
+    val errorDetails: Map[String, Map[String, graft.contract.ErrorDetail]] =
+      Option(contract.get("error_details")).map { n =>
+        val node = if (n.isTextual) loadStore(n.asText) else n
+        node.properties().asScala.map { f =>
+          f.getKey -> f.getValue.properties().asScala.map { c =>
+            val d = c.getValue
+            c.getKey -> graft.contract.ErrorDetail(
+              errorCode = d.get("error_code").asText,
+              errorLevel = opt(d, "error_level").getOrElse("record"),
+              isInformational = boolOr(d, "is_informational", dflt = false),
+              errorMessage = opt(d, "error_message"),
+              reportingEntity = opt(d, "reporting_entity"))
+          }.toMap
+        }.toMap
+      }.getOrElse(Map.empty)
+
     val entities = datasets.properties().asScala.toSeq.map { e =>
       val aliases = Option(e.getValue.get("aliases")).map(a =>
         a.properties().asScala.map(p => p.getKey -> p.getValue.asText).toMap).getOrElse(Map.empty)
       EntitySpec(e.getKey, parseEntityFields(e.getValue, types, datasets),
-        aliases = aliases, keyField = opt(e.getValue, "key_field"))
+        aliases = aliases, keyField = opt(e.getValue, "key_field"),
+        errorDetails = errorDetails)
     }
     val mandatoryByEntity = datasets.properties().asScala.map { e =>
       e.getKey -> Option(e.getValue.get("mandatory_fields")).toSeq

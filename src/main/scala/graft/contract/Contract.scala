@@ -397,25 +397,95 @@ object Contract {
   def validate(df: DataFrame, spec: EntitySpec, keyFields: Seq[String]): DataFrame = {
     val withErrs = withErrors(df, spec)
     val hasIndex = df.columns.contains(RecordIndexColumn)
-    withErrs
-      .select(explode(col("__errors__")).as("e"),
+    // Raw record columns referenced by any override's message template must
+    // survive the explode so the message can be built per error row.
+    val templateVars = spec.errorDetails.values.flatten
+      .flatMap(_._2.errorMessage).flatMap(templateVarNames)
+      .filterNot(_ == ErrorValueVar)
+      .map(_.split('.').head) // dotted paths traverse structs from a root column
+      .filter(df.columns.contains).toSeq.distinct
+    val exploded = withErrs
+      .select(Seq(explode(col("__errors__")).as("e"),
         (if (hasIndex) col(RecordIndexColumn) else lit(null).cast(LongType)).as("__ri__"),
-        Messages.keyColumn(df.columns.toSeq, keyFields).as("__key__"))
-      .select(
-        lit(spec.name).as("Entity"),
-        col("__key__").as("Key"),
-        col("e.failure").as("FailureType"),
-        col("e.status").as("Status"),
-        col("e.category").as("ErrorType"),
-        col("e.field").as("ErrorLocation"),
-        concat(col("e.field"), lit(" "), col("e.message")).as("ErrorMessage"),
-        when(col("e.category") === "Blank", "FieldBlank")
-          .when(col("e.category") === "Wrong format", "WrongFormat")
-          .otherwise("BadValue").as("ErrorCode"),
-        col("e.field").as("ReportingField"),
-        col("__ri__").as("RecordIndex"),
-        col("e.value").as("Value"),
-        col("e.category").as("Category"))
+        Messages.keyColumn(df.columns.toSeq, keyFields).as("__key__")) ++
+        templateVars.map(v => col(s"`$v`")): _*)
+
+    // Per-(field, category) override chains (ref: message.py:243-279): each
+    // is a static when-chain over the error struct — plan-time config, no
+    // join, stays inside the projection.
+    val matches = spec.errorDetails.toSeq.sortBy(_._1).flatMap { case (field, byCat) =>
+      byCat.toSeq.sortBy(_._1).map { case (cat, d) =>
+        (col("e.field") === field && col("e.category") === cat, d)
+      }
+    }
+    def over(default: Column)(pick: ErrorDetail => Option[Column]): Column =
+      matches.foldRight(default) { case ((cond, d), acc) =>
+        pick(d).map(c => when(cond, c).otherwise(acc)).getOrElse(acc)
+      }
+    val entityCol = over(lit(spec.name))(d => d.reportingEntity.map(lit))
+    val failureCol = over(col("e.failure"))(d => Some(lit(d.errorLevel)))
+    // an override never demotes an informational warning to an error
+    val statusCol = over(col("e.status"))(d =>
+      if (d.isInformational) Some(lit("informational"))
+      else Some(when(col("e.status") === "informational", "informational").otherwise("error")))
+    val messageCol = over(concat(col("e.field"), lit(" "), col("e.message")))(d =>
+      d.errorMessage.map(renderTemplate(_, templateVars.toSet)))
+    val codeCol = over(
+      when(col("e.category") === "Blank", "FieldBlank")
+        .when(col("e.category") === "Wrong format", "WrongFormat")
+        .otherwise("BadValue"))(d => Some(lit(d.errorCode)))
+
+    exploded.select(
+      entityCol.as("Entity"),
+      col("__key__").as("Key"),
+      failureCol.as("FailureType"),
+      statusCol.as("Status"),
+      col("e.category").as("ErrorType"),
+      col("e.field").as("ErrorLocation"),
+      messageCol.as("ErrorMessage"),
+      codeCol.as("ErrorCode"),
+      col("e.field").as("ReportingField"),
+      col("__ri__").as("RecordIndex"),
+      col("e.value").as("Value"),
+      col("e.category").as("Category"))
+  }
+
+  // ------------------------------------------------- error-detail templating
+
+  /** The template variable bound to the offending value
+    * (ref: core_engine/constants.py:6).
+    */
+  val ErrorValueVar = "__error_value"
+
+  private val templateVarRegex = "\\{\\{\\s*([A-Za-z0-9_.]+)\\s*\\}\\}".r
+
+  private def templateVarNames(template: String): Seq[String] =
+    templateVarRegex.findAllMatchIn(template).map(_.group(1)).toSeq
+
+  /** `{{var}}` -> the record's raw column (dotted paths traverse structs),
+    * `{{__error_value}}` -> the error's recorded value; unknown variables
+    * render empty (lenient, like the reference's jinja environment). Built
+    * as a concat of literals and casts — one codegen'd expression.
+    */
+  private def renderTemplate(template: String, available: Set[String]): Column = {
+    val parts = Seq.newBuilder[Column]
+    var last = 0
+    templateVarRegex.findAllMatchIn(template).foreach { m =>
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      val v = m.group(1)
+      val path = v.split('.')
+      parts += (
+        if (v == ErrorValueVar) coalesce(col("e.value"), lit(""))
+        else if (!available.contains(path.head)) lit("") // lenient: unknown renders empty
+        else {
+          val c = path.tail.foldLeft(col(s"`${path.head}`"))(_ getField _)
+          coalesce(c.cast(StringType), lit(""))
+        })
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    val ps = parts.result()
+    if (ps.isEmpty) lit("") else if (ps.size == 1) ps.head else concat(ps: _*)
   }
 
   // ---------------------------------------------------------------- cast

@@ -37,11 +37,26 @@ final case class FieldFunction(
     kwargs: Map[String, String] = Map.empty
 )
 
+/** Per-(field, category) message override for contract errors
+  * (ref: core_engine/message.py:35-73 DataContractErrorDetail): replaces the
+  * error code, failure level, informational flag, message text (a
+  * `{{variable}}` template over the record's raw values, with
+  * `{{__error_value}}` bound to the offending value) and reporting entity.
+  */
+final case class ErrorDetail(
+    errorCode: String,
+    errorLevel: String = "record", // FailureType: record | submission | integrity
+    isInformational: Boolean = false,
+    errorMessage: Option[String] = None,
+    reportingEntity: Option[String] = None)
+
 final case class EntitySpec(
     name: String,
     fields: Seq[FieldSpec],
     aliases: Map[String, String] = Map.empty, // field name -> accepted alias
-    keyField: Option[String] = None
+    keyField: Option[String] = None,
+    /** field -> error category -> override (ref: message.py:243-279). */
+    errorDetails: Map[String, Map[String, ErrorDetail]] = Map.empty
 )
 
 object FieldSpec {

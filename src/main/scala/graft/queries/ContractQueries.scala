@@ -102,6 +102,47 @@ object ContractQueries {
       Contract.cast(input, spec)
     }),
 
+    // Error-detail overrides from dischema config: per-(field, category)
+    // error code / level / informational flag / templated message /
+    // reporting entity replace the defaults; non-overridden lanes keep the
+    // default code + "<field> <message>" text.
+    "q_contract_overrides" -> ((s, dir) => {
+      val dischema = graft.config.Dischema.parseString(
+        """{
+          | "contract": {
+          |  "error_details": {
+          |   "qty": {"Bad value": {
+          |     "error_code": "QTYRANGE", "error_level": "submission",
+          |     "error_message": "quantity {{__error_value}} exceeds 49 for order {{order_id}}"}},
+          |   "flag": {"Blank": {
+          |     "error_code": "FLAGMISSING", "is_informational": true,
+          |     "error_message": "flag missing for order {{order_id}}",
+          |     "reporting_entity": "lineitem_flags"}}
+          |  },
+          |  "datasets": {
+          |   "lineitem": {
+          |    "fields": {
+          |     "order_id": "int",
+          |     "flag": "str",
+          |     "qty": {"callable": "confloat", "constraints": {"le": 49}},
+          |     "weird": "float"
+          |    },
+          |    "mandatory_fields": ["order_id", "flag"]
+          |   }
+          |  }
+          | }
+          |}""".stripMargin)
+      val input = s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_orderkey").cast("string").as("order_id"),
+        nullif(col("l_returnflag"), lit("R")).as("flag"),
+        col("l_quantity").cast("string").as("qty"),
+        when(col("l_discount") > 0.08, concat(lit("x"), col("l_quantity").cast("string")))
+          .otherwise(col("l_quantity").cast("string")).as("weird"))
+      Contract.validate(input, dischema.entities.head)
+        .groupBy("Entity", "ErrorLocation", "ErrorCode", "FailureType", "Status")
+        .agg(count(lit(1)).as("n"), min(col("ErrorMessage")).as("sample_msg"))
+    }),
+
     // Function error_type routing: record_rejection -> record/error,
     // file_rejection -> submission/error, warning -> record/informational;
     // a rejecting function failure supersedes the Blank error of the value
@@ -243,6 +284,17 @@ object ContractQueries {
         "CASE WHEN contains(lower(c_mktsegment), 'mobile') THEN NULL ELSE c_mktsegment END AS no_mobile, " +
         "CAST(1 AS BIGINT) AS k " +
         "FROM customer"),
+    "q_contract_overrides" ->
+      ("SELECT * FROM (" +
+        "SELECT 'lineitem' AS Entity, 'qty' AS ErrorLocation, 'QTYRANGE' AS ErrorCode, " +
+        "'submission' AS FailureType, 'error' AS Status, count(1) AS n, " +
+        "min('quantity ' || CAST(l_quantity AS VARCHAR) || ' exceeds 49 for order ' || CAST(l_orderkey AS VARCHAR)) AS sample_msg " +
+        "FROM lineitem WHERE l_quantity > 49 " +
+        "UNION ALL SELECT 'lineitem_flags', 'flag', 'FLAGMISSING', 'record', 'informational', count(1), " +
+        "min('flag missing for order ' || CAST(l_orderkey AS VARCHAR)) " +
+        "FROM lineitem WHERE l_returnflag = 'R' " +
+        "UNION ALL SELECT 'lineitem', 'weird', 'WrongFormat', 'record', 'error', count(1), " +
+        "min('weird has wrong format') FROM lineitem WHERE l_discount > 0.08) t"),
     "q_contract_error_types" ->
       ("SELECT * FROM (" +
         "SELECT 'a' AS ErrorLocation, 'error' AS Status, 'record' AS FailureType, " +

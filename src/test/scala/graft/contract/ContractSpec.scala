@@ -240,6 +240,29 @@ class ContractSpec extends SparkSpec {
       Seq(Some(42L), None))
   }
 
+  test("error-detail overrides replace code/level/message and template values") {
+    val df = Seq(("1", "60"), ("2", "abc"), ("3", null)).toDF("id", "v")
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("id", "long"),
+      FieldSpec("v", "long", mandatory = true, le = Some(BigDecimal(50)))),
+      errorDetails = Map("v" -> Map(
+        "Bad value" -> ErrorDetail("VRANGE", errorLevel = "submission",
+          errorMessage = Some("v={{__error_value}} too big (id {{id}}, missing {{nope}})")),
+        "Blank" -> ErrorDetail("VBLANK", isInformational = true))))
+    val msgs = Contract.validate(df, spec)
+    val byCode = msgs.collect().map(r => r.getAs[String]("ErrorCode") -> r).toMap
+    val range = byCode("VRANGE")
+    assert(range.getAs[String]("FailureType") == "submission")
+    assert(range.getAs[String]("ErrorMessage") == "v=60 too big (id 1, missing )")
+    val blank = byCode("VBLANK")
+    assert(blank.getAs[String]("Status") == "informational")
+    assert(blank.getAs[String]("FailureType") == "record")
+    // Wrong format lane is not overridden: default code + message survive
+    val wf = byCode("WrongFormat")
+    assert(wf.getAs[String]("ErrorMessage") == "v has wrong format")
+    assert(wf.getAs[String]("Entity") == "e")
+  }
+
   test("constraint checks: length and range") {
     val df = Seq(("abcde", "5"), ("ab", "50")).toDF("s", "v")
     val spec = EntitySpec("e", Seq(
