@@ -23,11 +23,42 @@ object Auditing {
   /** Append audit rows partitioned by `date_updated` (ref: auditing.py:33-38,
     * 122-131 — the reference coalesces to 1 file per append to keep audit
     * tables small-file-friendly; same here).
+    *
+    * Concurrent-append-safe by construction: `runAll` appends from 7 threads
+    * at once, and Spark's plain `mode("append")` shares one `_temporary`
+    * committer directory per table — one job's cleanup can delete another's
+    * in-flight task files (the reference wraps Delta commits in a ≤60-retry
+    * loop for its version of this race, ref: spark_helpers.py:459-486).
+    * Here each append writes to its own dot-prefixed staging directory
+    * (invisible to readers) and then renames the produced parquet files into
+    * the table under write-unique names — renames are atomic per file, no
+    * shared temp state exists, so no retry is needed and readers never see a
+    * partial file.
     */
-  def appendAudit(df: DataFrame, path: String): Unit =
+  def appendAudit(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val table = new org.apache.hadoop.fs.Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writeId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(table, s".staging-$writeId")
     df.withColumn("date_updated", to_date(col("updated_at")))
       .coalesce(1)
-      .write.mode("append").partitionBy("date_updated").parquet(path)
+      .write.mode("overwrite").partitionBy("date_updated").parquet(staging.toString)
+    val files = fs.listFiles(staging, true)
+    while (files.hasNext) {
+      val f = files.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet")) {
+        val partName = f.getPath.getParent.getName // date_updated=YYYY-MM-DD
+        val destDir =
+          if (partName.startsWith("date_updated=")) new org.apache.hadoop.fs.Path(table, partName)
+          else table
+        fs.mkdirs(destDir)
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(destDir, s"$writeId-$name"))
+      }
+    }
+    fs.delete(staging, true)
+  }
 
   /** Read an audit table and reduce to the latest status per key. */
   def latestStatus(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -32,7 +32,17 @@ object Dischema {
       mandatoryByEntity: Map[String, Seq[String]],
       readerByEntity: Map[String, Map[String, String]], // entity -> extension -> reader
       referenceData: Map[String, RefDataSource],
-      rules: Seq[Rule] // complex rules first, then the root rule (reference order)
+      rules: Seq[Rule], // complex rules first, then the root rule (reference order)
+      /** `upfront` (default): rules templated once at parse;
+        * `runtime`: rule-store configs re-templated at evaluation time so
+        * variables resolved from runtime context participate
+        * (ref: backends/metadata/rules.py:690-704).
+        */
+      templatingStrategy: String = "upfront",
+      /** Re-render the rules with extra (runtime) template variables; the
+        * identity of [[rules]] when none are given.
+        */
+      rulesWith: Map[String, Any] => Seq[Rule] = null
   ) {
     /** All steps/filters flattened in execution order. */
     def rootRule: Rule = rules.last
@@ -314,16 +324,22 @@ object Dischema {
         loaded.properties().asScala.map(e => e.getKey -> e.getValue)
       }.toMap
 
+    // Rule construction is a function of the runtime template variables so
+    // the `runtime` strategy can re-render stored rule configs at evaluation
+    // time (ref: base/rules.py:570-596 — upfront templates once, runtime
+    // templates immediately before evaluating). Upfront parses once below.
+    def buildRules(runtimeVars: Map[String, Any]): Seq[Rule] = {
+
     def renderNode(node: JsonNode, params: Map[String, Any]): JsonNode = {
       // lenient: unresolved (per-record) placeholders survive to notify time
       val rendered = Templating.renderLenient(mapper.writeValueAsString(node),
-        globalParams ++ params)
+        globalParams ++ runtimeVars ++ params)
       mapper.readTree(rendered)
     }
 
     def parseFilterList(node: JsonNode, extraParams: Map[String, Any]): Seq[DeferredFilter] =
       Option(node).toSeq.flatMap(_.elements().asScala).map { f0 =>
-        val f = if (globalParams.nonEmpty) renderNode(f0, extraParams) else f0
+        val f = if (globalParams.nonEmpty || runtimeVars.nonEmpty) renderNode(f0, extraParams) else f0
         if (f.has("rule_name")) { // business filter from a rule store
           val spec = storeRules.getOrElse(f.get("rule_name").asText,
             throw new IllegalArgumentException(s"rule '${f.get("rule_name").asText}' not in any rule store"))
@@ -341,7 +357,8 @@ object Dischema {
 
     def parseStepList(node: JsonNode): Seq[Step] =
       Option(node).toSeq.flatMap(_.elements().asScala)
-        .map(n => parseStep(if (globalParams.nonEmpty) renderNode(n, Map.empty) else n))
+        .map(n => parseStep(
+          if (globalParams.nonEmpty || runtimeVars.nonEmpty) renderNode(n, Map.empty) else n))
 
     // complex rules (from stores) first, then the root rule — reference order
     // (ref: configuration/v1/__init__.py:281-306 _load_rules_and_vars)
@@ -366,6 +383,13 @@ object Dischema {
       parseFilterList(tf.get("filters"), Map.empty),
       parseStepList(tf.get("post_filter_rules")))
 
-    Parsed(entities, mandatoryByEntity, readerByEntity, refdata, complexRules :+ rootRule)
+    complexRules :+ rootRule
+    } // end buildRules
+
+    val strategy = opt(tf, "templating_strategy").getOrElse("upfront")
+    val eagerRules = buildRules(Map.empty)
+    Parsed(entities, mandatoryByEntity, readerByEntity, refdata, eagerRules,
+      templatingStrategy = strategy,
+      rulesWith = vars => if (vars.isEmpty) eagerRules else buildRules(vars))
   }
 }

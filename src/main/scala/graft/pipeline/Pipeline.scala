@@ -36,7 +36,12 @@ object Pipeline {
       refdataBaseDir: String = ".",
       auditDir: Option[String] = None,
       csvOptions: Readers.CsvOptions = Readers.CsvOptions(),
-      xmlRowTags: Map[String, String] = Map.empty) // entity -> rowTag
+      xmlRowTags: Map[String, String] = Map.empty, // entity -> rowTag
+      /** Evaluation-time template variables for the `runtime` templating
+        * strategy (ref: backends/metadata/rules.py:690-704) — e.g. values
+        * resolved from the submission's metadata or data.
+        */
+      runtimeParams: Map[String, Any] = Map.empty)
 
   final case class PipelineResult(
       validationFailed: Boolean,
@@ -120,7 +125,13 @@ object Pipeline {
       keyFields = cfg.dischema.entities.flatMap(e => e.keyField.map(k => e.name -> Seq(k))).toMap,
       refdataProvider = Some(loader.asProvider))
 
-    val ruleMessages = cfg.dischema.rules.flatMap { r =>
+    // runtime strategy: re-render stored rule configs with the submission's
+    // evaluation-time variables; upfront keeps the parse-time rendering
+    val rules =
+      if (cfg.dischema.templatingStrategy == "runtime")
+        cfg.dischema.rulesWith(cfg.runtimeParams)
+      else cfg.dischema.rules
+    val ruleMessages = rules.flatMap { r =>
       SyncFilters.applyRules(catalog, r.preSync, r.filters, r.postSync)
     }
     ruleMessages.foreach(m => ErrorSink.writeFeedbackErrors(m, cfg.workingDir, "business_rules"))

@@ -141,6 +141,25 @@ class DischemaSpec extends AnyFunSuite {
     assert(f.reporting.message == "{{name}} has too many moons (100 max)")
   }
 
+  test("runtime templating strategy re-renders store rules at evaluation time") {
+    val s = """{"transformations": {
+      "templating_strategy": "runtime",
+      "rule_stores": [{"store_type": "json", "filename": "store.json"}],
+      "filters": [{"rule_name": "field_over_1000",
+                   "parameters": {"entity": "planets", "field": "{{runtime_field}}"}}]}}"""
+    val p = Dischema.parseString(s, _ => store)
+    assert(p.templatingStrategy == "runtime")
+    // parse-time render leaves the runtime variable as a live placeholder
+    assert(p.rules.last.filters.head.expression.contains("{{runtime_field}}"))
+    // evaluation-time render resolves it (and the derived default code)
+    val rendered = p.rulesWith(Map("runtime_field" -> "density")).last.filters.head
+    assert(rendered.expression == "density IS NOT NULL AND density > 1000")
+    assert(rendered.reporting.code == "HIGH_DENSITY")
+    // upfront configs are untouched by the new machinery
+    assert(parsed.templatingStrategy == "upfront")
+    assert(parsed.rulesWith(Map.empty) == parsed.rules)
+  }
+
   test("remove_entities accepts string or array entity") {
     val s = """{"transformations": {"rules": [
       {"operation": "remove_entities", "entity": ["a", "b"]},

@@ -206,6 +206,29 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/processed/$id/business_rules/planets").count() == 1)
   }
 
+  test("concurrent audit appends from 7 threads lose no rows") {
+    val base = freshDir()
+    // one manager per thread, like runAll's per-submission managers all
+    // pointed at the same audit directory
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = (0 until 7).map { t =>
+      Future {
+        val audit = new AuditManager(spark, s"$base/a")
+        (0 until 4).foreach(i => audit.markStatus(s"sub-$t", s"status-$i"))
+      }
+    }
+    Await.result(Future.sequence(fs), Duration.Inf)
+    pool.shutdown()
+    val all = spark.read.parquet(s"$base/a/processing_status")
+    assert(all.count() == 28) // 7 threads x 4 appends, none lost
+    val latest = new AuditManager(spark, s"$base/a").latestProcessingStatus().collect()
+    assert(latest.length == 7)
+    assert(latest.forall(_.getAs[String]("processing_status") == "status-3"))
+  }
+
   test("audit status transitions are ordered and latest wins") {
     val base = freshDir()
     val audit = new AuditManager(spark, s"$base/a")
