@@ -13,7 +13,7 @@ object Verify {
         val subs = args(2).split(',').toSeq
         (n: String) => subs.exists(n.contains)
       } else (_: String) => true
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

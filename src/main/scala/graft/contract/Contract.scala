@@ -281,13 +281,19 @@ object Contract {
   }
 
   /** All error structs for one field as an array<struct> Column. */
-  private def fieldErrors(f: FieldSpec): Column = {
-    val raw = col(s"`${f.name}`")
+  private def fieldErrors(f: FieldSpec): Column =
+    fieldErrorsAt(col(s"`${f.name}`"), f, f.name)
+
+  /** Errors for a field value at a (possibly nested) location: `label` is the
+    * dotted path reported as the error's field (matching the reference's
+    * `subfield.id` locations and the error-detail override keys).
+    */
+  private def fieldErrorsAt(raw: Column, f: FieldSpec, label: String): Column = {
     val empty = array().cast(s"array<$errorStruct>")
 
     def mkErr(value: Column, category: String, message: Column,
               status: String, failure: String): Column =
-      struct(lit(f.name).as("field"), lit(category).as("category"),
+      struct(lit(label).as("field"), lit(category).as("category"),
         message.as("message"), value.cast(StringType).as("value"),
         lit(status).as("status"), lit(failure).as("failure"))
 
@@ -324,12 +330,32 @@ object Contract {
             }))
       }
       (Seq(blank, fmtFails) ++ constraintFails).reduce(concat(_, _))
+    } else if (f.fields.nonEmpty && f.isArray) {
+      // Arrays of nested models: every element is validated against the
+      // nested spec, each leaf with its own blank/format/constraint checks
+      // (ref: models.py:198-209 — pydantic validates list[Model] items
+      // element-wise), errors reported at the dotted path.
+      val isMissing = raw.isNull || size(raw) === 0
+      val presence =
+        if (f.mandatory) when(isMissing, array(err(raw, "Blank", "cannot be blank"))).otherwise(empty)
+        else empty
+      val elemErrs = f.fields.map { sub =>
+        when(isMissing, empty).otherwise(
+          flatten(transform(raw, x =>
+            fieldErrorsAt(x.getField(sub.name), sub, s"$label.${sub.name}"))))
+      }
+      (presence +: elemErrs).reduce(concat(_, _))
     } else if (f.fields.nonEmpty) {
-      // Nested model fields: mandatory presence here; element checks are the
-      // nested spec's concern post-cast (parity with the observed corpus).
+      // Nested model (struct): presence here, then each subfield validated
+      // in place with its own spec at the dotted path.
       val isMissing = raw.isNull
-      if (f.mandatory) when(isMissing, array(err(raw, "Blank", "cannot be blank"))).otherwise(empty)
-      else empty
+      val presence =
+        if (f.mandatory) when(isMissing, array(err(raw, "Blank", "cannot be blank"))).otherwise(empty)
+        else empty
+      val subErrs = f.fields.map(sub =>
+        when(isMissing, empty).otherwise(
+          fieldErrorsAt(raw.getField(sub.name), sub, s"$label.${sub.name}")))
+      (presence +: subErrs).reduce(concat(_, _))
     } else {
       // Field-function failures, routed by each function's error_type
       // (ref: function_wrapper.py:48-181). A rejecting failure supersedes

@@ -154,7 +154,11 @@ object Pipeline {
     }.toMap
   }
 
-  /** Stage 4: aggregate + detail report tables from every stage's JSONL. */
+  /** Stage 4: aggregate + detail + summary report tables from every stage's
+    * JSONL (the summary block + Type x Table counts are the offline
+    * equivalents of the reference's Excel summary sheet,
+    * ref: reporting/excel_report.py:24-107).
+    */
   def errorReport(spark: SparkSession, cfg: SubmissionConfig): DataFrame = {
     val all = ErrorSink.readAllFeedbackErrors(spark, cfg.workingDir)
     val agg = ErrorSink.aggregateReport(all)
@@ -162,6 +166,10 @@ object Pipeline {
       .parquet(s"${cfg.workingDir}/error_reports/aggregate")
     ErrorSink.detailReport(all).coalesce(1).write.mode("overwrite")
       .parquet(s"${cfg.workingDir}/error_reports/detail")
+    ErrorSink.summaryTable(all).coalesce(1).write.mode("overwrite")
+      .parquet(s"${cfg.workingDir}/error_reports/summary_table")
+    ErrorSink.summaryReport(all).coalesce(1).write.mode("overwrite")
+      .parquet(s"${cfg.workingDir}/error_reports/summary")
     agg
   }
 

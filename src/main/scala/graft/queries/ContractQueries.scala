@@ -185,6 +185,26 @@ object ContractQueries {
         .groupBy("Category", "ErrorCode").agg(count(lit(1)).as("n"))
     }),
 
+    // Arrays of nested models validate per element, per leaf (each_item on
+    // model fields): blank / wrong-format / constraint lanes at dotted paths.
+    "q_contract_nested" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          nullif(col("l_linenumber"), lit(7)).cast("string").as("ln"),
+          when(col("l_discount") > 0.08, concat(lit("x"), col("l_quantity").cast("string")))
+            .otherwise(col("l_quantity").cast("string")).as("qty")))).as("items"))
+        .select(col("l_orderkey").cast("string").as("l_orderkey"), col("items"))
+      val spec = EntitySpec("lineitem", Seq(
+        FieldSpec("l_orderkey", "long"),
+        FieldSpec("items", isArray = true, fields = Seq(
+          FieldSpec("ln", "long", mandatory = true),
+          FieldSpec("qty", "double", le = Some(BigDecimal(45)))))))
+      Contract.validate(input, spec)
+        .groupBy("ErrorLocation", "Category", "ErrorCode")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // CSV -> stringified + __record_index__ -> typed cast.
     "q_reader_csv" -> ((s, dir) => {
       val tmp = "/tmp/graft_q_reader_csv"
@@ -284,6 +304,14 @@ object ContractQueries {
         "CASE WHEN contains(lower(c_mktsegment), 'mobile') THEN NULL ELSE c_mktsegment END AS no_mobile, " +
         "CAST(1 AS BIGINT) AS k " +
         "FROM customer"),
+    "q_contract_nested" ->
+      ("SELECT * FROM (" +
+        "SELECT 'items.ln' AS ErrorLocation, 'Blank' AS Category, 'FieldBlank' AS ErrorCode, " +
+        "count(1) AS n FROM lineitem WHERE l_linenumber = 7 " +
+        "UNION ALL SELECT 'items.qty', 'Wrong format', 'WrongFormat', count(1) " +
+        "FROM lineitem WHERE l_discount > 0.08 " +
+        "UNION ALL SELECT 'items.qty', 'Bad value', 'BadValue', count(1) " +
+        "FROM lineitem WHERE l_discount <= 0.08 AND l_quantity > 45) t"),
     "q_contract_overrides" ->
       ("SELECT * FROM (" +
         "SELECT 'lineitem' AS Entity, 'qty' AS ErrorLocation, 'QTYRANGE' AS ErrorCode, " +

@@ -277,6 +277,20 @@ object CoreQueries {
           Reporting("BIG_ORDER", "Order too big", category = Some("Bad value"),
             errorLocation = Some("o_totalprice")))).get
       Messages.aggregateReport(msgs)
+    }),
+
+    // Summary report block: lane counts + overall status with the
+    // reference's precedence (record rejections beat warnings here).
+    "q_error_summary" -> ((s, dir) => {
+      val cat = catalog(s, dir, "orders")
+      val errors = StepInterpreter.evaluate(cat,
+        Notify("orders", "o_totalprice > 400000",
+          Reporting("BIG_ORDER", "Order too big", category = Some("Bad value")))).get
+      val warns = StepInterpreter.evaluate(cat,
+        Notify("orders", "o_orderpriority = '1-URGENT'",
+          Reporting("URGENT", "Urgent order", emit = "warning",
+            category = Some("Bad value")))).get
+      graft.report.ErrorSink.summaryReport(errors.unionByName(warns))
     })
   )
 
@@ -383,6 +397,13 @@ object CoreQueries {
     "q_error_report" ->
       ("SELECT 'record' AS Type, 'orders' AS Table, 'o_totalprice' AS Data_Item, " +
         "'Bad value' AS Category, 'BIG_ORDER' AS Error_Code, count(1) AS Count " +
-        "FROM orders WHERE o_totalprice > 400000")
+        "FROM orders WHERE o_totalprice > 400000"),
+    "q_error_summary" ->
+      ("SELECT CAST(0 AS BIGINT) AS n_file_rejections, " +
+        "CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_record_rejections, " +
+        "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_warnings, " +
+        "CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) + " +
+        "sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_messages, " +
+        "'File has been accepted with record rejections' AS report_status FROM orders")
   )
 }

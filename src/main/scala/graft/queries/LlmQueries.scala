@@ -46,7 +46,7 @@ object LlmQueries {
 
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashDedup(docs(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 128, numBands = 64, threshold = 0.5)
+        shingleSize = 3, numHashes = 192, numBands = 64, threshold = 0.5)
         .select("a", "b")),
 
     "q_dedup_simhash" -> ((s, dir) =>

@@ -64,4 +64,45 @@ object ErrorSink {
     * here so report consumers need only this module.
     */
   def aggregateReport(messages: DataFrame): DataFrame = Messages.aggregateReport(messages)
+
+  // ------------------------------------------------------- summary report
+
+  /** Error-report category lane (ref: reporting/constants.py:8-22). */
+  private def reportType: org.apache.spark.sql.Column =
+    when(col("FailureType") === "submission" && col("Status") =!= "informational",
+      "File Rejection")
+      .when(col("Status") =!= "informational", "Record Rejection")
+      .otherwise("Warning")
+
+  /** The summary sheet's Type x Table counts
+    * (ref: reporting/excel_report.py:70-77).
+    */
+  def summaryTable(messages: DataFrame): DataFrame =
+    messages.groupBy(reportType.as("Type"), col("Entity").as("Table"))
+      .agg(count(lit(1)).as("Count"))
+
+  /** Per-submission summary block (ref: excel_report.py:24-107): one row of
+    * lane counts plus the overall report status, derived with the
+    * reference's precedence — processing failure, then file rejection, then
+    * record rejection, then accepted-with-warnings, then accepted. A single
+    * global aggregation: one reduce whatever the message volume.
+    */
+  def summaryReport(messages: DataFrame, processingFailed: Boolean = false): DataFrame = {
+    val t = reportType
+    val counts = messages.agg(
+      coalesce(sum(when(t === "File Rejection", 1L)), lit(0L)).as("n_file_rejections"),
+      coalesce(sum(when(t === "Record Rejection", 1L)), lit(0L)).as("n_record_rejections"),
+      coalesce(sum(when(t === "Warning", 1L)), lit(0L)).as("n_warnings"),
+      count(lit(1)).as("n_messages"))
+    val status =
+      if (processingFailed)
+        lit("There was an issue processing the submission. Please contact support.")
+      else
+        when(col("n_file_rejections") > 0, "File has been rejected")
+          .when(col("n_record_rejections") > 0, "File has been accepted with record rejections")
+          .when(col("n_warnings") > 0,
+            "File has been accepted, all records accepted with warnings")
+          .otherwise("File has been accepted, no issues to report")
+    counts.withColumn("report_status", status)
+  }
 }

@@ -22,16 +22,12 @@ object Dedup {
 
   /** Distinct word n-gram shingles of a whitespace-tokenized text column.
     * Documents shorter than `n` words contribute their whole text as a
-    * single shingle so they still participate in joins.
+    * single shingle so they still participate in joins. Computed by the
+    * native [[ShinglesExpr]] — the HOF formulation re-evaluated the split
+    * per element access when interpreted (~60 ms/doc, multiplied by every
+    * plan subtree that referenced the shingle projection).
     */
-  def shingles(textCol: Column, n: Int): Column = {
-    val ws = split(textCol, " ")
-    val grams = transform(
-      sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", (0 until n).map(o => element_at(ws, (i + o + 1).cast("int"))): _*))
-    when(size(ws) >= n, array_distinct(grams))
-      .otherwise(array(concat_ws(" ", ws)))
-  }
+  def shingles(textCol: Column, n: Int): Column = ShinglesExpr.shingles(textCol, n)
 
   /** MinHash signature (array<bigint> of length `numHashes`) over a shingle
     * array column. Base hash = 31-bit Murmur3 of the shingle bytes;
@@ -56,29 +52,30 @@ object Dedup {
     * generated inside a (band, bandHash) bucket; `maxBucketSize` caps the
     * quadratic blow-up on pathological buckets (skew guard — at 100 TB a
     * degenerate shingle set would otherwise explode one reducer).
+    *
+    * Pairs come from a self equi-join on the bucket key, NOT from
+    * collect_list + per-row pair expansion: a grouped pair array puts a
+    * bucket's entire O(n^2) output into ONE row computed by ONE task (a
+    * 10k-id bucket is a 50M-struct array — measured as a 20-CPU-minute
+    * single task), while the join streams the same pairs across however
+    * many tasks the shuffle gives it.
     */
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
                     numBands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 10000): DataFrame = {
     val banded = docs
       .select(col(idCol), posexplode(bandColumns(col(sigCol), numBands, rowsPerBand)).as(Seq("band", "band_hash")))
-    banded
-      .groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(pairCombinations(array_sort(col("ids")))).as("p"))
-      .select(col("p.a"), col("p.b"))
+    val sizes = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2, maxBucketSize))
+      .drop("bucket_n")
+    val ok = banded.join(sizes, Seq("band", "band_hash"))
+    ok.as("x").join(ok.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
   }
-
-  /** All i<j combinations of a sorted id array as struct(a, b). */
-  private def pairCombinations(sortedIds: Column): Column =
-    flatten(transform(
-      sequence(lit(0), size(sortedIds) - 2),
-      i => transform(
-        sequence(i + 1, size(sortedIds) - 1),
-        j => struct(element_at(sortedIds, (i + 1).cast("int")).as("a"),
-          element_at(sortedIds, (j + 1).cast("int")).as("b")))))
 
   /** Exact Jaccard over two array columns, computed as
     * |intersect| / |union| in double — identical arithmetic to the DuckDB
@@ -96,7 +93,13 @@ object Dedup {
                   idCol: String, shingleCol: String, threshold: Double): DataFrame = {
     val left = docShingles.select(col(idCol).as("a"), col(shingleCol).as("sh_a"))
     val right = docShingles.select(col(idCol).as("b"), col(shingleCol).as("sh_b"))
-    candidates
+    // Pin the candidate partitioning (REPARTITION_BY_NUM is exempt from AQE
+    // coalescing): the verify is CPU-bound set intersection over byte-small
+    // rows, and size-based coalescing would otherwise collapse it onto one
+    // task — measured serial at sf0.1.
+    val spark = candidates.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    candidates.repartition(n, col("a"))
       .join(left, "a")
       .join(right, "b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -104,16 +107,30 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Widen degenerate input partitioning before CPU-heavy per-row work: a
+    * single small parquet file arrives as ONE partition, serializing the
+    * shingling on one thread. No-op when the source already has enough
+    * splits (any real-scale read does).
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** MinHash-LSH near-duplicate pair detection, end to end: shingle →
     * signature → banded buckets → candidate pairs → exact verify. The
-    * default geometry is 128 hashes / 64 bands → r=2 rows per band: a pair
+    * default geometry is 192 hashes / 64 bands → r=3 rows per band: a pair
     * AT the 0.5 threshold misses with probability (1 - t^r)^b =
-    * 0.75^64 ≈ 1e-8, so the output equals the exact join's even for
-    * boundary-similarity pairs. (r=4 — e.g. numBands=32 — would miss ~13%
-    * at the boundary; see the boundary-recall spec.)
+    * 0.875^64 ≈ 2e-4 (the boundary-recall spec asserts >= 0.99), while a
+    * 10%-similar pair becomes a candidate with only 1-(1-0.001)^64 ≈ 6%
+    * probability. Geometry is a recall/precision dial: r=2 at b=64 would
+    * push boundary recall to ~1-1e-8 but admits ~47% of 10%-similar pairs
+    * — the candidate set degenerates toward all-pairs (measured as a
+    * 20-minute bench query at sf0.1); r=4 at b=32 misses ~13% at the
+    * boundary.
     */
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
-                   shingleSize: Int = 3, numHashes: Int = 128,
+                   shingleSize: Int = 3, numHashes: Int = 192,
                    numBands: Int = 64, threshold: Double = 0.5,
                    seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / numBands
@@ -121,14 +138,19 @@ object Dedup {
     // of the verify join — recomputing the shingling per consumer triples
     // the text-processing cost (same reason the reference checkpoints
     // between stages)
-    val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+    val withShingles = widen(docs).select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize once before the three consumers race to populate the
     // same cache blocks (concurrent first-reads of an unmaterialized
     // persist stall each other — measured 50x on the contract plane)
     withShingles.count()
     val withSig = withShingles.withColumn("sig", minHashSignature(col("sh"), numHashes, seed))
+    // Candidates are tiny relative to the corpus (pairs that co-bucket) but
+    // their subtree is expensive (bucket self-join) and the verify plan
+    // references it on both join sides — materialize once.
     val candidates = lshCandidates(withSig, idCol, "sig", numBands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
     verifyPairs(candidates, withShingles, idCol, "sh", threshold)
   }
 
@@ -147,7 +169,7 @@ object Dedup {
     */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+    val withShingles = widen(docs).select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withShingles.count() // materialize before concurrent consumers (see minHashDedup)
     val exploded = withShingles.select(col(idCol), explode(col("sh")).as("tok"))
@@ -170,6 +192,9 @@ object Dedup {
           && col("x.sz") >= ceil(lit(threshold) * col("y.sz")))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
+      // materialized once: the verify references this subtree on both sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
     verifyPairs(candidates, withShingles, idCol, "sh", threshold)
   }
 

@@ -154,6 +154,33 @@ class ContractSpec extends SparkSpec {
     assert(r.getLong(0) == 42L && r.getString(1) == "xyz")
   }
 
+  test("nested-model arrays validate each element's fields (each_item)") {
+    val df = spark.read.json(Seq(
+      """{"id": "1", "subs": [{"sid": "7", "v": "10"}, {"sid": "", "v": "abc"}]}""",
+      """{"id": "2", "subs": [{"sid": "8", "v": "99"}]}""",
+      """{"id": "3"}""").toDS())
+    val spec = EntitySpec("e", Seq(
+      FieldSpec("id", "long"),
+      FieldSpec("subs", isArray = true, mandatory = true, fields = Seq(
+        FieldSpec("sid", "long", mandatory = true),
+        FieldSpec("v", "long", le = Some(BigDecimal(50)))))))
+    val msgs = Contract.validate(df, spec)
+    val got = msgs.select("ErrorLocation", "Category").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(
+      ("subs", "Blank"),          // row 3: mandatory array absent
+      ("subs.sid", "Blank"),      // row 1 elem 2: mandatory leaf blank
+      ("subs.v", "Bad value"),    // row 2: 99 > 50
+      ("subs.v", "Wrong format")  // row 1 elem 2: not a number
+    ).sorted)
+    // struct (non-array) nesting validates leaves in place too
+    val one = spark.read.json(Seq("""{"inner": {"a": "oops"}}""").toDS())
+    val m2 = Contract.validate(one,
+      EntitySpec("e", Seq(FieldSpec("inner", fields = Seq(FieldSpec("a", "long"))))))
+    assert(m2.select("ErrorLocation", "Category").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq == Seq(("inner.a", "Wrong format")))
+  }
+
   test("reporting periods enforce month boundaries") {
     val df = Seq(
       ("2024-02-01", "2024-02-29"),

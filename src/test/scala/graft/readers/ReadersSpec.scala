@@ -23,6 +23,17 @@ class ReadersSpec extends SparkSpec {
       Set(Seq("1", "ada", "london"), Seq("2", "grace", "york")))
   }
 
+  test("readers accept URI-scheme paths (Hadoop FileSystem routing)") {
+    // the reference routes URIs to pluggable filesystems (local/S3/DBFS,
+    // ref: parser/file_handling/service.py:83-95); Spark's Hadoop FS layer
+    // does the same by scheme — assert the scheme-qualified form works end
+    // to end through the reader (s3a://... takes the identical path)
+    val p = tmpFile("people.csv", "1,ada,london\n2,grace,york\n")
+    val df = Readers.readCsv(spark, s"file://$p", spec, Readers.CsvOptions(header = false))
+    assert(df.count() == 2)
+    assert(rows(df.select("id", "name")) == Set(Seq("1", "ada"), Seq("2", "grace")))
+  }
+
   test("headered CSV skips the header row; record index is 1-based in file order") {
     val p = tmpFile("people.csv", "id,name,city\n1,ada,london\n2,grace,york\n")
     val df = Readers.readCsv(spark, p, spec)

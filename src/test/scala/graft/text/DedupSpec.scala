@@ -38,7 +38,7 @@ class DedupSpec extends SparkSpec {
 
   test("minHashDedup with wide bands matches the exact join output") {
     val out = Dedup.minHashDedup(corpus, "doc_id", "text",
-      shingleSize = 3, numHashes = 128, numBands = 64, threshold = 0.5)
+      shingleSize = 3, numHashes = 192, numBands = 64, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
@@ -71,8 +71,9 @@ class DedupSpec extends SparkSpec {
     // 100 pairs engineered to sit EXACTLY at jaccard = 0.5: each doc is a
     // set of 30 unique words (shingleSize = 1 -> shingles are the words),
     // the pair shares 20 of them -> |I|/|U| = 20/40 = 0.5. The default
-    // r=2/b=64 geometry misses a boundary pair with prob 0.75^64 ~ 1e-8;
-    // the r=4 geometry this test guards against would miss ~13 of them.
+    // r=3/b=64 geometry misses a boundary pair with prob 0.875^64 ~ 2e-4
+    // (expected misses out of 100: 0.02); the r=4/b=32 geometry this test
+    // guards against would miss ~13 of them.
     val rnd = new scala.util.Random(3)
     val docs = (0 until 100).flatMap { i =>
       val shared = (0 until 20).map(j => s"s${i}_$j")
