@@ -54,7 +54,18 @@ object Auditing {
           if (partName.startsWith("date_updated=")) new org.apache.hadoop.fs.Path(table, partName)
           else table
         fs.mkdirs(destDir)
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(destDir, s"$writeId-$name"))
+        val dest = new org.apache.hadoop.fs.Path(destDir, s"$writeId-$name")
+        // A failed rename (dest dir removed concurrently, cross-FS move,
+        // permissions) must NOT fall through to the staging delete below —
+        // that would silently drop audit rows while reporting success.
+        // Leave staging in place for retry and surface the failure.
+        val ok =
+          try fs.rename(f.getPath, dest)
+          catch { case e: java.io.IOException =>
+            throw new java.io.IOException(s"audit append rename failed: ${f.getPath} -> $dest", e)
+          }
+        if (!ok)
+          throw new java.io.IOException(s"audit append rename failed: ${f.getPath} -> $dest")
       }
     }
     fs.delete(staging, true)

@@ -40,10 +40,16 @@ object Dischema {
         */
       templatingStrategy: String = "upfront",
       /** Re-render the rules with extra (runtime) template variables; the
-        * identity of [[rules]] when none are given.
+        * identity of [[rules]] when none are given. Defaults to returning
+        * [[rules]] unchanged so directly-constructed configs (tests,
+        * programmatic use) are safe under `templatingStrategy = "runtime"`.
         */
       rulesWith: Map[String, Any] => Seq[Rule] = null
   ) {
+    /** Never-null accessor for [[rulesWith]]. */
+    def renderRules(params: Map[String, Any]): Seq[Rule] =
+      Option(rulesWith).map(_(params)).getOrElse(rules)
+
     /** All steps/filters flattened in execution order. */
     def rootRule: Rule = rules.last
   }

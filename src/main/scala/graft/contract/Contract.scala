@@ -470,7 +470,10 @@ object Contract {
       col("e.field").as("ErrorLocation"),
       messageCol.as("ErrorMessage"),
       codeCol.as("ErrorCode"),
-      col("e.field").as("ReportingField"),
+      // the leaf segment of a dotted nested path: the reference reports
+      // loc[-1] as reporting_field (message.py:274) while error_location
+      // keeps the full path — detail reports key on the leaf Data_Item
+      substring_index(col("e.field"), ".", -1).as("ReportingField"),
       col("__ri__").as("RecordIndex"),
       col("e.value").as("Value"),
       col("e.category").as("Category"))

@@ -71,6 +71,13 @@ object Discovery {
   private def isMetadata(name: String): Boolean =
     name.toLowerCase.endsWith(".metadata.json")
 
+  /** Hadoop rename returns false (or throws) on failure; normalize to a
+    * boolean so callers can route the file to a retry path.
+    */
+  private def tryRename(fs: FileSystem, src: Path, dest: Path): Boolean =
+    try fs.rename(src, dest)
+    catch { case _: java.io.IOException => false }
+
   /** One discovery pass over the landing prefix.
     *
     * @param newId submission-id source (UUID hex in production,
@@ -101,11 +108,14 @@ object Discovery {
         pending += stem // partner not landed yet — retry next pass
       } else if (group.size > 2 || metas.size != 1 || datas.size != 1) {
         // ambiguous: >2 files on one stem, two data files, or two metadata
-        // files — nothing sane to pair, move ALL of them out of the way
+        // files — nothing sane to pair, move ALL of them out of the way.
+        // A move that fails stays in landing for the next pass (and is NOT
+        // reported as deadlettered — a false "moved" would strand the file).
         fs.mkdirs(deadletterDir)
         group.foreach { p =>
-          fs.rename(p, new Path(deadletterDir, fileName(p)))
-          deadlettered += new Path(deadletterDir, fileName(p)).toString
+          val dest = new Path(deadletterDir, fileName(p))
+          if (tryRename(fs, p, dest)) deadlettered += dest.toString
+          else pending += stem
         }
       } else {
         val (dataFile, metaFile) = (datas.head, metas.head)
@@ -114,14 +124,22 @@ object Discovery {
         fs.mkdirs(destDir)
         val dataDest = new Path(destDir, fileName(dataFile))
         val metaDest = new Path(destDir, fileName(metaFile))
-        fs.rename(dataFile, dataDest)
-        fs.rename(metaFile, metaDest)
-        parseMetadata(fs, id, metaDest, fileName(dataFile)) match {
-          case Right(info) => received += Received(info, dataDest.toString, metaDest.toString)
-          case Left(reason) =>
-            ErrorSink.writeProcessingError(spark, new Path(processedDir, id).toString,
-              "audit_received", reason)
-            failed += SubmissionInfo(id, None, stem, extOf(fileName(dataFile)))
+        // Both moves must land before the submission is Received — a
+        // half-moved pair would fail later with a confusing read error.
+        if (!tryRename(fs, dataFile, dataDest)) {
+          pending += stem
+        } else if (!tryRename(fs, metaFile, metaDest)) {
+          // roll the data file back so the pair stays together in landing
+          tryRename(fs, dataDest, dataFile)
+          pending += stem
+        } else {
+          parseMetadata(fs, id, metaDest, fileName(dataFile)) match {
+            case Right(info) => received += Received(info, dataDest.toString, metaDest.toString)
+            case Left(reason) =>
+              ErrorSink.writeProcessingError(spark, new Path(processedDir, id).toString,
+                "audit_received", reason)
+              failed += SubmissionInfo(id, None, stem, extOf(fileName(dataFile)))
+          }
         }
       }
     }

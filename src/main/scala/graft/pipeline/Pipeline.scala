@@ -129,7 +129,7 @@ object Pipeline {
     // evaluation-time variables; upfront keeps the parse-time rendering
     val rules =
       if (cfg.dischema.templatingStrategy == "runtime")
-        cfg.dischema.rulesWith(cfg.runtimeParams)
+        cfg.dischema.renderRules(cfg.runtimeParams)
       else cfg.dischema.rules
     val ruleMessages = rules.flatMap { r =>
       SyncFilters.applyRules(catalog, r.preSync, r.filters, r.postSync)

@@ -77,7 +77,12 @@ object Similarity {
   private def planeComponent(plane: Column, dim: Column): Column =
     (pmod(mixHash(plane * 131071L + dim + 1L), lit(2000000L)) - 1000000L).cast("double") / 1000000.0
 
-  /** Sign-LSH bit code (array of `numPlanes` 0/1 longs) for a vector. */
+  /** Sign-LSH bit code (array of `numPlanes` 0/1 longs) for a vector — the
+    * HOF reference formulation, kept as the executable spec of the
+    * arithmetic (SimilaritySpec asserts [[lshCode]] packs exactly these
+    * bits). Hot paths use [[lshCode]]: HOF lambdas are CodegenFallback and
+    * this one evaluates ~numPlanes * dim interpreted nodes per row.
+    */
   def lshBits(vec: Column, numPlanes: Int): Column =
     transform(sequence(lit(0), lit(numPlanes - 1)), p =>
       when(aggregate(
@@ -85,8 +90,8 @@ object Similarity {
           (x, d) => x.cast("double") * planeComponent(p, d)),
         lit(0.0), (acc, x) => acc + x) >= 0, 1L).otherwise(0L))
 
-  private def bitsToCode(bits: Column): Column =
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  /** MSB-first packed [[lshBits]] as one long — native codegen expression. */
+  def lshCode(vec: Column, numPlanes: Int): Column = LshCodeExpr.code(vec, numPlanes)
 
   /** Approximate top-k: candidates are corpus vectors sharing the query's
     * bucket or any Hamming-1 probe bucket; exact cosine re-rank inside
@@ -96,12 +101,10 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
-      bitsToCode(lshBits(col(vecCol), numPlanes)).as("bucket"))
+      lshCode(col(vecCol), numPlanes).as("bucket"))
     // query probes: own bucket + every Hamming-1 bucket (flip one bit)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        lshBits(col(vecCol), numPlanes).as("bits"))
-      .withColumn("probe", explode(probeCodes(col("bits"), numPlanes)))
-      .drop("bits")
+        explode(probeCodes(lshCode(col(vecCol), numPlanes), numPlanes)).as("probe"))
     val scored = broadcast(probes).join(c, col("probe") === col("bucket")
         && col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
@@ -109,13 +112,13 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Own bucket code plus all Hamming-1 codes (one bit flipped). */
-  private def probeCodes(bits: Column, numPlanes: Int): Column =
-    flatten(array(
-      array(bitsToCode(bits)),
-      transform(sequence(lit(0), lit(numPlanes - 1)), i =>
-        bitsToCode(zip_with(bits, sequence(lit(0), lit(numPlanes - 1)),
-          (b, d) => when(d === i, lit(1L) - b).otherwise(b))))))
+  /** Own bucket code plus all Hamming-1 codes. Flipping bit p of the packed
+    * MSB-first code is `code xor (1 << (numPlanes-1-p))` — a static array of
+    * bitwise ops over one long, no per-dim HOF work.
+    */
+  private def probeCodes(code: Column, numPlanes: Int): Column =
+    array(code +: (0 until numPlanes).map(p =>
+      code.bitwiseXOR(lit(1L << (numPlanes - 1 - p)))): _*)
 
   /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored variant of
     * similarity search): candidates from shared sign-LSH buckets with
@@ -134,7 +137,7 @@ object Similarity {
         a.join(b, col("a") < col("b"))
       } else {
         val coded = corpus.select(col(idCol), col(vecCol),
-          explode(probeCodes(lshBits(col(vecCol), numPlanes), numPlanes)).as("bucket"))
+          explode(probeCodes(lshCode(col(vecCol), numPlanes), numPlanes)).as("bucket"))
         val x = coded.select(col(idCol).as("a"), col(vecCol).as("a_vec"), col("bucket"))
         val y = coded.select(col(idCol).as("b"), col(vecCol).as("b_vec"), col("bucket"))
         x.join(y, Seq("bucket")).where(col("a") < col("b"))

@@ -76,4 +76,15 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(a.forall(bits => bits.length == 8 && bits.forall(x => x == 0L || x == 1L)))
   }
+
+  test("native lshCode packs exactly the HOF lshBits (MSB-first)") {
+    val both = vecs.select(
+      Similarity.lshBits(col("embedding"), 8).as("bits"),
+      Similarity.lshCode(col("embedding"), 8).as("code"))
+      .as[(Seq[Long], Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (bits, code) =>
+      assert(bits.foldLeft(0L)((acc, b) => acc * 2 + b) == code)
+    }
+  }
 }
