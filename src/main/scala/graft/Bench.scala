@@ -52,10 +52,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Millisecond precision keeps the single JSON line short enough for the
+    // driver's bounded tail capture (r4's full-precision line was truncated
+    // mid-line and recorded as unparsed).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -280,6 +280,13 @@ object Contract {
     ).flatten
   }
 
+  /** One error struct in the internal `__errors__` element schema. */
+  private def errStruct(label: String, value: Column, category: String, message: Column,
+                        status: String = "error", failure: String = "record"): Column =
+    struct(lit(label).as("field"), lit(category).as("category"),
+      message.as("message"), value.cast(StringType).as("value"),
+      lit(status).as("status"), lit(failure).as("failure"))
+
   /** All error structs for one field as an array<struct> Column. */
   private def fieldErrors(f: FieldSpec): Column =
     fieldErrorsAt(col(s"`${f.name}`"), f, f.name)
@@ -421,7 +428,6 @@ object Contract {
     validate(df, spec, spec.keyField.toSeq)
 
   def validate(df: DataFrame, spec: EntitySpec, keyFields: Seq[String]): DataFrame = {
-    val withErrs = withErrors(df, spec)
     val hasIndex = df.columns.contains(RecordIndexColumn)
     // Raw record columns referenced by any override's message template must
     // survive the explode so the message can be built per error row.
@@ -430,11 +436,22 @@ object Contract {
       .filterNot(_ == ErrorValueVar)
       .map(_.split('.').head) // dotted paths traverse structs from a root column
       .filter(df.columns.contains).toSeq.distinct
-    val exploded = withErrs
-      .select(Seq(explode(col("__errors__")).as("e"),
-        (if (hasIndex) col(RecordIndexColumn) else lit(null).cast(LongType)).as("__ri__"),
-        Messages.keyColumn(df.columns.toSeq, keyFields).as("__key__")) ++
-        templateVars.map(v => col(s"`$v`")): _*)
+    val baseCols = Seq(
+      (if (hasIndex) col(RecordIndexColumn) else lit(null).cast(LongType)).as("__ri__"),
+      Messages.keyColumn(df.columns.toSeq, keyFields).as("__key__")) ++
+      templateVars.map(v => col(s"`$v`"))
+    val baseNames = Seq("__ri__", "__key__") ++ templateVars
+
+    // Array fields (scalar each_item and arrays of nested models) are
+    // validated through an exploded lineage: element checks run as a
+    // top-level codegen'd projection over one row per element, instead of
+    // inside transform/filter lambdas (HOFs are CodegenFallback — the
+    // interpreted per-element trees were ~10x the whole contract's cost).
+    val (arrayFields, scalarFields) = spec.fields.partition(_.isArray)
+    val scalarErrs = withErrors(df, spec.copy(fields = scalarFields))
+      .select(explode(col("__errors__")).as("e") +: baseCols: _*)
+    val arrayErrs = arrayFields.flatMap(arrayFieldErrorFrames(df, _, baseCols, baseNames))
+    val exploded = (scalarErrs +: arrayErrs).reduce(_ unionByName _)
 
     // Per-(field, category) override chains (ref: message.py:243-279): each
     // is a static when-chain over the error struct — plan-time config, no
@@ -477,6 +494,49 @@ object Contract {
       col("__ri__").as("RecordIndex"),
       col("e.value").as("Value"),
       col("e.category").as("Category"))
+  }
+
+  /** Error-row frames for one top-level array field: a presence frame (the
+    * mandatory Blank lane, evaluated on the un-exploded row) and an element
+    * frame (`explode` the array, then run the SAME per-element checks as the
+    * HOF formulation in [[fieldErrorsAt]] — blank elements skipped, format
+    * gate before constraints, raw element as the reported value — as a
+    * plain projection that stays inside whole-stage codegen).
+    */
+  private def arrayFieldErrorFrames(df: DataFrame, f: FieldSpec,
+                                    baseCols: Seq[Column], baseNames: Seq[String]): Seq[DataFrame] = {
+    val raw = col(s"`${f.name}`")
+    val empty = array().cast(s"array<$errorStruct>")
+    val presence =
+      if (f.mandatory)
+        Seq(df.where(raw.isNull || size(raw) === 0).select(
+          errStruct(f.name, raw, "Blank", lit("cannot be blank")).as("e") +: baseCols: _*))
+      else Nil
+
+    val x = col("`__elem__`")
+    val elemErrArray =
+      if (f.fields.isEmpty) {
+        // scalar each_item: mirror the HOF branch element-for-element
+        val e = effectiveValue(x, f)
+        val elemBlank = e.isNull || trim(e) === ""
+        val okFmt = formatOk(e, f)
+        val fmt = when(!elemBlank && !okFmt,
+          array(errStruct(f.name, x, "Wrong format", lit("has wrong format")))).otherwise(empty)
+        val constraints = constraintChecks(e, f).map { case (cond, cat, msg) =>
+          when(!elemBlank && okFmt && cond,
+            array(errStruct(f.name, x, cat, lit(msg)))).otherwise(empty)
+        }
+        (fmt +: constraints).reduce(concat(_, _))
+      } else {
+        // array of nested models: each leaf validated at its dotted path —
+        // on the exploded element these are ordinary (non-HOF) expressions
+        f.fields.map(sub =>
+          fieldErrorsAt(x.getField(sub.name), sub, s"${f.name}.${sub.name}"))
+          .reduce(concat(_, _))
+      }
+    val elems = df.select(baseCols :+ explode(raw).as("__elem__"): _*)
+      .select(explode(elemErrArray).as("e") +: baseNames.map(n => col(s"`$n`")): _*)
+    presence :+ elems
   }
 
   // ------------------------------------------------- error-detail templating
