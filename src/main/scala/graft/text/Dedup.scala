@@ -182,14 +182,25 @@ object Dedup {
     val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
     val prefixes = sorted
       .select(col(idCol), size(col("sh_sorted")).as("sz"),
-        explode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("tok"))).as("tok"))
-    // length filter: jaccard >= t implies |I| >= t*|U| >= t*max(|x|,|y|) and
-    // |I| <= min(|x|,|y|), so min >= t*max — prunes size-incompatible pairs
-    // before the expensive distinct + verify
+        posexplode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("tok")))
+          .as(Seq("pos", "tok")))
+    // Two candidate prunes, both completeness-preserving (PPJoin, Xiao et
+    // al. 2008):
+    //  - length filter: jaccard >= t implies |I| >= t*|U| >= t*max(|x|,|y|)
+    //    and |I| <= min(|x|,|y|), so min >= t*max;
+    //  - position filter: jaccard >= t needs overlap
+    //    alpha = ceil(t/(1+t) * (|x|+|y|)); a collision at 0-based prefix
+    //    positions (i, j) can contribute at most
+    //    1 + min(|x|-i-1, |y|-j-1) total overlap, so collisions too deep in
+    //    both prefixes cannot support a qualifying pair. The earliest shared
+    //    token gives the loosest bound, so a truly similar pair always
+    //    survives at least one collision.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")))
     val candidates = prefixes.as("x").join(prefixes.as("y"),
         col("x.tok") === col("y.tok") && col(s"x.$idCol") < col(s"y.$idCol")
           && col("y.sz") >= ceil(lit(threshold) * col("x.sz"))
-          && col("x.sz") >= ceil(lit(threshold) * col("y.sz")))
+          && col("x.sz") >= ceil(lit(threshold) * col("y.sz"))
+          && alpha <= lit(1) + least(col("x.sz") - col("x.pos") - 1, col("y.sz") - col("y.pos") - 1))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
       // materialized once: the verify references this subtree on both sides
