@@ -145,12 +145,11 @@ object Dedup {
     // persist stall each other — measured 50x on the contract plane)
     withShingles.count()
     val withSig = withShingles.withColumn("sig", minHashSignature(col("sh"), numHashes, seed))
-    // Candidates are tiny relative to the corpus (pairs that co-bucket) but
-    // their subtree is expensive (bucket self-join) and the verify plan
-    // references it on both join sides — materialize once.
+    // Candidates flow straight into the verify: the verify joins the
+    // candidate frame exactly once, so a defensive persist+count here only
+    // added a materialization job (the bucket self-join reads the PERSISTED
+    // shingle table, so nothing upstream recomputes).
     val candidates = lshCandidates(withSig, idCol, "sig", numBands, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
     verifyPairs(candidates, withShingles, idCol, "sh", threshold)
   }
 
@@ -202,11 +201,12 @@ object Dedup {
           && col("x.sz") >= ceil(lit(threshold) * col("y.sz"))
           && alpha <= lit(1) + least(col("x.sz") - col("x.pos") - 1, col("y.sz") - col("y.pos") - 1))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
-      .distinct()
-      // materialized once: the verify references this subtree on both sides
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
+    // A pair sharing k prefix tokens appears k times — but the position
+    // filter leaves only ~5% duplicates (measured at sf0.1), so verifying
+    // dups and deduplicating the (tiny) verified output is cheaper than a
+    // full-shuffle distinct + persist + count over the candidate set.
     verifyPairs(candidates, withShingles, idCol, "sh", threshold)
+      .dropDuplicates("a", "b")
   }
 
   /** Exact-duplicate grouups: hash group-by on (optionally normalized) text.

@@ -59,7 +59,10 @@ object TextStats {
     val toks = tokens(textCol)
     val nTokens = size(toks)
     val distinctRatio = size(array_distinct(toks)).cast("double") / nTokens.cast("double")
-    val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTokens.cast("double")
+    // sum of token lengths == count of non-whitespace chars (tokens are
+    // maximal non-\s runs; a leading empty token contributes 0) — avoids an
+    // interpreted aggregate() fold, stays in codegen
+    val meanTokLen = length(regexp_replace(textCol, "\\s", "")).cast("double") / nTokens.cast("double")
     val alphaRatio = (length(regexp_replace(textCol, "[^a-zA-Z]", "")).cast("double")
       / greatest(length(textCol), lit(1)).cast("double"))
     val lengthOk = (nTokens >= 10 && nTokens <= 100000).cast("double")
