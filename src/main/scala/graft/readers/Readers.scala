@@ -20,13 +20,13 @@ object Readers {
   val RecordIndexColumn: String = Messages.RecordIndexColumn
 
   /** Add the 1-based record index. zipWithIndex needs one pass to count
-    * partition sizes; index order = file/row order at ingest.
+    * partition sizes; index order = file/row order at ingest. Runs at the
+    * InternalRow level (no external-Row decode/encode round trip — see
+    * [[org.apache.spark.sql.graft.RecordIndexBridge]]).
     */
   def addRecordIndex(df: DataFrame): DataFrame = {
     if (df.columns.contains(RecordIndexColumn)) return df
-    val schema = StructType(df.schema.fields :+ StructField(RecordIndexColumn, LongType))
-    val rdd = df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graft.RecordIndexBridge.zipWithRecordIndex(df, RecordIndexColumn)
   }
 
   def dropRecordIndex(df: DataFrame): DataFrame = df.drop(RecordIndexColumn)
