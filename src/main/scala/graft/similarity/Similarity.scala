@@ -136,12 +136,19 @@ object Similarity {
         val b = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"))
         a.join(b, col("a") < col("b"))
       } else {
-        val coded = corpus.select(col(idCol), col(vecCol),
+        // Candidate generation shuffles only (id, bucket) pairs — the
+        // vectors join back for the verify below, so the bucket self-join
+        // and the dedup never move embedding payloads (at corpus scale the
+        // candidate shuffle would otherwise carry 2 vectors per pair).
+        val coded = corpus.select(col(idCol),
           explode(probeCodes(lshCode(col(vecCol), numPlanes), numPlanes)).as("bucket"))
-        val x = coded.select(col(idCol).as("a"), col(vecCol).as("a_vec"), col("bucket"))
-        val y = coded.select(col(idCol).as("b"), col(vecCol).as("b_vec"), col("bucket"))
-        x.join(y, Seq("bucket")).where(col("a") < col("b"))
-          .dropDuplicates("a", "b")
+        val x = coded.select(col(idCol).as("a"), col("bucket"))
+        val y = coded.select(col(idCol).as("b"), col("bucket"))
+        val cand = x.join(y, Seq("bucket")).where(col("a") < col("b"))
+          .select(col("a"), col("b")).dropDuplicates("a", "b")
+        cand
+          .join(corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec")), "a")
+          .join(corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec")), "b")
       }
     scored
       .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
