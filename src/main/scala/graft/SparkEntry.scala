@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ContractQueries, CoreQueries, DischemaQueries, LlmQueries, PipelineQueries, ReportQueries}
+import graft.queries.{ContractQueries, CoreQueries, DischemaQueries, LlmQueries, PipelineQueries, ReportQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query registry is assembled from per-area modules under graft.queries.
@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ContractQueries.queries ++ LlmQueries.queries ++
-      DischemaQueries.queries ++ ReportQueries.queries ++ PipelineQueries.queries
+      DischemaQueries.queries ++ ReportQueries.queries ++ PipelineQueries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ContractQueries.oracleSql ++ LlmQueries.oracleSql ++
-      DischemaQueries.oracleSql ++ ReportQueries.oracleSql ++ PipelineQueries.oracleSql
+      DischemaQueries.oracleSql ++ ReportQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      StreamingQueries.oracleSql
 }

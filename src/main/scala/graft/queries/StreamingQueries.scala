@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.contract.{EntitySpec, FieldSpec}
+import graft.streaming.Streaming
+
+/** Correctness queries for the Structured Streaming front-end. Each runs a
+  * real streaming query to completion with an AvailableNow trigger (all
+  * present files as micro-batches, then stop) and returns the materialized
+  * result — so the driver's DuckDB oracle checks the STREAMING lineage, not
+  * a batch stand-in.
+  */
+object StreamingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // File-source stream -> contract cast -> parquet sink, then read back.
+    // Semantics must equal the batch contract cast of the same rows.
+    "q_stream_contract" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_contract"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // landing files: orders subset as JSONL, all-string (stringified ingest)
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").cast("string"), col("o_orderpriority").cast("string"),
+          col("o_totalprice").cast("string"))
+        .coalesce(2)
+        .write.json(s"$base/landing")
+      val spec = EntitySpec("orders", Seq(
+        FieldSpec("o_orderkey", "long"), FieldSpec("o_orderpriority", "str"),
+        FieldSpec("o_totalprice", "double")))
+      val q = Streaming.contractStream(s, s"$base/landing", spec, "json",
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
+    // Watermarked event-time window counts over the events table, streamed
+    // from parquet files with AvailableNow; result equals the batch
+    // tumbling-window aggregation. Append mode only emits a window once the
+    // watermark passes its end, so a sentinel event 2 hours past the data's
+    // max timestamp flushes every real window before the stream stops (the
+    // sentinel's own window is excluded from the read-back).
+    "q_stream_window" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_window"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val events = CoreQueries.loadEvents(s, dir)
+        .select(col("ts"), col("event_type"))
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+      val withSentinel = events.unionByName(
+        events.sparkSession.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(sentinel, "___sentinel___")),
+          events.schema))
+      withSentinel.coalesce(2).write.parquet(s"$base/landing")
+      val stream = s.readStream.schema(events.schema).parquet(s"$base/landing")
+      val agg = Streaming.windowedCounts(stream, "ts", "event_type", "1 hour", "1 minute")
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").where(col("event_type") =!= "___sentinel___")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_contract" ->
+      "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders",
+    // tumbling 1-hour windows on the microsecond-truncated timestamp;
+    // AvailableNow processes everything, and append mode emits each closed
+    // window exactly once, so the streamed result equals the batch group-by
+    "q_stream_window" ->
+      ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start, " +
+        "event_type, count(1)::BIGINT AS cnt FROM events GROUP BY 1, 2")
+  )
+}
