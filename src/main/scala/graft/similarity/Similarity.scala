@@ -102,9 +102,15 @@ object Similarity {
              idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       lshCode(col(vecCol), numPlanes).as("bucket"))
-    // query probes: own bucket + every Hamming-1 bucket (flip one bit)
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        explode(probeCodes(lshCode(col(vecCol), numPlanes), numPlanes)).as("probe"))
+    // query probes: own bucket + every Hamming-1 bucket (flip one bit).
+    // Code computed in its own projection so the probe array references the
+    // column 9x instead of inlining the expression 9x (CollapseProject
+    // keeps multi-referenced non-trivial aliases).
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        lshCode(col(vecCol), numPlanes).as("__code__"))
+      .select(col("query_id"), col("q_vec"),
+        explode(probeCodes(col("__code__"), numPlanes)).as("probe"))
     val scored = broadcast(probes).join(c, col("probe") === col("bucket")
         && col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
@@ -140,8 +146,9 @@ object Similarity {
         // vectors join back for the verify below, so the bucket self-join
         // and the dedup never move embedding payloads (at corpus scale the
         // candidate shuffle would otherwise carry 2 vectors per pair).
-        val coded = corpus.select(col(idCol),
-          explode(probeCodes(lshCode(col(vecCol), numPlanes), numPlanes)).as("bucket"))
+        val coded = corpus
+          .select(col(idCol), lshCode(col(vecCol), numPlanes).as("__code__"))
+          .select(col(idCol), explode(probeCodes(col("__code__"), numPlanes)).as("bucket"))
         val x = coded.select(col(idCol).as("a"), col("bucket"))
         val y = coded.select(col(idCol).as("b"), col("bucket"))
         val cand = x.join(y, Seq("bucket")).where(col("a") < col("b"))

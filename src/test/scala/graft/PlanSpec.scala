@@ -72,4 +72,33 @@ class PlanSpec extends SparkSpec {
       .queryExecution.logical.toString
     assert(!logical.toLowerCase.contains("broadcast"))
   }
+
+  test("LSH bucket codes are the native expression, computed once per row") {
+    val p = plan("q_embed_neardup")
+    // native expression present, interpreted per-plane HOF chain gone (the
+    // adaptive plan carries no codegen markers pre-execution, so assert on
+    // the expression, not the `*` span)
+    assert(p.contains("lsh_bucket_code"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+    // ...and evaluated once per input row, not inlined into all 9 probes
+    val evals = p.linesIterator.map(l => "lsh_bucket_code".r.findAllIn(l).size).maxOption.getOrElse(0)
+    assert(evals <= 1, s"lsh_bucket_code inlined $evals times on one plan line:\n$p")
+  }
+
+  test("LSH near-dup candidate shuffle carries no embedding payloads") {
+    val p = formatted(SparkEntry.queries("q_embed_neardup")(spark, sfDir))
+    // every Exchange before the verify join-back moves (id, bucket) rows;
+    // vectors appear only in the scan -> verify join sections
+    val exchangeLines = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("_vec")), exchangeLines.mkString("\n"))
+  }
+
+  test("array-field validation explodes instead of interpreted HOF lambdas") {
+    val p = plan("q_contract_nested")
+    // explode -> Generate node; the per-element checks then live in a
+    // codegen'd projection, not inside transform()/filter() lambdas
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("transform("), p)
+  }
 }
