@@ -215,6 +215,61 @@ object LlmQueries {
       s"WHERE c >= $threshold"
   }
 
+  /** DuckDB replica of [[Similarity.lshKnn]]: the same plane bits as
+    * [[lshNearDupSql]], query probes (own + Hamming-1 codes) against corpus
+    * bucket codes, exact cosine re-rank with the (cosine desc, neighbor_id)
+    * tiebreak — the bucketed top-k plan is hash-checked end to end.
+    */
+  private def lshKnnSql(numPlanes: Int, dim: Int, k: Int): String = {
+    def comp(p: Int): String = {
+      val h1 = s"(((${p * 131071L}::BIGINT + d + 1) * 48271) % 2147483647)"
+      val h2 = s"((xor($h1, $h1 >> 15) * 48271) % 2147483647)"
+      s"((($h2 % 2000000) - 1000000)::DOUBLE / 1000000.0)"
+    }
+    val bits = (0 until numPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range($dim), d -> embedding[d+1]::DOUBLE * ${comp(p)})) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
+    }.mkString("[", ", ", "]")
+    val ownCode = (0 until numPlanes).map(p =>
+      s"bits[${p + 1}] * ${1L << (numPlanes - 1 - p)}").mkString(" + ")
+    val probeCodes = (0 until numPlanes).map { p =>
+      s"(CASE WHEN f = $p THEN 1 - bits[${p + 1}] ELSE bits[${p + 1}] END) * ${1L << (numPlanes - 1 - p)}"
+    }.mkString(" + ")
+    s"WITH bv AS (SELECT vec_id, $bits AS bits FROM embeddings), " +
+      s"cd AS (SELECT vec_id AS neighbor_id, $ownCode AS bucket FROM bv), " +
+      s"pr AS (SELECT vec_id AS query_id, unnest(list_transform(range(-1, $numPlanes), f -> $probeCodes)) AS probe " +
+      "FROM bv WHERE vec_id < 10), " +
+      "cand AS (SELECT DISTINCT query_id, neighbor_id FROM pr JOIN cd ON pr.probe = cd.bucket AND pr.query_id != cd.neighbor_id), " +
+      "scored AS (SELECT query_id, neighbor_id, " +
+      "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos " +
+      "FROM cand JOIN embeddings a ON a.vec_id = cand.query_id JOIN embeddings b ON b.vec_id = cand.neighbor_id), " +
+      "r AS (SELECT query_id, neighbor_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
+      s"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
+      s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
+  }
+
+  /** DuckDB replica of [[Similarity.ivfKnn]]: centroids = vec_id % 50 == 0,
+    * nearest-cell assignment with the (cos desc, cell_id) tiebreak, queries
+    * probe the 3 nearest cells, exact re-rank within probed cells.
+    */
+  private def ivfKnnSql(k: Int, nProbe: Int): String =
+    "WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0), " +
+      "ca AS (SELECT e.vec_id, cent.cell_id, " +
+      "list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) AS cc, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) DESC, cent.cell_id) AS rn " +
+      "FROM embeddings e CROSS JOIN cent), " +
+      "corpus_cell AS (SELECT vec_id AS neighbor_id, cell_id FROM ca WHERE rn = 1), " +
+      s"query_cell AS (SELECT vec_id AS query_id, cell_id FROM ca WHERE rn <= $nProbe AND vec_id < 10), " +
+      "cand AS (SELECT DISTINCT query_id, neighbor_id FROM query_cell JOIN corpus_cell USING (cell_id) " +
+      "WHERE query_id != neighbor_id), " +
+      "scored AS (SELECT query_id, neighbor_id, " +
+      "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos " +
+      "FROM cand JOIN embeddings a ON a.vec_id = cand.query_id JOIN embeddings b ON b.vec_id = cand.neighbor_id), " +
+      "r AS (SELECT query_id, neighbor_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
+      s"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
+      s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
+
   private val multimodalSql: String =
     "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, " +
       "sha256(text) AS content_sha256, " +
@@ -239,10 +294,11 @@ object LlmQueries {
         "SELECT a.vec_id AS a, b.vec_id AS b, " +
         "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
+    "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
+    "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
     "q_multimodal_meta" -> multimodalSql
-    // q_embed_ann_lsh / q_embed_ivf / q_multimodal_decode: hash-derived
-    // buckets and float32 stub features are not ANSI-SQL replicable →
-    // rows-only driver check; recall vs the exact baseline is asserted in
-    // ScalaTest instead.
+    // q_multimodal_decode: float32 stub features are not ANSI-SQL
+    // replicable → rows-only driver check; the batching/partitioning
+    // plumbing is asserted in ScalaTest instead.
   )
 }
