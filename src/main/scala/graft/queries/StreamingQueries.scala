@@ -66,6 +66,33 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$base/out").where(col("event_type") =!= "___sentinel___")
+    }),
+
+    // Stateful streaming exact-dedup: only the first row per key passes.
+    // Output restricted to the key so the result is arrival-order
+    // independent — the surviving key SET equals batch DISTINCT.
+    "q_stream_dedup" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_dedup"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"))
+        .coalesce(2).write.parquet(s"$base/landing")
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(s"$base/landing")
+      val deduped = Streaming.streamingDedup(stream, "l_orderkey")
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
     })
   )
 
@@ -77,6 +104,8 @@ object StreamingQueries {
     // window exactly once, so the streamed result equals the batch group-by
     "q_stream_window" ->
       ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start, " +
-        "event_type, count(1)::BIGINT AS cnt FROM events GROUP BY 1, 2")
+        "event_type, count(1)::BIGINT AS cnt FROM events GROUP BY 1, 2"),
+    "q_stream_dedup" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem"
   )
 }
