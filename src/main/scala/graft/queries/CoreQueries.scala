@@ -204,6 +204,19 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))),
 
+    // Salted two-phase aggregation: lineitem keyed on l_returnflag (3 hot
+    // keys carrying 200k rows each at sf0.1 — the all-rows-through-one-
+    // reducer shape salting exists for). Result must equal the plain
+    // group-by: decomposable aggregates only, integer sum for exactness.
+    "q_skew_agg" -> ((s, dir) =>
+      graft.rules.Skew.saltedAggregate(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        keys = Seq("l_returnflag"), saltFactor = 8,
+        graft.rules.Skew.SaltedAgg.sumOf("l_orderkey", "sum_key"),
+        graft.rules.Skew.SaltedAgg.countAll("n"),
+        graft.rules.Skew.SaltedAgg.minOf("l_quantity", "min_qty"),
+        graft.rules.Skew.SaltedAgg.maxOf("l_quantity", "max_qty"))),
+
     "q_events_json" -> ((s, dir) =>
       loadEvents(s, dir)
         .groupBy(col("event_type"))
@@ -368,6 +381,9 @@ object CoreQueries {
     "q_window_events" ->
       ("SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(1) AS cnt, " +
         "CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_val FROM events GROUP BY 1, 2"),
+    "q_skew_agg" ->
+      ("SELECT l_returnflag, CAST(sum(l_orderkey) AS BIGINT) AS sum_key, count(1) AS n, " +
+        "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty FROM lineitem GROUP BY 1"),
     "q_events_json" ->
       ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
         "count(1) AS cnt FROM events GROUP BY event_type"),
