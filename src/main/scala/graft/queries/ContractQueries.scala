@@ -266,6 +266,59 @@ object ContractQueries {
       Contract.cast(Readers.readJson(s, tmp, spec, multiLine = false), spec)
     }),
 
+    // XSD validation: every problem reported (not fail-fast), with stable
+    // Xerces error codes and source positions. The oracle is the literal
+    // expected problem table.
+    "q_reader_xsd" -> ((s, _) => {
+      val base = "/tmp/graft_q_reader_xsd"
+      new java.io.File(base).mkdirs()
+      val xml = s"$base/regions.xml"
+      val xsd = s"$base/regions.xsd"
+      java.nio.file.Files.writeString(java.nio.file.Path.of(xml),
+        """<regions>
+          |  <region><r_regionkey>0</r_regionkey><r_name>AFRICA</r_name></region>
+          |  <region><r_regionkey>x</r_regionkey><r_name>AMERICA</r_name></region>
+          |  <region><r_name>ASIA</r_name></region>
+          |</regions>
+          |""".stripMargin)
+      java.nio.file.Files.writeString(java.nio.file.Path.of(xsd),
+        """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          |  <xs:element name="regions">
+          |    <xs:complexType><xs:sequence>
+          |      <xs:element name="region" maxOccurs="unbounded">
+          |        <xs:complexType><xs:sequence>
+          |          <xs:element name="r_regionkey" type="xs:integer"/>
+          |          <xs:element name="r_name" type="xs:string"/>
+          |        </xs:sequence></xs:complexType>
+          |      </xs:element>
+          |    </xs:sequence></xs:complexType>
+          |  </xs:element>
+          |</xs:schema>
+          |""".stripMargin)
+      val problems = graft.readers.XmlLinting.validate(xml, xsd)
+      import s.implicits._
+      problems.map(p => (p.line.toLong, p.column.toLong,
+          p.message.takeWhile(_ != ':'))) // stable Xerces code prefix
+        .toDF("line", "col", "code")
+    }),
+
+    // CSV header-vs-declared-schema enforcement: declared fields missing
+    // from the file's header are reported (case-insensitive). Literal oracle.
+    "q_reader_header_check" -> ((s, dir) => {
+      val tmp = "/tmp/graft_q_reader_header_check"
+      s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("N_NATIONKEY"), col("n_name"),
+          col("n_regionkey").as("unexpected_extra"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", value = true).csv(tmp)
+      val spec = EntitySpec("nation", Seq(
+        FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
+        FieldSpec("n_regionkey", "long"), FieldSpec("n_comment", "str")))
+      val missing = Readers.checkCsvHeader(s, tmp, spec)
+      import s.implicits._
+      missing.toDF("missing_field")
+    }),
+
     // XML via Spark 4 built-in source, rowTag record shaping.
     "q_reader_xml" -> ((s, dir) => {
       val tmp = "/tmp/graft_q_reader_xml"
@@ -339,6 +392,13 @@ object ContractQueries {
         "FROM lineitem WHERE l_discount <= 0.08 AND l_quantity > 45 " +
         "UNION ALL SELECT 'Wrong format', 'WrongFormat', count(1) " +
         "FROM lineitem WHERE l_discount > 0.08) t"),
+    "q_reader_xsd" ->
+      ("SELECT * FROM (VALUES " +
+        "(3::BIGINT, 39::BIGINT, 'cvc-datatype-valid.1.2.1'), " +
+        "(3::BIGINT, 39::BIGINT, 'cvc-type.3.1.3'), " +
+        "(4::BIGINT, 19::BIGINT, 'cvc-complex-type.2.4.a')) t(line, col, code)"),
+    "q_reader_header_check" ->
+      "SELECT * FROM (VALUES ('n_regionkey'), ('n_comment')) t(missing_field)",
     "q_reader_csv" ->
       ("SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS p_size, " +
         "row_number() OVER (ORDER BY p_partkey) AS __record_index__ FROM part"),
