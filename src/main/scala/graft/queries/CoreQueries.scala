@@ -204,6 +204,24 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))),
 
+    // Bucketed co-located join: both sides written bucket-sorted on the
+    // join key, so the join plans with no Exchange (asserted in PlanSpec) —
+    // the repeated-big-join layout for 100 TB. Result must equal the plain
+    // equi-join.
+    "q_bucketed_join" -> ((s, dir) => {
+      val base = "/tmp/graft_q_bucketed_join"
+      graft.sources.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_bkt_orders", s"$base/orders", Seq("o_orderkey"), 8)
+      graft.sources.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "graft_bkt_lineitem", s"$base/lineitem", Seq("l_orderkey"), 8)
+      graft.sources.Bucketing.readBucketed(s, "graft_bkt_lineitem")
+        .join(graft.sources.Bucketing.readBucketed(s, "graft_bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_custkey", "o_totalprice")
+    }),
+
     // Salted two-phase aggregation: lineitem keyed on l_returnflag (3 hot
     // keys carrying 200k rows each at sf0.1 — the all-rows-through-one-
     // reducer shape salting exists for). Result must equal the plain
@@ -384,6 +402,9 @@ object CoreQueries {
     "q_skew_agg" ->
       ("SELECT l_returnflag, CAST(sum(l_orderkey) AS BIGINT) AS sum_key, count(1) AS n, " +
         "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty FROM lineitem GROUP BY 1"),
+    "q_bucketed_join" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
     "q_events_json" ->
       ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
         "count(1) AS cnt FROM events GROUP BY event_type"),

@@ -94,6 +94,19 @@ class PlanSpec extends SparkSpec {
     assert(!exchangeLines.exists(_.contains("_vec")), exchangeLines.mkString("\n"))
   }
 
+  test("bucketed co-located join plans with no shuffle on either side") {
+    // disable broadcast so the join exercises the bucketed sort-merge path
+    // even at sf0.001 table sizes
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("q_bucketed_join")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("array-field validation explodes instead of interpreted HOF lambdas") {
     val p = plan("q_contract_nested")
     // explode -> Generate node; the per-element checks then live in a
