@@ -68,9 +68,11 @@ object StreamingQueries {
       s.read.parquet(s"$base/out").where(col("event_type") =!= "___sentinel___")
     }),
 
-    // Stateful streaming exact-dedup: only the first row per key passes.
-    // Output restricted to the key so the result is arrival-order
-    // independent — the surviving key SET equals batch DISTINCT.
+    // Streaming exact-dedup through the state-store dropDuplicates
+    // operator: only the first row per key passes. Output restricted to
+    // the key so the result is arrival-order independent — the surviving
+    // key SET equals batch DISTINCT. (The flatMapGroupsWithState
+    // custom-state variant is covered in StreamingSpec.)
     "q_stream_dedup" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_dedup"
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
@@ -83,7 +85,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.StructField("l_orderkey",
             org.apache.spark.sql.types.LongType))))
         .parquet(s"$base/landing")
-      val deduped = Streaming.streamingDedup(stream, "l_orderkey")
+      val deduped = Streaming.streamingDedupExact(stream, "l_orderkey")
       val q = deduped.writeStream
         .format("parquet")
         .option("path", s"$base/out")

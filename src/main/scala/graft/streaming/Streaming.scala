@@ -56,10 +56,20 @@ object Streaming {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt").cast("bigint").as("cnt"))
 
+  /** Streaming exact-dedup on key columns via the engine's own state-store
+    * operator (`dropDuplicates` on a stream): codegen'd, no typed
+    * serialization, watermark-evictable state when the caller adds
+    * `withWatermark` upstream. Prefer this for plain first-row-wins dedup;
+    * [[streamingDedup]] below shows the custom-state escape hatch.
+    */
+  def streamingDedupExact(rows: DataFrame, keyCols: String*): DataFrame =
+    rows.dropDuplicates(keyCols)
+
   /** Stateful streaming exact-dedup: only the FIRST row per key passes.
     * flatMapGroupsWithState holds one boolean per key; with an event-time
     * watermark upstream the state can be timed out for bounded memory on
-    * unbounded key spaces.
+    * unbounded key spaces. Kept as the custom-state pattern (arbitrary
+    * per-key logic); for plain dedup use [[streamingDedupExact]].
     */
   def streamingDedup(rows: DataFrame, keyCol: String): DataFrame = {
     val spark = rows.sparkSession
