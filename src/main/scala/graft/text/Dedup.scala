@@ -63,13 +63,19 @@ object Dedup {
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
                     numBands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val banded = docs
       .select(col(idCol), posexplode(bandColumns(col(sigCol), numBands, rowsPerBand)).as(Seq("band", "band_hash")))
-    val sizes = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n").between(2, maxBucketSize))
-      .drop("bucket_n")
-    val ok = banded.join(sizes, Seq("band", "band_hash"))
+    // Bucket-size gate as a window count: ONE shuffle on (band, band_hash),
+    // after which the rows sit hash-partitioned on exactly the self-join
+    // keys — the join reuses that partitioning (sorts only, no further
+    // exchange) and the second reference becomes a ReusedExchange. The
+    // earlier groupBy+join formulation shuffled the banded rows twice more.
+    val ok = banded
+      .withColumn("__bucket_n__",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_hash"))))
+      .where(col("__bucket_n__").between(2, maxBucketSize))
+      .drop("__bucket_n__")
     ok.as("x").join(ok.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
