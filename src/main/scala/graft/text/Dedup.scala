@@ -178,10 +178,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withShingles.count() // materialize before concurrent consumers (see minHashDedup)
     val exploded = withShingles.select(col(idCol), explode(col("sh")).as("tok"))
-    val tokCounts = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // corpus frequency as a window count: one shuffle of the exploded rows
+    // on tok, instead of a count aggregation joined back on (a second
+    // shuffle of the same frame)
+    val withCnt = exploded.withColumn("cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
     // per-doc shingles sorted by (corpus count, token): struct order gives
     // the global rare-first total order with a deterministic tiebreak
-    val sorted = exploded.join(tokCounts, "tok")
+    val sorted = withCnt
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
     val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
