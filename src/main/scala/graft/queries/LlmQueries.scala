@@ -72,6 +72,18 @@ object LlmQueries {
         TextStats.fingerprint(col("text")).as("fp"),
         TextStats.bpeishTokenCount(col("text")).cast("bigint").as("n_bpeish_tokens"))),
 
+    // Benchmark decontamination: docs with doc_id < 5 stand in for the
+    // held-out benchmark; any shared word-3-gram marks contamination.
+    "q_text_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, "doc_id", "text",
+        d.where(col("doc_id") < 5), "text", shingleSize = 3)
+    }),
+
+    // Corpus vocabulary: top-50 tokens, deterministic tiebreak.
+    "q_text_vocab" -> ((s, dir) =>
+      TextStats.topTokens(docs(s, dir), "text", 50)),
+
     "q_embed_knn" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -287,6 +299,15 @@ object LlmQueries {
     "q_text_stats" -> statsSql,
     "q_text_langid" -> langidSql,
     "q_doc_fingerprint" -> fingerprintSql,
+    "q_text_decontaminate" ->
+      (s"$shingleCte, b AS (SELECT DISTINCT unnest(sh) AS tok FROM sh WHERE doc_id < 5), " +
+        "d AS (SELECT doc_id, unnest(sh) AS tok FROM sh), " +
+        "c AS (SELECT DISTINCT d.doc_id FROM d JOIN b USING (tok)) " +
+        "SELECT doc_id, (doc_id IN (SELECT doc_id FROM c)) AS contaminated FROM documents"),
+    "q_text_vocab" ->
+      ("SELECT token, count(1)::BIGINT AS cnt FROM " +
+        "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) t " +
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
     "q_embed_knn" -> knnSql,
     "q_embed_neardup" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
     "q_embed_neardup_exact" ->

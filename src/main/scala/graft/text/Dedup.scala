@@ -219,6 +219,25 @@ object Dedup {
       .dropDuplicates("a", "b")
   }
 
+  /** Benchmark decontamination: flag documents sharing ANY word n-gram
+    * shingle with a benchmark/evaluation corpus (the standard n-gram-overlap
+    * decontamination step of training-data pipelines). Candidate detection
+    * is a token equi-join on the shingle (the benchmark side is small —
+    * typically broadcast); output is every document with a `contaminated`
+    * flag so callers choose between dropping and auditing.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchmarkTextCol: String,
+                    shingleSize: Int = 3): DataFrame = {
+    val docSh = docs.select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("tok"))
+    val benchSh = benchmark.select(explode(shingles(col(benchmarkTextCol), shingleSize)).as("tok")).distinct()
+    val contaminated = docSh.join(benchSh, "tok").select(col(idCol)).distinct()
+      .withColumn("__c__", lit(true))
+    docs.select(col(idCol))
+      .join(contaminated, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__c__"), lit(false)).as("contaminated"))
+  }
+
   /** Exact-duplicate grouups: hash group-by on (optionally normalized) text.
     * Output: one row per distinct text, the surviving (minimum) id and the
     * duplicate count. Shuffles on the 256-bit content hash only.

@@ -77,6 +77,17 @@ object TextStats {
       "quality_score" -> score)
   }
 
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with a
+    * deterministic (count desc, token asc) order. One explode + one
+    * hash-shuffle on the token; the global top-k is a single-partition sort
+    * of the (small) per-token counts.
+    */
+  def topTokens(docs: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** 32-bit polynomial rolling-hash fingerprint of the whole text
     * (h = h*31 + codepoint mod 2^32, seed 17) — deterministic, ANSI-SQL
     * replicable, order-sensitive (unlike a bag-of-words hash). Computed by
