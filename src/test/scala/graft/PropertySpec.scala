@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based checks of the engine's algebraic claims: cast round
+  * trips, hash ranges/determinism, and — most importantly — PPJoin
+  * candidate COMPLETENESS (the length + position filters must never drop a
+  * pair whose exact Jaccard clears the threshold, for ANY corpus).
+  *
+  * Uses raw ScalaCheck generators with fixed seeds (the scalatest bridge
+  * artifact is not in the offline cache); each property draws 5 corpora.
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(30)
+    (0 until n).flatMap(i => g.apply(params, org.scalacheck.rng.Seed(1234L + 77L * i)))
+  }
+
+  test("stringify -> cast round-trips longs, doubles, and booleans exactly") {
+    import graft.contract.{Contract, EntitySpec, FieldSpec}
+    val gen = Gen.nonEmptyListOf(for {
+      l <- Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)
+      d <- Gen.chooseNum(-1e12, 1e12)
+      b <- Gen.oneOf(true, false)
+    } yield (l, d, b))
+    samples(gen, 5).foreach { rows =>
+      val df = rows.toDF("l", "d", "b")
+      val spec = EntitySpec("t", Seq(
+        FieldSpec("l", "long"), FieldSpec("d", "double"), FieldSpec("b", "bool")))
+      val back = Contract.cast(Contract.stringify(df), spec)
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(back == rows.toSet)
+    }
+  }
+
+  test("minhash signatures are in [0, 2^31-1), fixed-length, deterministic") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "ee", "ff")).map(_.mkString(" ")))
+    samples(gen, 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"), graft.text.Dedup.shingles(col("text"), 3).as("sh"))
+        .select(graft.text.Dedup.minHashSignature(col("sh"), 32).as("sig"))
+      val sigs = df.as[Seq[Long]].collect()
+      val again = df.as[Seq[Long]].collect()
+      assert(sigs.toSeq == again.toSeq)
+      assert(sigs.flatten.forall(v => v >= 0L && v < (1L << 31)))
+      assert(sigs.forall(_.length == 32))
+    }
+  }
+
+  test("prefix-filter join is COMPLETE: finds exactly the pairs with jaccard >= t") {
+    val word = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    val doc = Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.chooseNum(5, 20).flatMap(n => Gen.listOfN(n, doc))
+    val t = 0.5
+    def shingleSet(text: String): Set[String] = {
+      val ws = text.split(" ")
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet else Set(text)
+    }
+    samples(corpus, 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+      val got = graft.text.Dedup.prefixFilterJoin(df, "doc_id", "text", 3, t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val sets = docs.map(shingleSet)
+      val expected = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        inter = (sets(i) & sets(j)).size.toDouble
+        uni = (sets(i) | sets(j)).size.toDouble
+        if uni > 0 && inter / uni >= t
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
+  test("simhash halves stay within 32 bits and are deterministic") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.listOfN(10, Gen.identifier).map(_.mkString(" ")))
+    samples(gen, 5).foreach { texts =>
+      val df = texts.toDF("text")
+        .select(graft.text.Dedup.simHash(col("text")).as("sh"))
+        .select(col("sh.hi"), col("sh.lo"))
+      val rows = df.as[(Long, Long)].collect()
+      val again = df.as[(Long, Long)].collect()
+      assert(rows.toSeq == again.toSeq)
+      assert(rows.flatMap(r => Seq(r._1, r._2)).forall(v => v >= 0L && v < (1L << 32)))
+    }
+  }
+}
