@@ -235,6 +235,17 @@ object CoreQueries {
         graft.rules.Skew.SaltedAgg.minOf("l_quantity", "min_qty"),
         graft.rules.Skew.SaltedAgg.maxOf("l_quantity", "max_qty"))),
 
+    // Gap-based sessionization with Spark's native session_window: a
+    // session ends when no event arrives within the 10-minute gap after the
+    // LAST event (dynamic-length windows, unlike tumbling). The oracle is
+    // the classic gaps-and-islands formulation.
+    "q_events_sessions" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))),
+
     "q_events_json" -> ((s, dir) =>
       loadEvents(s, dir)
         .groupBy(col("event_type"))
@@ -408,6 +419,18 @@ object CoreQueries {
     "q_events_json" ->
       ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
         "count(1) AS cnt FROM events GROUP BY event_type"),
+    // break when the gap since the previous event is >= 10 min (Spark's
+    // session windows are half-open [ts, ts+gap), so an exactly-10-min gap
+    // starts a new session)
+    "q_events_sessions" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, min(ts) AS session_start, count(1)::BIGINT AS n_events " +
+        "FROM s GROUP BY user_id, sid"),
     "q_templating" ->
       ("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1998-03-15' AND o_totalprice > 250000"),
