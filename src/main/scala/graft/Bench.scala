@@ -24,6 +24,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Local-iteration escape hatch: run only a comma-separated subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // A typo'd name would otherwise silently bench nothing and print a
+    // success-looking zero-total line.
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY name matches no query: '$n'")))
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -54,8 +58,9 @@ object Bench {
       } + "\""
     // Millisecond precision keeps the single JSON line short enough for the
     // driver's bounded tail capture (r4's full-precision line was truncated
-    // mid-line and recorded as unparsed).
-    def fmt(v: Double): String = f"$v%.3f"
+    // mid-line and recorded as unparsed). Locale.ROOT: a comma-decimal
+    // default locale would otherwise corrupt the JSON.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum

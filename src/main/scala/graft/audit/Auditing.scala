@@ -44,31 +44,42 @@ object Auditing {
     df.withColumn("date_updated", to_date(col("updated_at")))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("date_updated").parquet(staging.toString)
-    val files = fs.listFiles(staging, true)
-    while (files.hasNext) {
-      val f = files.next()
-      val name = f.getPath.getName
-      if (name.endsWith(".parquet")) {
-        val partName = f.getPath.getParent.getName // date_updated=YYYY-MM-DD
-        val destDir =
-          if (partName.startsWith("date_updated=")) new org.apache.hadoop.fs.Path(table, partName)
-          else table
-        fs.mkdirs(destDir)
-        val dest = new org.apache.hadoop.fs.Path(destDir, s"$writeId-$name")
-        // A failed rename (dest dir removed concurrently, cross-FS move,
-        // permissions) must NOT fall through to the staging delete below —
-        // that would silently drop audit rows while reporting success.
-        // Leave staging in place for retry and surface the failure.
-        val ok =
-          try fs.rename(f.getPath, dest)
-          catch { case e: java.io.IOException =>
-            throw new java.io.IOException(s"audit append rename failed: ${f.getPath} -> $dest", e)
-          }
-        if (!ok)
-          throw new java.io.IOException(s"audit append rename failed: ${f.getPath} -> $dest")
+    // All-or-nothing publish: if any rename fails, the files already
+    // renamed in are rolled back (they carry this writeId, so they are
+    // identifiable), staging is removed, and the error surfaces — a caller
+    // retry then re-appends the WHOLE frame exactly once instead of
+    // duplicating the half that had landed.
+    val renamed = Seq.newBuilder[org.apache.hadoop.fs.Path]
+    try {
+      val files = fs.listFiles(staging, true)
+      while (files.hasNext) {
+        val f = files.next()
+        val name = f.getPath.getName
+        if (name.endsWith(".parquet")) {
+          val partName = f.getPath.getParent.getName // date_updated=YYYY-MM-DD
+          val destDir =
+            if (partName.startsWith("date_updated=")) new org.apache.hadoop.fs.Path(table, partName)
+            else table
+          fs.mkdirs(destDir)
+          val dest = new org.apache.hadoop.fs.Path(destDir, s"$writeId-$name")
+          val ok =
+            try fs.rename(f.getPath, dest)
+            catch { case e: java.io.IOException =>
+              throw new java.io.IOException(s"audit append rename failed: ${f.getPath} -> $dest", e)
+            }
+          if (!ok)
+            throw new java.io.IOException(s"audit append rename failed: ${f.getPath} -> $dest")
+          renamed += dest
+        }
       }
+      fs.delete(staging, true)
+    } catch {
+      case e: Throwable =>
+        renamed.result().foreach(p =>
+          try fs.delete(p, false) catch { case _: java.io.IOException => () })
+        try fs.delete(staging, true) catch { case _: java.io.IOException => () }
+        throw e
     }
-    fs.delete(staging, true)
   }
 
   /** Read an audit table and reduce to the latest status per key. */

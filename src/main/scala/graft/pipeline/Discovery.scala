@@ -111,12 +111,23 @@ object Discovery {
         // files — nothing sane to pair, move ALL of them out of the way.
         // A move that fails stays in landing for the next pass (and is NOT
         // reported as deadlettered — a false "moved" would strand the file).
+        // METADATA files move first: if a later data-file move fails, the
+        // remnant is data-only and stays in the ambiguous/pending branches —
+        // moving data first could leave exactly one data + one metadata
+        // behind, which the next pass would silently pair as a valid
+        // submission.
         fs.mkdirs(deadletterDir)
-        group.foreach { p =>
+        def move(p: Path): Boolean = {
           val dest = new Path(deadletterDir, fileName(p))
-          if (tryRename(fs, p, dest)) deadlettered += dest.toString
-          else pending += stem
+          val ok = tryRename(fs, p, dest)
+          if (ok) deadlettered += dest.toString
+          ok
         }
+        val metasOk = metas.forall(move)
+        // data files only move once every metadata file is out: a remnant
+        // with no metadata can never be mis-paired
+        val datasOk = metasOk && datas.forall(move)
+        if (!metasOk || !datasOk) pending += stem
       } else {
         val (dataFile, metaFile) = (datas.head, metas.head)
         val id = newId()
@@ -127,11 +138,20 @@ object Discovery {
         // Both moves must land before the submission is Received — a
         // half-moved pair would fail later with a confusing read error.
         if (!tryRename(fs, dataFile, dataDest)) {
+          fs.delete(destDir, true) // nothing moved in: don't leak empty dirs
           pending += stem
         } else if (!tryRename(fs, metaFile, metaDest)) {
           // roll the data file back so the pair stays together in landing
-          tryRename(fs, dataDest, dataFile)
-          pending += stem
+          if (tryRename(fs, dataDest, dataFile)) {
+            fs.delete(destDir, true)
+            pending += stem
+          } else {
+            // data stranded under processed/<id> with no metadata: surface
+            // it as a failed submission instead of pending forever
+            ErrorSink.writeProcessingError(spark, destDir.toString,
+              "audit_received", s"data file moved but metadata move and rollback failed: $metaFile")
+            failed += SubmissionInfo(id, None, stem, extOf(fileName(dataFile)))
+          }
         } else {
           parseMetadata(fs, id, metaDest, fileName(dataFile)) match {
             case Right(info) => received += Received(info, dataDest.toString, metaDest.toString)
@@ -143,7 +163,8 @@ object Discovery {
         }
       }
     }
-    DiscoveryResult(received.result(), failed.result(), deadlettered.result(), pending.result())
+    DiscoveryResult(received.result(), failed.result(), deadlettered.result(),
+      pending.result().distinct)
   }
 
   /** Parse a metadata descriptor; `file_name` defaults to the metadata file's

@@ -47,50 +47,11 @@ object Probe {
       Dedup.minHashDedup(docs, "doc_id", "text", 3, 192, 64, 0.5).count()
     }
     spark.catalog.clearCache()
-    // ngram stages (mirror prefixFilterJoin)
-    val ws2 = docs.repartition(32)
-      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t("ngram shingles")(ws2.count())
-    val exploded = ws2.select(col("doc_id"), explode(col("sh")).as("tok"))
-    t("ngram exploded")(exploded.count())
-    val tokCounts = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    t("ngram tokCounts")(tokCounts.count())
-    val sorted = exploded.join(tokCounts, "tok")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
-    t("ngram sorted")(sorted.count())
-    val prefixLen = (size(col("sh_sorted")) - ceil(lit(0.5) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
-    val prefixes = sorted
-      .select(col("doc_id"), size(col("sh_sorted")).as("sz"),
-        explode(transform(slice(col("sh_sorted"), lit(1), prefixLen), y => y.getField("tok"))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t("ngram prefixes")(println("prefix rows: " + prefixes.count()))
-    val cand2 = prefixes.as("x").join(prefixes.as("y"),
-        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id")
-          && col("y.sz") >= ceil(lit(0.5) * col("x.sz"))
-          && col("x.sz") >= ceil(lit(0.5) * col("y.sz")))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    t("ngram candidates raw")(println("cand rows: " + cand2.count()))
-    val dist = cand2.distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t("ngram candidates distinct")(println("dist rows: " + dist.count()))
-    t("ngram verify")(Dedup.verifyPairs(dist, ws2, "doc_id", "sh", 0.5).count())
-    // decompose verify: join-only vs set-op cost
-    val left = ws2.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-    val right = ws2.select(col("doc_id").as("b"), col("sh").as("sh_b"))
-    val joined = dist.repartition(32, col("a")).join(left, "a").join(right, "b")
-    t("verify join only")(joined.count())
-    t("verify join + intersect size")(
-      joined.select(size(array_intersect(col("sh_a"), col("sh_b"))).as("i"))
-        .agg(sum(col("i"))).collect())
-    t("verify join + union size")(
-      joined.select(size(array_union(col("sh_a"), col("sh_b"))).as("u"))
-        .agg(sum(col("u"))).collect())
-    t("verify full jaccard")(
-      joined.withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .where(col("jaccard") >= 0.5).count())
+    // ngram end-to-end is a single-job chain now (window-count frequencies,
+    // PPJoin length+position filters, candidates streamed into the verify) —
+    // probe the shipped method, not a hand-mirrored copy that drifts.
+    t("ngram end-to-end")(Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5).count())
+    t("ngram end-to-end again")(Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5).count())
     spark.stop()
   }
 }
