@@ -204,6 +204,38 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))),
 
+    // Grouped EXACT percentiles (continuous interpolation — the sort-based
+    // aggregate; approx sketches differ per engine so the exact form is the
+    // cross-engine-checkable one).
+    "q_percentiles" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))),
+
+    // Ranking + offset window functions over a real partition/order.
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+    }),
+
+    // Rollup grouping sets: subtotals + grand total in one pass
+    // (partial-aggregatable — no extra shuffle per grouping set).
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))),
+
     // Bucketed co-located join: both sides written bucket-sorted on the
     // join key, so the join plans with no Exchange (asserted in PlanSpec) —
     // the repeated-big-join layout for 100 TB. Result must equal the plain
@@ -416,6 +448,24 @@ object CoreQueries {
     "q_bucketed_join" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
+    "q_percentiles" ->
+      ("SELECT l_returnflag, " +
+        "CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS p50, " +
+        "CAST(round(quantile_cont(l_quantity, 0.95), 6) AS DOUBLE) AS p95, " +
+        "CAST(round(quantile_cont(l_extendedprice, 0.5), 6) AS DOUBLE) AS price_p50 " +
+        "FROM lineitem GROUP BY 1"),
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(rank() OVER w AS BIGINT) AS rnk, " +
+        "CAST(dense_rank() OVER w AS BIGINT) AS drnk, " +
+        "lag(o_orderkey, 1) OVER w AS prev_order, " +
+        "lead(o_orderkey, 1) OVER w AS next_order " +
+        "FROM orders WHERE o_custkey < 200 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(1) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
     "q_events_json" ->
       ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
         "count(1) AS cnt FROM events GROUP BY event_type"),
