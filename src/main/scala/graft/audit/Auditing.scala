@@ -48,7 +48,9 @@ object Auditing {
     // renamed in are rolled back (they carry this writeId, so they are
     // identifiable), staging is removed, and the error surfaces — a caller
     // retry then re-appends the WHOLE frame exactly once instead of
-    // duplicating the half that had landed.
+    // duplicating the half that had landed. Rollback deletes are
+    // best-effort but never silent: a file that cannot be removed is
+    // logged with its path so duplicates are traceable by writeId.
     val renamed = Seq.newBuilder[org.apache.hadoop.fs.Path]
     try {
       val files = fs.listFiles(staging, true)
@@ -72,13 +74,25 @@ object Auditing {
           renamed += dest
         }
       }
-      fs.delete(staging, true)
     } catch {
       case e: Throwable =>
-        renamed.result().foreach(p =>
-          try fs.delete(p, false) catch { case _: java.io.IOException => () })
+        renamed.result().foreach { p =>
+          val gone =
+            try fs.delete(p, false)
+            catch { case _: java.io.IOException => false }
+          if (!gone)
+            System.err.println(s"[audit] rollback could not remove published file $p " +
+              s"(writeId $writeId) — a retried append will duplicate its rows")
+        }
         try fs.delete(staging, true) catch { case _: java.io.IOException => () }
         throw e
+    }
+    // Success path: every file is published — staging cleanup is
+    // best-effort OUTSIDE the rollback scope (a transient delete failure
+    // after a complete publish must not un-publish the append).
+    try fs.delete(staging, true)
+    catch { case _: java.io.IOException =>
+      System.err.println(s"[audit] staging dir left behind (cleanup failed): $staging")
     }
   }
 

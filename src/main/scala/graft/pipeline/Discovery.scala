@@ -78,6 +78,30 @@ object Discovery {
     try fs.rename(src, dest)
     catch { case _: java.io.IOException => false }
 
+  /** Exception-safe delete: a cleanup failure must degrade the one stem,
+    * never abort the whole discovery pass.
+    */
+  private def tryDelete(fs: FileSystem, p: Path): Boolean =
+    try fs.delete(p, true)
+    catch { case _: java.io.IOException => false }
+
+  /** Stems judged ambiguous are recorded as `<stem>.ambiguous` markers in
+    * the deadletter prefix BEFORE any file moves. A partial deadletter move
+    * can leave a (1 data, 1 metadata) remnant that looks pairable to a
+    * stateless pass; the marker makes the judgement durable — marked stems
+    * drain to deadletter on every later pass (including files uploaded to
+    * the stem afterwards) until an operator clears the marker with the
+    * deadlettered files.
+    */
+  private def ambiguousMarked(fs: FileSystem, deadletterDir: Path): Set[String] =
+    if (!fs.exists(deadletterDir)) Set.empty
+    else fs.listStatus(deadletterDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".ambiguous")).map(_.stripSuffix(".ambiguous")).toSet
+
+  private def markAmbiguous(fs: FileSystem, deadletterDir: Path, stem: String): Unit =
+    try fs.create(new Path(deadletterDir, s"$stem.ambiguous"), true).close()
+    catch { case _: java.io.IOException => () }
+
   /** One discovery pass over the landing prefix.
     *
     * @param newId submission-id source (UUID hex in production,
@@ -101,33 +125,35 @@ object Discovery {
 
     // deadletter prefix: sibling of the landing dir (ref: utils.py:71-79)
     val deadletterDir = new Path(landing.getParent, "deadletter")
+    val marked = ambiguousMarked(fs, deadletterDir)
 
     byStem.toSeq.sortBy(_._1).foreach { case (stem, group) =>
       val (metas, datas) = group.partition(p => isMetadata(fileName(p)))
-      if (group.size < 2) {
-        pending += stem // partner not landed yet — retry next pass
-      } else if (group.size > 2 || metas.size != 1 || datas.size != 1) {
+      if (marked.contains(stem) || group.size > 2 ||
+          (group.size == 2 && (metas.size != 1 || datas.size != 1))) {
         // ambiguous: >2 files on one stem, two data files, or two metadata
         // files — nothing sane to pair, move ALL of them out of the way.
+        // The judgement is made durable FIRST (marker in the deadletter
+        // prefix): any remnant a partial move leaves behind — even a
+        // pairable-looking (data, metadata) couple — drains here on every
+        // later pass instead of being silently processed.
         // A move that fails stays in landing for the next pass (and is NOT
         // reported as deadlettered — a false "moved" would strand the file).
-        // METADATA files move first: if a later data-file move fails, the
-        // remnant is data-only and stays in the ambiguous/pending branches —
-        // moving data first could leave exactly one data + one metadata
-        // behind, which the next pass would silently pair as a valid
-        // submission.
         fs.mkdirs(deadletterDir)
+        markAmbiguous(fs, deadletterDir, stem)
         def move(p: Path): Boolean = {
           val dest = new Path(deadletterDir, fileName(p))
           val ok = tryRename(fs, p, dest)
           if (ok) deadlettered += dest.toString
           ok
         }
-        val metasOk = metas.forall(move)
-        // data files only move once every metadata file is out: a remnant
-        // with no metadata can never be mis-paired
-        val datasOk = metasOk && datas.forall(move)
+        // attempt every file (no short-circuit — leave as little behind as
+        // possible); metadata first so the common remnant is data-only
+        val metasOk = metas.map(move).forall(identity)
+        val datasOk = datas.map(move).forall(identity)
         if (!metasOk || !datasOk) pending += stem
+      } else if (group.size < 2) {
+        pending += stem // partner not landed yet — retry next pass
       } else {
         val (dataFile, metaFile) = (datas.head, metas.head)
         val id = newId()
@@ -138,19 +164,24 @@ object Discovery {
         // Both moves must land before the submission is Received — a
         // half-moved pair would fail later with a confusing read error.
         if (!tryRename(fs, dataFile, dataDest)) {
-          fs.delete(destDir, true) // nothing moved in: don't leak empty dirs
+          tryDelete(fs, destDir) // nothing moved in: don't leak empty dirs
           pending += stem
         } else if (!tryRename(fs, metaFile, metaDest)) {
           // roll the data file back so the pair stays together in landing
           if (tryRename(fs, dataDest, dataFile)) {
-            fs.delete(destDir, true)
+            tryDelete(fs, destDir)
             pending += stem
           } else {
             // data stranded under processed/<id> with no metadata: surface
-            // it as a failed submission instead of pending forever
+            // it as a failed submission instead of pending forever, and
+            // move the orphan metadata out of landing so the stem stops
+            // re-reporting as pending on every later pass
             ErrorSink.writeProcessingError(spark, destDir.toString,
               "audit_received", s"data file moved but metadata move and rollback failed: $metaFile")
             failed += SubmissionInfo(id, None, stem, extOf(fileName(dataFile)))
+            fs.mkdirs(deadletterDir)
+            if (tryRename(fs, metaFile, new Path(deadletterDir, fileName(metaFile))))
+              deadlettered += new Path(deadletterDir, fileName(metaFile)).toString
           }
         } else {
           parseMetadata(fs, id, metaDest, fileName(dataFile)) match {
@@ -163,8 +194,7 @@ object Discovery {
         }
       }
     }
-    DiscoveryResult(received.result(), failed.result(), deadlettered.result(),
-      pending.result().distinct)
+    DiscoveryResult(received.result(), failed.result(), deadlettered.result(), pending.result())
   }
 
   /** Parse a metadata descriptor; `file_name` defaults to the metadata file's
