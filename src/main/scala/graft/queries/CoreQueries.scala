@@ -236,6 +236,13 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))),
 
+    // Cube: all 2^k grouping-set combinations in the same single pass.
+    "q_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))),
+
     // Bucketed co-located join: both sides written bucket-sorted on the
     // join key, so the join plans with no Exchange (asserted in PlanSpec) —
     // the repeated-big-join layout for 100 TB. Result must equal the plain
@@ -466,6 +473,10 @@ object CoreQueries {
       ("SELECT l_returnflag, l_linestatus, count(1) AS n, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(1) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
     "q_events_json" ->
       ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
         "count(1) AS cnt FROM events GROUP BY event_type"),
