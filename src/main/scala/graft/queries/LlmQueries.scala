@@ -54,6 +54,11 @@ object LlmQueries {
         .withColumn("sh", Dedup.simHash(col("text")))
         .select(col("doc_id"), col("sh.hi").as("hi"), col("sh.lo").as("lo"))),
 
+    // SimHash near-dup pairs: 16-bit chunk banding (pigeonhole-complete for
+    // Hamming <= 3) + exact popcount verify.
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
     "q_text_stats" -> ((s, dir) => {
       val cols = col("doc_id") +: TextStats.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
       docs(s, dir).select(cols: _*)
@@ -296,6 +301,18 @@ object LlmQueries {
     "q_dedup_ngram" -> allPairsSql("a, b, jaccard"),
     "q_dedup_minhash" -> allPairsSql("a, b"),
     "q_dedup_simhash" -> simhashSql,
+    "q_dedup_simhash_pairs" ->
+      (s"WITH s AS ($simhashSql), " +
+        "k AS (SELECT doc_id, hi, lo, i AS ci, " +
+        "CASE i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536 " +
+        "WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS cv " +
+        "FROM s CROSS JOIN range(4) r(i)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, " +
+        "x.hi AS hi_a, x.lo AS lo_a, y.hi AS hi_b, y.lo AS lo_b " +
+        "FROM k x JOIN k y ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id) " +
+        "SELECT a, b, hamming FROM (SELECT a, b, " +
+        "CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming " +
+        "FROM cand) t WHERE hamming <= 3"),
     "q_text_stats" -> statsSql,
     "q_text_langid" -> langidSql,
     "q_doc_fingerprint" -> fingerprintSql,

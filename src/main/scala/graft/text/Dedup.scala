@@ -256,6 +256,38 @@ object Dedup {
     */
   def wordHash(word: Column): Column = TextHashExpressions.fingerprint(word)
 
+  /** SimHash near-duplicate pairs at a Hamming-distance threshold: the
+    * 64-bit signature splits into four 16-bit chunks; by pigeonhole, two
+    * signatures within Hamming distance 3 agree on at least one whole chunk,
+    * so candidate generation is COMPLETE for `maxHamming <= 3` and is an
+    * equi-join on (chunk index, chunk value) — never all-pairs. The verify
+    * is an exact popcount over the xor of the halves, carried through the
+    * join (two longs per row — no payload concern).
+    */
+  def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only complete for maxHamming <= 3")
+    val withSh = widen(docs).select(col(idCol), simHash(col(textCol)).as("sh"))
+      .select(col(idCol), col("sh.hi").as("hi"), col("sh.lo").as("lo"))
+    val keyed = withSh.select(col(idCol), col("hi"), col("lo"),
+      posexplode(array(
+        shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L)))).as(Seq("ci", "cv")))
+    val candidates = keyed.as("x").join(keyed.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
+        col("y.hi").as("hi_b"), col("y.lo").as("lo_b"))
+      .dropDuplicates("a", "b")
+    candidates
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("bigint"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** 64-bit SimHash of a whitespace-tokenized text column, returned as a
     * struct(hi, lo) of two non-negative 32-bit halves (avoids int64 sign
     * pitfalls across engines). Bit i of the signature is the sign of the

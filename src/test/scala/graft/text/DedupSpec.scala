@@ -90,6 +90,18 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.99, s"boundary recall $recall")
   }
 
+  test("simHashNearDup pairs exact duplicates at hamming 0 and skips unrelated docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated words about databases query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("lshCandidates respects the bucket-size cap") {
     val same = (1 to 20).map(i => (i.toLong, "identical text for everyone here today")).toDF("doc_id", "text")
     val withSig = same.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
