@@ -98,9 +98,12 @@ object Discovery {
     else fs.listStatus(deadletterDir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".ambiguous")).map(_.stripSuffix(".ambiguous")).toSet
 
-  private def markAmbiguous(fs: FileSystem, deadletterDir: Path, stem: String): Unit =
-    try fs.create(new Path(deadletterDir, s"$stem.ambiguous"), true).close()
-    catch { case _: java.io.IOException => () }
+  /** Returns whether the marker is durably on disk — the judgement must
+    * not be acted on until it is (see the caller's comment).
+    */
+  private def markAmbiguous(fs: FileSystem, deadletterDir: Path, stem: String): Boolean =
+    try { fs.create(new Path(deadletterDir, s"$stem.ambiguous"), true).close(); true }
+    catch { case _: java.io.IOException => false }
 
   /** One discovery pass over the landing prefix.
     *
@@ -139,19 +142,26 @@ object Discovery {
         // later pass instead of being silently processed.
         // A move that fails stays in landing for the next pass (and is NOT
         // reported as deadlettered — a false "moved" would strand the file).
+        // If the marker itself cannot be written, NO move happens: a
+        // marker-less partial move is exactly the remnant hazard the marker
+        // exists to prevent (1 data + 1 metadata left behind would re-pair
+        // as a valid submission on the next stateless pass).
         fs.mkdirs(deadletterDir)
-        markAmbiguous(fs, deadletterDir, stem)
-        def move(p: Path): Boolean = {
-          val dest = new Path(deadletterDir, fileName(p))
-          val ok = tryRename(fs, p, dest)
-          if (ok) deadlettered += dest.toString
-          ok
+        if (!marked.contains(stem) && !markAmbiguous(fs, deadletterDir, stem)) {
+          pending += stem
+        } else {
+          def move(p: Path): Boolean = {
+            val dest = new Path(deadletterDir, fileName(p))
+            val ok = tryRename(fs, p, dest)
+            if (ok) deadlettered += dest.toString
+            ok
+          }
+          // attempt every file (no short-circuit — leave as little behind
+          // as possible); metadata first so the common remnant is data-only
+          val metasOk = metas.map(move).forall(identity)
+          val datasOk = datas.map(move).forall(identity)
+          if (!metasOk || !datasOk) pending += stem
         }
-        // attempt every file (no short-circuit — leave as little behind as
-        // possible); metadata first so the common remnant is data-only
-        val metasOk = metas.map(move).forall(identity)
-        val datasOk = datas.map(move).forall(identity)
-        if (!metasOk || !datasOk) pending += stem
       } else if (group.size < 2) {
         pending += stem // partner not landed yet — retry next pass
       } else {

@@ -1,10 +1,11 @@
 package graft.similarity
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native codegen sign-LSH bucket code for an embedding column.
   *
@@ -39,6 +40,15 @@ final case class LshCodeExpr(child: Expression, numPlanes: Int)
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
+  }
+
+  // The eval reads elements as float or double directly (no per-element
+  // cast), so any other element type must fail at analysis time instead of
+  // a runtime ClassCastException deep in a task.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
   }
 
   override protected def nullSafeEval(input: Any): Any =

@@ -204,7 +204,11 @@ object Dedup {
     //    both prefixes cannot support a qualifying pair. The earliest shared
     //    token gives the loosest bound, so a truly similar pair always
     //    survives at least one collision.
-    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")))
+    // The 1e-9 guard keeps ceil exact when t/(1+t)*(|x|+|y|) is an exact
+    // integer that double arithmetic rounds UP past (e.g. t where the
+    // product lands epsilon above an integer): an inflated alpha would drop
+    // a pair whose true overlap is exactly alpha — a completeness break.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")) - lit(1e-9))
     val candidates = prefixes.as("x").join(prefixes.as("y"),
         col("x.tok") === col("y.tok") && col(s"x.$idCol") < col(s"y.$idCol")
           && col("y.sz") >= ceil(lit(threshold) * col("x.sz"))

@@ -87,4 +87,34 @@ class SimilaritySpec extends SparkSpec {
       assert(bits.foldLeft(0L)((acc, b) => acc * 2 + b) == code)
     }
   }
+
+  test("lshCode null/empty/null-element semantics vs the HOF spec") {
+    // INTENDED divergence for a NULL vector: the HOF chain maps it to code
+    // 0 (null folds -> bit 0), the native expression returns NULL, so
+    // null-embedding rows drop out of candidate generation instead of
+    // piling into bucket 0 — they could never verify anyway (cosine is
+    // null). Empty vectors and null elements stay bit-for-bit HOF-parity
+    // (code 0).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tag", StringType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row("null_vec", null),
+      Row("empty_vec", Seq.empty[Float]),
+      Row("null_elem", Seq[java.lang.Float](1.0f, null, 2.0f)))
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(col("tag"), Similarity.lshCode(col("embedding"), 8).as("code"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out("null_vec").isEmpty)       // native: NULL (documented divergence)
+    assert(out("empty_vec").contains(0L)) // HOF parity
+    assert(out("null_elem").contains(0L)) // HOF parity
+    // and the analysis-time type check rejects a non-float/double array
+    val bad = spark.range(1).select(array(lit(1), lit(2)).as("embedding"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(Similarity.lshCode(col("embedding"), 8)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<float>"))
+  }
 }
