@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * metadata, processed in partition-sized batches.
   *
   * The Spark-side plumbing — schema, batching, partitioning, feature
-  * shapes — is real and tested; the codec itself is a STUB (the image /
-  * audio decode libraries are not available in this environment), marked
-  * as such and swappable: `decodeFeatures` takes the decoder as a
-  * parameter and ships a deterministic fake that derives a fixed-dim
-  * float feature vector from the bytes.
+  * shapes — is real and tested, and so is the image path:
+  * [[imageFeatureDecoder]] decodes BMP/PNG/GIF payloads through the JDK's
+  * ImageIO readers (present in every JRE). `decodeFeatures` takes the
+  * decoder as a parameter, so heavier external codecs (JPEG-XL, audio,
+  * video) plug into the same batched lane; [[stubDecoder]] remains the
+  * deterministic fallback for payload formats with no in-container codec.
   */
 object Multimodal {
 
@@ -54,6 +55,94 @@ object Multimodal {
     }
     val n = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat
     if (n > 0) acc.map(_ / n) else acc
+  }
+
+  /** Encode a 24-bpp uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    * 4-byte row padding — the baseline Windows bitmap layout). `rgb(x, y)`
+    * returns a packed 0xRRGGBB with (0, 0) the top-left pixel. Used to
+    * build real, independently-decodable media payloads for the decode
+    * pipeline: the JDK's ImageIO BMP reader decodes them, so the
+    * encode/decode pair is not a mirrored stub.
+    */
+  def encodeBmp(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad BMP dims ${width}x$height")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)                        // file header
+    buf.putInt(40).putInt(width).putInt(height).putShort(1)
+      .putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)             // info header
+    var y = height - 1 // positive height = bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val c = rgb(x, y)
+        buf.put((c & 0xff).toByte)         // B
+        buf.put(((c >> 8) & 0xff).toByte)  // G
+        buf.put(((c >> 16) & 0xff).toByte) // R
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Real image decode via the JDK's ImageIO (BMP/PNG/GIF readers ship in
+    * every JRE — no external codec needed): features are
+    * [width, height, sum_R, sum_G, sum_B]. Channel SUMS, not means — small
+    * integers are exact in float32, so an oracle can pin the values without
+    * rounding fragility.
+    */
+  def imageFeatureDecoder(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = img.getRGB(x, y)
+        sr += (c >> 16) & 0xff
+        sg += (c >> 8) & 0xff
+        sb += c & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Array(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat)
+  }
+
+  /** Deterministic BMP payload per id row: doc d is a (4 + d%5) x (3 + d%4)
+    * image with pixel (x, y) channels R = (d*7 + x*13 + y*31) % 256,
+    * G = (d*11 + x*17 + y*5) % 256, B = (d*3 + x*29 + y*23) % 256. An
+    * oracle recomputes the features straight from this formula while Spark
+    * round-trips real BMP bytes through a real decoder — so the decode
+    * path is pinned end to end, not stubbed.
+    */
+  def syntheticBmp(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = encodeBmp((4 + d % 5).toInt, (3 + d % 4).toInt, (x, y) => {
+          val rr = ((d * 7 + x * 13 + y * 31) % 256).toInt
+          val gg = ((d * 11 + x * 17 + y * 5) % 256).toInt
+          val bb = ((d * 3 + x * 29 + y * 23) % 256).toInt
+          (rr << 16) | (gg << 8) | bb
+        })
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(encoder)
   }
 
   /** Batched decode / feature-extract over partitions: the media analogue

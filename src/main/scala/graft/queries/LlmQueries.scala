@@ -130,12 +130,23 @@ object LlmQueries {
           size(Multimodal.frameSample(bin, frameSize = 32, stride = 16)).cast("bigint").as("n_frames"))
     }),
 
+    // Real decode, pinned end to end: deterministic BMP payloads are
+    // encoded from doc_id (Multimodal.syntheticBmp), decoded back through
+    // the JDK's ImageIO BMP reader in the batched decodeFeatures lane, and
+    // the DuckDB oracle recomputes width/height/channel sums straight from
+    // the generative pixel formula — Spark round-trips real bytes through a
+    // real, independent decoder; the oracle never sees the bytes.
     "q_multimodal_decode" -> ((s, dir) => {
-      val withBin = docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.decodeFeatures(withBin, "payload", "features", dim = 16)
+      val withBin = Multimodal.syntheticBmp(
+        docs(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeFeatures(withBin, "payload", "features", dim = 5,
+        decoder = Multimodal.imageFeatureDecoder)
         .select(col("doc_id"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
-          round(element_at(col("features"), 2).cast("double"), 6).as("f1"),
+          element_at(col("features"), 1).cast("bigint").as("width"),
+          element_at(col("features"), 2).cast("bigint").as("height"),
+          element_at(col("features"), 3).cast("bigint").as("sum_r"),
+          element_at(col("features"), 4).cast("bigint").as("sum_g"),
+          element_at(col("features"), 5).cast("bigint").as("sum_b"),
           size(col("features")).cast("bigint").as("dim"))
     })
   )
@@ -334,9 +345,18 @@ object LlmQueries {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
-    "q_multimodal_meta" -> multimodalSql
-    // q_multimodal_decode: float32 stub features are not ANSI-SQL
-    // replicable → rows-only driver check; the batching/partitioning
-    // plumbing is asserted in ScalaTest instead.
+    "q_multimodal_meta" -> multimodalSql,
+    // Recompute the decoded image features from the generative pixel
+    // formula (see Multimodal.syntheticBmp): the Spark side must recover
+    // exactly these integers from real BMP bytes via ImageIO.
+    "q_multimodal_decode" ->
+      ("WITH px AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, " +
+        "x.range AS x, y.range AS y FROM documents, range(8) x, range(6) y " +
+        "WHERE x.range < 4 + doc_id % 5 AND y.range < 3 + doc_id % 4) " +
+        "SELECT doc_id, min(w)::BIGINT AS width, min(h)::BIGINT AS height, " +
+        "sum((doc_id * 7 + x * 13 + y * 31) % 256)::BIGINT AS sum_r, " +
+        "sum((doc_id * 11 + x * 17 + y * 5) % 256)::BIGINT AS sum_g, " +
+        "sum((doc_id * 3 + x * 29 + y * 23) % 256)::BIGINT AS sum_b, " +
+        "5::BIGINT AS dim FROM px GROUP BY doc_id")
   )
 }

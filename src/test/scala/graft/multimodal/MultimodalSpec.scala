@@ -51,6 +51,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == Seq(15f, 0f))
   }
 
+  test("encodeBmp emits a BMP that the JDK's ImageIO decodes pixel-exact") {
+    // golden 3x2: distinct per-pixel channels, including row padding (3*3=9
+    // bytes/row -> 3 pad bytes) and the bottom-up row order
+    val px = Map(
+      (0, 0) -> 0x102030, (1, 0) -> 0x405060, (2, 0) -> 0x708090,
+      (0, 1) -> 0xa0b0c0, (1, 1) -> 0x0d0e0f, (2, 1) -> 0xfffefd)
+    val bytes = Multimodal.encodeBmp(3, 2, (x, y) => px((x, y)))
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    assert(bytes.length == 54 + 2 * (9 + 3))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 3 && img.getHeight == 2)
+    px.foreach { case ((x, y), c) => assert((img.getRGB(x, y) & 0xffffff) == c) }
+  }
+
+  test("imageFeatureDecoder recovers width/height/channel sums from BMP bytes") {
+    val bytes = Multimodal.encodeBmp(2, 2, (x, y) => (x * 16 << 16) | (y * 32 << 8) | 7)
+    val f = Multimodal.imageFeatureDecoder(bytes)
+    assert(f.toSeq == Seq(2f, 2f, 32f, 64f, 28f)) // sums: 0+16+0+16, 0+0+32+32, 7*4
+  }
+
+  test("syntheticBmp + decodeFeatures round-trip matches the pixel formula") {
+    val ids = spark.range(0, 20).toDF("doc_id")
+    val out = Multimodal.decodeFeatures(
+        Multimodal.syntheticBmp(ids, "doc_id", "payload"), "payload", "features",
+        dim = 5, decoder = Multimodal.imageFeatureDecoder)
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect()
+    assert(out.length == 20)
+    out.foreach { case (d, f) =>
+      val w = (4 + d % 5).toInt; val h = (3 + d % 4).toInt
+      val pts = for { x <- 0 until w; y <- 0 until h } yield (x, y)
+      val sr = pts.map { case (x, y) => (d * 7 + x * 13 + y * 31) % 256 }.sum
+      val sg = pts.map { case (x, y) => (d * 11 + x * 17 + y * 5) % 256 }.sum
+      val sb = pts.map { case (x, y) => (d * 3 + x * 29 + y * 23) % 256 }.sum
+      assert(f == Seq(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat))
+    }
+  }
+
   test("repartitionByBytes sizes partitions by payload volume") {
     val out = Multimodal.repartitionByBytes(media, "payload", targetBytesPerTask = 40)
     assert(out.rdd.getNumPartitions == 2) // ~89 bytes total / 40 -> 2
