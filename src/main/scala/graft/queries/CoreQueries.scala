@@ -205,8 +205,9 @@ object CoreQueries {
           sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))),
 
     // Grouped EXACT percentiles (continuous interpolation — the sort-based
-    // aggregate; approx sketches differ per engine so the exact form is the
-    // cross-engine-checkable one).
+    // aggregate). Small-scale-oracle-only: the exact aggregate buffers every
+    // group value, so a 100x-scale group OOMs a task — the registered scale
+    // path is q_percentiles_approx below.
     "q_percentiles" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
@@ -214,6 +215,34 @@ object CoreQueries {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))),
+
+    // The percentile SCALE path: approx_percentile's KLL-style sketch is
+    // bounded-memory per group (mergeable partial aggregation), so it
+    // survives groups of any size. Sketches differ per engine, so the
+    // honest cross-engine oracle is the GUARANTEE, not the value: the
+    // returned element's rank is within N/accuracy of the target rank,
+    // hence the value must lie inside the exact-percentile bracket at
+    // q +- margin (margin = 2/accuracy > 1/accuracy for slack). The query
+    // emits the bound checks; DuckDB asserts them true.
+    "q_percentiles_approx" -> ((s, dir) => {
+      val acc = 1000
+      val m = 2.0 / acc
+      def bracket(c: String, q: Double, name: String) = Seq(
+        expr(s"approx_percentile($c, $q, $acc)").as(s"${name}_a"),
+        expr(s"percentile($c, ${math.max(0.0, q - m)})").as(s"${name}_lo"),
+        expr(s"percentile($c, ${math.min(1.0, q + m)})").as(s"${name}_hi"))
+      val aggs = bracket("l_quantity", 0.5, "p50") ++
+        bracket("l_quantity", 0.95, "p95") ++
+        bracket("l_extendedprice", 0.5, "price_p50") :+ count(lit(1)).as("n_rows")
+      def ok(name: String) =
+        (col(s"${name}_a") >= col(s"${name}_lo") && col(s"${name}_a") <= col(s"${name}_hi"))
+          .as(s"${name}_in_bound")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag"), col("n_rows"),
+          ok("p50"), ok("p95"), ok("price_p50"))
+    }),
 
     // Ranking + offset window functions over a real partition/order.
     "q_window_rank" -> ((s, dir) => {
@@ -461,6 +490,9 @@ object CoreQueries {
         "CAST(round(quantile_cont(l_quantity, 0.95), 6) AS DOUBLE) AS p95, " +
         "CAST(round(quantile_cont(l_extendedprice, 0.5), 6) AS DOUBLE) AS price_p50 " +
         "FROM lineitem GROUP BY 1"),
+    "q_percentiles_approx" ->
+      ("SELECT l_returnflag, count(1) AS n_rows, true AS p50_in_bound, " +
+        "true AS p95_in_bound, true AS price_p50_in_bound FROM lineitem GROUP BY 1"),
     "q_window_rank" ->
       ("SELECT o_custkey, o_orderkey, " +
         "CAST(rank() OVER w AS BIGINT) AS rnk, " +
