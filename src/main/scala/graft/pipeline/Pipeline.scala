@@ -146,9 +146,12 @@ object Pipeline {
               Contract.filterContractErrors(entity,
                 contractErrors.where(col("Entity") === spec.name))
             else entity
-          rejected.write.mode("overwrite")
+          // Row count observed ON the write itself — no second job
+          // re-reading the parquet just to count what was written.
+          val obs = org.apache.spark.sql.Observation()
+          rejected.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
             .parquet(s"${cfg.workingDir}/business_rules/${spec.name}")
-          spark.read.parquet(s"${cfg.workingDir}/business_rules/${spec.name}").count()
+          obs.get("n").asInstanceOf[Long]
         } else 0L
       spec.name -> out
     }.toMap
@@ -159,8 +162,15 @@ object Pipeline {
     * equivalents of the reference's Excel summary sheet,
     * ref: reporting/excel_report.py:24-107).
     */
-  def errorReport(spark: SparkSession, cfg: SubmissionConfig): DataFrame = {
-    val all = ErrorSink.readAllFeedbackErrors(spark, cfg.workingDir)
+  def errorReport(spark: SparkSession, cfg: SubmissionConfig): DataFrame =
+    errorReportFrom(spark, cfg, ErrorSink.readAllFeedbackErrors(spark, cfg.workingDir))
+
+  /** [[errorReport]] over an already-loaded (typically persisted) message
+    * frame, so a caller that needs the frame for statistics too reads the
+    * stage JSONL once, not once per consumer.
+    */
+  def errorReportFrom(spark: SparkSession, cfg: SubmissionConfig,
+                      all: DataFrame): DataFrame = {
     val agg = ErrorSink.aggregateReport(all)
     agg.coalesce(1).write.mode("overwrite")
       .parquet(s"${cfg.workingDir}/error_reports/aggregate")
@@ -210,15 +220,22 @@ object Pipeline {
       val counts = businessRules(spark, cfg)
       audit.foreach(_.markStatus(cfg.submissionId, "error_report"))
       val all = ErrorSink.readAllFeedbackErrors(spark, cfg.workingDir).persist()
-      errorReport(spark, cfg)
+      errorReportFrom(spark, cfg, all)
       audit.foreach { a =>
+        // one aggregation job for all three statistics, not three count()
+        // jobs over the persisted frame (count(when) skips nulls, so an
+        // empty frame yields 0s)
+        val stats = all.agg(
+          count(when(col("FailureType") === "submission"
+            && col("Status") =!= "informational", true)).as("subm"),
+          count(when(col("FailureType") === "record"
+            && col("Status") =!= "informational", true)).as("rec"),
+          count(when(col("Status") === "informational", true)).as("warn")).head()
         a.addStatistics(cfg.submissionId,
           recordCount = counts.values.sum,
-          submissionRejections = all.where(col("FailureType") === "submission"
-            && col("Status") =!= "informational").count(),
-          recordRejections = all.where(col("FailureType") === "record"
-            && col("Status") =!= "informational").count(),
-          warnings = all.where(col("Status") === "informational").count())
+          submissionRejections = stats.getLong(0),
+          recordRejections = stats.getLong(1),
+          warnings = stats.getLong(2))
         a.markStatus(cfg.submissionId, "finished",
           submissionResult = Some(if (validationFailed) "validation_failed" else "success"))
       }
