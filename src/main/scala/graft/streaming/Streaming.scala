@@ -65,27 +65,50 @@ object Streaming {
   def streamingDedupExact(rows: DataFrame, keyCols: String*): DataFrame =
     rows.dropDuplicates(keyCols)
 
-  /** Stateful streaming exact-dedup: only the FIRST row per key passes.
-    * flatMapGroupsWithState holds one boolean per key; with an event-time
-    * watermark upstream the state can be timed out for bounded memory on
-    * unbounded key spaces. Kept as the custom-state pattern (arbitrary
+  /** Stateful streaming exact-dedup with BOUNDED state: the first row per
+    * key within `horizonMs` of its event time passes; duplicates inside the
+    * horizon drop. State is evicted by `EventTimeTimeout` once the
+    * watermark passes firstSeen + horizon, so on an unbounded key space the
+    * store only ever holds keys seen within the horizon, and a duplicate
+    * arriving after the horizon re-emits (the dedup-within-window contract,
+    * same shape as `dropDuplicatesWithinWatermark`). The input MUST carry
+    * `withWatermark(tsCol, ...)` — EventTimeTimeout requires it.
+    *
+    * Timeout only fires for groups with no incoming data, so the data path
+    * also checks expiry (watermark past firstSeen + horizon) — otherwise a
+    * post-horizon duplicate arriving before the timeout invocation would be
+    * wrongly suppressed. Kept as the custom-state pattern (arbitrary
     * per-key logic); for plain dedup use [[streamingDedupExact]].
     */
-  def streamingDedup(rows: DataFrame, keyCol: String): DataFrame = {
+  def streamingDedup(rows: DataFrame, keyCol: String, tsCol: String,
+                     horizonMs: Long): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val encoder = org.apache.spark.sql.Encoders.row(rows.schema)
     val keyIdx = rows.schema.fieldIndex(keyCol)
+    val tsIdx = rows.schema.fieldIndex(tsCol)
     rows
       .groupByKey(r => String.valueOf(r.get(keyIdx)))
-      .flatMapGroupsWithState[Boolean, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, it: Iterator[Row], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            it.take(1) // first occurrence wins; later rows in the same batch drop too
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[Row], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed firstSeen + horizon: evict
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val expired = state.exists && wm > state.get + horizonMs
+            if (state.exists && !expired) Iterator.empty
+            else if (!it.hasNext) Iterator.empty
+            else {
+              val first = it.next() // later rows in the same batch drop too
+              val ts = first.getTimestamp(tsIdx).getTime
+              state.update(ts)
+              // timeout may never be set earlier than the current watermark
+              state.setTimeoutTimestamp(math.max(ts + horizonMs, wm + 1))
+              Iterator.single(first)
+            }
           }
-      }(implicitly[org.apache.spark.sql.Encoder[Boolean]], encoder)
+      }(implicitly[org.apache.spark.sql.Encoder[Long]], encoder)
   }
 }

@@ -44,17 +44,27 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", "b", 1L)))
   }
 
-  test("streamingDedup emits only the first occurrence per key across batches") {
-    val stream = MemoryStream[(Long, String)](spark)
-    val deduped = Streaming.streamingDedup(stream.toDF().toDF("id", "v"), "id")
+  test("streamingDedup dedups within the horizon and re-emits after state eviction") {
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val df = stream.toDF().toDF("ts", "id", "v").withWatermark("ts", "0 seconds")
+    val deduped = Streaming.streamingDedup(df, "id", "ts", horizonMs = 10 * 60 * 1000)
     val q = deduped.writeStream.format("memory").queryName("dedup_out")
       .outputMode(OutputMode.Append()).start()
-    stream.addData((1L, "first"), (1L, "dup-same-batch"), (2L, "two"))
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((t(1), 1L, "first"), (t(1), 1L, "dup-same-batch"), (t(2), 2L, "two"))
     q.processAllAvailable()
-    stream.addData((1L, "dup-next-batch"), (3L, "three"))
+    stream.addData((t(3), 1L, "dup-within-horizon"), (t(5), 3L, "three"))
     q.processAllAvailable()
-    val got = spark.table("dedup_out").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // watermark jumps to 10:40, past every key's firstSeen + 10 min —
+    // their state times out and is dropped (bounded state on unbounded keys)
+    stream.addData((t(40), 9L, "advance"))
+    q.processAllAvailable()
+    // key 1 re-emits: its state was evicted, so this is a fresh first-seen
+    stream.addData((t(41), 1L, "after-horizon"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").collect().map(r => (r.getLong(1), r.getString(2))).toSet
     q.stop()
-    assert(got == Set((1L, "first"), (2L, "two"), (3L, "three")))
+    assert(got == Set((1L, "first"), (2L, "two"), (3L, "three"),
+      (9L, "advance"), (1L, "after-horizon")))
   }
 }
