@@ -138,7 +138,29 @@ object Dedup {
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 192,
                    numBands: Int = 64, threshold: Double = 0.5,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L): DataFrame =
+    minHashDedupImpl(docs, idCol, textCol, shingleSize, numHashes, numBands,
+      threshold, seed)._1
+
+  /** [[minHashDedup]] with cache ownership: runs `use` over the pair frame
+    * and unpersists the shingle cache when it returns. Library callers not
+    * running a per-query `spark.catalog.clearCache()` discipline (as Bench
+    * does) use this form so the persisted intermediate cannot outlive the
+    * computation — `use` must fully consume the frame before returning.
+    */
+  def minHashDedupWith[T](docs: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 3, numHashes: Int = 192,
+                          numBands: Int = 64, threshold: Double = 0.5,
+                          seed: Long = 42L)(use: DataFrame => T): T = {
+    val (result, owned) = minHashDedupImpl(docs, idCol, textCol, shingleSize,
+      numHashes, numBands, threshold, seed)
+    try use(result) finally owned.unpersist(blocking = false)
+  }
+
+  private def minHashDedupImpl(docs: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int, numHashes: Int,
+                               numBands: Int, threshold: Double,
+                               seed: Long): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / numBands
     // persisted: the shingle table feeds candidate generation AND both sides
     // of the verify join — recomputing the shingling per consumer triples
@@ -156,7 +178,7 @@ object Dedup {
     // added a materialization job (the bucket self-join reads the PERSISTED
     // shingle table, so nothing upstream recomputes).
     val candidates = lshCandidates(withSig, idCol, "sig", numBands, rowsPerBand)
-    verifyPairs(candidates, withShingles, idCol, "sh", threshold)
+    (verifyPairs(candidates, withShingles, idCol, "sh", threshold), withShingles)
   }
 
   /** Exact Jaccard-threshold self-join via prefix filtering (PPJoin-style).
@@ -173,7 +195,19 @@ object Dedup {
     * frequency ordering is one narrow token-count aggregation.
     */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
-                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame =
+    prefixFilterJoinImpl(docs, idCol, textCol, shingleSize, threshold)._1
+
+  /** [[prefixFilterJoin]] with cache ownership — see [[minHashDedupWith]]. */
+  def prefixFilterJoinWith[T](docs: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int = 3, threshold: Double = 0.5)
+                             (use: DataFrame => T): T = {
+    val (result, owned) = prefixFilterJoinImpl(docs, idCol, textCol, shingleSize, threshold)
+    try use(result) finally owned.unpersist(blocking = false)
+  }
+
+  private def prefixFilterJoinImpl(docs: DataFrame, idCol: String, textCol: String,
+                                   shingleSize: Int, threshold: Double): (DataFrame, DataFrame) = {
     val withShingles = widen(docs).select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withShingles.count() // materialize before concurrent consumers (see minHashDedup)
@@ -219,8 +253,8 @@ object Dedup {
     // filter leaves only ~5% duplicates (measured at sf0.1), so verifying
     // dups and deduplicating the (tiny) verified output is cheaper than a
     // full-shuffle distinct + persist + count over the candidate set.
-    verifyPairs(candidates, withShingles, idCol, "sh", threshold)
-      .dropDuplicates("a", "b")
+    (verifyPairs(candidates, withShingles, idCol, "sh", threshold)
+      .dropDuplicates("a", "b"), withShingles)
   }
 
   /** Benchmark decontamination: flag documents sharing ANY word n-gram

@@ -36,6 +36,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("bracket forms release the shingle cache once use returns") {
+    spark.catalog.clearCache()
+    val pairs = Dedup.minHashDedupWith(corpus, "doc_id", "text")(
+      _.select("a", "b").as[(Long, Long)].collect().toSet)
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val exact = Dedup.prefixFilterJoinWith(corpus, "doc_id", "text")(
+      _.select("a", "b").as[(Long, Long)].collect().toSet)
+    assert(exact == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("minHashDedup with wide bands matches the exact join output") {
     val out = Dedup.minHashDedup(corpus, "doc_id", "text",
       shingleSize = 3, numHashes = 192, numBands = 64, threshold = 0.5)
