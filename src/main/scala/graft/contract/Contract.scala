@@ -25,8 +25,12 @@ object Contract {
 
   val RecordIndexColumn: String = Messages.RecordIndexColumn
 
+  // `field` is the index-free dotted path (the error-detail override key,
+  // ref: message.py:258 strips int indices); `loc` additionally keeps the
+  // 0-based element index for array-element errors (ref: message.py:272
+  // reports the full pydantic loc tuple, indices included).
   private val errorStruct =
-    "struct<field:string,category:string,message:string,value:string,status:string,failure:string>"
+    "struct<field:string,category:string,message:string,value:string,status:string,failure:string,loc:string>"
 
   /** Stringified interchange form: every leaf cast to string, preserving
     * array/struct shape (ref: backends/utilities.py:84-116 stringify_model,
@@ -280,12 +284,16 @@ object Contract {
     ).flatten
   }
 
-  /** One error struct in the internal `__errors__` element schema. */
+  /** One error struct in the internal `__errors__` element schema; `loc`
+    * defaults to the field path (scalar case — no element index).
+    */
   private def errStruct(label: String, value: Column, category: String, message: Column,
-                        status: String = "error", failure: String = "record"): Column =
+                        status: String = "error", failure: String = "record",
+                        loc: Column = null): Column =
     struct(lit(label).as("field"), lit(category).as("category"),
       message.as("message"), value.cast(StringType).as("value"),
-      lit(status).as("status"), lit(failure).as("failure"))
+      lit(status).as("status"), lit(failure).as("failure"),
+      (if (loc == null) lit(label) else loc).as("loc"))
 
   /** All error structs for one field as an array<struct> Column. */
   private def fieldErrors(f: FieldSpec): Column =
@@ -293,27 +301,39 @@ object Contract {
 
   /** Errors for a field value at a (possibly nested) location: `label` is the
     * dotted path reported as the error's field (matching the reference's
-    * `subfield.id` locations and the error-detail override keys).
+    * `subfield.id` locations and the error-detail override keys); `locAt`
+    * is the INDEXED location (element indices included, like the pydantic
+    * loc tuple the reference reports, ref: message.py:272) — it defaults to
+    * the label when no array is on the path.
     */
-  private def fieldErrorsAt(raw: Column, f: FieldSpec, label: String): Column = {
+  private def fieldErrorsAt(raw: Column, f: FieldSpec, label: String,
+                            locAt: Column = null): Column = {
     val empty = array().cast(s"array<$errorStruct>")
+    val locCol = if (locAt == null) lit(label) else locAt
 
     def mkErr(value: Column, category: String, message: Column,
-              status: String, failure: String): Column =
+              status: String, failure: String, loc: Column = locCol): Column =
       struct(lit(label).as("field"), lit(category).as("category"),
         message.as("message"), value.cast(StringType).as("value"),
-        lit(status).as("status"), lit(failure).as("failure"))
+        lit(status).as("status"), lit(failure).as("failure"), loc.as("loc"))
 
-    def err(value: Column, category: String, message: String): Column =
-      mkErr(value, category, lit(message), "error", "record")
+    def err(value: Column, category: String, message: String,
+            loc: Column = locCol): Column =
+      mkErr(value, category, lit(message), "error", "record", loc)
 
     def warnErr(value: Column, message: Column): Column =
       mkErr(value, "Bad value", message, "informational", "record")
 
+    // indexed element location: <loc>.<i> (0-based, like pydantic)
+    def elemLoc(i: Column): Column = concat(locCol, lit("."), i.cast(StringType))
+
     if (f.isArray && f.fields.isEmpty) {
       // Per-item validation of scalar arrays (ref: models.py:198-209
-      // `each_item` validators): one error struct per failing element.
+      // `each_item` validators): one error struct per failing element,
+      // located at its element index. transform with the index lambda +
+      // null-filter keeps positions (a pre-filter would renumber them).
       val isMissing = raw.isNull || size(raw) === 0
+      val nullErr = lit(null).cast(errorStruct)
       val blank =
         if (f.mandatory) when(isMissing, array(err(raw, "Blank", "cannot be blank"))).otherwise(empty)
         else empty
@@ -321,35 +341,35 @@ object Contract {
         val e = effectiveValue(x, f); e.isNull || trim(e) === ""
       }
       val fmtFails = when(isMissing, empty).otherwise(
-        transform(filter(raw, x => !elemBlank(x) && !formatOk(effectiveValue(x, f), f)),
-          x => err(x, "Wrong format", "has wrong format")))
-      val constraintFails = constraintChecks(element_at(raw, 1), f).indices.map { i =>
+        filter(transform(raw, (x, i) =>
+          when(!elemBlank(x) && !formatOk(effectiveValue(x, f), f),
+            err(x, "Wrong format", "has wrong format", elemLoc(i))).otherwise(nullErr)),
+          e => e.isNotNull))
+      val constraintFails = constraintChecks(element_at(raw, 1), f).indices.map { ci =>
         // rebuild each check against the element lambda variable
         when(isMissing, empty).otherwise(
-          transform(
-            filter(raw, x => {
-              val (cond, _, _) = constraintChecks(effectiveValue(x, f), f)(i)
-              !elemBlank(x) && formatOk(effectiveValue(x, f), f) && cond
-            }),
-            x => {
-              val (_, cat, msg) = constraintChecks(effectiveValue(x, f), f)(i)
-              err(x, cat, msg)
-            }))
+          filter(transform(raw, (x, i) => {
+            val (cond, cat, msg) = constraintChecks(effectiveValue(x, f), f)(ci)
+            when(!elemBlank(x) && formatOk(effectiveValue(x, f), f) && cond,
+              err(x, cat, msg, elemLoc(i))).otherwise(nullErr)
+          }), e => e.isNotNull))
       }
       (Seq(blank, fmtFails) ++ constraintFails).reduce(concat(_, _))
     } else if (f.fields.nonEmpty && f.isArray) {
       // Arrays of nested models: every element is validated against the
       // nested spec, each leaf with its own blank/format/constraint checks
       // (ref: models.py:198-209 — pydantic validates list[Model] items
-      // element-wise), errors reported at the dotted path.
+      // element-wise), errors reported at the dotted path with the element
+      // index (<label>.<i>.<leaf>).
       val isMissing = raw.isNull || size(raw) === 0
       val presence =
         if (f.mandatory) when(isMissing, array(err(raw, "Blank", "cannot be blank"))).otherwise(empty)
         else empty
       val elemErrs = f.fields.map { sub =>
         when(isMissing, empty).otherwise(
-          flatten(transform(raw, x =>
-            fieldErrorsAt(x.getField(sub.name), sub, s"$label.${sub.name}"))))
+          flatten(transform(raw, (x, i) =>
+            fieldErrorsAt(x.getField(sub.name), sub, s"$label.${sub.name}",
+              concat(elemLoc(i), lit("." + sub.name))))))
       }
       (presence +: elemErrs).reduce(concat(_, _))
     } else if (f.fields.nonEmpty) {
@@ -361,7 +381,8 @@ object Contract {
         else empty
       val subErrs = f.fields.map(sub =>
         when(isMissing, empty).otherwise(
-          fieldErrorsAt(raw.getField(sub.name), sub, s"$label.${sub.name}")))
+          fieldErrorsAt(raw.getField(sub.name), sub, s"$label.${sub.name}",
+            concat(locCol, lit("." + sub.name)))))
       (presence +: subErrs).reduce(concat(_, _))
     } else {
       // Field-function failures, routed by each function's error_type
@@ -484,13 +505,16 @@ object Contract {
       failureCol.as("FailureType"),
       statusCol.as("Status"),
       col("e.category").as("ErrorType"),
-      col("e.field").as("ErrorLocation"),
+      // the INDEXED location: element indices included for array-element
+      // errors, like the pydantic loc tuple the reference stringifies
+      // (message.py:272) — e.field keeps the index-free override key
+      col("e.loc").as("ErrorLocation"),
       messageCol.as("ErrorMessage"),
       codeCol.as("ErrorCode"),
-      // the leaf segment of a dotted nested path: the reference reports
-      // loc[-1] as reporting_field (message.py:274) while error_location
-      // keeps the full path — detail reports key on the leaf Data_Item
-      substring_index(col("e.field"), ".", -1).as("ReportingField"),
+      // the last loc segment: the reference reports loc[-1] as
+      // reporting_field (message.py:274) — the leaf field name for nested
+      // paths, the element index for scalar array elements
+      substring_index(col("e.loc"), ".", -1).as("ReportingField"),
       col("__ri__").as("RecordIndex"),
       col("e.value").as("Value"),
       col("e.category").as("Category"))
@@ -514,6 +538,10 @@ object Contract {
       else Nil
 
     val x = col("`__elem__`")
+    // posexplode keeps the 0-based element index so locations stay indexed
+    // (<field>.<i>[.<leaf>]) like the reference's pydantic loc tuples
+    val pos = col("`__pos__`")
+    val elemLoc = concat(lit(f.name + "."), pos.cast(org.apache.spark.sql.types.StringType))
     val elemErrArray =
       if (f.fields.isEmpty) {
         // scalar each_item: mirror the HOF branch element-for-element
@@ -521,20 +549,22 @@ object Contract {
         val elemBlank = e.isNull || trim(e) === ""
         val okFmt = formatOk(e, f)
         val fmt = when(!elemBlank && !okFmt,
-          array(errStruct(f.name, x, "Wrong format", lit("has wrong format")))).otherwise(empty)
+          array(errStruct(f.name, x, "Wrong format", lit("has wrong format"),
+            loc = elemLoc))).otherwise(empty)
         val constraints = constraintChecks(e, f).map { case (cond, cat, msg) =>
           when(!elemBlank && okFmt && cond,
-            array(errStruct(f.name, x, cat, lit(msg)))).otherwise(empty)
+            array(errStruct(f.name, x, cat, lit(msg), loc = elemLoc))).otherwise(empty)
         }
         (fmt +: constraints).reduce(concat(_, _))
       } else {
         // array of nested models: each leaf validated at its dotted path —
         // on the exploded element these are ordinary (non-HOF) expressions
         f.fields.map(sub =>
-          fieldErrorsAt(x.getField(sub.name), sub, s"${f.name}.${sub.name}"))
+          fieldErrorsAt(x.getField(sub.name), sub, s"${f.name}.${sub.name}",
+            concat(elemLoc, lit("." + sub.name))))
           .reduce(concat(_, _))
       }
-    val elems = df.select(baseCols :+ explode(raw).as("__elem__"): _*)
+    val elems = df.select(baseCols ++ Seq(posexplode(raw).as(Seq("__pos__", "__elem__"))): _*)
       .select(explode(elemErrArray).as("e") +: baseNames.map(n => col(s"`$n`")): _*)
     presence :+ elems
   }

@@ -416,14 +416,24 @@ object ContractQueries {
         "CASE WHEN contains(lower(c_mktsegment), 'mobile') THEN NULL ELSE c_mktsegment END AS no_mobile, " +
         "CAST(1 AS BIGINT) AS k " +
         "FROM customer"),
+    // Replicates the Spark side's sort_array element order to pin the
+    // 0-based element INDEX in each location (items.<i>.<leaf>) — struct
+    // sort = (ln, qty) ascending, nulls first, binary string order.
     "q_contract_nested" ->
-      ("SELECT * FROM (" +
-        "SELECT 'items.ln' AS ErrorLocation, 'Blank' AS Category, 'FieldBlank' AS ErrorCode, " +
-        "count(1) AS n FROM lineitem WHERE l_linenumber = 7 " +
-        "UNION ALL SELECT 'items.qty', 'Wrong format', 'WrongFormat', count(1) " +
-        "FROM lineitem WHERE l_discount > 0.08 " +
-        "UNION ALL SELECT 'items.qty', 'Bad value', 'BadValue', count(1) " +
-        "FROM lineitem WHERE l_discount <= 0.08 AND l_quantity > 45) t"),
+      ("WITH its AS (SELECT l_orderkey, " +
+        "CASE WHEN l_linenumber = 7 THEN NULL ELSE CAST(l_linenumber AS VARCHAR) END AS ln, " +
+        "CASE WHEN l_discount > 0.08 THEN 'x' || CAST(l_quantity AS VARCHAR) " +
+        "ELSE CAST(l_quantity AS VARCHAR) END AS qty FROM lineitem), " +
+        "pos AS (SELECT l_orderkey, ln, qty, " +
+        "row_number() OVER (PARTITION BY l_orderkey ORDER BY ln ASC NULLS FIRST, qty ASC NULLS FIRST) - 1 AS p " +
+        "FROM its) " +
+        "SELECT * FROM (" +
+        "SELECT 'items.' || p || '.ln' AS ErrorLocation, 'Blank' AS Category, " +
+        "'FieldBlank' AS ErrorCode, count(1) AS n FROM pos WHERE ln IS NULL GROUP BY 1 " +
+        "UNION ALL SELECT 'items.' || p || '.qty', 'Wrong format', 'WrongFormat', count(1) " +
+        "FROM pos WHERE qty LIKE 'x%' GROUP BY 1 " +
+        "UNION ALL SELECT 'items.' || p || '.qty', 'Bad value', 'BadValue', count(1) " +
+        "FROM pos WHERE qty NOT LIKE 'x%' AND TRY_CAST(qty AS DOUBLE) > 45 GROUP BY 1) t"),
     "q_contract_overrides" ->
       ("SELECT * FROM (" +
         "SELECT 'lineitem' AS Entity, 'qty' AS ErrorLocation, 'QTYRANGE' AS ErrorCode, " +

@@ -167,11 +167,13 @@ class ContractSpec extends SparkSpec {
     val msgs = Contract.validate(df, spec)
     val got = msgs.select("ErrorLocation", "Category").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // locations carry the 0-based element index, like the pydantic loc
+    // tuples the reference reports (message.py:272)
     assert(got == Seq(
-      ("subs", "Blank"),          // row 3: mandatory array absent
-      ("subs.sid", "Blank"),      // row 1 elem 2: mandatory leaf blank
-      ("subs.v", "Bad value"),    // row 2: 99 > 50
-      ("subs.v", "Wrong format")  // row 1 elem 2: not a number
+      ("subs", "Blank"),            // row 3: mandatory array absent
+      ("subs.1.sid", "Blank"),      // row 1 elem [1]: mandatory leaf blank
+      ("subs.0.v", "Bad value"),    // row 2 elem [0]: 99 > 50
+      ("subs.1.v", "Wrong format")  // row 1 elem [1]: not a number
     ).sorted)
     // struct (non-array) nesting validates leaves in place too
     val one = spark.read.json(Seq("""{"inner": {"a": "oops"}}""").toDS())
