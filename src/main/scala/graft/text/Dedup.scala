@@ -60,12 +60,27 @@ object Dedup {
     * single task), while the join streams the same pairs across however
     * many tasks the shuffle gives it.
     */
+  /** Pin a candidate frame's partitioning to the configured shuffle
+    * parallelism on its join keys. AQE sizes post-shuffle partitions by the
+    * join's INPUT bytes, and candidate inputs are byte-small (ids + hashes)
+    * while the join OUTPUT can be quadratically larger on dup-heavy corpora
+    * — the 10x scale probe measured a 2-task straggler stage writing a
+    * coalesced candidate join's entire output. REPARTITION_BY_NUM is exempt
+    * from AQE coalescing, so join parallelism follows the configured
+    * partition count instead of the input size.
+    */
+  private[graft] def pinPartitions(df: DataFrame, keys: Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    df.repartition(n, keys: _*)
+  }
+
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
                     numBands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = docs
-      .select(col(idCol), posexplode(bandColumns(col(sigCol), numBands, rowsPerBand)).as(Seq("band", "band_hash")))
+    val banded = pinPartitions(docs
+      .select(col(idCol), posexplode(bandColumns(col(sigCol), numBands, rowsPerBand)).as(Seq("band", "band_hash"))),
+      col("band"), col("band_hash"))
     // Bucket-size gate as a window count: ONE shuffle on (band, band_hash),
     // after which the rows sit hash-partitioned on exactly the self-join
     // keys — the join reuses that partitioning (sorts only, no further
@@ -223,10 +238,14 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
     val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
-    val prefixes = sorted
+    // partitioning pinned on the join key: the candidate join's output is
+    // quadratic in bucket occupancy while its input is byte-small — see
+    // pinPartitions (AQE would otherwise coalesce the exchange)
+    val prefixes = pinPartitions(sorted
       .select(col(idCol), size(col("sh_sorted")).as("sz"),
         posexplode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("tok")))
-          .as(Seq("pos", "tok")))
+          .as(Seq("pos", "tok"))),
+      col("tok"))
     // Two candidate prunes, both completeness-preserving (PPJoin, Xiao et
     // al. 2008):
     //  - length filter: jaccard >= t implies |I| >= t*|U| >= t*max(|x|,|y|)
@@ -303,14 +322,32 @@ object Dedup {
     * join (two longs per row — no payload concern).
     */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only complete for maxHamming <= 3")
     val withSh = widen(docs).select(col(idCol), simHash(col(textCol)).as("sh"))
       .select(col(idCol), col("sh.hi").as("hi"), col("sh.lo").as("lo"))
-    val keyed = withSh.select(col(idCol), col("hi"), col("lo"),
+    val chunked = pinPartitions(withSh.select(col(idCol), col("hi"), col("lo"),
       posexplode(array(
         shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
-        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L)))).as(Seq("ci", "cv")))
+        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L)))).as(Seq("ci", "cv"))),
+      col("ci"), col("cv"))
+    // Optional skew guard: template-heavy corpora concentrate chunk values
+    // (the 10x scale probe measured one 16-bit chunk bucket holding 21% of
+    // the corpus — 151M candidate pairs). Capping trades the Hamming<=3
+    // completeness GUARANTEE on the capped buckets for bounded work; a pair
+    // dropped here is only lost if the capped chunk was its sole agreeing
+    // chunk. Default keeps exactness (no cap).
+    val keyed =
+      if (maxBucketSize == Int.MaxValue) chunked
+      else {
+        import org.apache.spark.sql.expressions.Window
+        chunked
+          .withColumn("__bucket_n__",
+            count(lit(1)).over(Window.partitionBy(col("ci"), col("cv"))))
+          .where(col("__bucket_n__") <= maxBucketSize)
+          .drop("__bucket_n__")
+      }
     val candidates = keyed.as("x").join(keyed.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
