@@ -244,6 +244,21 @@ object CoreQueries {
           ok("p50"), ok("p95"), ok("price_p50"))
     }),
 
+    // The distinct-count SCALE path: approx_count_distinct's HLL++ sketch
+    // is constant-memory and mergeable (map-side partial aggregation);
+    // exact distinct shuffles every distinct value. Sketches differ per
+    // engine, so the oracle pins the accuracy contract like
+    // q_percentiles_approx: the query emits a bound-check boolean (relative
+    // error within 5 standard deviations at rsd=0.01) plus the exact count.
+    "q_distinct_approx" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")).cast("double") <=
+            greatest(lit(10.0), col("exact_distinct") * 0.05)).as("within_bound"))),
+
     // Ranking + offset window functions over a real partition/order.
     "q_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -510,6 +525,9 @@ object CoreQueries {
     "q_percentiles_approx" ->
       ("SELECT l_returnflag, count(1) AS n_rows, true AS p50_in_bound, " +
         "true AS p95_in_bound, true AS price_p50_in_bound FROM lineitem GROUP BY 1"),
+    "q_distinct_approx" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, " +
+        "true AS within_bound FROM lineitem GROUP BY 1"),
     "q_window_rank" ->
       ("SELECT o_custkey, o_orderkey, " +
         "CAST(rank() OVER w AS BIGINT) AS rnk, " +

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Dedup, TextStats}
+import graft.text.{Dedup, Sampling, TextStats}
 import graft.similarity.Similarity
 import graft.multimodal.Multimodal
 
@@ -88,6 +88,37 @@ object LlmQueries {
     // Corpus vocabulary: top-50 tokens, deterministic tiebreak.
     "q_text_vocab" -> ((s, dir) =>
       TextStats.topTokens(docs(s, dir), "text", 50)),
+
+    // Gopher-style within-doc repetition filters: duplicate n-gram
+    // occurrence fractions.
+    "q_text_repetition" -> ((s, dir) => {
+      val cols = col("doc_id") +:
+        TextStats.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, dir).select(cols: _*)
+    }),
+
+    // Deterministic, reshuffle-stable train/val/test split: assignment is a
+    // pure function of the doc id's polynomial hash — appends never
+    // reassign existing rows, and the oracle replicates the arithmetic.
+    "q_split_hash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), 1000).as("bucket"),
+        Sampling.split(col("doc_id")).as("split"))),
+
+    // Per-language stratified sampling: keep ~50% en, ~25% fr, ~10% rest,
+    // deterministically per doc.
+    "q_sample_stratified" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 500, "fr" -> 250), defaultPerMille = 100).as("keep"))),
+
+    // Near-dup cluster RESOLUTION: exact PPJoin pairs -> connected
+    // components (iterative min-label propagation) -> canonical keeper per
+    // cluster. The oracle recomputes components with a recursive CTE over
+    // the exact all-pairs jaccard graph.
+    "q_dedup_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)),
 
     "q_embed_knn" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -298,6 +329,17 @@ object LlmQueries {
       s"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
       s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
 
+  /** DuckDB replica of [[Sampling.hashBucket]] mod 1000: polynomial
+    * codepoint fold + MINSTD-xorshift-MINSTD finalizer.
+    */
+  private val splitBucketSql: String = {
+    val h = "list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR), '')]), " +
+      "(a, b) -> (a * 31 + b) % 4294967296)"
+    val m1 = s"(($h * 48271) % 2147483647)"
+    s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % 1000)"
+  }
+
   private val multimodalSql: String =
     "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, " +
       "sha256(text) AS content_sha256, " +
@@ -336,6 +378,37 @@ object LlmQueries {
       ("SELECT token, count(1)::BIGINT AS cnt FROM " +
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) t " +
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+    "q_text_repetition" -> {
+      val ws = "regexp_split_to_array(text, '\\s+')"
+      def frac(n: Int): String = {
+        val grams = (1 to n).map(j => s"ws[i${if (j > 1) s" + ${j - 1}" else ""}]")
+          .mkString(" || ' ' || ")
+        s"CASE WHEN len($ws) - ${n - 1} > 0 THEN CAST(round(1.0 - " +
+          s"len(list_distinct([$grams for i in range(1, len(ws) - ${n - 2})]))::DOUBLE / " +
+          s"(len($ws) - ${n - 1})::DOUBLE, 6) AS DOUBLE) ELSE 0.0 END"
+      }
+      "WITH t AS (SELECT doc_id, text, " + ws + " AS ws FROM documents) " +
+        s"SELECT doc_id, ${frac(2)} AS dup_2gram_frac, ${frac(3)} AS dup_3gram_frac FROM t"
+    },
+    "q_split_hash" ->
+      (s"WITH hb AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents) " +
+        "SELECT doc_id, bucket, " +
+        "CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'validation' " +
+        "ELSE 'test' END AS split FROM hb"),
+    "q_sample_stratified" ->
+      (s"WITH hb AS (SELECT doc_id, lang, $splitBucketSql AS bucket FROM documents) " +
+        "SELECT doc_id, lang, bucket < " +
+        "(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 100 END) AS keep FROM hb"),
+    "q_dedup_components" ->
+      (s"WITH RECURSIVE p AS ($shingleCte SELECT a, b FROM (" +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q WHERE jaccard >= 0.5), " +
+        "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
+        "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b) " +
+        "SELECT id AS doc_id, min(lab) AS component, min(lab) = id AS keep " +
+        "FROM reach GROUP BY id"),
     "q_embed_knn" -> knnSql,
     "q_embed_neardup" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
     "q_embed_neardup_exact" ->

@@ -276,6 +276,73 @@ object Dedup {
       .dropDuplicates("a", "b"), withShingles)
   }
 
+  /** Connected components of an undirected pair graph (near-dup pairs →
+    * duplicate CLUSTERS) by iterative min-label propagation: every node
+    * starts labelled with its own id; each round every node takes the min
+    * of its own label and its neighbours' labels; at fixpoint the label is
+    * the component's minimum id. Converges in O(max component diameter)
+    * rounds — near-dup clusters are dense and shallow (a clone cluster has
+    * diameter 1), so rounds stay single-digit at corpus scale. Each round
+    * is one shuffle join + one aggregation over (id, label) pairs only; the
+    * label frame is persisted per round (lineage cut) and the previous
+    * round's cache released. The per-round driver `count` is a convergence
+    * check, not a data path.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String, maxRounds: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(lvl)
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("label").as("nlabel")), "b")
+        .groupBy(col("a")).agg(min(col("nlabel")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("__chg__"))
+        .persist(lvl)
+      changed = next.agg(count(when(col("__chg__"), true))).head().getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next.drop("__chg__")
+      round += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component")
+  }
+
+  /** Near-duplicate cluster resolution: exact PPJoin pairs at `threshold`
+    * → connected components → one canonical keeper per cluster (the
+    * minimum id — swap in a quality argmax upstream if needed). This is
+    * the step that turns pair DETECTION into actual deduplication: emit
+    * every doc with its cluster id and a keep flag.
+    */
+  def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Materialized once: the pair frame fans out to the node extraction and
+    // both directions of the edge symmetrization — without the persist the
+    // whole PPJoin re-runs per consumer (measured 4-5x).
+    val pairs = prefixFilterJoin(docs, idCol, textCol, shingleSize, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    // Propagate labels only over docs that HAVE a near-dup pair: singletons
+    // (the overwhelming majority at corpus scale) are their own component
+    // by construction and join back afterwards — the iterative frames hold
+    // a few percent of the corpus instead of all of it.
+    val pairNodes = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol))).distinct()
+    val comp = connectedComponents(pairNodes, pairs.select("a", "b"), idCol)
+    docs.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** Benchmark decontamination: flag documents sharing ANY word n-gram
     * shingle with a benchmark/evaluation corpus (the standard n-gram-overlap
     * decontamination step of training-data pipelines). Candidate detection

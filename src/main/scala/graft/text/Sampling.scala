@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reshuffle-stable sampling and train/val/test splitting.
+  *
+  * At 100 TB a split must be (a) stable across re-runs, repartitionings,
+  * and incremental appends — the same document always lands in the same
+  * split; (b) derivable per row with no shuffle and no state; and (c)
+  * auditable by an external engine. A seeded `rand()` is none of these
+  * (it is partition-order-dependent), so assignment derives from the
+  * replicable polynomial content hash ([[TextHashExpressions]] — the same
+  * arithmetic the DuckDB oracle reproduces as a codepoint fold).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the polynomial hash of the key's
+    * string form, finalized by the MINSTD → xorshift → MINSTD integer mix
+    * (the same overflow-safe, SQL-replicable rounds [[graft.similarity]]
+    * uses for LSH planes). The raw polynomial hash of short digit strings
+    * is too structured for small-modulus bucketing — sequential ids would
+    * correlate bucket parity with id parity; the mix equidistributes.
+    * Pure per-row codegen — a narrow stage at any scale.
+    */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    val h = TextHashExpressions.fingerprint(key.cast("string"))
+    val m1 = pmod(h * 48271L, lit(2147483647L))
+    val m2 = pmod(m1.bitwiseXOR(shiftright(m1, 15)) * 48271L, lit(2147483647L))
+    pmod(m2, lit(buckets.toLong))
+  }
+
+  /** train/validation/test assignment by per-mille thresholds (defaults
+    * 80/10/10). Assignment is a pure function of the key: appending new
+    * data never reassigns existing rows.
+    */
+  def split(key: Column, trainPerMille: Int = 800, valPerMille: Int = 100): Column = {
+    val b = hashBucket(key, 1000)
+    when(b < trainPerMille, "train")
+      .when(b < trainPerMille + valPerMille, "validation")
+      .otherwise("test")
+  }
+
+  /** Keep-flag for per-stratum sampling rates (per-mille), e.g. language
+    * rebalancing: `Map("en" -> 500, "fr" -> 250)` keeps ~50% of English
+    * and ~25% of French rows, `defaultPerMille` elsewhere. Deterministic
+    * per key — re-runs keep exactly the same rows.
+    */
+  def stratifiedKeep(key: Column, stratum: Column,
+                     ratesPerMille: Map[String, Int],
+                     defaultPerMille: Int): Column = {
+    val b = hashBucket(key, 1000)
+    val rate = ratesPerMille.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMille)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    b < rate
+  }
+}

@@ -77,6 +77,23 @@ object TextStats {
       "quality_score" -> score)
   }
 
+  /** Within-document repetition signals (Gopher-style repetition filters):
+    * the fraction of word n-gram occurrences that are repeats of an earlier
+    * occurrence, for n = 2 and 3. Highly repetitive machine-generated or
+    * boilerplate text scores high; docs with fewer than n+1 tokens score 0.
+    * Pure per-row expressions over the shingle sets — no shuffle.
+    */
+  def repetitionColumns(textCol: Column): Seq[(String, Column)] = {
+    val nTokens = size(tokens(textCol))
+    def dupFrac(n: Int): Column = {
+      val total = (nTokens - (n - 1)).cast("double")
+      // Dedup.shingles returns DISTINCT n-grams (whole text when < n tokens)
+      val distinctN = size(Dedup.shingles(textCol, n)).cast("double")
+      when(total > 0, round(lit(1.0) - distinctN / total, 6)).otherwise(lit(0.0))
+    }
+    Seq("dup_2gram_frac" -> dupFrac(2), "dup_3gram_frac" -> dupFrac(3))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with a
     * deterministic (count desc, token asc) order. One explode + one
     * hash-shuffle on the token; the global top-k is a single-partition sort

@@ -94,6 +94,18 @@ class PlanSpec extends SparkSpec {
     assert(!exchangeLines.exists(_.contains("_vec")), exchangeLines.mkString("\n"))
   }
 
+  test("candidate joins pin their partitioning against AQE input-sized coalescing") {
+    // Candidate-join inputs are byte-small while outputs are quadratic in
+    // bucket occupancy: AQE would coalesce the exchange to a couple of
+    // straggler tasks (measured by the 10x scale probe). The numbered
+    // repartition (REPARTITION_BY_NUM) is exempt from coalescing and must
+    // stay in the plan on the join keys.
+    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash_pairs", "q_embed_neardup")) {
+      val p = plan(q)
+      assert(p.contains("REPARTITION_BY_NUM"), s"$q lost its pinned candidate partitioning:\n$p")
+    }
+  }
+
   test("bucketed co-located join plans with no shuffle on either side") {
     // disable broadcast so the join exercises the bucketed sort-merge path
     // even at sf0.001 table sizes

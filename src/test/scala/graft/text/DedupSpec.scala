@@ -48,6 +48,32 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("connectedComponents resolves pair graphs into min-labelled clusters") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // two components {1,2,4} (via 1-2, 2-4) and {5,6}; 3 and 7 singletons
+    val edges = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, edges, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L).updated(6L, 5L))
+    // a chain needs label propagation across multiple rounds
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
+    val chainNodes = (10L to 14L).toDF("id")
+    val chainOut = Dedup.connectedComponents(chainNodes, chain, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(chainOut.values.toSet == Set(10L))
+  }
+
+  test("nearDupComponents keeps exactly one canonical doc per dup cluster") {
+    val out = Dedup.nearDupComponents(corpus, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    // {1,2,4} cluster (near/exact dups), 3 and 5 singletons
+    assert(byId(1L) == ((1L, true)) && byId(2L) == ((1L, false)) && byId(4L) == ((1L, false)))
+    assert(byId(3L) == ((3L, true)) && byId(5L) == ((5L, true)))
+    assert(out.count(_._3) == 3)
+  }
+
   test("minHashDedup with wide bands matches the exact join output") {
     val out = Dedup.minHashDedup(corpus, "doc_id", "text",
       shingleSize = 3, numHashes = 192, numBands = 64, threshold = 0.5)

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val ids = spark.range(0, 2000).toDF("id")
+
+  test("split is deterministic, reshuffle-stable, and ~80/10/10") {
+    val a = ids.select(col("id"), Sampling.split(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val b = ids.repartition(7).select(col("id"), Sampling.split(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b) // partition-order independent, unlike rand()
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("validation") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+  }
+
+  test("split assignment is append-stable: a subset keeps its labels") {
+    val full = ids.select(col("id"), Sampling.split(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val subset = ids.where(col("id") < 500)
+      .select(col("id"), Sampling.split(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(subset.forall { case (k, v) => full(k) == v })
+  }
+
+  test("stratifiedKeep applies per-stratum rates") {
+    val df = ids.withColumn("lang",
+      when(col("id") % 2 === 0, "en").otherwise("fr"))
+    val kept = df.select(col("lang"),
+        Sampling.stratifiedKeep(col("id"), col("lang"),
+          Map("en" -> 500, "fr" -> 100), defaultPerMille = 0).as("keep"))
+      .groupBy("lang").agg(avg(col("keep").cast("double")).as("rate"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(kept("en") - 0.5) < 0.07)
+    assert(math.abs(kept("fr") - 0.1) < 0.05)
+  }
+
+  test("repetitionColumns flag repetitive docs and ignore short ones") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),     // one distinct 2-gram
+      (2L, "a perfectly normal sentence with no repeats at all"),
+      (3L, "one")                                 // too short for 2-grams
+    ).toDF("doc_id", "text")
+    val cols = col("doc_id") +: TextStats.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+    val out = docs.select(cols: _*).as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0.8, 0.75)) // 5 bigram slots, 1 distinct; 4 trigram slots, 1 distinct
+    assert(out(2L) == (0.0, 0.0))
+    assert(out(3L) == (0.0, 0.0))
+  }
+}
