@@ -204,6 +204,24 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))),
 
+    // As-of join (union-sort-carry — Spark has no ASOF operator): each
+    // purchase event gets the user's most recent view at-or-before it.
+    // Oracle: DuckDB's native ASOF JOIN — an independent implementation of
+    // the same semantics.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = loadEvents(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.rules.AsofJoin.asofJoin(purchases, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "value"), rightTieBreak = "event_id",
+        payloadPrefix = "view_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_event_id"), round(col("view_value"), 6).as("view_value"))
+    }),
+
     // Grouped EXACT percentiles (continuous interpolation — the sort-based
     // aggregate). Small-scale-oracle-only: the exact aggregate buffers every
     // group value, so a 100x-scale group OOMs a task — the registered scale
@@ -528,6 +546,12 @@ object CoreQueries {
     "q_distinct_approx" ->
       ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, " +
         "true AS within_bound FROM lineitem GROUP BY 1"),
+    "q_asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') " +
+        "SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id, " +
+        "CAST(round(v.value, 6) AS DOUBLE) AS view_value " +
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
     "q_window_rank" ->
       ("SELECT o_custkey, o_orderkey, " +
         "CAST(rank() OVER w AS BIGINT) AS rnk, " +
