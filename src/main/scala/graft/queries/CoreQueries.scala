@@ -222,6 +222,23 @@ object CoreQueries {
           col("view_event_id"), round(col("view_value"), 6).as("view_value"))
     }),
 
+    // Range (interval) join via time-bucket equi-join — every error event
+    // inside the hour after each signup, per user. A raw BETWEEN predicate
+    // would plan as a per-key nested loop; the bucketing keeps it an
+    // equi-join. Oracle: DuckDB's plain inequality join (exact semantics).
+    "q_range_join" -> ((s, dir) => {
+      val ev = loadEvents(s, dir)
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("err_ts"))
+      graft.rules.RangeJoin.rangeJoin(signups, errors, Seq("user_id"),
+          "start_ts", "end_ts", "err_ts", grainSeconds = 3600)
+        .select("signup_id", "error_id", "user_id", "start_ts", "err_ts")
+    }),
+
     // Grouped EXACT percentiles (continuous interpolation — the sort-based
     // aggregate). Small-scale-oracle-only: the exact aggregate buffers every
     // group value, so a 100x-scale group OOMs a task — the registered scale
@@ -546,6 +563,12 @@ object CoreQueries {
     "q_distinct_approx" ->
       ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, " +
         "true AS within_bound FROM lineitem GROUP BY 1"),
+    "q_range_join" ->
+      ("WITH s AS (SELECT event_id AS signup_id, user_id, ts AS start_ts, " +
+        "ts + INTERVAL 1 HOUR AS end_ts FROM events WHERE event_type = 'signup'), " +
+        "e AS (SELECT event_id AS error_id, user_id, ts AS err_ts FROM events WHERE event_type = 'error') " +
+        "SELECT signup_id, error_id, s.user_id, start_ts, err_ts " +
+        "FROM s JOIN e ON s.user_id = e.user_id AND err_ts >= start_ts AND err_ts <= end_ts"),
     "q_asof_join" ->
       ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
         "v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') " +

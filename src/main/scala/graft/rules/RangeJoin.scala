@@ -1,0 +1,39 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: pair each right POINT with every left INTERVAL
+  * that contains it, per key — "events inside each session window",
+  * "readings during each maintenance period".
+  *
+  * Spark plans a raw `l.start <= r.ts AND r.ts <= l.end` predicate as a
+  * broadcast-nested-loop or cartesian theta join — |L|x|R| comparisons per
+  * key. This implementation buckets time at a caller-chosen grain instead:
+  * each interval explodes into the (few) grain buckets it covers, each
+  * point maps to its single bucket, and the join is an EQUI-join on
+  * (key, bucket) followed by the exact containment filter — shuffle-
+  * partitioned, skew-bounded by bucket occupancy, no quadratic blow-up.
+  * An interval spanning k buckets meets a matching point exactly once
+  * (the point lives in one bucket), so no dedup pass is needed.
+  *
+  * `grainSeconds` tunes bucket fan-out: pick it near the typical interval
+  * length so intervals explode into O(1) buckets (fan-out =
+  * len/grain + 1) while buckets stay small.
+  */
+object RangeJoin {
+
+  def rangeJoin(intervals: DataFrame, points: DataFrame, keyCols: Seq[String],
+                startCol: String, endCol: String, tsCol: String,
+                grainSeconds: Long): DataFrame = {
+    require(grainSeconds > 0, "grainSeconds must be positive")
+    def bucketOf(c: Column): Column = floor(unix_timestamp(c) / grainSeconds)
+    val lBucketed = intervals.withColumn("__bucket__",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val rBucketed = points.withColumn("__bucket__", bucketOf(col(tsCol)))
+    val joinKeys = keyCols :+ "__bucket__"
+    lBucketed.join(rBucketed, joinKeys,  "inner")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket__")
+  }
+}
