@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.similarity.{DoubleDotProductExpr, LshCodeExpr}
+import graft.text.{MinHashSignatureExpr, PolyHashExpr, ShinglesExpr, SimHashExpr}
+
+/** `SparkSessionExtensions` wiring: exposes the engine's native Catalyst
+  * expressions as SQL functions, so `spark.sql` users (and SQL-only
+  * surfaces like Thrift/Connect) reach the same codegen'd hot paths as the
+  * Column API — no UDF lane anywhere. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` (cluster config) or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Geometry arguments (shingle size, hash counts, planes) must be integer
+  * literals: they parameterize codegen and the memoized constant tables,
+  * exactly like the Column API's Int parameters.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  private def fd(name: String, usage: String)(builder: Seq[Expression] => Expression)
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      args => builder(args))
+
+  /** The injected function set (also reusable by tests). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fd("graft_fingerprint", "polynomial rolling hash of a string") { args =>
+      arity("graft_fingerprint", args, 1); PolyHashExpr(args.head)
+    },
+    fd("graft_simhash", "64-bit SimHash as struct(hi, lo)") { args =>
+      arity("graft_simhash", args, 1); SimHashExpr(args.head)
+    },
+    fd("graft_shingles", "distinct word n-gram shingles") { args =>
+      arity("graft_shingles", args, 2)
+      ShinglesExpr(args.head, intLit(args(1), "graft_shingles", 2))
+    },
+    fd("graft_minhash", "MinHash signature of a shingle array") { args =>
+      arity("graft_minhash", args, 3)
+      MinHashSignatureExpr(args.head, intLit(args(1), "graft_minhash", 2),
+        intLit(args(2), "graft_minhash", 3).toLong)
+    },
+    fd("graft_lsh_code", "sign-LSH bucket code of an embedding") { args =>
+      arity("graft_lsh_code", args, 2)
+      LshCodeExpr(args.head, intLit(args(1), "graft_lsh_code", 2))
+    },
+    fd("graft_dot", "double-precision dot product of two numeric arrays") { args =>
+      arity("graft_dot", args, 2); DoubleDotProductExpr(args.head, args(1))
+    })
+
+  /** Register the same function set on an already-built session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.ExpressionBridge.registerFunction(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], id, info, builder)
+    }
+}

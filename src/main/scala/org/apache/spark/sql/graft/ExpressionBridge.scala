@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native-expression SQL function on an EXISTING session
+    * (`sessionState.functionRegistry` is private[sql]); the
+    * `spark.sql.extensions` config path covers sessions built with
+    * [[graft.GraftExtensions]] from the start.
+    */
+  def registerFunction(spark: org.apache.spark.sql.classic.SparkSession,
+                       id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
 }
