@@ -89,6 +89,11 @@ object LlmQueries {
     "q_text_vocab" -> ((s, dir) =>
       TextStats.topTokens(docs(s, dir), "text", 50)),
 
+    // Top-3 characteristic terms per doc by tf-idf (rational smoothed idf —
+    // cross-engine bit-exact, see TextStats.tfidfTopTerms).
+    "q_text_tfidf" -> ((s, dir) =>
+      TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3)),
+
     // Gopher-style within-doc repetition filters: duplicate n-gram
     // occurrence fractions.
     "q_text_repetition" -> ((s, dir) => {
@@ -378,6 +383,17 @@ object LlmQueries {
       ("SELECT token, count(1)::BIGINT AS cnt FROM " +
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) t " +
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+    "q_text_tfidf" ->
+      ("WITH tc AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(1)::BIGINT AS tf FROM tc GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(1)::DOUBLE AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT count(1)::DOUBLE AS n FROM documents), " +
+        "scored AS (SELECT doc_id, tf.term, " +
+        "CAST(round(tf * ((n + 1) / (df + 1)), 6) AS DOUBLE) AS tfidf " +
+        "FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn), " +
+        "r AS (SELECT doc_id, term, tfidf, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM scored) " +
+        "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf FROM r WHERE rank <= 3"),
     "q_text_repetition" -> {
       val ws = "regexp_split_to_array(text, '\\s+')"
       def frac(n: Int): String = {

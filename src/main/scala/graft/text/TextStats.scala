@@ -105,6 +105,34 @@ object TextStats {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Top-`k` characteristic terms per document by tf-idf. The idf is the
+    * smoothed RATIONAL form (N+1)/(df+1) rather than its logarithm: ranking
+    * is order-equivalent per document (log is monotone), and the rational
+    * stays bit-exact across engines (IEEE division is fully specified,
+    * `ln` differs in the last ulp between libms), so the oracle can
+    * hash-match the scores. Shuffle shape: explode → (doc, term) count →
+    * term-df join → per-doc top-k window; every stage keys on doc or term,
+    * no all-pairs anywhere.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val termCounts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    termCounts.join(docFreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"), col("tfidf"))
+  }
+
   /** 32-bit polynomial rolling-hash fingerprint of the whole text
     * (h = h*31 + codepoint mod 2^32, seed 17) — deterministic, ANSI-SQL
     * replicable, order-sensitive (unlike a bag-of-words hash). Computed by

