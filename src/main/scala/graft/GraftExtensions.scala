@@ -24,11 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
-    case Literal(v: Int, _)  => v
-    case Literal(v: Long, _) => v.toInt
+  private def longLit(e: Expression, fn: String, pos: Int): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  private def intLit(e: Expression, fn: String, pos: Int): Int = {
+    val v = longLit(e, fn, pos)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$fn: argument $pos out of int range: $v")
+    v.toInt
   }
 
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
@@ -36,7 +43,8 @@ object GraftExtensions {
 
   private def fd(name: String, usage: String)(builder: Seq[Expression] => Expression)
     : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo(classOf[GraftExtensions].getName, name),
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
       args => builder(args))
 
   /** The injected function set (also reusable by tests). */
@@ -53,8 +61,10 @@ object GraftExtensions {
     },
     fd("graft_minhash", "MinHash signature of a shingle array") { args =>
       arity("graft_minhash", args, 3)
+      // seed is a LONG: longLit, not an int truncation (a >2^31 seed would
+      // silently produce different signatures than the Column API)
       MinHashSignatureExpr(args.head, intLit(args(1), "graft_minhash", 2),
-        intLit(args(2), "graft_minhash", 3).toLong)
+        longLit(args(2), "graft_minhash", 3))
     },
     fd("graft_lsh_code", "sign-LSH bucket code of an embedding") { args =>
       arity("graft_lsh_code", args, 2)

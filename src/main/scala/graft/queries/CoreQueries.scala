@@ -251,14 +251,16 @@ object CoreQueries {
           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))),
 
-    // The percentile SCALE path: approx_percentile's KLL-style sketch is
-    // bounded-memory per group (mergeable partial aggregation), so it
-    // survives groups of any size. Sketches differ per engine, so the
-    // honest cross-engine oracle is the GUARANTEE, not the value: the
-    // returned element's rank is within N/accuracy of the target rank,
-    // hence the value must lie inside the exact-percentile bracket at
-    // q +- margin (margin = 2/accuracy > 1/accuracy for slack). The query
-    // emits the bound checks; DuckDB asserts them true.
+    // The percentile SCALE path OPERATOR is approx_percentile: a KLL-style
+    // bounded-memory mergeable sketch that survives groups of any size.
+    // Sketches differ per engine, so the honest cross-engine oracle is the
+    // GUARANTEE, not the value: the returned element's rank is within
+    // N/accuracy of the target rank, hence the value must lie inside the
+    // exact-percentile bracket at q +- margin (margin = 2/accuracy for
+    // slack). NOTE the exact `percentile` brackets below are ORACLE
+    // HARNESS, valid at oracle scale only — a production 100 TB caller
+    // runs approx_percentile alone; this query exists to pin its accuracy
+    // contract, and DuckDB asserts the emitted bound checks true.
     "q_percentiles_approx" -> ((s, dir) => {
       val acc = 1000
       val m = 2.0 / acc

@@ -49,8 +49,14 @@ object AsofJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts__"), col("__side__"), col("__r__").getField(rightTieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // SQL equi-join semantics: a NULL key matches nothing. Window
+    // partitioning groups nulls together, so the carry must be masked —
+    // the left row still appears (left-join shape) with a null payload,
+    // matching DuckDB's ASOF JOIN ON l.k = r.k.
+    val keysNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
     lFull.unionByName(rFull.select(lFull.columns.map(col): _*))
-      .withColumn("__carry__", last(col("__r__"), ignoreNulls = true).over(w))
+      .withColumn("__carry__",
+        when(keysNonNull, last(col("__r__"), ignoreNulls = true).over(w)))
       .where(col("__side__") === 1)
       .select(leftCols.map(col) ++
         rightPayload.map(c => col("__carry__").getField(c).as(s"$payloadPrefix$c")): _*)

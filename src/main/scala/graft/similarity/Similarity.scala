@@ -146,16 +146,13 @@ object Similarity {
         // vectors join back for the verify below, so the bucket self-join
         // and the dedup never move embedding payloads (at corpus scale the
         // candidate shuffle would otherwise carry 2 vectors per pair).
-        // partitioning pinned on the join key: candidate-join output is
-        // quadratic in bucket occupancy while its input is byte-small, so
-        // AQE's input-sized coalescing would collapse the join onto a few
-        // straggler tasks (measured by the 10x scale probe); the explicit
-        // numbered repartition is exempt from coalescing
-        val n = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-        val coded = corpus
+        // partitioning pinned on the join key (one shared helper — see
+        // Dedup.pinPartitions for why AQE's input-sized coalescing is wrong
+        // for candidate joins)
+        val coded = graft.text.Dedup.pinPartitions(corpus
           .select(col(idCol), lshCode(col(vecCol), numPlanes).as("__code__"))
-          .select(col(idCol), explode(probeCodes(col("__code__"), numPlanes)).as("bucket"))
-          .repartition(n, col("bucket"))
+          .select(col(idCol), explode(probeCodes(col("__code__"), numPlanes)).as("bucket")),
+          col("bucket"))
         val x = coded.select(col(idCol).as("a"), col("bucket"))
         val y = coded.select(col(idCol).as("b"), col("bucket"))
         val cand = x.join(y, Seq("bucket")).where(col("a") < col("b"))

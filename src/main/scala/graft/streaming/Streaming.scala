@@ -102,7 +102,14 @@ object Streaming {
             else if (!it.hasNext) Iterator.empty
             else {
               val first = it.next() // later rows in the same batch drop too
-              val ts = first.getTimestamp(tsIdx).getTime
+              // null event time (dirty input rows reach the state function
+              // unfiltered): such a row has no position in event time, so
+              // anchor its horizon at processing time — bounded state when
+              // the watermark tracks wall clock, and no NPE killing the
+              // whole streaming query (callers replaying old event times
+              // should filter null-ts rows upstream)
+              val tsVal = first.getTimestamp(tsIdx)
+              val ts = if (tsVal == null) state.getCurrentProcessingTimeMs() else tsVal.getTime
               state.update(ts)
               // timeout may never be set earlier than the current watermark
               state.setTimeoutTimestamp(math.max(ts + horizonMs, wm + 1))

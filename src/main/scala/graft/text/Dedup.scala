@@ -294,8 +294,12 @@ object Dedup {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(lvl)
-    var labels = nodes.select(col(idCol).as("id")).distinct()
+    // `persisted` is always the HANDLE that was persisted — unpersisting a
+    // derived frame (e.g. a drop() projection) is a silent no-op because
+    // the cached plan no longer sameResult's it, and every round would leak
+    var persisted = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
+    var labels = persisted
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -309,11 +313,14 @@ object Dedup {
           (coalesce(col("nmin"), col("label")) < col("label")).as("__chg__"))
         .persist(lvl)
       changed = next.agg(count(when(col("__chg__"), true))).head().getLong(0)
-      labels.unpersist(blocking = false)
+      persisted.unpersist(blocking = false)
+      persisted = next
       labels = next.drop("__chg__")
       round += 1
     }
     sym.unpersist(blocking = false)
+    // the final round's cache stays: the returned frame reads it (callers
+    // release it via the session's cache discipline once consumed)
     labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component")
   }
 
@@ -328,9 +335,12 @@ object Dedup {
     // Materialized once: the pair frame fans out to the node extraction and
     // both directions of the edge symmetrization — without the persist the
     // whole PPJoin re-runs per consumer (measured 4-5x).
-    val pairs = prefixFilterJoin(docs, idCol, textCol, shingleSize, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (rawPairs, shingleCache) =
+      prefixFilterJoinImpl(docs, idCol, textCol, shingleSize, threshold)
+    val pairs = rawPairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
+    // the PPJoin's shingle cache served its purpose materializing `pairs`
+    shingleCache.unpersist(blocking = false)
     // Propagate labels only over docs that HAVE a near-dup pair: singletons
     // (the overwhelming majority at corpus scale) are their own component
     // by construction and join back afterwards — the iterative frames hold
@@ -338,6 +348,10 @@ object Dedup {
     val pairNodes = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
     val comp = connectedComponents(pairNodes, pairs.select("a", "b"), idCol)
+    // the component labels are materialized (every round ends in an action),
+    // so the pair cache can go too; only the final label cache remains with
+    // the returned frame
+    pairs.unpersist(blocking = false)
     docs.select(col(idCol)).join(comp, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("keep", col(idCol) === col("component"))

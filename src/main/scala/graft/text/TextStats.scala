@@ -117,17 +117,19 @@ object TextStats {
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
     val termCounts = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val docFreq = termCounts.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // corpus size N computed IN-plan (broadcast 1-row cross join), not via
+    // an eager driver count() job that would re-scan docs per invocation
+    val nDocs = broadcast(docs.select(col(idCol)).agg(count(lit(1)).as("__n__")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
-    termCounts.join(docFreq, "term")
+    termCounts.join(docFreq, "term").crossJoin(nDocs)
       .withColumn("tfidf",
-        round(col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))), 6))
+        round(col("tf") * ((col("__n__") + lit(1.0)) / (col("df") + lit(1.0))), 6))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)
       .select(col(idCol), col("term"), col("rank"), col("tfidf"))

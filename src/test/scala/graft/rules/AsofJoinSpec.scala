@@ -45,6 +45,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == ((Some(21L), None))) // row 21's null px, NOT row 20's 5.0
   }
 
+  test("null join keys match nothing (SQL equi-join semantics)") {
+    val left = Seq(
+      (1L, Option("A"), ts("2024-01-01 12:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 12:00:00"))
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (40L, Option("A"), ts("2024-01-01 10:00:00"), 1.0),
+      (41L, Option.empty[String], ts("2024-01-01 10:00:00"), 2.0)
+    ).toDF("rid", "k", "t", "px")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        rightPayload = Seq("rid"), rightTieBreak = "rid")
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(40L))
+    assert(out(2L).isEmpty) // null key left row appears, but carries nothing
+  }
+
   test("equal right timestamps resolve to the greatest tiebreak deterministically") {
     val left = Seq((1L, "A", ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
     val right = Seq(

@@ -67,4 +67,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "first"), (2L, "two"), (3L, "three"),
       (9L, "advance"), (1L, "after-horizon")))
   }
+
+  test("streamingDedup survives rows with a null event time") {
+    val stream = MemoryStream[(Option[java.sql.Timestamp], Long, String)](spark)
+    val df = stream.toDF().toDF("ts", "id", "v").withWatermark("ts", "0 seconds")
+    val deduped = Streaming.streamingDedup(df, "id", "ts", horizonMs = 10 * 60 * 1000)
+    val q = deduped.writeStream.format("memory").queryName("dedup_nullts")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((None, 7L, "null-ts-first"), (Some(t(1)), 8L, "timed"))
+    q.processAllAvailable()
+    stream.addData((None, 7L, "null-ts-dup"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_nullts").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    q.stop()
+    assert(got == Set((7L, "null-ts-first"), (8L, "timed"))) // no NPE, deduped
+  }
 }
