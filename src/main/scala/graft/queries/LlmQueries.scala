@@ -117,6 +117,18 @@ object LlmQueries {
         Sampling.stratifiedKeep(col("doc_id"), col("lang"),
           Map("en" -> 500, "fr" -> 250), defaultPerMille = 100).as("keep"))),
 
+    // PII detect/mask signals over docs with injected synthetic PII (the
+    // corpus itself is clean, so the fixture appends a deterministic email
+    // + long reference number per doc).
+    "q_text_pii" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com ref 90000000"), col("doc_id")).as("text"))
+      val cols = col("doc_id") +:
+        TextStats.piiColumns(col("text")).map { case (n, c) => c.as(n) }
+      withPii.select(cols: _*)
+    }),
+
     // Near-dup cluster RESOLUTION: exact PPJoin pairs -> connected
     // components (iterative min-label propagation) -> canonical keeper per
     // cluster. The oracle recomputes components with a recursive CTE over
@@ -124,6 +136,11 @@ object LlmQueries {
     "q_dedup_components" -> ((s, dir) =>
       Dedup.nearDupComponents(docs(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)),
+
+    // Quality-aware keeper: the best-scored copy survives each dup cluster.
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.nearDupKeepBest(docs(s, dir), "doc_id", "text",
+        TextStats.qualityColumns(col("text")).toMap.apply("quality_score"))),
 
     "q_embed_knn" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -425,6 +442,38 @@ object LlmQueries {
         "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b) " +
         "SELECT id AS doc_id, min(lab) AS component, min(lab) = id AS keep " +
         "FROM reach GROUP BY id"),
+    "q_dedup_keep_best" -> {
+      val ws = "regexp_split_to_array(text, '\\s+')"
+      val quality =
+        "CAST(round((len(list_distinct(" + ws + "))::DOUBLE / len(" + ws + ")::DOUBLE " +
+          " + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1)::DOUBLE " +
+          s" + (CASE WHEN len($ws) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) " +
+          s" + (CASE WHEN list_sum(list_transform($ws, w -> length(w)))::DOUBLE / len($ws)::DOUBLE BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)" +
+          ") / 4, 6) AS DOUBLE)"
+      s"WITH RECURSIVE p AS ($shingleCte SELECT a, b FROM (" +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q WHERE jaccard >= 0.5), " +
+        "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
+        "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b), " +
+        "comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id), " +
+        s"sc AS (SELECT doc_id, $quality AS score FROM documents), " +
+        "r AS (SELECT comp.doc_id, component, " +
+        "row_number() OVER (PARTITION BY component ORDER BY score DESC, comp.doc_id) AS rn " +
+        "FROM comp JOIN sc ON comp.doc_id = sc.doc_id) " +
+        "SELECT doc_id, component, rn = 1 AS keep FROM r"
+    },
+    "q_text_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val num = "[0-9]{9,}"
+      "WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com ref 90000000' || doc_id AS text FROM documents) " +
+        s"SELECT doc_id, len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails, " +
+        s"len(regexp_extract_all(text, '$num'))::BIGINT AS n_long_numbers, " +
+        s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
+        s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
+    },
     "q_embed_knn" -> knnSql,
     "q_embed_neardup" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
     "q_embed_neardup_exact" ->

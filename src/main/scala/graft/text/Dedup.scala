@@ -357,6 +357,26 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("component"))
   }
 
+  /** [[nearDupComponents]] with a QUALITY-aware keeper: within each dup
+    * cluster the row maximizing `scoreCol` survives (min id tiebreak) —
+    * "keep the best-written copy", the usual policy when near-dups differ
+    * in truncation or boilerplate. One extra per-component window over the
+    * component frame; everything stays keyed on component.
+    */
+  def nearDupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                      scoreCol: Column,
+                      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = nearDupComponents(docs, idCol, textCol, shingleSize, threshold)
+      .select(col(idCol), col("component"))
+    val scored = docs.select(col(idCol), scoreCol.as("__score__")).join(comp, idCol)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__score__").desc, col(idCol))
+    scored
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("component"), col("keep"))
+  }
+
   /** Benchmark decontamination: flag documents sharing ANY word n-gram
     * shingle with a benchmark/evaluation corpus (the standard n-gram-overlap
     * decontamination step of training-data pipelines). Candidate detection

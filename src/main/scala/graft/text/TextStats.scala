@@ -105,6 +105,25 @@ object TextStats {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** PII detection/masking signals (the scrub step of a training-data
+    * pipeline): email and long-digit-run detection with a masked text
+    * variant. Regexes stay in the RE2/Java common subset so an external
+    * engine can replicate them; masking is two codegen'd regexp_replace
+    * passes, no UDF. This is a heuristic surface — a production scrubber
+    * extends the pattern table, not the mechanism.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{9,}"
+  def piiColumns(textCol: Column): Seq[(String, Column)] = {
+    val masked = regexp_replace(
+      regexp_replace(textCol, EmailPattern, "[EMAIL]"),
+      LongNumberPattern, "[NUMBER]")
+    Seq(
+      "n_emails" -> regexp_count(textCol, lit(EmailPattern)).cast("bigint"),
+      "n_long_numbers" -> regexp_count(textCol, lit(LongNumberPattern)).cast("bigint"),
+      "masked_sha256" -> sha2(masked.cast("binary"), 256))
+  }
+
   /** Top-`k` characteristic terms per document by tf-idf. The idf is the
     * smoothed RATIONAL form (N+1)/(df+1) rather than its logarithm: ranking
     * is order-equivalent per document (log is monotone), and the rational

@@ -61,6 +61,37 @@ class SamplingSpec extends SparkSpec {
     assert(scores("zebra") == 2.0)  // tf 1 * (3+1)/(1+1)
   }
 
+  test("piiColumns detect and mask emails and long digit runs") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@mail.example.org or on 0123456789 thanks"),
+      (2L, "no pii here, just 1234 short digits")).toDF("doc_id", "text")
+    val cols = col("doc_id") +: TextStats.piiColumns(col("text")).map { case (n, c) => c.as(n) }
+    val out = docs.select(cols: _*).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L)
+    assert(out(2L)._1 == 0L && out(2L)._2 == 0L)
+    // masked hash of doc 1 equals the hash of the hand-masked text
+    val expected = docs.sparkSession.range(1).select(
+      sha2(lit("reach me at [EMAIL] or on [NUMBER] thanks").cast("binary"), 256)).head().getString(0)
+    assert(out(1L)._3 == expected)
+  }
+
+  test("nearDupKeepBest keeps the highest-quality copy per cluster") {
+    val corpus = Seq(
+      // cluster {1, 2}: same content, doc 2 has garbage appended digits
+      // that lower its alpha ratio -> doc 1 must win despite higher id order
+      (2L, "the quick brown fox jumps over the lazy dog tonight 0x#!%"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight indeed"),
+      (3L, "completely different text about nothing in particular today")
+    ).toDF("doc_id", "text")
+    val q = TextStats.qualityColumns(col("text")).toMap.apply("quality_score")
+    val out = Dedup.nearDupKeepBest(corpus, "doc_id", "text", q, 3, 0.5)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == out(2L)._1)          // same cluster
+    assert(out(1L)._2 && !out(2L)._2)         // quality argmax wins
+    assert(out(3L)._2)                         // singleton keeps itself
+  }
+
   test("repetitionColumns flag repetitive docs and ignore short ones") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),     // one distinct 2-gram
