@@ -145,6 +145,17 @@ object ScaleProbe {
     spark.catalog.clearCache()
     line("")
 
+    // ---- near-dup cluster resolution --------------------------------------
+    val (ccDropped, ccSec) = timed(
+      graft.text.Dedup.nearDupComponents(docs, "doc_id", "text", 3, 0.5)
+        .where(col("keep") === false).count())
+    line("## Near-dup cluster resolution (components + keeper)")
+    line("")
+    line(f"- nearDupComponents: $ccDropped non-keeper docs in $ccSec%.1f s " +
+      "(PPJoin pairs + iterative min-label propagation over pair-graph nodes only)")
+    spark.catalog.clearCache()
+    line("")
+
     // ---- exact dedup ------------------------------------------------------
     val (exGroups, exSec) = timed(Dedup.exactDedup(docs, "doc_id", "text").count())
     line("## Exact dedup (sha-256 group-by)")
