@@ -31,23 +31,34 @@ object Bench {
     // success-looking zero-total line.
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[bench] SPARK_GRAFT_ONLY name matches no query: '$n'")))
+    // Median-of-N timing (default 3): this sandbox's shared-CPU swings are
+    // 3-5x on single shots (r6's q_dedup_ngram line doubled with an
+    // unchanged plan), so one sample cannot distinguish noise from
+    // regression; the median of 3 is robust to one bad draw.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      } finally {
-        // Cache hygiene: queries persist intermediates (shingle tables,
-        // record-indexed frames) whose lifetime must not outlive the query
-        // in a 58-query single-JVM run — leaked blocks poisoned every later
-        // timing in r3.
-        spark.catalog.clearCache()
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rep = 0
+      while (rep < reps && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          samples += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        } finally {
+          // Cache hygiene: queries persist intermediates (shingle tables,
+          // record-indexed frames) whose lifetime must not outlive the query
+          // in a 90-query single-JVM run — leaked blocks poisoned every
+          // later timing in r3.
+          spark.catalog.clearCache()
+        }
+        rep += 1
       }
+      if (samples.nonEmpty) timings(name) = samples.sorted.apply(samples.size / 2)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

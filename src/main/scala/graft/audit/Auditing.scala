@@ -102,6 +102,92 @@ object Auditing {
     val df = spark.read.parquet(path)
     latestRecords(df, keyCols.map(col), Seq(col("updated_at")))
   }
+
+  // ------------------------------------------- object-store commit protocol
+
+  /** Append protocol for stores WITHOUT atomic rename (S3-like): the rename
+    * protocol above is correct on HDFS-semantics filesystems, where a rename
+    * either happens or doesn't; on an object store a "rename" is copy+delete
+    * and a reader can observe the half-copied object. Here visibility is
+    * decoupled from data movement, the same role Delta's commit log plays in
+    * the reference (ref: spark_helpers.py:459-486 — Delta commit wrapped in
+    * a conflict-retry loop):
+    *
+    *   1. data files land at their FINAL unique `<writeId>-` names (each
+    *      object PUT is atomic; half-written uploads never become visible
+    *      objects on real stores);
+    *   2. ONE zero-byte marker object `_commits/<writeId>` is then created
+    *      with create(overwrite = false) — a conditional put. The marker is
+    *      the commit point: [[readCommitted]] ignores every data file whose
+    *      writeId has no marker.
+    *
+    * A failure anywhere before the marker leaves only invisible garbage
+    * (re-append with a fresh writeId; a TTL sweep can delete markerless
+    * files), so no rollback path exists to get half-applied — the weakness
+    * of mutate-in-place protocols on eventually-consistent stores.
+    */
+  def appendAuditCommitted(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val table = new org.apache.hadoop.fs.Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writeId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(table, s".staging-$writeId")
+    df.withColumn("date_updated", to_date(col("updated_at")))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("date_updated").parquet(staging.toString)
+    val files = fs.listFiles(staging, true)
+    while (files.hasNext) {
+      val f = files.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet")) {
+        val partName = f.getPath.getParent.getName
+        val destDir =
+          if (partName.startsWith("date_updated=")) new org.apache.hadoop.fs.Path(table, partName)
+          else table
+        fs.mkdirs(destDir)
+        val dest = new org.apache.hadoop.fs.Path(destDir, s"$writeId-$name")
+        // pre-marker moves need no atomicity: the file is invisible until
+        // the marker lands, so a torn copy is just ignorable garbage
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(s"audit publish failed: ${f.getPath} -> $dest")
+      }
+    }
+    val marker = new org.apache.hadoop.fs.Path(table, s"_commits/$writeId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close() // conditional put: the commit point
+    // staging cleanup is best-effort AFTER the commit
+    try fs.delete(staging, true)
+    catch { case _: java.io.IOException =>
+      System.err.println(s"[audit] staging dir left behind (cleanup failed): $staging")
+    }
+  }
+
+  /** Read an audit table written by [[appendAuditCommitted]]: only data
+    * files whose writeId has a commit marker are visible. Partition values
+    * (`date_updated`) are recovered via basePath.
+    */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val table = new org.apache.hadoop.fs.Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitsDir = new org.apache.hadoop.fs.Path(table, "_commits")
+    val commits: Set[String] =
+      if (!fs.exists(commitsDir)) Set.empty
+      else fs.listStatus(commitsDir).map(_.getPath.getName).toSet
+    val committed = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(table)) {
+      val it = fs.listFiles(table, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        val parent = f.getPath.getParent.getName
+        if (name.endsWith(".parquet") && !parent.startsWith(".") && !parent.startsWith("_")
+          && commits.contains(name.takeWhile(_ != '-')))
+          committed += f.getPath.toString
+      }
+    }
+    require(committed.nonEmpty, s"no committed audit data under $path")
+    spark.read.option("basePath", path).parquet(committed.toSeq: _*)
+  }
 }
 
 /** The four audit status tables (ref: spark/auditing.py:166-212,
@@ -110,12 +196,25 @@ object Auditing {
   * `<auditDir>/<table>`, Delta-compatible schemas, latest-record reads.
   * A monotonically increasing sequence breaks ties between appends in the
   * same timestamp tick.
+  *
+  * `objectStoreCommits = true` switches every append/read to the
+  * commit-marker protocol ([[Auditing.appendAuditCommitted]]) for stores
+  * without atomic rename; a table must use ONE protocol for its lifetime.
   */
-final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, auditDir: String) {
+final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, auditDir: String,
+                         objectStoreCommits: Boolean = false) {
   import spark.implicits._
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()
   private def now = new java.sql.Timestamp(System.currentTimeMillis())
+
+  private def append(df: DataFrame, tablePath: String): Unit =
+    if (objectStoreCommits) Auditing.appendAuditCommitted(df, tablePath)
+    else Auditing.appendAudit(df, tablePath)
+
+  private def readTable(tablePath: String): DataFrame =
+    if (objectStoreCommits) Auditing.readCommitted(spark, tablePath)
+    else spark.read.parquet(tablePath)
 
   def path(table: String): String = s"$auditDir/$table"
 
@@ -125,7 +224,7 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
   def markStatus(submissionId: String, status: String,
                  jobRunId: Option[Long] = None,
                  submissionResult: Option[String] = None): Unit =
-    Auditing.appendAudit(
+    append(
       Seq((submissionId, status, jobRunId, submissionResult, now, seq.incrementAndGet()))
         .toDF("submission_id", "processing_status", "job_run_id", "submission_result",
           "updated_at", "audit_seq"),
@@ -134,7 +233,7 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
   def addSubmissionInfo(submissionId: String, datasetId: String, fileName: String,
                         fileExtension: String, fileSize: Option[Long] = None,
                         submittingOrg: Option[String] = None): Unit =
-    Auditing.appendAudit(
+    append(
       Seq((submissionId, datasetId, fileName, fileExtension, fileSize, submittingOrg,
         now, seq.incrementAndGet()))
         .toDF("submission_id", "dataset_id", "file_name", "file_extension", "file_size",
@@ -144,7 +243,7 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
   def addStatistics(submissionId: String, recordCount: Long,
                     submissionRejections: Long, recordRejections: Long,
                     warnings: Long): Unit =
-    Auditing.appendAudit(
+    append(
       Seq((submissionId, recordCount, submissionRejections, recordRejections, warnings,
         now, seq.incrementAndGet()))
         .toDF("submission_id", "record_count", "number_submission_rejections",
@@ -153,7 +252,7 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
 
   def addTransfer(submissionId: String, reportName: String, transferId: String,
                   recipient: Option[String] = None): Unit =
-    Auditing.appendAudit(
+    append(
       Seq((submissionId, reportName, transferId, recipient, now, seq.incrementAndGet()))
         .toDF("submission_id", "report_name", "transfer_id", "recipient",
           "updated_at", "audit_seq"),
@@ -161,7 +260,7 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
 
   /** Latest processing status per submission. */
   def latestProcessingStatus(): DataFrame =
-    Auditing.latestRecords(spark.read.parquet(path("processing_status")),
+    Auditing.latestRecords(readTable(path("processing_status")),
       Seq(col("submission_id")), Seq(col("updated_at"), col("audit_seq")))
 
   def statusOf(submissionId: String): Option[String] =

@@ -222,6 +222,24 @@ object CoreQueries {
           col("view_event_id"), round(col("view_value"), 6).as("view_value"))
     }),
 
+    // The hot-key-safe as-of variant: two-level (key, hour-bucket) carry —
+    // same semantics, same oracle, but a power-law key spreads across its
+    // time buckets instead of serializing into one sorted task.
+    "q_asof_bucketed" -> ((s, dir) => {
+      val ev = loadEvents(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.rules.AsofJoin.asofJoinBucketed(purchases, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "value"), rightTieBreak = "event_id",
+        bucket = t => date_trunc("hour", t),
+        payloadPrefix = "view_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_event_id"), round(col("view_value"), 6).as("view_value"))
+    }),
+
     // Range (interval) join via time-bucket equi-join — every error event
     // inside the hour after each signup, per user. A raw BETWEEN predicate
     // would plan as a per-key nested loop; the bucketing keeps it an
@@ -572,6 +590,12 @@ object CoreQueries {
         "SELECT signup_id, error_id, s.user_id, start_ts, err_ts " +
         "FROM s JOIN e ON s.user_id = e.user_id AND err_ts >= start_ts AND err_ts <= end_ts"),
     "q_asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') " +
+        "SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id, " +
+        "CAST(round(v.value, 6) AS DOUBLE) AS view_value " +
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+    "q_asof_bucketed" ->
       ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
         "v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') " +
         "SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id, " +

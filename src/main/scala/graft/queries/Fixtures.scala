@@ -13,17 +13,41 @@ object Fixtures {
 
   private def marker(path: String) = new java.io.File(path.stripSuffix("/") + ".fixture-tag")
 
+  /** The recorded tag includes a content signature of the source dir (max
+    * mtime + total bytes of every file under it), not just its path:
+    * regenerating the test data IN PLACE (same path, new contents) must
+    * invalidate fixtures, or bench/correctness runs silently read re-encodes
+    * of the old data.
+    */
+  private def signedTag(tag: String): String = {
+    val dir = new java.io.File(tag)
+    if (!dir.isDirectory) tag
+    else {
+      var maxMtime = 0L
+      var totalBytes = 0L
+      def walk(d: java.io.File): Unit = {
+        val children = d.listFiles()
+        if (children != null) children.foreach { c =>
+          if (c.isDirectory) walk(c)
+          else { maxMtime = math.max(maxMtime, c.lastModified()); totalBytes += c.length() }
+        }
+      }
+      walk(dir)
+      s"$tag|mtime=$maxMtime|bytes=$totalBytes"
+    }
+  }
+
   /** Whether the fixture at `path` is missing or was built from a
-    * different tag (scale-factor dir).
+    * different tag (scale-factor dir path OR its current contents).
     */
   def stale(path: String, tag: String): Boolean = synchronized {
     val m = marker(path)
     !new java.io.File(path).exists() || !m.exists() ||
-      java.nio.file.Files.readString(m.toPath) != tag
+      java.nio.file.Files.readString(m.toPath) != signedTag(tag)
   }
 
   def markFresh(path: String, tag: String): Unit = synchronized {
-    java.nio.file.Files.writeString(marker(path).toPath, tag)
+    java.nio.file.Files.writeString(marker(path).toPath, signedTag(tag))
   }
 
   /** Run `write` only if the fixture is stale, then record the tag. */

@@ -28,6 +28,30 @@ object ReportQueries {
       val back = ErrorSink.readFeedbackErrors(s, workingDir, "business_rules")
       ErrorSink.detailReport(back)
         .select("Key", "ErrorCode", "ErrorMessage", "Category", "Entity")
+    }),
+
+    // CSV detail report (the reference's Excel detail sheet, offline): the
+    // exact FeedbackMessage.HEADER column order, null-marker round-trip,
+    // 1k-row file overflow exercised (the reference splits sheets at 1M).
+    // The oracle replicates every one of the 12 columns.
+    "q_error_detail_csv" -> ((s, dir) => {
+      val workingDir = "/tmp/graft_q_error_detail_csv"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(workingDir), true)
+
+      val cat = new EntityCatalog(
+        Map("orders" -> s.read.parquet(s"$dir/orders.parquet")),
+        keyFields = Map("orders" -> Seq("o_orderkey")))
+      val msgs = StepInterpreter.evaluate(cat,
+        Step.Notify("orders", "o_totalprice > 400000",
+          Reporting("BIG_ORDER", "too big", category = Some("Bad value"),
+            errorLocation = Some("o_totalprice")))).get
+      val path = ErrorSink.writeDetailCsv(msgs, s"$workingDir/detail", overflow = 1000L)
+      // the overflow split must actually engage (>1 data file at sf >= 0.01)
+      val nFiles = fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/*.csv")).length
+      require(nFiles > 1 || msgs.limit(1001).count() <= 1000,
+        s"overflow split produced $nFiles files")
+      ErrorSink.readDetailCsv(s, path)
     })
   )
 
@@ -35,6 +59,13 @@ object ReportQueries {
     "q_errors_jsonl" ->
       ("SELECT CAST(o_orderkey AS VARCHAR) AS Key, 'BIG_ORDER' AS ErrorCode, " +
         "'too big' AS ErrorMessage, 'Bad value' AS Category, 'orders' AS Entity " +
-        "FROM orders WHERE o_totalprice > 400000")
+        "FROM orders WHERE o_totalprice > 400000"),
+    "q_error_detail_csv" ->
+      ("SELECT 'orders' AS Entity, CAST(o_orderkey AS VARCHAR) AS Key, " +
+        "'record' AS FailureType, 'error' AS Status, 'record' AS ErrorType, " +
+        "'o_totalprice' AS ErrorLocation, 'too big' AS ErrorMessage, " +
+        "'BIG_ORDER' AS ErrorCode, CAST(NULL AS VARCHAR) AS ReportingField, " +
+        "CAST(NULL AS BIGINT) AS RecordIndex, CAST(NULL AS VARCHAR) AS Value, " +
+        "'Bad value' AS Category FROM orders WHERE o_totalprice > 400000")
   )
 }

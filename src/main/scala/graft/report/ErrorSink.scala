@@ -65,6 +65,40 @@ object ErrorSink {
     */
   def aggregateReport(messages: DataFrame): DataFrame = Messages.aggregateReport(messages)
 
+  /** Marker written into CSV cells for SQL NULL so empty string and null
+    * survive a round-trip distinguishably (CSV has no native null).
+    */
+  val CsvNullMarker = "\\N"
+
+  /** Detail report as CSV — the offline stand-in for the reference's Excel
+    * detail sheets: the exact `FeedbackMessage.HEADER` column order
+    * (ref: core_engine/message.py:184-197), rows globally ordered by
+    * (Entity, RecordIndex), and files split at `overflow` rows, mirroring
+    * the reference's 1M-row sheet overflow (ref: excel_report.py:194).
+    * The split is Spark-native (`maxRecordsPerFile`), so the write stays
+    * fully distributed — no driver-side row loop at any volume; the global
+    * sort range-partitions, and part-file lexicographic order preserves it.
+    */
+  def writeDetailCsv(messages: DataFrame, path: String,
+                     overflow: Long = 1000000L): String = {
+    messages
+      .select(Messages.header.map(col): _*)
+      .orderBy(col("Entity"), col("RecordIndex"))
+      .write.mode("overwrite")
+      .option("header", true)
+      .option("nullValue", CsvNullMarker)
+      .option("maxRecordsPerFile", overflow)
+      .csv(path)
+    path
+  }
+
+  /** Read a detail CSV directory back with the canonical message schema. */
+  def readDetailCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Messages.schema)
+      .option("header", true)
+      .option("nullValue", CsvNullMarker)
+      .csv(path)
+
   // ------------------------------------------------------- summary report
 
   /** Error-report category lane (ref: reporting/constants.py:8-22). */

@@ -289,17 +289,37 @@ object Dedup {
     * check, not a data path.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          idCol: String, maxRounds: Int = 50): DataFrame = {
+                          idCol: String, maxRounds: Int = 50): DataFrame =
+    connectedComponentsImpl(nodes, edges, idCol, maxRounds)._1
+
+  /** [[connectedComponents]] internals: returns (result, the final persisted
+    * label cache if one is live, converged?). Label propagation needs
+    * O(max component diameter) rounds; when `maxRounds` cuts it short the
+    * labels are PARTIAL (one real cluster can carry several labels), so
+    * non-convergence is loudly logged — callers needing a hard guarantee
+    * check the flag. Every 5 rounds the labels are `localCheckpoint`ed:
+    * persist cuts recomputation but not the LOGICAL plan, and `labels`
+    * feeds BOTH join inputs each round, so the plan tree doubles per round
+    * — tree-walking consumers (AQE's per-stage explainString, treeString)
+    * cost O(2^rounds-since-checkpoint) because shared subtrees print once
+    * per PATH. Checkpointing every 5 bounds that at 2^5 while keeping the
+    * checkpoint copies rare. Checkpoint blocks are freed when the frame is
+    * GC'd.
+    */
+  private[text] def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
+                                            idCol: String, maxRounds: Int
+                                           ): (DataFrame, Option[DataFrame], Boolean) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val checkpointEvery = 5
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(lvl)
-    // `persisted` is always the HANDLE that was persisted — unpersisting a
+    // `owned` is always the HANDLE that was persisted — unpersisting a
     // derived frame (e.g. a drop() projection) is a silent no-op because
     // the cached plan no longer sameResult's it, and every round would leak
-    var persisted = nodes.select(col(idCol).as("id")).distinct()
+    var labels = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
-    var labels = persisted
+    var owned: Option[DataFrame] = Some(labels)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -313,15 +333,28 @@ object Dedup {
           (coalesce(col("nmin"), col("label")) < col("label")).as("__chg__"))
         .persist(lvl)
       changed = next.agg(count(when(col("__chg__"), true))).head().getLong(0)
-      persisted.unpersist(blocking = false)
-      persisted = next
-      labels = next.drop("__chg__")
+      owned.foreach(_.unpersist(blocking = false))
+      if ((round + 1) % checkpointEvery == 0) {
+        // eager by default: materializes from the (already populated) cache
+        // and truncates the accumulated join lineage to a LogicalRDD
+        val cp = next.localCheckpoint()
+        next.unpersist(blocking = false)
+        owned = None
+        labels = cp.drop("__chg__")
+      } else {
+        owned = Some(next)
+        labels = next.drop("__chg__")
+      }
       round += 1
     }
     sym.unpersist(blocking = false)
-    // the final round's cache stays: the returned frame reads it (callers
-    // release it via the session's cache discipline once consumed)
-    labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component")
+    val converged = changed == 0L
+    if (!converged)
+      System.err.println(s"[components] label propagation did NOT converge in " +
+        s"$maxRounds rounds ($changed labels still changing) — a component with " +
+        s"diameter > $maxRounds carries PARTIAL labels; raise maxRounds")
+    (labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component"),
+      owned, converged)
   }
 
   /** Near-duplicate cluster resolution: exact PPJoin pairs at `threshold`
@@ -331,7 +364,24 @@ object Dedup {
     * every doc with its cluster id and a keep flag.
     */
   def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame =
+    nearDupComponentsImpl(docs, idCol, textCol, shingleSize, threshold)._1
+
+  /** [[nearDupComponents]] with cache ownership — see [[minHashDedupWith]]:
+    * the final label cache is released when `use` returns, so long-lived
+    * library callers do not leak one cached frame per call. `use` must fully
+    * consume the frame before returning.
+    */
+  def nearDupComponentsWith[T](docs: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int = 3, threshold: Double = 0.5)
+                              (use: DataFrame => T): T = {
+    val (result, owned) = nearDupComponentsImpl(docs, idCol, textCol, shingleSize, threshold)
+    try use(result) finally owned.foreach(_.unpersist(blocking = false))
+  }
+
+  private def nearDupComponentsImpl(docs: DataFrame, idCol: String, textCol: String,
+                                    shingleSize: Int, threshold: Double
+                                   ): (DataFrame, Option[DataFrame]) = {
     // Materialized once: the pair frame fans out to the node extraction and
     // both directions of the edge symmetrization — without the persist the
     // whole PPJoin re-runs per consumer (measured 4-5x).
@@ -347,14 +397,16 @@ object Dedup {
     // a few percent of the corpus instead of all of it.
     val pairNodes = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
-    val comp = connectedComponents(pairNodes, pairs.select("a", "b"), idCol)
+    val (comp, owned, _) =
+      connectedComponentsImpl(pairNodes, pairs.select("a", "b"), idCol, maxRounds = 50)
     // the component labels are materialized (every round ends in an action),
-    // so the pair cache can go too; only the final label cache remains with
-    // the returned frame
+    // so the pair cache can go too; only the final label cache (if the last
+    // round was not a checkpoint round) remains with the returned frame
     pairs.unpersist(blocking = false)
-    docs.select(col(idCol)).join(comp, Seq(idCol), "left")
+    val result = docs.select(col(idCol)).join(comp, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("keep", col(idCol) === col("component"))
+    (result, owned)
   }
 
   /** [[nearDupComponents]] with a QUALITY-aware keeper: within each dup
@@ -365,16 +417,33 @@ object Dedup {
     */
   def nearDupKeepBest(docs: DataFrame, idCol: String, textCol: String,
                       scoreCol: Column,
-                      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame =
+    nearDupKeepBestImpl(docs, idCol, textCol, scoreCol, shingleSize, threshold)._1
+
+  /** [[nearDupKeepBest]] with cache ownership — see [[nearDupComponentsWith]]. */
+  def nearDupKeepBestWith[T](docs: DataFrame, idCol: String, textCol: String,
+                             scoreCol: Column,
+                             shingleSize: Int = 3, threshold: Double = 0.5)
+                            (use: DataFrame => T): T = {
+    val (result, owned) =
+      nearDupKeepBestImpl(docs, idCol, textCol, scoreCol, shingleSize, threshold)
+    try use(result) finally owned.foreach(_.unpersist(blocking = false))
+  }
+
+  private def nearDupKeepBestImpl(docs: DataFrame, idCol: String, textCol: String,
+                                  scoreCol: Column, shingleSize: Int, threshold: Double
+                                 ): (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
-    val comp = nearDupComponents(docs, idCol, textCol, shingleSize, threshold)
-      .select(col(idCol), col("component"))
+    val (compFull, owned) =
+      nearDupComponentsImpl(docs, idCol, textCol, shingleSize, threshold)
+    val comp = compFull.select(col(idCol), col("component"))
     val scored = docs.select(col(idCol), scoreCol.as("__score__")).join(comp, idCol)
     val w = Window.partitionBy(col("component"))
       .orderBy(col("__score__").desc, col(idCol))
-    scored
+    val result = scored
       .withColumn("keep", row_number().over(w) === 1)
       .select(col(idCol), col("component"), col("keep"))
+    (result, owned)
   }
 
   /** Benchmark decontamination: flag documents sharing ANY word n-gram
@@ -414,6 +483,12 @@ object Dedup {
     */
   def wordHash(word: Column): Column = TextHashExpressions.fingerprint(word)
 
+  /** Dropped-work accounting for [[simHashNearDup]]'s bucket cap — computed
+    * and LOGGED whenever the cap engages, so capping is never silent.
+    */
+  final case class SimHashSkewStats(droppedChunkRows: Long, droppedBuckets: Long,
+                                    maxBucketN: Long)
+
   /** SimHash near-duplicate pairs at a Hamming-distance threshold: the
     * 64-bit signature splits into four 16-bit chunks; by pigeonhole, two
     * signatures within Hamming distance 3 agree on at least one whole chunk,
@@ -421,47 +496,101 @@ object Dedup {
     * equi-join on (chunk index, chunk value) — never all-pairs. The verify
     * is an exact popcount over the xor of the halves, carried through the
     * join (two longs per row — no payload concern).
+    *
+    * Skew hardening (the 10x scale probe's one scale-killer): identical
+    * texts hash to identical signatures, and a templated corpus concentrates
+    * thousands of them in one chunk bucket — quadratic candidates from rows
+    * that are ONE logical node. So pairing runs over DISTINCT signatures:
+    *   - same-signature pairs (Hamming 0) come from a members self-join on
+    *     the full signature — output-bounded, never speculative;
+    *   - cross-signature candidates come from the chunk equi-join over one
+    *     representative per signature, then fan back out to member pairs.
+    * A clone-heavy bucket now costs O(distinct sigs^2) candidates instead of
+    * O(docs^2).
     */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3,
-                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                     maxBucketSize: Int = Int.MaxValue): DataFrame =
+    simHashNearDupWithStats(docs, idCol, textCol, maxHamming, maxBucketSize)._1
+
+  /** [[simHashNearDup]] returning the cap's dropped-work stats (None when
+    * `maxBucketSize` is not set). Computing the stats runs one aggregation
+    * job at call time — only on the opt-in capped path.
+    */
+  def simHashNearDupWithStats(docs: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3,
+                              maxBucketSize: Int = Int.MaxValue): (DataFrame, Option[SimHashSkewStats]) = {
     require(maxHamming <= 3, "4-chunk banding is only complete for maxHamming <= 3")
-    val withSh = widen(docs).select(col(idCol), simHash(col(textCol)).as("sh"))
+    val members = widen(docs).select(col(idCol), simHash(col(textCol)).as("sh"))
       .select(col(idCol), col("sh.hi").as("hi"), col("sh.lo").as("lo"))
-    val chunked = pinPartitions(withSh.select(col(idCol), col("hi"), col("lo"),
-      posexplode(array(
-        shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
-        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L)))).as(Seq("ci", "cv"))),
-      col("ci"), col("cv"))
-    // Optional skew guard: template-heavy corpora concentrate chunk values
-    // (the 10x scale probe measured one 16-bit chunk bucket holding 21% of
-    // the corpus — 151M candidate pairs). Capping trades the Hamming<=3
-    // completeness GUARANTEE on the capped buckets for bounded work; a pair
-    // dropped here is only lost if the capped chunk was its sole agreeing
-    // chunk. Default keeps exactness (no cap).
+    // Same-signature pairs: Hamming 0 by definition, one equi-join on the
+    // full signature. Output-inherent cost (these ARE near-dup pairs).
+    val pinnedMembers = pinPartitions(members, col("hi"), col("lo"))
+    val withinPairs = pinnedMembers.as("x").join(pinnedMembers.as("y"),
+        col("x.hi") === col("y.hi") && col("x.lo") === col("y.lo") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"), lit(0L).as("hamming"))
+    // One representative per DISTINCT signature drives the chunk join.
+    val sigs = members.groupBy(col("hi"), col("lo")).agg(min(col(idCol)).as("rep"))
+    val chunks = posexplode(array(
+      shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
+      shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L)))).as(Seq("ci", "cv"))
+    val chunked = pinPartitions(
+      sigs.select(col("rep"), col("hi"), col("lo"), chunks), col("ci"), col("cv"))
+    // Optional skew guard over DISTINCT-signature bucket occupancy. Capping
+    // trades the Hamming<=3 completeness GUARANTEE on the capped buckets for
+    // bounded work; a signature pair dropped here is only lost if the capped
+    // chunk was its sole agreeing chunk. NEVER silent: the dropped mass is
+    // measured and logged (and returned to the caller).
+    val bucketN = {
+      import org.apache.spark.sql.expressions.Window
+      count(lit(1)).over(Window.partitionBy(col("ci"), col("cv")))
+    }
+    val stats =
+      if (maxBucketSize == Int.MaxValue) None
+      else {
+        val counted = chunked.withColumn("__bucket_n__", bucketN)
+        val r = counted.agg(
+          coalesce(sum(when(col("__bucket_n__") > maxBucketSize, 1L)), lit(0L)),
+          coalesce(count_distinct(when(col("__bucket_n__") > maxBucketSize,
+            struct(col("ci"), col("cv")))), lit(0L)),
+          coalesce(max(col("__bucket_n__")), lit(0L))).head()
+        val s = SimHashSkewStats(r.getLong(0), r.getLong(1), r.getLong(2))
+        if (s.droppedChunkRows > 0)
+          System.err.println(s"[simhash] maxBucketSize=$maxBucketSize dropped " +
+            s"${s.droppedChunkRows} signature-chunk rows across ${s.droppedBuckets} " +
+            s"buckets (largest bucket: ${s.maxBucketN} distinct signatures) — " +
+            "pairs whose only agreeing chunk was capped are lost")
+        Some(s)
+      }
     val keyed =
       if (maxBucketSize == Int.MaxValue) chunked
-      else {
-        import org.apache.spark.sql.expressions.Window
-        chunked
-          .withColumn("__bucket_n__",
-            count(lit(1)).over(Window.partitionBy(col("ci"), col("cv"))))
-          .where(col("__bucket_n__") <= maxBucketSize)
-          .drop("__bucket_n__")
-      }
-    val candidates = keyed.as("x").join(keyed.as("y"),
+      else chunked.withColumn("__bucket_n__", bucketN)
+        .where(col("__bucket_n__") <= maxBucketSize)
+        .drop("__bucket_n__")
+    // Distinct signatures differ in >= 1 bit, so every rep pair here has
+    // Hamming in [1, maxHamming] — the Hamming-0 pairs are withinPairs'.
+    val repPairs = keyed.as("x").join(keyed.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
-        col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
+          col("x.rep") < col("y.rep"))
+      .select(col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
         col("y.hi").as("hi_b"), col("y.lo").as("lo_b"))
-      .dropDuplicates("a", "b")
-    candidates
+      .dropDuplicates("hi_a", "lo_a", "hi_b", "lo_b")
       .withColumn("hamming",
         (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
           bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("bigint"))
       .where(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+    // Fan the surviving signature pairs back out to member pairs — two
+    // shuffle joins keyed on the signature, output-bounded by the true pair
+    // count.
+    val mA = members.select(col(idCol).as("__ma__"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val mB = members.select(col(idCol).as("__mb__"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    val crossPairs = pinPartitions(repPairs, col("hi_a"), col("lo_a"))
+      .join(mA, Seq("hi_a", "lo_a"))
+      .join(mB, Seq("hi_b", "lo_b"))
+      .select(least(col("__ma__"), col("__mb__")).as("a"),
+        greatest(col("__ma__"), col("__mb__")).as("b"), col("hamming"))
+    (withinPairs.union(crossPairs), stats)
   }
 
   /** 64-bit SimHash of a whitespace-tokenized text column, returned as a

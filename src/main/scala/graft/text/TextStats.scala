@@ -84,11 +84,18 @@ object TextStats {
     * Pure per-row expressions over the shingle sets — no shuffle.
     */
   def repetitionColumns(textCol: Column): Seq[(String, Column)] = {
-    val nTokens = size(tokens(textCol))
+    // ONE tokenization for both sides of the fraction: whitespace runs are
+    // collapsed to single spaces so ShinglesExpr's single-space split sees
+    // exactly the \s+ token sequence the denominator counts. Mixing the two
+    // splits made the fraction wrong (even negative) on documents with
+    // consecutive spaces/tabs/newlines: the denominator saw fewer tokens
+    // than the numerator's distinct n-grams.
+    val norm = regexp_replace(textCol, "\\s+", " ")
+    val nTokens = size(split(norm, " "))
     def dupFrac(n: Int): Column = {
       val total = (nTokens - (n - 1)).cast("double")
       // Dedup.shingles returns DISTINCT n-grams (whole text when < n tokens)
-      val distinctN = size(Dedup.shingles(textCol, n)).cast("double")
+      val distinctN = size(Dedup.shingles(norm, n)).cast("double")
       when(total > 0, round(lit(1.0) - distinctN / total, 6)).otherwise(lit(0.0))
     }
     Seq("dup_2gram_frac" -> dupFrac(2), "dup_3gram_frac" -> dupFrac(3))

@@ -229,6 +229,34 @@ class PipelineSpec extends SparkSpec {
     assert(latest.forall(_.getAs[String]("processing_status") == "status-3"))
   }
 
+  test("commit-marker audit protocol: uncommitted data files stay invisible") {
+    val base = freshDir()
+    val audit = new graft.audit.AuditManager(spark, s"$base/a", objectStoreCommits = true)
+    audit.markStatus("s1", "received")
+    audit.markStatus("s1", "finished")
+    audit.markStatus("s2", "received")
+    val latest = audit.latestProcessingStatus().collect()
+      .map(r => r.getAs[String]("submission_id") -> r.getAs[String]("processing_status")).toMap
+    assert(latest == Map("s1" -> "finished", "s2" -> "received"))
+    val table = s"$base/a/processing_status"
+    val before = graft.audit.Auditing.readCommitted(spark, table).count()
+    assert(before == 3)
+    // Simulate a torn append on an object store: a data file lands at its
+    // final name but the writer dies BEFORE the commit marker. Readers must
+    // not see its rows.
+    val partDir = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date_updated=")).head
+    val committedFile = partDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(partDir, "deadbeef00000000deadbeef00000000-" +
+      committedFile.getName.dropWhile(_ != '-').drop(1))
+    java.nio.file.Files.copy(committedFile.toPath, orphan.toPath)
+    assert(graft.audit.Auditing.readCommitted(spark, table).count() == 3) // orphan invisible
+    assert(new graft.audit.AuditManager(spark, s"$base/a", objectStoreCommits = true)
+      .statusOf("s1").contains("finished"))
+    // a plain recursive parquet read WOULD have double-counted
+    assert(spark.read.parquet(table).count() == 4)
+  }
+
   test("audit status transitions are ordered and latest wins") {
     val base = freshDir()
     val audit = new AuditManager(spark, s"$base/a")

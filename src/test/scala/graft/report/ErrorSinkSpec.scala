@@ -45,6 +45,39 @@ class ErrorSinkSpec extends SparkSpec {
     assert(ErrorSink.readFeedbackErrors(spark, wd, "business_rules").count() == 4)
   }
 
+  test("detail CSV: exact reference header order, null round-trip, overflow split") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val wd = tmpDir()
+    // 25 rows with nulls AND empty strings in Value — both must survive
+    val msgs = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 25).map { i =>
+        Row("planets", s"key$i", "record", "error", "record", "loc", "msg", "CODE",
+          null, if (i % 3 == 0) null else i.toLong,
+          if (i % 2 == 0) "" else null, "Bad value")
+      }), graft.rules.Messages.schema)
+    val path = ErrorSink.writeDetailCsv(msgs, s"$wd/detail", overflow = 10L)
+    // header line matches FeedbackMessage.HEADER exactly (ref message.py:184-197)
+    val firstCsv = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+    assert(firstCsv.length >= 3) // 25 rows at 10-row overflow
+    val header = scala.io.Source.fromFile(firstCsv.head).getLines().next()
+    assert(header == "Entity,Key,FailureType,Status,ErrorType,ErrorLocation," +
+      "ErrorMessage,ErrorCode,ReportingField,RecordIndex,Value,Category")
+    val back = ErrorSink.readDetailCsv(spark, path)
+    assert(back.count() == 25)
+    // null vs empty string distinguishable after the round-trip
+    assert(back.where("Value = ''").count() == 12)
+    assert(back.where("Value IS NULL").count() == 13)
+    assert(back.where("RecordIndex IS NULL").count() == 8)
+    // file split preserves the global (Entity, RecordIndex) order: reading
+    // the part files in name order yields monotonically increasing indices
+    val backIdx = firstCsv.flatMap(f =>
+      ErrorSink.readDetailCsv(spark, f.getAbsolutePath)
+        .select("RecordIndex").as[Option[Long]].collect().flatten)
+    assert(backIdx.toSeq == backIdx.sorted.toSeq)
+  }
+
   test("readAllFeedbackErrors unions stages; processing errors have their own location") {
     val wd = tmpDir()
     val cat = new EntityCatalog(Map("planets" -> planets), keyFields = Map.empty)

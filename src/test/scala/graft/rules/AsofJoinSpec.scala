@@ -61,6 +61,64 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2L).isEmpty) // null key left row appears, but carries nothing
   }
 
+  test("a null right timestamp matches nothing (ASOF l.ts >= r.ts)") {
+    val left = Seq((1L, "A", ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (50L, "A", Option.empty[java.sql.Timestamp], 9.0), // null ts: invisible
+      (51L, "A", Option(ts("2024-01-01 10:00:00")), 1.0) // after the left row
+    ).toDF("rid", "k", "t", "px")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        rightPayload = Seq("rid", "px"), rightTieBreak = "rid")
+      .select("asof_rid").as[Option[Long]].head()
+    assert(out.isEmpty) // the null-ts right row must NOT be carried
+  }
+
+  test("bucketed as-of matches the plain form on a deliberately hot key") {
+    // ONE key holding every row — the case where the plain form serializes
+    // into a single sorted task and the bucketed form spreads over buckets.
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val lefts = (1 to 400).map { i =>
+      (i.toLong, "hot", new java.sql.Timestamp(base + rnd.nextInt(36000) * 1000L))
+    }.toDF("id", "k", "t")
+    val rights = (1 to 400).map { i =>
+      (1000L + i, "hot", new java.sql.Timestamp(base + rnd.nextInt(36000) * 1000L),
+        rnd.nextDouble())
+    }.toDF("rid", "k", "t", "px")
+    val plain = AsofJoin.asofJoin(lefts, rights, Seq("k"), "t", "t",
+      rightPayload = Seq("rid", "px"), rightTieBreak = "rid")
+    val bucketed = AsofJoin.asofJoinBucketed(lefts, rights, Seq("k"), "t", "t",
+      rightPayload = Seq("rid", "px"), rightTieBreak = "rid",
+      bucket = c => date_trunc("hour", c))
+    assert(rows(bucketed) == rows(plain))
+    assert(plain.count() == 400)
+    // the merge window partitions on (key, bucket) — the hot key's rows are
+    // NOT all in one window partition
+    val winSpecs = bucketed.queryExecution.executedPlan.toString()
+      .linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(winSpecs.contains("__bkt__"))
+  }
+
+  test("bucketed as-of carries across right-free buckets and edge cases") {
+    val lefts = Seq(
+      (1L, "A", ts("2024-01-01 05:30:00")), // hours 1..4 have no rights
+      (2L, "A", ts("2024-01-01 00:10:00")), // before any right: null
+      (3L, "B", ts("2024-01-01 05:30:00"))  // other key unaffected
+    ).toDF("id", "k", "t")
+    val rights = Seq(
+      (10L, "A", ts("2024-01-01 00:20:00"), 1.0),
+      (11L, "A", ts("2024-01-01 00:40:00"), 2.0), // latest before hour 5
+      (12L, "B", ts("2024-01-01 05:00:00"), 3.0)
+    ).toDF("rid", "k", "t", "px")
+    val out = AsofJoin.asofJoinBucketed(lefts, rights, Seq("k"), "t", "t",
+        rightPayload = Seq("rid", "px"), rightTieBreak = "rid",
+        bucket = c => date_trunc("hour", c))
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(11L)) // carry-in across 4 empty hour buckets
+    assert(out(2L).isEmpty)
+    assert(out(3L).contains(12L))
+  }
+
   test("equal right timestamps resolve to the greatest tiebreak deterministically") {
     val left = Seq((1L, "A", ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
     val right = Seq(

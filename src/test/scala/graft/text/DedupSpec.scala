@@ -140,6 +140,73 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearDupComponentsWith / nearDupKeepBestWith release their caches") {
+    // pre-existing leaked caches from earlier tests can be reaped by the
+    // ContextCleaner mid-test, so the invariant is "no NEW cached RDDs
+    // survive the bracket", not set equality
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val comp = Dedup.nearDupComponentsWith(corpus, "doc_id", "text")(
+      _.as[(Long, Long, Boolean)].collect().toSet)
+    assert(comp.contains((1L, 1L, true)) && comp.contains((4L, 1L, false)))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    val best = Dedup.nearDupKeepBestWith(corpus, "doc_id", "text", length(col("text")))(
+      _.as[(Long, Long, Boolean)].collect().toSet)
+    assert(best.count(_._3) == 3) // one keeper per cluster/singleton
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  test("connectedComponents converges on a 35-diameter chain with bounded plan depth") {
+    // A path graph: the min label travels one hop per round, so this needs
+    // 35 propagation rounds — crossing seven localCheckpoint boundaries.
+    // Without lineage truncation the logical plan doubles per round (labels
+    // feeds both join inputs) and tree-walkers at round ~30 face 2^30 paths.
+    val n = 36
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (result, owned, converged) =
+      Dedup.connectedComponentsImpl(nodes, edges, "id", maxRounds = 50)
+    assert(converged)
+    val out = result.as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(0L))
+    // bounded plan depth: at most ~5 post-checkpoint rounds of lineage
+    assert(result.queryExecution.analyzed.toString().linesIterator.size < 5000)
+    owned.foreach(_.unpersist(blocking = false))
+  }
+
+  test("connectedComponents reports non-convergence when maxRounds cuts propagation short") {
+    val nodes = (0L to 6L).toDF("id")
+    val edges = (0L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val (result, owned, converged) =
+      Dedup.connectedComponentsImpl(nodes, edges, "id", maxRounds = 2)
+    assert(!converged) // diameter 6 > 2 rounds: labels are partial
+    assert(result.as[(Long, Long)].collect().toMap.values.toSet != Set(0L))
+    owned.foreach(_.unpersist(blocking = false))
+  }
+
+  test("simHashNearDup collapses identical texts: clone clusters survive any cap") {
+    // 20 clones + 1 near-dup + 1 unrelated. The clones are ONE distinct
+    // signature, so even maxBucketSize = 1 (which drops every multi-sig
+    // chunk bucket) keeps all 190 hamming-0 clone pairs — the cap only
+    // gates CROSS-signature candidate generation.
+    val clones = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val docs = (clones :+ ((90L, "a quick brown fox jumps over the lazy dog again and again"))
+      :+ ((91L, "completely unrelated words about databases query engines and shuffles")))
+      .toDF("doc_id", "text")
+    val (capped, stats) = Dedup.simHashNearDupWithStats(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1)
+    val cappedPairs = capped.as[(Long, Long, Long)].collect().toSet
+    // all 190 clone-clone pairs intact (doc 90 may legitimately also land at
+    // hamming 0 — one-word edits can leave the 64-bit signature unchanged)
+    assert(cappedPairs.count(p => p._1 <= 20 && p._2 <= 20 && p._3 == 0L) == 190)
+    assert(stats.nonEmpty)
+    // uncapped output is a superset and contains no duplicates
+    val full = Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(full.map(p => (p._1, p._2)).distinct.length == full.length)
+    assert(cappedPairs.subsetOf(full.toSet))
+    assert(full.forall(p => p._1 < p._2 && p._3 <= 3))
+  }
+
   test("lshCandidates respects the bucket-size cap") {
     val same = (1 to 20).map(i => (i.toLong, "identical text for everyone here today")).toDF("doc_id", "text")
     val withSig = same.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))

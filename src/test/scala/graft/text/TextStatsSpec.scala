@@ -44,6 +44,25 @@ class TextStatsSpec extends SparkSpec {
     assert(df.select(TextStats.bpeishTokenCount(col("text"))).as[Int].head() == 5)
   }
 
+  test("repetition fractions are whitespace-run-proof and never negative") {
+    val df = Seq(
+      ("single", "a b a b a b"),            // 5 bigram slots, 2 distinct -> 0.6
+      ("runs", "a  b \t a\nb  a  b"),       // same token stream, messy whitespace
+      ("unique", "one two three four five") // no repeats -> 0.0
+    ).toDF("id", "text")
+    val out = df.select(col("id") +:
+      TextStats.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("single") == 0.6)
+    assert(out("runs") == out("single")) // whitespace runs must not change the fraction
+    assert(out("unique") == 0.0)
+    // adversarial: consecutive separators only
+    val weird = Seq("a  b  c").toDF("text")
+      .select(TextStats.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(weird.getDouble(0) >= 0.0 && weird.getDouble(1) >= 0.0)
+  }
+
   test("stopwordRatio counts repeated hits") {
     val df = Seq("the the the word").toDF("text")
     val r = df.select(TextStats.stopwordRatio(TextStats.tokens(col("text")), Seq("the"))).as[Double].head()
