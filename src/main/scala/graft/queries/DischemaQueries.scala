@@ -18,7 +18,7 @@ object DischemaQueries {
     * contract rejection lane (negative balances fail `ge`), refdata join,
     * a templated rule-store filter, a complex rule, and sync filters.
     */
-  private[queries] def dischemaJson: String =
+  private[graft] def dischemaJson: String =
     """{
       | "contract": {
       |  "types": {
@@ -59,7 +59,7 @@ object DischemaQueries {
       | }
       |}""".stripMargin
 
-  private[queries] def ruleStoreJson: String =
+  private[graft] def ruleStoreJson: String =
     """{
       | "field_over_1000": {
       |  "type": "filter",

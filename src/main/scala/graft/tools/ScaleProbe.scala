@@ -129,19 +129,36 @@ object ScaleProbe {
     // ---- SimHash chunk buckets -------------------------------------------
     val sh = docs.select(Dedup.simHash(col("text")).as("s"))
       .select(col("s.hi").as("hi"), col("s.lo").as("lo"))
-    val chunkBuckets = sh.select(posexplode(array(
-        (col("hi") / 65536).cast("bigint"), pmod(col("hi"), lit(65536)),
-        (col("lo") / 65536).cast("bigint"), pmod(col("lo"), lit(65536))))
-        .as(Seq("chunk", "cv")))
-      .groupBy("chunk", "cv").count()
-    val (cMax, cP99, cMean, cPairs, cBuckets) = occupancy(chunkBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def chunkOccupancy(frame: DataFrame) = occupancy(
+      frame.select(posexplode(array(
+          (col("hi") / 65536).cast("bigint"), pmod(col("hi"), lit(65536)),
+          (col("lo") / 65536).cast("bigint"), pmod(col("lo"), lit(65536))))
+          .as(Seq("chunk", "cv")))
+        .groupBy("chunk", "cv").count())
+    val (cMax, cP99, cMean, cPairs, cBuckets) = chunkOccupancy(sh)
     line("## SimHash near-dup (16-bit chunk bands, Hamming <= 3)")
     line("")
-    line(f"- chunk-bucket occupancy: max $cMax, p99 $cP99%.1f, mean $cMean%.2f over $cBuckets buckets")
-    line(f"- raw candidate mass: $cPairs")
+    line(f"- per-DOC chunk occupancy: max $cMax, p99 $cP99%.1f, mean $cMean%.2f over $cBuckets buckets")
+    line(f"- per-doc raw candidate mass (what the pre-collapse rework avoids): $cPairs")
+    // what candidate generation actually joins since the signature
+    // pre-collapse: one row per DISTINCT signature
+    val (dMax, dP99, dMean, dPairs, dBuckets) = chunkOccupancy(sh.distinct())
+    line(f"- DISTINCT-signature chunk occupancy: max $dMax, p99 $dP99%.1f, mean $dMean%.2f over $dBuckets buckets")
+    line(f"- distinct-signature candidate mass (the join's real driver): $dPairs")
+    sh.unpersist()
     val (shPairs, shSec) = timed(
       Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 3).count())
-    line(f"- simHashNearDup end-to-end: $shPairs pairs in $shSec%.1f s")
+    line(f"- simHashNearDup end-to-end (exact, no cap): $shPairs pairs in $shSec%.1f s")
+    spark.catalog.clearCache()
+    val ((cappedPairs, capStats), capSec) = timed {
+      val (frame, stats) = Dedup.simHashNearDupWithStats(docs, "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 1000)
+      (frame.count(), stats)
+    }
+    capStats.foreach(s => line(f"- capped run (maxBucketSize=1000): $cappedPairs pairs in " +
+      f"$capSec%.1f s; dropped ${s.droppedChunkRows} signature-chunk rows across " +
+      f"${s.droppedBuckets} buckets (largest ${s.maxBucketN}) — cap is measured, never silent"))
     spark.catalog.clearCache()
     line("")
 
