@@ -99,6 +99,26 @@ object ErrorSink {
       .option("nullValue", CsvNullMarker)
       .csv(path)
 
+  /** The full error-report workbook as CSV — one directory per sheet of the
+    * reference's Excel report (ref: excel_report.py:24-345): `summary`
+    * (status + lane counts), `summary_table` (Type x Table counts),
+    * `aggregate` (per-code counts), `detail` (every message, overflow-split).
+    * Small sheets coalesce to one file; the detail sheet stays distributed.
+    */
+  def writeReportBundle(messages: DataFrame, dir: String,
+                        overflow: Long = 1000000L,
+                        processingFailed: Boolean = false): String = {
+    def oneCsv(df: DataFrame, sub: String): Unit =
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", true).option("nullValue", CsvNullMarker)
+        .csv(s"$dir/$sub")
+    oneCsv(summaryReport(messages, processingFailed), "summary")
+    oneCsv(summaryTable(messages), "summary_table")
+    oneCsv(aggregateReport(messages), "aggregate")
+    writeDetailCsv(messages, s"$dir/detail", overflow)
+    dir
+  }
+
   // ------------------------------------------------------- summary report
 
   /** Error-report category lane (ref: reporting/constants.py:8-22). */

@@ -78,6 +78,27 @@ class ErrorSinkSpec extends SparkSpec {
     assert(backIdx.toSeq == backIdx.sorted.toSeq)
   }
 
+  test("report bundle writes every workbook sheet as CSV") {
+    val wd = tmpDir()
+    val cat = new EntityCatalog(Map("planets" -> planets),
+      keyFields = Map("planets" -> Seq("name")))
+    val msgs = StepInterpreter.evaluate(cat,
+      Step.Notify("planets", "gravity < 0.5", Reporting("LOW_G", "weak gravity"))).get
+    ErrorSink.writeReportBundle(msgs, s"$wd/report")
+    def readSheet(sub: String) = spark.read.option("header", true)
+      .option("nullValue", ErrorSink.CsvNullMarker).csv(s"$wd/report/$sub")
+    val summary = readSheet("summary").collect().head
+    assert(summary.getAs[String]("n_record_rejections") == "2") // Mercury, Mars
+    assert(summary.getAs[String]("report_status") ==
+      "File has been accepted with record rejections")
+    assert(readSheet("summary_table").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(("Record Rejection", "planets", "2")))
+    val agg = readSheet("aggregate").collect().head
+    assert(agg.getAs[String]("Error_Code") == "LOW_G" && agg.getAs[String]("Count") == "2")
+    assert(ErrorSink.readDetailCsv(spark, s"$wd/report/detail").count() == 2)
+  }
+
   test("readAllFeedbackErrors unions stages; processing errors have their own location") {
     val wd = tmpDir()
     val cat = new EntityCatalog(Map("planets" -> planets), keyFields = Map.empty)
