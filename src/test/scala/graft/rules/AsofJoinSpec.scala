@@ -78,12 +78,15 @@ class AsofJoinSpec extends SparkSpec {
     // into a single sorted task and the bucketed form spreads over buckets.
     val rnd = new scala.util.Random(7)
     val base = ts("2024-01-01 00:00:00").getTime
+    def someTs(i: Int): Option[java.sql.Timestamp] =
+      if (i % 97 == 0) None else Some(new java.sql.Timestamp(base + rnd.nextInt(36000) * 1000L))
+    // includes null keys and null timestamps on both sides so the
+    // equivalence also covers the masking/exclusion rules
     val lefts = (1 to 400).map { i =>
-      (i.toLong, "hot", new java.sql.Timestamp(base + rnd.nextInt(36000) * 1000L))
+      (i.toLong, if (i % 89 == 0) None else Some("hot"), someTs(i))
     }.toDF("id", "k", "t")
     val rights = (1 to 400).map { i =>
-      (1000L + i, "hot", new java.sql.Timestamp(base + rnd.nextInt(36000) * 1000L),
-        rnd.nextDouble())
+      (1000L + i, if (i % 83 == 0) None else Some("hot"), someTs(i), rnd.nextDouble())
     }.toDF("rid", "k", "t", "px")
     val plain = AsofJoin.asofJoin(lefts, rights, Seq("k"), "t", "t",
       rightPayload = Seq("rid", "px"), rightTieBreak = "rid")
