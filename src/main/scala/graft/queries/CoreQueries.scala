@@ -222,6 +222,17 @@ object CoreQueries {
           col("view_event_id"), round(col("view_value"), 6).as("view_value"))
     }),
 
+    // Salted equi-join (explicit skew mitigation): the lineitem side is
+    // salted, supplier replicated 8x, join on (key, salt) — result must be
+    // identical to the plain join.
+    "q_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.rules.Skew.saltedJoin(li, sup, Seq("l_suppkey"), saltFactor = 8)
+    }),
+
     // The hot-key-safe as-of variant: two-level (key, hour-bucket) carry —
     // same semantics, same oracle, but a power-law key spreads across its
     // time buckets instead of serializing into one sorted task.
@@ -595,6 +606,9 @@ object CoreQueries {
         "SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id, " +
         "CAST(round(v.value, 6) AS DOUBLE) AS view_value " +
         "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+    "q_salted_join" ->
+      ("SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, s.s_name " +
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey"),
     "q_asof_bucketed" ->
       ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
         "v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') " +

@@ -167,6 +167,15 @@ object LlmQueries {
       Similarity.lshKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, numPlanes = 8)
     }),
 
+    // Lloyd-refined IVF centroids (2 iterations from the deterministic
+    // vec_id % 50 seed): decimal-summed elementwise means make the refined
+    // centroids bit-reproducible, so the oracle replays both iterations.
+    "q_embed_kmeans" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.kmeansCentroids(e, e.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", iterations = 2)
+    }),
+
     "q_embed_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfKnn(e, e.where(col("vec_id") < 10),
@@ -329,6 +338,36 @@ object LlmQueries {
       s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
   }
 
+  /** DuckDB replica of [[Similarity.kmeansCentroids]] (2 Lloyd iterations,
+    * dim 64): the same nearest-cell assignment tiebreak and the same
+    * decimal-exact elementwise means, replayed iteration by iteration.
+    */
+  private def kmeansSql(dim: Int, iterations: Int): String = {
+    require(iterations == 2, "oracle is written for 2 iterations")
+    val d = dim
+    "WITH c0 AS (SELECT vec_id AS cell_id, d, embedding[d+1]::DOUBLE AS cval " +
+      s"FROM embeddings CROSS JOIN range($d) r(d) WHERE vec_id % 50 = 0), " +
+      "c0v AS (SELECT cell_id, list(cval ORDER BY d) AS cv FROM c0 GROUP BY cell_id), " +
+      "a1 AS (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cell_id) AS rn " +
+      "FROM embeddings e CROSS JOIN c0v c), " +
+      "asg1 AS (SELECT vec_id, cell_id FROM a1 WHERE rn = 1), " +
+      "m1 AS (SELECT cell_id, d, CAST(sum(CAST(e.embedding[d+1]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m " +
+      s"FROM asg1 JOIN embeddings e USING (vec_id) CROSS JOIN range($d) r(d) GROUP BY cell_id, d), " +
+      "c1 AS (SELECT c0.cell_id, c0.d, coalesce(m1.m, c0.cval) AS cval " +
+      "FROM c0 LEFT JOIN m1 ON c0.cell_id = m1.cell_id AND c0.d = m1.d), " +
+      "c1v AS (SELECT cell_id, list(cval ORDER BY d) AS cv FROM c1 GROUP BY cell_id), " +
+      "a2 AS (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cell_id) AS rn " +
+      "FROM embeddings e CROSS JOIN c1v c), " +
+      "asg2 AS (SELECT vec_id, cell_id FROM a2 WHERE rn = 1), " +
+      "m2 AS (SELECT cell_id, d, CAST(sum(CAST(e.embedding[d+1]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m " +
+      s"FROM asg2 JOIN embeddings e USING (vec_id) CROSS JOIN range($d) r(d) GROUP BY cell_id, d) " +
+      "SELECT c1.cell_id, c1.d::BIGINT AS dim, " +
+      "CAST(round(coalesce(m2.m, c1.cval), 9) AS DOUBLE) AS val " +
+      "FROM c1 LEFT JOIN m2 ON c1.cell_id = m2.cell_id AND c1.d = m2.d"
+  }
+
   /** DuckDB replica of [[Similarity.ivfKnn]]: centroids = vec_id % 50 == 0,
     * nearest-cell assignment with the (cos desc, cell_id) tiebreak, queries
     * probe the 3 nearest cells, exact re-rank within probed cells.
@@ -483,6 +522,7 @@ object LlmQueries {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
+    "q_embed_kmeans" -> kmeansSql(dim = 64, iterations = 2),
     "q_multimodal_meta" -> multimodalSql,
     // Recompute the decoded image features from the generative pixel
     // formula (see Multimodal.syntheticBmp): the Spark side must recover

@@ -29,6 +29,28 @@ object Skew {
       SaltedAgg(Option(as).getOrElse(c), max(col(s"`$c`")), p => max(p))
   }
 
+  /** Salted equi-join for KNOWN key skew: each row of the large (skewed)
+    * left side gets a deterministic salt in [0, saltFactor); the right side
+    * replicates `saltFactor` times; the join key becomes (keys, salt), so a
+    * hot key's rows spread over `saltFactor` reducers instead of one. AQE's
+    * runtime skew split covers sort-merge joins it can observe — this is
+    * the explicit form for when AQE can't help (pre-partitioned inputs, or
+    * a right side too big to broadcast but cheap to replicate saltFactor
+    * times). Inner and left joins only: the right side's replication makes
+    * right/full-outer row accounting wrong by construction.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins, not '$joinType'")
+    val l = left.withColumn("__salt__",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val r = right.withColumn("__salt__",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, (keys :+ "__salt__").toSeq, joinType).drop("__salt__")
+  }
+
   /** Two-phase salted aggregation: group by (keys, deterministic row salt in
     * [0, saltFactor)) for the partial, then by keys alone for the merge.
     * Output columns: keys ++ one per agg, named by the agg spec.

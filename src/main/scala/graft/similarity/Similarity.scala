@@ -173,6 +173,51 @@ object Similarity {
     * centroid count is small); each query probes the `nProbe` nearest
     * cells and re-ranks exactly within them.
     */
+  /** Lloyd (k-means) refinement of IVF centroids: assign every corpus
+    * vector to its nearest centroid (cosine, deterministic cell-id
+    * tiebreak), re-average each cell elementwise, repeat. Makes the IVF
+    * index self-contained — callers seed with any deterministic sample
+    * (e.g. `vec_id % 50 == 0`) and refine instead of shipping centroids
+    * from outside.
+    *
+    * Shuffle shape per iteration: one broadcast of k centroids + one
+    * (cell, dim)-keyed aggregation — both scale-safe (k and dim are small;
+    * the corpus is touched once per iteration, never all-pairs).
+    *
+    * Determinism: the elementwise mean sums in DECIMAL, not double — IEEE
+    * double addition is not associative, so a double sum depends on
+    * partition order, while decimal addition is exact; the single
+    * decimal→double cast afterwards gives a bit-reproducible mean across
+    * engines and runs. Empty cells keep their previous centroid. Output is
+    * the exploded (cell_id, dim, val) form, val rounded to 9 dp.
+    */
+  def kmeansCentroids(corpus: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cents = centroids.select(col(idCol).as("cell_id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "cval")))
+    for (_ <- 1 to iterations) {
+      val cvecs = cents.groupBy("cell_id")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("cval")))),
+          x => x.getField("cval")).as("c_vec"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
+      val assigned = corpus.select(col(idCol), col(vecCol).as("__v__"))
+        .join(broadcast(cvecs))
+        .withColumn("cell_cos", cosine(col("__v__"), col("c_vec")))
+        .withColumn("__rn__", row_number().over(w))
+        .where(col("__rn__") === 1)
+        .select(col("cell_id"), col("__v__"))
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("__v__").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy("cell_id", "dim")
+        .agg((sum(col("v").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("m"))
+      cents = cents.join(means, Seq("cell_id", "dim"), "left")
+        .select(col("cell_id"), col("dim"), coalesce(col("m"), col("cval")).as("cval"))
+    }
+    cents.select(col("cell_id"), col("dim").cast("bigint").as("dim"),
+      round(col("cval"), 9).as("val"))
+  }
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

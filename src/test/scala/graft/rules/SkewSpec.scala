@@ -25,6 +25,26 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("saltedJoin equals the plain join, inner and left, hot key spread over salts") {
+    val hot = (1 to 5000).map(i => (i.toLong, "hot"))
+    val cold = (5001 to 5050).map(i => (i.toLong, s"cold_$i"))
+    val unmatched = Seq((9999L, "nowhere"))
+    val left = (hot ++ cold ++ unmatched).toDF("id", "k")
+    val right = (Seq(("hot", 1.0)) ++ (5001 to 5050).map(i => (s"cold_$i", i / 10.0)))
+      .toDF("k", "w")
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "k", "w").as[(Long, String, Option[Double])].collect().toSet
+    assert(rowsOf(Skew.saltedJoin(left, right, Seq("k"), 8)) ==
+      rowsOf(left.join(right, Seq("k"), "inner")))
+    assert(rowsOf(Skew.saltedJoin(left, right, Seq("k"), 8, "left")) ==
+      rowsOf(left.join(right, Seq("k"), "left")))
+    // the join keys include the salt: the hot key is no longer one partition
+    val plan = Skew.saltedJoin(left, right, Seq("k"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt__"))
+  }
+
   test("salted plan contains two aggregation exchanges (partial then merge)") {
     val df = (1 to 100).map(i => ("k", i.toLong)).toDF("k", "v")
     val plan = Skew.saltedAggregate(df, Seq("k"), 4, Skew.SaltedAgg.sumOf("v"))

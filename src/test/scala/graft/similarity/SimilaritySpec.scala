@@ -54,6 +54,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("kmeansCentroids pulls seeds toward their cluster means, deterministically") {
+    // seeds 0,1,2 are one member of each tight cluster; after refinement
+    // every refined centroid should be ~the mean of its cluster (closer to
+    // the cluster mean than the raw seed was)
+    val seeds = vecs.where("vec_id IN (0, 1, 2)")
+    val out = Similarity.kmeansCentroids(vecs, seeds, "vec_id", "embedding", iterations = 2)
+    val refined = out.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (c, rows) =>
+        c -> rows.sortBy(_._2).map(_._3)
+      }
+    assert(refined.keySet == Set(0L, 1L, 2L))
+    assert(refined.values.forall(_.length == 8))
+    val members = vecs.as[(Long, Seq[Float])].collect()
+    def clusterMean(cl: Long): Seq[Double] = {
+      val vs = members.filter(_._1 % 3 == cl).map(_._2)
+      (0 until 8).map(d => vs.map(_(d).toDouble).sum / vs.length)
+    }
+    def dist(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    (0L to 2L).foreach { cl =>
+      val seed = members.find(_._1 == cl).get._2.map(_.toDouble).toSeq
+      assert(dist(refined(cl).toSeq, clusterMean(cl)) < dist(seed, clusterMean(cl)),
+        s"centroid $cl did not move toward its cluster mean")
+    }
+    // deterministic across runs
+    val again = Similarity.kmeansCentroids(vecs, seeds, "vec_id", "embedding", iterations = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == out.as[(Long, Long, Double)].collect().toSet)
+  }
+
+  test("kmeansCentroids keeps an empty cell's previous centroid") {
+    // a far-away seed that attracts no vectors keeps its original values
+    val far = Seq((99L, Seq.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val seeds = vecs.where("vec_id IN (0, 1, 2)").unionByName(far)
+    val out = Similarity.kmeansCentroids(vecs, seeds, "vec_id", "embedding", iterations = 1)
+      .where(col("cell_id") === 99L).as[(Long, Long, Double)].collect()
+    assert(out.length == 8 && out.forall(_._3 == -1.0))
+  }
+
   test("cosineNearDupPairs: LSH-bucketed matches brute force on near-identical vectors") {
     val rnd = new scala.util.Random(11)
     // 10 base vectors, each with a jittered near-duplicate (cosine ~0.9999)
