@@ -129,6 +129,19 @@ object LlmQueries {
       withPii.select(cols: _*)
     }),
 
+    // URL/domain signals over docs with injected synthetic URLs (the
+    // corpus itself has none — the fixture appends two deterministic URLs
+    // per doc, one repeated domain family and one unique).
+    "q_text_domains" -> ((s, dir) => {
+      val withUrls = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" see https://site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.org/page"), col("doc_id"),
+          lit(" and http://m"), pmod(col("doc_id"), lit(3)), lit(".example.net")).as("text"))
+      val cols = col("doc_id") +:
+        TextStats.urlColumns(col("text")).map { case (n, c) => c.as(n) }
+      withUrls.select(cols: _*)
+    }),
+
     // Near-dup cluster RESOLUTION: exact PPJoin pairs -> connected
     // components (iterative min-label propagation) -> canonical keeper per
     // cluster. The oracle recomputes components with a recursive CTE over
@@ -502,6 +515,16 @@ object LlmQueries {
         "row_number() OVER (PARTITION BY component ORDER BY score DESC, comp.doc_id) AS rn " +
         "FROM comp JOIN sc ON comp.doc_id = sc.doc_id) " +
         "SELECT doc_id, component, rn = 1 AS keep FROM r"
+    },
+    "q_text_domains" -> {
+      val url = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+      val dom = "https?://([A-Za-z0-9.-]+)"
+      "WITH u AS (SELECT doc_id, text || ' see https://site' || (doc_id % 7) || " +
+        "'.example.org/page' || doc_id || ' and http://m' || (doc_id % 3) || " +
+        "'.example.net' AS text FROM documents) " +
+        s"SELECT doc_id, len(regexp_extract_all(text, '$url'))::BIGINT AS n_urls, " +
+        s"array_to_string(list_sort(list_distinct(regexp_extract_all(text, '$dom', 1))), ',') AS domains " +
+        "FROM u"
     },
     "q_text_pii" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

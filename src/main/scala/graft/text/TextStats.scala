@@ -131,6 +131,18 @@ object TextStats {
       "masked_sha256" -> sha2(masked.cast("binary"), 256))
   }
 
+  /** URL/domain signals (the domain-filtering step of web-corpus pipelines:
+    * blocklists, per-domain caps, provenance stats): URL count and the
+    * sorted distinct domain list per document. Regexes stay in the
+    * RE2/Java common subset so an external engine can replicate them.
+    */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+  val DomainPattern = "https?://([A-Za-z0-9.-]+)"
+  def urlColumns(textCol: Column): Seq[(String, Column)] = Seq(
+    "n_urls" -> regexp_count(textCol, lit(UrlPattern)).cast("bigint"),
+    "domains" -> concat_ws(",",
+      array_sort(array_distinct(regexp_extract_all(textCol, lit(DomainPattern), lit(1))))))
+
   /** Top-`k` characteristic terms per document by tf-idf. The idf is the
     * smoothed RATIONAL form (N+1)/(df+1) rather than its logarithm: ranking
     * is order-equivalent per document (log is monotone), and the rational

@@ -63,6 +63,16 @@ class TextStatsSpec extends SparkSpec {
     assert(weird.getDouble(0) >= 0.0 && weird.getDouble(1) >= 0.0)
   }
 
+  test("urlColumns counts URLs and lists sorted distinct domains") {
+    val df = Seq(
+      "read https://b.org/x and http://a.net and https://b.org/y",
+      "no links here").toDF("text")
+    val out = df.select(TextStats.urlColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, String)].collect()
+    assert(out(0) == ((3L, "a.net,b.org")))
+    assert(out(1) == ((0L, "")))
+  }
+
   test("stopwordRatio counts repeated hits") {
     val df = Seq("the the the word").toDF("text")
     val r = df.select(TextStats.stopwordRatio(TextStats.tokens(col("text")), Seq("the"))).as[Double].head()
