@@ -117,6 +117,12 @@ object LlmQueries {
         Sampling.stratifiedKeep(col("doc_id"), col("lang"),
           Map("en" -> 500, "fr" -> 250), defaultPerMille = 100).as("keep"))),
 
+    // Sequence packing: documents -> ~512-token training sequences,
+    // hash-bucketed (distributed) and packed in id order within buckets.
+    "q_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), "doc_id",
+        TextStats.bpeishTokenCount(col("text")), budget = 512L, nBuckets = 32)),
+
     // PII detect/mask signals over docs with injected synthetic PII (the
     // corpus itself is clean, so the fixture appends a deterministic email
     // + long reference number per doc).
@@ -403,16 +409,17 @@ object LlmQueries {
       s"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
       s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
 
-  /** DuckDB replica of [[Sampling.hashBucket]] mod 1000: polynomial
-    * codepoint fold + MINSTD-xorshift-MINSTD finalizer.
+  /** DuckDB replica of [[Sampling.hashBucket]]: polynomial codepoint fold +
+    * MINSTD-xorshift-MINSTD finalizer, mod `n`.
     */
-  private val splitBucketSql: String = {
+  private def bucketSql(n: Int): String = {
     val h = "list_reduce(list_prepend(17::BIGINT, " +
       "[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR), '')]), " +
       "(a, b) -> (a * 31 + b) % 4294967296)"
     val m1 = s"(($h * 48271) % 2147483647)"
-    s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % 1000)"
+    s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % $n)"
   }
+  private val splitBucketSql: String = bucketSql(1000)
 
   private val multimodalSql: String =
     "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, " +
@@ -480,6 +487,13 @@ object LlmQueries {
         "SELECT doc_id, bucket, " +
         "CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'validation' " +
         "ELSE 'test' END AS split FROM hb"),
+    "q_pack_sequences" ->
+      (s"WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '${TextStats.BpeishPattern}'))::BIGINT AS n_tokens, " +
+        s"${bucketSql(32)} AS bucket FROM documents) " +
+        "SELECT doc_id, n_tokens, bucket, " +
+        "((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512)::BIGINT AS seq " +
+        "FROM t"),
     "q_sample_stratified" ->
       (s"WITH hb AS (SELECT doc_id, lang, $splitBucketSql AS bucket FROM documents) " +
         "SELECT doc_id, lang, bucket < " +

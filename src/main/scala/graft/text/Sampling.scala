@@ -41,6 +41,31 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Sequence PACKING for training-data assembly: concatenating documents
+    * into ~`budget`-token training sequences. Fully distributed and
+    * deterministic: documents hash-bucket by id ([[hashBucket]] — appends
+    * never move existing docs between buckets), then pack within each
+    * bucket in id order by cumulative token count; a document belongs to
+    * the sequence its first token starts in (`floor(cum_before / budget)`),
+    * so a sequence can overrun the budget by less than one document —
+    * the standard boundary rule when documents are not split.
+    *
+    * Scale shape: one window per bucket (each bucket is 1/nBuckets of the
+    * corpus — the global-order formulation would be a single-partition
+    * sort); output key (bucket, seq) identifies a training sequence.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    tokenCount: Column, budget: Long,
+                    nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), tokenCount.cast("bigint").as("n_tokens"),
+        hashBucket(col(idCol), nBuckets).as("bucket"))
+      .withColumn("seq",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("bigint"))
+  }
+
   /** Keep-flag for per-stratum sampling rates (per-mille), e.g. language
     * rebalancing: `Map("en" -> 500, "fr" -> 250)` keeps ~50% of English
     * and ~25% of French rows, `defaultPerMille` elsewhere. Deterministic

@@ -92,6 +92,27 @@ class SamplingSpec extends SparkSpec {
     assert(out(3L)._2)                         // singleton keeps itself
   }
 
+  test("packSequences packs in id order with start-offset boundary rule") {
+    import org.apache.spark.sql.functions.lit
+    // single bucket: budget 10; token counts 4,4,4,15,4 ->
+    //   cum_before 0,4,8,12,27 -> seq 0,0,0,1,2
+    // doc 3 (cum_before 8) STARTS in seq 0 even though it overruns;
+    // doc 4 (15 > budget) gets its own sequence
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 15L), (5L, 4L))
+      .toDF("doc_id", "n")
+    val out = Sampling.packSequences(docs, "doc_id", col("n") * lit(1),
+        budget = 10L, nBuckets = 1)
+      .select("doc_id", "seq").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+    // multi-bucket: every doc keeps its bucket under appends (pure hash)
+    val big = (1L to 200L).map((_, 7L)).toDF("doc_id", "n")
+    val b1 = Sampling.packSequences(big, "doc_id", col("n"), 100L, 8)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val b2 = Sampling.packSequences(big.where("doc_id <= 100"), "doc_id", col("n"), 100L, 8)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b2.forall { case (id, b) => b1(id) == b })
+  }
+
   test("repetitionColumns flag repetitive docs and ignore short ones") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),     // one distinct 2-gram
