@@ -368,9 +368,9 @@ object Dedup {
     nearDupComponentsImpl(docs, idCol, textCol, shingleSize, threshold)._1
 
   /** [[nearDupComponents]] with cache ownership — see [[minHashDedupWith]]:
-    * the final label cache is released when `use` returns, so long-lived
-    * library callers do not leak one cached frame per call. `use` must fully
-    * consume the frame before returning.
+    * the final label + membership caches are released when `use` returns,
+    * so long-lived library callers do not leak cached frames per call.
+    * `use` must fully consume the frame before returning.
     */
   def nearDupComponentsWith[T](docs: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int = 3, threshold: Double = 0.5)
@@ -381,32 +381,51 @@ object Dedup {
 
   private def nearDupComponentsImpl(docs: DataFrame, idCol: String, textCol: String,
                                     shingleSize: Int, threshold: Double
-                                   ): (DataFrame, Option[DataFrame]) = {
+                                   ): (DataFrame, Seq[DataFrame]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Exact duplicates collapse FIRST: identical texts are near-dups at any
+    // threshold, and a clone cluster of k docs otherwise costs O(k^2) in
+    // the PPJoin and k graph nodes (the 20x probe measured the pair graph
+    // quadrupling per corpus doubling on a clone-heavy corpus). One row
+    // per DISTINCT text — its minimum id — runs the expensive pipeline;
+    // members map through their representative afterwards. Labels are
+    // UNCHANGED by the collapse: every member's id >= its group's rep id,
+    // so min-of-cluster is the same value either way.
+    val memb = docs.select(col(idCol), sha2(col(textCol).cast("binary"), 256).as("__ch__"))
+      .withColumn("__rep__", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__ch__"))))
+      .select(col(idCol), col("__rep__"))
+      .persist(lvl)
+    memb.count() // materialize before the two consumers below
+    val repDocs = docs.join(
+      memb.where(col(idCol) === col("__rep__")).select(idCol), Seq(idCol), "left_semi")
     // Materialized once: the pair frame fans out to the node extraction and
     // both directions of the edge symmetrization — without the persist the
     // whole PPJoin re-runs per consumer (measured 4-5x).
     val (rawPairs, shingleCache) =
-      prefixFilterJoinImpl(docs, idCol, textCol, shingleSize, threshold)
-    val pairs = rawPairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prefixFilterJoinImpl(repDocs, idCol, textCol, shingleSize, threshold)
+    val pairs = rawPairs.persist(lvl)
     pairs.count()
     // the PPJoin's shingle cache served its purpose materializing `pairs`
     shingleCache.unpersist(blocking = false)
-    // Propagate labels only over docs that HAVE a near-dup pair: singletons
-    // (the overwhelming majority at corpus scale) are their own component
-    // by construction and join back afterwards — the iterative frames hold
-    // a few percent of the corpus instead of all of it.
+    // Propagate labels only over representatives that HAVE a near-dup pair:
+    // singletons (the overwhelming majority at corpus scale) are their own
+    // component by construction and join back afterwards — the iterative
+    // frames hold a few percent of the corpus instead of all of it.
     val pairNodes = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
     val (comp, owned, _) =
       connectedComponentsImpl(pairNodes, pairs.select("a", "b"), idCol, maxRounds = 50)
     // the component labels are materialized (every round ends in an action),
-    // so the pair cache can go too; only the final label cache (if the last
-    // round was not a checkpoint round) remains with the returned frame
+    // so the pair cache can go too; the final label cache (if the last
+    // round was not a checkpoint round) + membership cache remain with the
+    // returned frame
     pairs.unpersist(blocking = false)
-    val result = docs.select(col(idCol)).join(comp, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+    val result = memb
+      .join(comp.withColumnRenamed(idCol, "__rep__"), Seq("__rep__"), "left")
+      .select(col(idCol), coalesce(col("component"), col("__rep__")).as("component"))
       .withColumn("keep", col(idCol) === col("component"))
-    (result, owned)
+    (result, owned.toSeq :+ memb)
   }
 
   /** [[nearDupComponents]] with a QUALITY-aware keeper: within each dup
@@ -432,7 +451,7 @@ object Dedup {
 
   private def nearDupKeepBestImpl(docs: DataFrame, idCol: String, textCol: String,
                                   scoreCol: Column, shingleSize: Int, threshold: Double
-                                 ): (DataFrame, Option[DataFrame]) = {
+                                 ): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val (compFull, owned) =
       nearDupComponentsImpl(docs, idCol, textCol, shingleSize, threshold)
