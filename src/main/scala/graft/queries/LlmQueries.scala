@@ -123,6 +123,41 @@ object LlmQueries {
       Sampling.packSequences(docs(s, dir), "doc_id",
         TextStats.bpeishTokenCount(col("text")), budget = 512L, nBuckets = 32)),
 
+    // Corpus MIXING to a token budget: per-language keep rates derived
+    // in-plan from measured token mass vs target mixture weights ("40% en,
+    // 20% de, ..." of a 20k-token budget); the keep decision is salted so
+    // it is independent of the split/sample hashes on the same ids.
+    "q_mix_budget" -> ((s, dir) =>
+      Sampling.mixToBudget(docs(s, dir), "doc_id", "lang",
+        TextStats.bpeishTokenCount(col("text")), MixWeights, MixBudget)
+        .select(col("doc_id"), col("lang"), col("rate_permille"), col("keep"))),
+
+    // Sliding-window document chunking: 32-token windows every 16 tokens —
+    // the long-document treatment when the model's sequence budget is
+    // shorter than the document.
+    "q_chunk_docs" -> ((s, dir) =>
+      TextStats.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkTokens = 32, stride = 16)),
+
+    // CROSS-corpus near-dup join (incremental-ingest dedup): docs with
+    // doc_id % 3 == 0 stand in for the already-trained reference corpus,
+    // the rest is the fresh crawl; pairs only ever cross the boundary.
+    "q_dedup_cross" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minHashCrossDedup(
+        d.where(pmod(col("doc_id"), lit(3)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text")
+    }),
+
+    // Embedding-based quality filter: mean cosine of the 3 nearest curated
+    // seed vectors (vec_id % 37 == 0 stands in for the curated set), keep
+    // at score >= 0.2 — the classifier-free seed-ranking filter.
+    "q_embed_quality" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.seedQualityScore(e, e.where(pmod(col("vec_id"), lit(37)) === 0),
+        "vec_id", "embedding", k = 3, threshold = 0.2)
+    }),
+
     // PII detect/mask signals over docs with injected synthetic PII (the
     // corpus itself is clean, so the fixture appends a deterministic email
     // + long reference number per doc).
@@ -409,6 +444,58 @@ object LlmQueries {
       s"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
       s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
 
+  /** Mixture targets for q_mix_budget — weights chosen so one stratum (de)
+    * caps at rate 1000 while the rest subsample, exercising both arms of
+    * the `least`. */
+  private val MixWeights = Map("en" -> 400, "de" -> 200, "es" -> 150, "fr" -> 150, "zh" -> 100)
+  private val MixBudget = 20000L
+
+  /** DuckDB replica of [[Sampling.mixToBudget]]: the same bigint target
+    * arithmetic (computed here in Scala exactly as mixToBudget's plan
+    * computes it), the same floor-div rate, and the ":mix"-salted
+    * polynomial-hash bucket.
+    */
+  private val mixSql: String = {
+    val target = MixWeights.toSeq.sortBy(_._1).map { case (l, w) =>
+      s"WHEN '$l' THEN ${MixBudget * w / 1000L}"
+    }.mkString("CASE lang ", " ", " ELSE 0 END")
+    val h = "list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR) || ':mix', '')]), " +
+      "(a, b) -> (a * 31 + b) % 4294967296)"
+    val m1 = s"(($h * 48271) % 2147483647)"
+    val bucket = s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % 1000)"
+    s"WITH tot AS (SELECT lang, sum(len(regexp_extract_all(text, '${TextStats.BpeishPattern}')))::BIGINT AS t " +
+      "FROM documents GROUP BY lang), " +
+      s"r AS (SELECT lang, least(1000, CAST(floor(($target) * 1000.0 / t) AS BIGINT)) AS rate_permille FROM tot) " +
+      s"SELECT d.doc_id, d.lang, r.rate_permille, $bucket < r.rate_permille AS keep " +
+      "FROM documents d JOIN r USING (lang)"
+  }
+
+  /** DuckDB replica of [[TextStats.chunkDocs]] (32-token windows, stride
+    * 16): same single-space tokenization, same ceil-div window count, same
+    * inclusive slice bounds.
+    */
+  private val chunkSql: String =
+    "WITH t AS (SELECT doc_id, string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+      "n AS (SELECT doc_id, ws, len(ws)::BIGINT AS n FROM t), " +
+      "c AS (SELECT doc_id, ws, n, unnest(range(1 + CAST(floor((greatest(n - 32, 0) + 15) / 16.0) AS BIGINT))) AS chunk_idx FROM n) " +
+      "SELECT doc_id, chunk_idx, " +
+      "array_to_string(list_slice(ws, CAST(chunk_idx * 16 + 1 AS BIGINT), CAST(chunk_idx * 16 + 32 AS BIGINT)), ' ') AS chunk_text, " +
+      "least(32, n - chunk_idx * 16)::BIGINT AS chunk_n_tokens FROM c"
+
+  /** DuckDB replica of [[Similarity.seedQualityScore]]: rounded per-pair
+    * cosines ranked with the (cos desc, seed_id) tiebreak, DECIMAL-exact
+    * top-3 mean.
+    */
+  private val seedQualitySql: String =
+    "WITH s AS (SELECT vec_id AS seed_id, embedding AS s_vec FROM embeddings WHERE vec_id % 37 = 0), " +
+      "p AS (SELECT e.vec_id, s.seed_id, round(list_cosine_similarity(e.embedding::DOUBLE[], s.s_vec::DOUBLE[]), 6) AS cos " +
+      "FROM embeddings e JOIN s ON e.vec_id != s.seed_id), " +
+      "r AS (SELECT vec_id, seed_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn FROM p), " +
+      "g AS (SELECT vec_id, CAST(round(CAST(sum(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS seed_score " +
+      "FROM r WHERE rn <= 3 GROUP BY vec_id) " +
+      "SELECT vec_id, seed_score, seed_score >= 0.2 AS keep FROM g"
+
   /** DuckDB replica of [[Sampling.hashBucket]]: polynomial codepoint fold +
     * MINSTD-xorshift-MINSTD finalizer, mod `n`.
     */
@@ -498,6 +585,14 @@ object LlmQueries {
       (s"WITH hb AS (SELECT doc_id, lang, $splitBucketSql AS bucket FROM documents) " +
         "SELECT doc_id, lang, bucket < " +
         "(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 100 END) AS keep FROM hb"),
+    "q_mix_budget" -> mixSql,
+    "q_chunk_docs" -> chunkSql,
+    "q_dedup_cross" ->
+      (s"$shingleCte SELECT a, b, jaccard FROM (" +
+        "SELECT n.doc_id AS a, r.doc_id AS b, " +
+        "len(list_intersect(n.sh, r.sh))::DOUBLE / len(list_distinct(list_concat(n.sh, r.sh)))::DOUBLE AS jaccard " +
+        "FROM sh n JOIN sh r ON n.doc_id % 3 != 0 AND r.doc_id % 3 = 0) p WHERE jaccard >= 0.5"),
+    "q_embed_quality" -> seedQualitySql,
     "q_dedup_components" ->
       (s"WITH RECURSIVE p AS ($shingleCte SELECT a, b FROM (" +
         "SELECT a.doc_id AS a, b.doc_id AS b, " +

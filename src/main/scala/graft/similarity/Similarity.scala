@@ -218,6 +218,38 @@ object Similarity {
       round(col("cval"), 9).as("val"))
   }
 
+  /** Embedding-based QUALITY scoring against a curated seed set (the
+    * classifier-free filtering step of pipelines like LAION's CLIP filter
+    * or DCLM's fastText seed ranking): every corpus vector is scored by the
+    * mean cosine of its `k` nearest seed vectors, and `keep` flags scores
+    * >= `threshold`. Seeds are the small curated side by construction —
+    * broadcast them; the corpus is scanned once, per-vector top-k via
+    * window, no corpus-side self-join anywhere.
+    *
+    * Determinism: the top-k tiebreak is (cosine desc, seed id), and the
+    * mean sums per-pair cosines ROUNDED to 6 dp as DECIMAL(10,6) — exact
+    * addition in any order — then divides in double. An external engine
+    * reproduces the score bit-for-bit ([[kmeansCentroids]] discipline).
+    * Vectors also present in the seed set skip their self-pair.
+    */
+  def seedQualityScore(corpus: DataFrame, seeds: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = broadcast(seeds.select(col(idCol).as("seed_id"), col(vecCol).as("s_vec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("seed_id"))
+    corpus.select(col(idCol), col(vecCol).as("__v__"))
+      .join(s, col(idCol) =!= col("seed_id"))
+      .withColumn("cos", round(cosine(col("__v__"), col("s_vec")), 6))
+      .withColumn("__rn__", row_number().over(w))
+      .where(col("__rn__") <= k)
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("cos").cast("decimal(10,6)")).cast("double")
+          / count(lit(1)), 6).as("seed_score"))
+      .withColumn("keep", col("seed_score") >= threshold)
+  }
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

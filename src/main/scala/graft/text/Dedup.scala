@@ -196,6 +196,85 @@ object Dedup {
     (verifyPairs(candidates, withShingles, idCol, "sh", threshold), withShingles)
   }
 
+  /** CROSS-corpus near-duplicate join: (new, ref) pairs with Jaccard >=
+    * `threshold` between a NEW corpus and a REFERENCE corpus — the
+    * incremental-ingest primitive (dedup a fresh crawl against the corpus
+    * already trained on) and the fuzzy big brother of [[decontaminate]].
+    *
+    * Same MinHash geometry and recall as [[minHashDedup]]; candidates come
+    * from a band-key equi-join BETWEEN the sides only (never within a
+    * side), so reference-internal duplicate mass generates no pairs and the
+    * reference is never self-joined. `maxBucketSize` caps each side's rows
+    * per band bucket (the [[lshCandidates]] skew guard).
+    *
+    * Output: (a = new id, b = ref id, jaccard). A new doc is "novel" iff it
+    * has no row here — the caller anti-joins on `a`.
+    */
+  def minHashCrossDedup(newDocs: DataFrame, refDocs: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 192,
+                        numBands: Int = 64, threshold: Double = 0.5,
+                        seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame =
+    minHashCrossDedupImpl(newDocs, refDocs, idCol, textCol, shingleSize,
+      numHashes, numBands, threshold, seed, maxBucketSize)._1
+
+  /** [[minHashCrossDedup]] with cache ownership — see [[minHashDedupWith]]. */
+  def minHashCrossDedupWith[T](newDocs: DataFrame, refDocs: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleSize: Int = 3, numHashes: Int = 192,
+                               numBands: Int = 64, threshold: Double = 0.5,
+                               seed: Long = 42L, maxBucketSize: Int = 10000)
+                              (use: DataFrame => T): T = {
+    val (result, owned) = minHashCrossDedupImpl(newDocs, refDocs, idCol, textCol,
+      shingleSize, numHashes, numBands, threshold, seed, maxBucketSize)
+    try use(result) finally owned.foreach(_.unpersist(blocking = false))
+  }
+
+  private def minHashCrossDedupImpl(newDocs: DataFrame, refDocs: DataFrame,
+                                    idCol: String, textCol: String,
+                                    shingleSize: Int, numHashes: Int, numBands: Int,
+                                    threshold: Double, seed: Long, maxBucketSize: Int
+                                   ): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val rowsPerBand = numHashes / numBands
+    // each side's shingle table feeds banding AND its half of the verify
+    // join — persisted for the same reason as minHashDedupImpl
+    def prep(docs: DataFrame): DataFrame = {
+      val sh = widen(docs)
+        .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      sh
+    }
+    val shNew = prep(newDocs)
+    val shRef = prep(refDocs)
+    def banded(sh: DataFrame, out: String): DataFrame = {
+      val b = pinPartitions(
+        sh.withColumn("sig", minHashSignature(col("sh"), numHashes, seed))
+          .select(col(idCol).as(out),
+            posexplode(bandColumns(col("sig"), numBands, rowsPerBand)).as(Seq("band", "band_hash"))),
+        col("band"), col("band_hash"))
+      // per-side bucket cap (no >=2 floor: a singleton bucket on one side
+      // still matches the other side). Window count = ONE shuffle that the
+      // cross join below reuses — same shape as lshCandidates.
+      b.withColumn("__bucket_n__",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("band_hash"))))
+        .where(col("__bucket_n__") <= maxBucketSize)
+        .drop("__bucket_n__")
+    }
+    val cand = banded(shNew, "a").join(banded(shRef, "b"), Seq("band", "band_hash"))
+      .select(col("a"), col("b")).distinct()
+    // exact verify; candidate partitioning pinned as in verifyPairs
+    val n = cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val result = cand.repartition(n, col("a"))
+      .join(shNew.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(shRef.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+    (result, Seq(shNew, shRef))
+  }
+
   /** Exact Jaccard-threshold self-join via prefix filtering (PPJoin-style).
     *
     * Tokens are globally ordered RAREST-FIRST (corpus frequency, token

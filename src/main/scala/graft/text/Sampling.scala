@@ -66,6 +66,49 @@ object Sampling {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("bigint"))
   }
 
+  /** Corpus MIXING to a token budget: given target mixture weights per
+    * stratum (per-mille of `budgetTokens`), derive each stratum's keep rate
+    * from its measured token mass and keep rows deterministically at that
+    * rate. The training-data version of "40% web, 30% code, 20% books":
+    * strata over-represented relative to their target are down-sampled;
+    * strata at or under target keep everything (rate caps at 1000 — mixing
+    * subsamples, it does not replicate).
+    *
+    * All rate arithmetic is integer/exactly-representable (targets and
+    * rates derive from bigint sums), so an external engine reproduces the
+    * exact keep set. The keep decision salts the hash key with ":mix" so
+    * mixing is independent of [[split]]/[[stratifiedKeep]] decisions on the
+    * same ids.
+    *
+    * Scale shape: one narrow aggregation to per-stratum token totals (rows
+    * = #strata, broadcast back), then a pure per-row keep flag — no
+    * shuffle of the corpus itself.
+    */
+  def mixToBudget(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  stratumCol: String, tokenCount: Column,
+                  weightsPerMille: Map[String, Int],
+                  budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    val totals = docs.groupBy(col(stratumCol))
+      .agg(sum(tokenCount.cast("bigint")).as("__stratum_tokens__"))
+    // target token mass per stratum: weight/1000 of the budget, floored
+    val target = weightsPerMille.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) =>
+        when(col(stratumCol) === s, lit(budgetTokens * w / 1000L)).otherwise(acc)
+    }
+    docs.join(broadcast(totals), stratumCol)
+      .withColumn("rate_permille",
+        // floor((target*1000)/total): quotients of bigints this size are
+        // exact under double division (the nearest non-integer rational is
+        // 1/total away — far outside double epsilon), so floor matches
+        // exact integer division on both engines
+        least(lit(1000L),
+          floor(target * 1000L / col("__stratum_tokens__"))).cast("bigint"))
+      .withColumn("keep",
+        hashBucket(concat(col(idCol).cast("string"), lit(":mix")), 1000)
+          < col("rate_permille"))
+      .drop("__stratum_tokens__")
+  }
+
   /** Keep-flag for per-stratum sampling rates (per-mille), e.g. language
     * rebalancing: `Map("en" -> 500, "fr" -> 250)` keeps ~50% of English
     * and ~25% of French rows, `defaultPerMille` elsewhere. Deterministic

@@ -173,6 +173,40 @@ object TextStats {
       .select(col(idCol), col("term"), col("rank"), col("tfidf"))
   }
 
+  /** Document CHUNKING for training-data assembly: each document becomes a
+    * sliding window of `chunkTokens`-token chunks starting every `stride`
+    * tokens (overlap = chunkTokens - stride), the standard long-document
+    * treatment when a model's sequence budget is shorter than the document.
+    * The final window is the first start covering the tail, so every token
+    * lands in >= 1 chunk and no chunk starts past the text.
+    *
+    * One tokenization (whitespace runs collapsed, then single-space split —
+    * the [[repetitionColumns]] discipline), then a generator per row:
+    * chunk extraction is `slice` + `array_join` over the materialized token
+    * array, all non-lambda codegen expressions. Per-row fan-out is
+    * ceil(n/stride) rows — a narrow stage, no shuffle.
+    */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got chunkTokens=$chunkTokens stride=$stride")
+    val toks = split(regexp_replace(col(textCol), "\\s+", " "), " ")
+    val base = docs.select(col(idCol), toks.as("__toks__"))
+      .withColumn("__n__", size(col("__toks__")).cast("bigint"))
+    // chunks start at 0, stride, 2*stride, ...; the last start is the first
+    // multiple of stride >= n - chunkTokens => 1 + ceil(max(0, n - chunk)/stride)
+    // chunks in total. Double division is exact here (see mixToBudget note).
+    val nChunks = lit(1L) +
+      floor((greatest(col("__n__") - chunkTokens, lit(0L)) + (stride - 1)) / lit(stride))
+    val start = (col("chunk_idx") * stride).cast("int")
+    base
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks__"), start + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("__n__") - col("chunk_idx") * stride)
+          .cast("bigint").as("chunk_n_tokens"))
+  }
+
   /** 32-bit polynomial rolling-hash fingerprint of the whole text
     * (h = h*31 + codepoint mod 2^32, seed 17) — deterministic, ANSI-SQL
     * replicable, order-sensitive (unlike a bag-of-words hash). Computed by

@@ -54,6 +54,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("seedQualityScore scores cluster-mates of seeds high, others low") {
+    // seeds are cluster-0 members; cluster-0 vectors should score ~1 and
+    // keep, orthogonal clusters ~0 and drop
+    val seeds = vecs.where("vec_id IN (0, 3, 6, 9)")
+    val out = Similarity.seedQualityScore(vecs, seeds, "vec_id", "embedding",
+        k = 3, threshold = 0.5)
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.length == 60)
+    val (c0, rest) = out.partition(_._1 % 3 == 0)
+    assert(c0.forall { case (_, s, keep) => s > 0.9 && keep })
+    assert(rest.forall { case (_, s, keep) => s < 0.5 && !keep })
+    // deterministic under repartition
+    val again = Similarity.seedQualityScore(vecs.repartition(7), seeds,
+      "vec_id", "embedding", k = 3, threshold = 0.5)
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("kmeansCentroids pulls seeds toward their cluster means, deterministically") {
     // seeds 0,1,2 are one member of each tight cluster; after refinement
     // every refined centroid should be ~the mean of its cluster (closer to

@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("minHashCrossDedup pairs only across the corpus boundary") {
+    spark.catalog.clearCache()
+    // corpus near-dup pairs at 0.5: (1,2),(1,4),(2,4). ref = odd ids {1,3,5},
+    // fresh = even ids {2,4}: both fresh docs match ref doc 1; the
+    // within-fresh pair (2,4) and ref-internal pairs must NOT appear.
+    val out = Dedup.minHashCrossDedupWith(
+      corpus.where(col("doc_id") % 2 === 0),
+      corpus.where(col("doc_id") % 2 === 1), "doc_id", "text")(
+      _.select("a", "b").as[(Long, Long)].collect().toSet)
+    assert(out == Set((2L, 1L), (4L, 1L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("connectedComponents resolves pair graphs into min-labelled clusters") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
     // two components {1,2,4} (via 1-2, 2-4) and {5,6}; 3 and 7 singletons

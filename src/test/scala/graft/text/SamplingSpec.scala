@@ -42,6 +42,41 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept("fr") - 0.1) < 0.05)
   }
 
+  test("mixToBudget derives capped and subsampled rates from token mass") {
+    // en: 100 docs x 10 tokens = 1000 tokens; fr: 50 x 10 = 500 tokens
+    val docs = spark.range(0, 150).toDF("id")
+      .withColumn("lang", when(col("id") < 100, "en").otherwise("fr"))
+      .withColumn("n_tok", lit(10L))
+    // budget 1000, weights en=400 fr=600: en target 400 -> rate 400;
+    // fr target 600 > its 500 mass -> rate caps at 1000 (keep everything)
+    val out = Sampling.mixToBudget(docs, "id", "lang", col("n_tok"),
+      Map("en" -> 400, "fr" -> 600), budgetTokens = 1000L)
+    val rates = out.select("lang", "rate_permille").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates == Map("en" -> 400L, "fr" -> 1000L))
+    val kept = out.groupBy("lang").agg(avg(col("keep").cast("double")).as("f"))
+      .as[(String, Double)].collect().toMap
+    assert(kept("fr") == 1.0)           // capped stratum keeps every row
+    assert(math.abs(kept("en") - 0.4) < 0.15)
+    // deterministic: the decision survives a repartition
+    val again = Sampling.mixToBudget(docs.repartition(7), "id", "lang",
+      col("n_tok"), Map("en" -> 400, "fr" -> 600), budgetTokens = 1000L)
+    assert(rows(out.select("id", "keep")) == rows(again.select("id", "keep")))
+  }
+
+  test("mixToBudget decisions are independent of split decisions (salted)") {
+    val docs = spark.range(0, 2000).toDF("id").withColumn("lang", lit("en"))
+      .withColumn("n_tok", lit(10L))
+    // rate 500 via budget = half the token mass
+    val out = Sampling.mixToBudget(docs, "id", "lang", col("n_tok"),
+      Map("en" -> 1000), budgetTokens = 10000L)
+      .withColumn("bucket", Sampling.hashBucket(col("id"), 1000))
+    // were mixing keyed on the UNsalted bucket, keep would be exactly
+    // (bucket < 500); the salt decorrelates the two decisions
+    val agree = out.where((col("bucket") < 500) === col("keep")).count()
+    assert(math.abs(agree / 2000.0 - 0.5) < 0.1)
+  }
+
   test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra common common"),

@@ -63,6 +63,41 @@ class TextStatsSpec extends SparkSpec {
     assert(weird.getDouble(0) >= 0.0 && weird.getDouble(1) >= 0.0)
   }
 
+  test("chunkDocs windows cover every token with the declared overlap") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc"), (3L, "a\t b\n\n c d e")).toDF("doc_id", "text")
+    val out = TextStats.chunkDocs(docs, "doc_id", "text", chunkTokens = 16, stride = 8)
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    // 40 tokens, window 16/8: starts 0,8,16,24 -> 4 chunks; last covers 24..39
+    val d1 = out(1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.head._3.startsWith("w1 ") && d1.last._3.endsWith(" w40"))
+    assert(d1.map(_._4).toSeq == Seq(16L, 16L, 16L, 16L))
+    // consecutive chunks overlap by chunkTokens - stride = 8 tokens
+    val overlap = d1(0)._3.split(" ").drop(8).toSeq
+    assert(d1(1)._3.split(" ").take(8).toSeq == overlap)
+    // every token of the doc appears in at least one chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 40).forall(i => covered(s"w$i")))
+    // short doc: one chunk, the whole text
+    assert(out(2L).toSeq == Seq((2L, 0L, "short doc", 2L)))
+    // whitespace runs collapse before windowing (one tokenization)
+    assert(out(3L).head._3 == "a b c d e")
+  }
+
+  test("chunkDocs exact-boundary and ragged-tail counts") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, mk(32)), (2L, mk(33)), (3L, mk(16))).toDF("doc_id", "text")
+    val out = TextStats.chunkDocs(docs, "doc_id", "text", chunkTokens = 16, stride = 16)
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    assert(out(1L).size == 2 && out(1L).map(_._4).sorted.toSeq == Seq(16L, 16L))
+    // 33 tokens, non-overlapping 16s: 3 chunks, tail holds 1 token
+    assert(out(2L).size == 3 && out(2L).sortBy(_._2).last._4 == 1L)
+    assert(out(3L).size == 1)
+  }
+
   test("urlColumns counts URLs and lists sorted distinct domains") {
     val df = Seq(
       "read https://b.org/x and http://a.net and https://b.org/y",
