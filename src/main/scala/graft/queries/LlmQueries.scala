@@ -158,6 +158,26 @@ object LlmQueries {
         "vec_id", "embedding", k = 3, threshold = 0.2)
     }),
 
+    // Corpus-level boilerplate line removal (C4-style): the fixture injects
+    // newline-separated lines — one in every doc (dropped), one in half of
+    // them (dropped at maxDocFrac=0.3), one unique per doc (kept).
+    "q_text_line_dedup" -> ((s, dir) => {
+      val withLines = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("SUBSCRIBE TO OUR NEWSLETTER"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("COOKIE POLICY ACCEPT"))
+            .otherwise(concat(lit("unique footer "), col("doc_id"))),
+          concat(lit("ref "), col("doc_id"))).as("text"))
+      TextStats.lineDedup(withLines, "doc_id", "text", maxDocFrac = 0.3)
+    }),
+
+    // Deterministic training-order shuffle keys for two epochs; at scale
+    // the writer pairs this with repartitionByRange + sortWithinPartitions.
+    "q_shuffle_det" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Sampling.shuffleKey(col("doc_id")).as("shuffle_key"),
+        Sampling.shuffleKey(col("doc_id"), "epoch2").as("shuffle_key_epoch2"))),
+
     // PII detect/mask signals over docs with injected synthetic PII (the
     // corpus itself is clean, so the fixture appends a deterministic email
     // + long reference number per doc).
@@ -496,6 +516,36 @@ object LlmQueries {
       "FROM r WHERE rn <= 3 GROUP BY vec_id) " +
       "SELECT vec_id, seed_score, seed_score >= 0.2 AS keep FROM g"
 
+  /** DuckDB replica of [[TextStats.lineDedup]] over the injected-line
+    * fixture: same line split, same cross-document distinct counts, same
+    * frequency threshold.
+    */
+  private val lineDedupSql: String = {
+    val mk = "text || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'COOKIE POLICY ACCEPT' ELSE 'unique footer ' || doc_id END) " +
+      "|| chr(10) || 'ref ' || doc_id"
+    s"WITH w AS (SELECT doc_id, $mk AS text FROM documents), " +
+      "s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w), " +
+      "l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) - 1 AS line_idx FROM s), " +
+      "d AS (SELECT line, count(DISTINCT doc_id)::BIGINT AS n_docs FROM l GROUP BY line), " +
+      "n AS (SELECT count(*)::DOUBLE AS total FROM w) " +
+      "SELECT l.doc_id, l.line_idx::BIGINT AS line_idx, l.line, d.n_docs, " +
+      "(d.n_docs / n.total) <= 0.3 AS keep FROM l JOIN d USING (line) CROSS JOIN n"
+  }
+
+  /** DuckDB replica of [[Sampling.shuffleKey]] for both epoch salts. */
+  private val shuffleSql: String = {
+    def keyFor(salt: String): String = {
+      val h = "list_reduce(list_prepend(17::BIGINT, " +
+        s"[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR) || ':$salt', '')]), " +
+        "(a, b) -> (a * 31 + b) % 4294967296)"
+      val m1 = s"(($h * 48271) % 2147483647)"
+      s"((xor($m1, $m1 >> 15) * 48271) % 2147483647)"
+    }
+    s"SELECT doc_id, ${keyFor("shuffle")} AS shuffle_key, " +
+      s"${keyFor("epoch2")} AS shuffle_key_epoch2 FROM documents"
+  }
+
   /** DuckDB replica of [[Sampling.hashBucket]]: polynomial codepoint fold +
     * MINSTD-xorshift-MINSTD finalizer, mod `n`.
     */
@@ -585,6 +635,8 @@ object LlmQueries {
       (s"WITH hb AS (SELECT doc_id, lang, $splitBucketSql AS bucket FROM documents) " +
         "SELECT doc_id, lang, bucket < " +
         "(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 100 END) AS keep FROM hb"),
+    "q_text_line_dedup" -> lineDedupSql,
+    "q_shuffle_det" -> shuffleSql,
     "q_mix_budget" -> mixSql,
     "q_chunk_docs" -> chunkSql,
     "q_dedup_cross" ->

@@ -30,6 +30,21 @@ object Sampling {
     pmod(m2, lit(buckets.toLong))
   }
 
+  /** Deterministic pseudo-random sort key in [0, 2^31-1) for TRAINING-ORDER
+    * shuffling: the same hash/mix pipeline as [[hashBucket]], salted with
+    * `seed`, without the small-modulus reduction. A global shuffle at scale
+    * is `repartitionByRange(n, shuffleKey)` + `sortWithinPartitions` — a
+    * range shuffle, never a single-partition global sort — and the order is
+    * stable across re-runs and engines (unlike `rand()` or `shuffle()`).
+    * Changing `seed` yields an independent epoch order.
+    */
+  def shuffleKey(key: Column, seed: String = "shuffle"): Column = {
+    val h = TextHashExpressions.fingerprint(
+      concat(key.cast("string"), lit(":" + seed)))
+    val m1 = pmod(h * 48271L, lit(2147483647L))
+    pmod(m1.bitwiseXOR(shiftright(m1, 15)) * 48271L, lit(2147483647L))
+  }
+
   /** train/validation/test assignment by per-mille thresholds (defaults
     * 80/10/10). Assignment is a pure function of the key: appending new
     * data never reassigns existing rows.

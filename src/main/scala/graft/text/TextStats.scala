@@ -207,6 +207,35 @@ object TextStats {
           .cast("bigint").as("chunk_n_tokens"))
   }
 
+  /** Corpus-level boilerplate LINE removal (the C4 discipline: drop lines
+    * that recur across many documents — nav bars, cookie banners, footers —
+    * while keeping lines that belong to the document). Emits one row per
+    * (doc, line) with the line's cross-document frequency and a keep flag
+    * (`n_docs / corpus_size <= maxDocFrac`); callers filter and reassemble
+    * (`keep` preserves `line_idx` order), keeping this operator a pure
+    * columnar pipeline.
+    *
+    * Shuffle shape at 100 TB: explode lines → partial-aggregated count per
+    * line (map-side combine collapses the boilerplate mass BEFORE the
+    * shuffle — a line in a billion docs ships one partial count per task) →
+    * join back on the line key, reusing the aggregation's partitioning; the
+    * corpus size joins as a broadcast 1-row aggregate, never a driver
+    * count().
+    */
+  def lineDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, maxDocFrac: Double): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+    val lineDf = lines.groupBy(col("line"))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+    val corpusSize = broadcast(docs.agg(count(lit(1)).as("__n__")))
+    lines.join(lineDf, "line").crossJoin(corpusSize)
+      .withColumn("keep",
+        col("n_docs").cast("double") / col("__n__") <= maxDocFrac)
+      .select(col(idCol), col("line_idx").cast("bigint").as("line_idx"),
+        col("line"), col("n_docs"), col("keep"))
+  }
+
   /** 32-bit polynomial rolling-hash fingerprint of the whole text
     * (h = h*31 + codepoint mod 2^32, seed 17) — deterministic, ANSI-SQL
     * replicable, order-sensitive (unlike a bag-of-words hash). Computed by

@@ -77,6 +77,28 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(agree / 2000.0 - 0.5) < 0.1)
   }
 
+  test("shuffleKey is deterministic, epoch-independent, and range-balanced") {
+    val keyed = ids.select(col("id"),
+      Sampling.shuffleKey(col("id")).as("k1"),
+      Sampling.shuffleKey(col("id"), "epoch2").as("k2"))
+    val a = keyed.as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = ids.repartition(7).select(col("id"),
+        Sampling.shuffleKey(col("id")).as("k1"),
+        Sampling.shuffleKey(col("id"), "epoch2").as("k2"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // stable across physical layouts
+    // the two epochs order the corpus differently
+    assert(a.sortBy(_._2).map(_._1).toSeq != a.sortBy(_._3).map(_._1).toSeq)
+    // near-uniform over the key range: each decile holds ~10% of rows
+    val decile = math.ceil(2147483647.0 / 10).toLong
+    val byDecile = a.groupBy(_._2 / decile).view.mapValues(_.size).toMap
+    assert(byDecile.size == 10 && byDecile.values.forall(n => n > 120 && n < 280))
+    // the scale pattern: repartitionByRange on the key balances partitions
+    val sizes = keyed.repartitionByRange(8, col("k1"))
+      .groupBy(spark_partition_id()).count().as[(Int, Long)].collect().map(_._2)
+    assert(sizes.length == 8 && sizes.forall(n => n > 100 && n < 500))
+  }
+
   test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra common common"),

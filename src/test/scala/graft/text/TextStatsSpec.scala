@@ -98,6 +98,26 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L).size == 1)
   }
 
+  test("lineDedup flags lines by cross-document frequency, not within-doc count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro one\nBOILERPLATE\nbody one"),
+      (2L, "intro two\nBOILERPLATE\nbody two"),
+      (3L, "intro three\nBOILERPLATE\nbody three"),
+      // repeated WITHIN one doc only: distinct-doc count stays 1 -> kept
+      (4L, "echo\necho\nBOILERPLATE")
+    ).toDF("doc_id", "text")
+    val out = TextStats.lineDedup(docs, "doc_id", "text", maxDocFrac = 0.5)
+      .as[(Long, Long, String, Long, Boolean)].collect()
+    val byLine = out.groupBy(_._3)
+    assert(byLine("BOILERPLATE").forall(r => r._4 == 4L && !r._5))
+    assert(byLine("echo").forall(r => r._4 == 1L && r._5))
+    assert(byLine("body one").forall(r => r._4 == 1L && r._5))
+    // line_idx preserves reassembly order per doc
+    assert(out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("intro one", "BOILERPLATE", "body one"))
+  }
+
   test("urlColumns counts URLs and lists sorted distinct domains") {
     val df = Seq(
       "read https://b.org/x and http://a.net and https://b.org/y",
