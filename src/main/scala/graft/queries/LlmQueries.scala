@@ -236,6 +236,12 @@ object LlmQueries {
       Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
         threshold = 0.45, bruteForce = true)),
 
+    // SemDeDup-style semantic dedup: cosine near-dup pair graph (sign-LSH
+    // buckets) resolved into clusters, one canonical keeper per cluster.
+    "q_embed_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 8)),
+
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, numPlanes = 8)
@@ -348,6 +354,22 @@ object LlmQueries {
       "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
       "CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= 5"
 
+  /** Shared SQL fragment: the sign-LSH bit list for `embedding` — identical
+    * arithmetic to [[Similarity.lshCode]]. comp(p, d) in [-1, 1):
+    * h1 = (p*131071 + d + 1)*48271 mod (2^31-1);
+    * h2 = xor(h1, h1 >> 15)*48271 mod (2^31-1); (h2 mod 2e6 - 1e6)/1e6.
+    */
+  private def lshBitsSqlFragment(numPlanes: Int, dim: Int): String = {
+    def comp(p: Int): String = {
+      val h1 = s"(((${p * 131071L}::BIGINT + d + 1) * 48271) % 2147483647)"
+      val h2 = s"((xor($h1, $h1 >> 15) * 48271) % 2147483647)"
+      s"((($h2 % 2000000) - 1000000)::DOUBLE / 1000000.0)"
+    }
+    (0 until numPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range($dim), d -> embedding[d+1]::DOUBLE * ${comp(p)})) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
+    }.mkString("[", ", ", "]")
+  }
+
   /** DuckDB replica of [[Similarity.cosineNearDupPairs]]'s bucketed path:
     * the same MINSTD-xorshift-MINSTD plane components, the same sign bits,
     * the same own+Hamming-1 probe codes, the same bucket equi-join and
@@ -355,16 +377,7 @@ object LlmQueries {
     * its high-recall subset.
     */
   private def lshNearDupSql(numPlanes: Int, dim: Int, threshold: Double): String = {
-    // comp(p, d) in [-1, 1): h1 = (p*131071 + d + 1)*48271 mod (2^31-1);
-    // h2 = xor(h1, h1 >> 15)*48271 mod (2^31-1); (h2 mod 2e6 - 1e6)/1e6
-    def comp(p: Int): String = {
-      val h1 = s"(((${p * 131071L}::BIGINT + d + 1) * 48271) % 2147483647)"
-      val h2 = s"((xor($h1, $h1 >> 15) * 48271) % 2147483647)"
-      s"((($h2 % 2000000) - 1000000)::DOUBLE / 1000000.0)"
-    }
-    val bits = (0 until numPlanes).map { p =>
-      s"(CASE WHEN list_sum(list_transform(range($dim), d -> embedding[d+1]::DOUBLE * ${comp(p)})) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
-    }.mkString("[", ", ", "]")
+    val bits = lshBitsSqlFragment(numPlanes, dim)
     // probe f = -1 is the vector's own code; f = p flips bit p (MSB-first
     // code, matching the Spark fold acc*2+b)
     val codes = (0 until numPlanes).map { p =>
@@ -385,14 +398,7 @@ object LlmQueries {
     * tiebreak — the bucketed top-k plan is hash-checked end to end.
     */
   private def lshKnnSql(numPlanes: Int, dim: Int, k: Int): String = {
-    def comp(p: Int): String = {
-      val h1 = s"(((${p * 131071L}::BIGINT + d + 1) * 48271) % 2147483647)"
-      val h2 = s"((xor($h1, $h1 >> 15) * 48271) % 2147483647)"
-      s"((($h2 % 2000000) - 1000000)::DOUBLE / 1000000.0)"
-    }
-    val bits = (0 until numPlanes).map { p =>
-      s"(CASE WHEN list_sum(list_transform(range($dim), d -> embedding[d+1]::DOUBLE * ${comp(p)})) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
-    }.mkString("[", ", ", "]")
+    val bits = lshBitsSqlFragment(numPlanes, dim)
     val ownCode = (0 until numPlanes).map(p =>
       s"bits[${p + 1}] * ${1L << (numPlanes - 1 - p)}").mkString(" + ")
     val probeCodes = (0 until numPlanes).map { p =>
@@ -410,6 +416,30 @@ object LlmQueries {
       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
       s"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
       s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
+  }
+
+  /** DuckDB replica of [[Similarity.semanticDedup]]: the SAME bucketed LSH
+    * pair generation as [[lshNearDupSql]] feeding a recursive-CTE
+    * connected-components resolution — the full SemDeDup plan is
+    * hash-checked, pair graph included.
+    */
+  private def semdedupSql(numPlanes: Int, dim: Int, threshold: Double): String = {
+    val bits = lshBitsSqlFragment(numPlanes, dim)
+    val codes = (0 until numPlanes).map { p =>
+      s"(CASE WHEN f = $p THEN 1 - bits[${p + 1}] ELSE bits[${p + 1}] END) * ${1L << (numPlanes - 1 - p)}"
+    }.mkString(" + ")
+    s"WITH RECURSIVE bv AS (SELECT vec_id, $bits AS bits FROM embeddings), " +
+      s"pr AS (SELECT vec_id, unnest(list_transform(range(-1, $numPlanes), f -> $codes)) AS probe FROM bv), " +
+      "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM pr x JOIN pr y ON x.probe = y.probe AND x.vec_id < y.vec_id), " +
+      "p AS (SELECT a, b FROM (SELECT cand.a, cand.b, " +
+      "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c " +
+      "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a JOIN embeddings eb ON eb.vec_id = cand.b) t " +
+      s"WHERE c >= $threshold), " +
+      "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
+      "reach(id, lab) AS (SELECT vec_id, vec_id FROM embeddings " +
+      "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b) " +
+      "SELECT id AS vec_id, min(lab) AS component, min(lab) = id AS keep " +
+      "FROM reach GROUP BY id"
   }
 
   /** DuckDB replica of [[Similarity.kmeansCentroids]] (2 Lloyd iterations,
@@ -704,6 +734,7 @@ object LlmQueries {
         "SELECT a.vec_id AS a, b.vec_id AS b, " +
         "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
+    "q_embed_semdedup" -> semdedupSql(numPlanes = 8, dim = 64, threshold = 0.45),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
     "q_embed_kmeans" -> kmeansSql(dim = 64, iterations = 2),

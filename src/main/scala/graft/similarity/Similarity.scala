@@ -167,6 +167,53 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SEMANTIC dedup (SemDeDup-style: Abbas et al. 2023 — duplicates by
+    * embedding similarity rather than lexical overlap): resolve the cosine
+    * near-dup pair graph into clusters by min-label propagation and keep
+    * one canonical vector per cluster. Paraphrases and re-encodings that
+    * share no n-grams still land in one cluster.
+    *
+    * Composition at scale: [[cosineNearDupPairs]] (sign-LSH buckets,
+    * id-only candidate shuffles) feeds `Dedup.connectedComponents` label
+    * propagation over PAIR-GRAPH NODES only — singletons (the overwhelming
+    * majority) join back afterwards, so the iterative frames hold a few
+    * percent of the corpus.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numPlanes: Int = 8): DataFrame =
+    semanticDedupImpl(corpus, idCol, vecCol, threshold, numPlanes)._1
+
+  /** [[semanticDedup]] with cache ownership — the pair/label caches are
+    * released when `use` returns (see `Dedup.minHashDedupWith`).
+    */
+  def semanticDedupWith[T](corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, numPlanes: Int = 8)
+                          (use: DataFrame => T): T = {
+    val (result, owned) = semanticDedupImpl(corpus, idCol, vecCol, threshold, numPlanes)
+    try use(result) finally owned.foreach(_.unpersist(blocking = false))
+  }
+
+  private def semanticDedupImpl(corpus: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, numPlanes: Int
+                               ): (DataFrame, Seq[DataFrame]) = {
+    // pairs fan out to node extraction + both edge directions — persist or
+    // the LSH pipeline re-runs per consumer (the nearDupComponents lesson)
+    val pairs = cosineNearDupPairs(corpus, idCol, vecCol, threshold, numPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val pairNodes = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol))).distinct()
+    val (comp, owned, _) = graft.text.Dedup.connectedComponentsImpl(
+      pairNodes, pairs.select("a", "b"), idCol, maxRounds = 50)
+    // every propagation round ends in an action, so the labels are
+    // materialized and the pair cache can be dropped here
+    pairs.unpersist(blocking = false)
+    val result = corpus.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("keep", col(idCol) === col("component"))
+    (result, owned.toSeq)
+  }
+
   /** IVF-style coarse quantization. `centroids` are any deterministic
     * sample of corpus rows (caller picks, e.g. `vec_id % 50 == 0`). Corpus
     * vectors are assigned to their nearest centroid (broadcast join —

@@ -385,9 +385,9 @@ object Dedup {
     * checkpoint copies rare. Checkpoint blocks are freed when the frame is
     * GC'd.
     */
-  private[text] def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
-                                            idCol: String, maxRounds: Int
-                                           ): (DataFrame, Option[DataFrame], Boolean) = {
+  private[graft] def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
+                                             idCol: String, maxRounds: Int
+                                            ): (DataFrame, Option[DataFrame], Boolean) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val checkpointEvery = 5
     val sym = edges.select(col("a"), col("b"))

@@ -54,6 +54,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("semanticDedup resolves embedding clusters to one keeper each") {
+    spark.catalog.clearCache()
+    // 3 orthogonal clusters: cluster-mates cos ~1, cross-cluster ~0 — at
+    // threshold 0.8 each cluster is one component labelled by its min id
+    val out = Similarity.semanticDedupWith(vecs, "vec_id", "embedding",
+        threshold = 0.8, numPlanes = 6) {
+      _.as[(Long, Long, Boolean)].collect()
+    }
+    assert(out.length == 60)
+    assert(out.forall { case (id, comp, keep) =>
+      comp == id % 3 && keep == (id == comp) })
+    assert(out.count(_._3) == 3)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("seedQualityScore scores cluster-mates of seeds high, others low") {
     // seeds are cluster-0 members; cluster-0 vectors should score ~1 and
     // keep, orthogonal clusters ~0 and drop
