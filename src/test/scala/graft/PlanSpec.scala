@@ -100,10 +100,34 @@ class PlanSpec extends SparkSpec {
     // straggler tasks (measured by the 10x scale probe). The numbered
     // repartition (REPARTITION_BY_NUM) is exempt from coalescing and must
     // stay in the plan on the join keys.
-    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash_pairs", "q_embed_neardup")) {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash_pairs",
+        "q_embed_neardup", "q_dedup_cross")) {
       val p = plan(q)
       assert(p.contains("REPARTITION_BY_NUM"), s"$q lost its pinned candidate partitioning:\n$p")
     }
+  }
+
+  test("mixing joins its per-stratum totals by broadcast with a pruned scan") {
+    val p = plan("q_mix_budget")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val f = formatted(SparkEntry.queries("q_mix_budget")(spark, sfDir))
+    // the corpus-side scan reads only (doc_id, lang); token counting reads
+    // (text, lang) on the totals side — never the full documents schema
+    val readSchema = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("chunking and shuffle keys stay single narrow stages (no Exchange)") {
+    for (q <- Seq("q_chunk_docs", "q_shuffle_det")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+    assert(plan("q_chunk_docs").contains("Generate"), "chunking lost its generator")
+  }
+
+  test("line dedup joins the corpus-size aggregate by broadcast (no driver count)") {
+    val p = plan("q_text_line_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
   test("bucketed co-located join plans with no shuffle on either side") {
