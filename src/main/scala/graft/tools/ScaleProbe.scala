@@ -180,6 +180,56 @@ object ScaleProbe {
     line(f"- $exGroups distinct-content groups in $exSec%.1f s")
     line("")
 
+    // ---- cross-corpus dedup ----------------------------------------------
+    // fresh/reference split by id parity: every near-dup cluster straddles
+    // the boundary, so cross-pair mass is representative
+    val (xPairs, xSec) = timed(
+      Dedup.minHashCrossDedupWith(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")(_.count()))
+    line("## Cross-corpus dedup (MinHash bands BETWEEN sides only)")
+    line("")
+    line(f"- minHashCrossDedup (fresh=even ids, ref=odd): $xPairs cross pairs in $xSec%.1f s")
+    spark.catalog.clearCache()
+    line("")
+
+    // ---- boilerplate line removal ----------------------------------------
+    // every doc gains a universal line + a 10%-family line + a unique line —
+    // the hot-key shape (one line key carries the whole corpus count)
+    val docsLines = docs.select(col("doc_id"), concat_ws("\n",
+      col("text"), lit("SUBSCRIBE NOW"),
+      concat(lit("family "), pmod(col("doc_id"), lit(10))),
+      concat(lit("ref "), col("doc_id"))).as("text"))
+    val ((ldRows, ldDropped), ldSec) = timed {
+      val out = graft.text.TextStats.lineDedup(docsLines, "doc_id", "text", 0.05)
+      val r = out.agg(count(lit(1)), count(when(!col("keep"), true))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    line("## Boilerplate line removal (cross-doc line frequency)")
+    line("")
+    line(f"- lineDedup over ${4} lines/doc: $ldRows line rows, $ldDropped dropped " +
+      f"(universal + family lines) in $ldSec%.1f s — the boilerplate key mass " +
+      "collapses in the map-side partial aggregation")
+    spark.catalog.clearCache()
+    line("")
+
+    // ---- semantic dedup ---------------------------------------------------
+    val planesForScale = 12
+    val ((sdClusters, sdDropped), sdSec) = timed {
+      Similarity.semanticDedupWith(embs, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = planesForScale) { out =>
+        val r = out.agg(count_distinct(col("component")),
+          count(when(!col("keep"), true))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    line("## Semantic dedup (cosine pair graph -> components -> keeper)")
+    line("")
+    line(f"- semanticDedup @$planesForScale planes: $sdClusters clusters, " +
+      f"$sdDropped non-keepers in $sdSec%.1f s (pair-graph-node-only propagation)")
+    spark.catalog.clearCache()
+    line("")
+
     // ---- embedding LSH buckets: the planes dial ---------------------------
     line("## Embedding cosine near-dup (sign-LSH + Hamming-1 probes)")
     line("")
