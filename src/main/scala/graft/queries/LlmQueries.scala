@@ -158,6 +158,12 @@ object LlmQueries {
         "vec_id", "embedding", k = 3, threshold = 0.2)
     }),
 
+    // Unigram corpus-frequency rarity signals (the hash-exact analog of
+    // LM-perplexity quality filtering): mean token corpus frequency +
+    // out-of-top-50 fraction per doc.
+    "q_text_rarity" -> ((s, dir) =>
+      TextStats.tokenRarity(docs(s, dir), "doc_id", "text", topK = 50)),
+
     // Corpus-level boilerplate line removal (C4-style): the fixture injects
     // newline-separated lines — one in every doc (dropped), one in half of
     // them (dropped at maxDocFrac=0.3), one unique per doc (kept).
@@ -546,6 +552,20 @@ object LlmQueries {
       "FROM r WHERE rn <= 3 GROUP BY vec_id) " +
       "SELECT vec_id, seed_score, seed_score >= 0.2 AS keep FROM g"
 
+  /** DuckDB replica of [[TextStats.tokenRarity]]: same \s+ tokens, corpus
+    * counts, (cnt desc, token) top-50, integer-exact ratios.
+    */
+  private val raritySql: String =
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents), " +
+      "cnt AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token), " +
+      "top AS (SELECT token FROM cnt ORDER BY cnt DESC, token LIMIT 50), " +
+      "j AS (SELECT t.doc_id, c.cnt, t.token IN (SELECT token FROM top) AS is_top " +
+      "FROM tok t JOIN cnt c USING (token)) " +
+      "SELECT doc_id, count(*)::BIGINT AS n_tokens, " +
+      "CAST(round(sum(cnt)::DOUBLE / count(*), 6) AS DOUBLE) AS mean_token_freq, " +
+      "CAST(round(count(CASE WHEN NOT is_top THEN 1 END)::DOUBLE / count(*), 6) AS DOUBLE) AS oov_frac " +
+      "FROM j GROUP BY doc_id"
+
   /** DuckDB replica of [[TextStats.lineDedup]] over the injected-line
     * fixture: same line split, same cross-document distinct counts, same
     * frequency threshold.
@@ -665,6 +685,7 @@ object LlmQueries {
       (s"WITH hb AS (SELECT doc_id, lang, $splitBucketSql AS bucket FROM documents) " +
         "SELECT doc_id, lang, bucket < " +
         "(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 100 END) AS keep FROM hb"),
+    "q_text_rarity" -> raritySql,
     "q_text_line_dedup" -> lineDedupSql,
     "q_shuffle_det" -> shuffleSql,
     "q_mix_budget" -> mixSql,

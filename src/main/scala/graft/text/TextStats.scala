@@ -207,6 +207,32 @@ object TextStats {
           .cast("bigint").as("chunk_n_tokens"))
   }
 
+  /** Unigram corpus-frequency RARITY signals per document — the
+    * exactly-replicable analog of LM-perplexity quality filtering (CCNet
+    * scores documents under a reference LM; a unigram corpus model is the
+    * degenerate case whose statistics need no log, so scores hash-match
+    * across engines): mean corpus frequency of the document's tokens (low =
+    * rare/misspelled/garbage-heavy vocabulary) and the fraction of tokens
+    * outside the corpus top-`topK` (OOV-vs-head rate).
+    *
+    * Scale shape: one token-keyed count with map-side combine, a
+    * distributed top-k (TakeOrderedAndProject, never a full vocab sort on
+    * one task), the top set broadcast, then a doc-keyed aggregation.
+    */
+  def tokenRarity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = broadcast(counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+      .select(col("token"), lit(true).as("__top__")))
+    toks.join(counts, "token").join(top, Seq("token"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("cnt")).cast("double") / count(lit(1)), 6).as("mean_token_freq"),
+        round(count(when(col("__top__").isNull, true)).cast("double")
+          / count(lit(1)), 6).as("oov_frac"))
+  }
+
   /** Corpus-level boilerplate LINE removal (the C4 discipline: drop lines
     * that recur across many documents — nav bars, cookie banners, footers —
     * while keeping lines that belong to the document). Emits one row per

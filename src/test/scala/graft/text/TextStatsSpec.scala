@@ -98,6 +98,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L).size == 1)
   }
 
+  test("tokenRarity separates head-vocabulary docs from rare-vocabulary docs") {
+    import spark.implicits._
+    // "the" dominates the corpus; doc 3 is all rare singletons
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "the the dog cat"),
+      (3L, "zyx wvu tsr qpo")).toDF("doc_id", "text")
+    val out = TextStats.tokenRarity(docs, "doc_id", "text", topK = 2)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(4L, 4L, 4L))
+    // corpus counts: the=5, cat=2, dog=1, rare=1 each; top-2 = {the, cat}
+    assert(out(0)._3 == (5 * 3 + 2) / 4.0)      // doc 1 mean freq
+    assert(out(2)._3 == 1.0 && out(2)._4 == 1.0) // doc 3: all rare, all OOV
+    assert(out(0)._4 == 0.0)                     // doc 1: all head tokens
+    assert(out(1)._4 == 0.25)                    // dog is the only OOV token
+  }
+
   test("lineDedup flags lines by cross-document frequency, not within-doc count") {
     import spark.implicits._
     val docs = Seq(
