@@ -103,21 +103,25 @@ object Sampling {
                   stratumCol: String, tokenCount: Column,
                   weightsPerMille: Map[String, Int],
                   budgetTokens: Long): org.apache.spark.sql.DataFrame = {
-    val totals = docs.groupBy(col(stratumCol))
+    val totals = docs.groupBy(col(stratumCol).as("__stratum__"))
       .agg(sum(tokenCount.cast("bigint")).as("__stratum_tokens__"))
     // target token mass per stratum: weight/1000 of the budget, floored
     val target = weightsPerMille.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (s, w)) =>
         when(col(stratumCol) === s, lit(budgetTokens * w / 1000L)).otherwise(acc)
     }
-    docs.join(broadcast(totals), stratumCol)
+    // LEFT join + rate coalesce: an equi-join would silently DROP rows whose
+    // stratum is null (null keys never match) — data loss, not sampling. A
+    // null or unweighted stratum keeps rate 0 but still emits its rows.
+    docs.join(broadcast(totals), col(stratumCol) <=> col("__stratum__"), "left")
+      .drop("__stratum__")
       .withColumn("rate_permille",
         // floor((target*1000)/total): quotients of bigints this size are
         // exact under double division (the nearest non-integer rational is
         // 1/total away — far outside double epsilon), so floor matches
         // exact integer division on both engines
-        least(lit(1000L),
-          floor(target * 1000L / col("__stratum_tokens__"))).cast("bigint"))
+        coalesce(least(lit(1000L),
+          floor(target * 1000L / col("__stratum_tokens__"))), lit(0L)).cast("bigint"))
       .withColumn("keep",
         hashBucket(concat(col(idCol).cast("string"), lit(":mix")), 1000)
           < col("rate_permille"))

@@ -64,6 +64,19 @@ class SamplingSpec extends SparkSpec {
     assert(rows(out.select("id", "keep")) == rows(again.select("id", "keep")))
   }
 
+  test("mixToBudget emits null/unweighted strata at rate 0 instead of dropping them") {
+    val docs = Seq((1L, "en"), (2L, null), (3L, "xx")).toDF("id", "lang")
+      .withColumn("n_tok", lit(10L))
+    val out = Sampling.mixToBudget(docs, "id", "lang", col("n_tok"),
+        Map("en" -> 1000), budgetTokens = 100L)
+      .select("id", "rate_permille", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // no rows lost
+    assert(out(0)._2 == 1000L)          // en: target 100 >= mass 10 -> capped
+    assert(out(1)._2 == 0L && !out(1)._3) // null stratum: rate 0, kept row
+    assert(out(2)._2 == 0L && !out(2)._3) // unweighted stratum: rate 0
+  }
+
   test("mixToBudget decisions are independent of split decisions (salted)") {
     val docs = spark.range(0, 2000).toDF("id").withColumn("lang", lit("en"))
       .withColumn("n_tok", lit(10L))
