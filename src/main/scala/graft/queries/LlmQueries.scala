@@ -184,6 +184,16 @@ object LlmQueries {
         Sampling.shuffleKey(col("doc_id")).as("shuffle_key"),
         Sampling.shuffleKey(col("doc_id"), "epoch2").as("shuffle_key_epoch2"))),
 
+    // Exact-size deterministic sample: the 100 smallest shuffle keys.
+    "q_sample_fixed" -> ((s, dir) =>
+      Sampling.sampleExactly(docs(s, dir), "doc_id", n = 100)
+        .select("doc_id", "lang")),
+
+    // Per-stratum quota cap: at most 10 docs per source, deterministic.
+    "q_sample_quota" -> ((s, dir) =>
+      Sampling.quotaCap(docs(s, dir), "doc_id", "source", k = 10)
+        .select("doc_id", "source", "keep")),
+
     // PII detect/mask signals over docs with injected synthetic PII (the
     // corpus itself is clean, so the fixture appends a deterministic email
     // + long reference number per doc).
@@ -583,18 +593,26 @@ object LlmQueries {
       "(d.n_docs / n.total) <= 0.3 AS keep FROM l JOIN d USING (line) CROSS JOIN n"
   }
 
-  /** DuckDB replica of [[Sampling.shuffleKey]] for both epoch salts. */
-  private val shuffleSql: String = {
-    def keyFor(salt: String): String = {
-      val h = "list_reduce(list_prepend(17::BIGINT, " +
-        s"[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR) || ':$salt', '')]), " +
-        "(a, b) -> (a * 31 + b) % 4294967296)"
-      val m1 = s"(($h * 48271) % 2147483647)"
-      s"((xor($m1, $m1 >> 15) * 48271) % 2147483647)"
-    }
-    s"SELECT doc_id, ${keyFor("shuffle")} AS shuffle_key, " +
-      s"${keyFor("epoch2")} AS shuffle_key_epoch2 FROM documents"
+  /** DuckDB replica of [[Sampling.shuffleKey]] with the given salt. */
+  private def shuffleKeySql(salt: String): String = {
+    val h = "list_reduce(list_prepend(17::BIGINT, " +
+      s"[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR) || ':$salt', '')]), " +
+      "(a, b) -> (a * 31 + b) % 4294967296)"
+    val m1 = s"(($h * 48271) % 2147483647)"
+    s"((xor($m1, $m1 >> 15) * 48271) % 2147483647)"
   }
+
+  private val shuffleSql: String =
+    s"SELECT doc_id, ${shuffleKeySql("shuffle")} AS shuffle_key, " +
+      s"${shuffleKeySql("epoch2")} AS shuffle_key_epoch2 FROM documents"
+
+  private val sampleFixedSql: String =
+    s"SELECT doc_id, lang FROM documents ORDER BY ${shuffleKeySql("sample")}, doc_id LIMIT 100"
+
+  private val sampleQuotaSql: String =
+    s"WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+      s"ORDER BY ${shuffleKeySql("quota")}, doc_id) AS rn FROM documents) " +
+      "SELECT doc_id, source, rn <= 10 AS keep FROM r"
 
   /** DuckDB replica of [[Sampling.hashBucket]]: polynomial codepoint fold +
     * MINSTD-xorshift-MINSTD finalizer, mod `n`.
@@ -685,6 +703,8 @@ object LlmQueries {
       (s"WITH hb AS (SELECT doc_id, lang, $splitBucketSql AS bucket FROM documents) " +
         "SELECT doc_id, lang, bucket < " +
         "(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 100 END) AS keep FROM hb"),
+    "q_sample_fixed" -> sampleFixedSql,
+    "q_sample_quota" -> sampleQuotaSql,
     "q_text_rarity" -> raritySql,
     "q_text_line_dedup" -> lineDedupSql,
     "q_shuffle_det" -> shuffleSql,

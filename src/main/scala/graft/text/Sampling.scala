@@ -45,6 +45,36 @@ object Sampling {
     pmod(m1.bitwiseXOR(shiftright(m1, 15)) * 48271L, lit(2147483647L))
   }
 
+  /** Deterministic EXACT-size uniform sample: the `n` rows with the
+    * smallest [[shuffleKey]] values (id tiebreak). Rate-based sampling
+    * ([[stratifiedKeep]]) cannot hit a row budget exactly; this does, and
+    * the plan is TakeOrderedAndProject — every partition keeps its own
+    * n-row heap and the driver merges heaps, never a global sort.
+    */
+  def sampleExactly(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    n: Int, seed: String = "sample"): org.apache.spark.sql.DataFrame =
+    docs.orderBy(shuffleKey(col(idCol), seed), col(idCol)).limit(n)
+
+  /** Per-stratum QUOTA cap (the per-domain page cap of web-corpus
+    * pipelines): keep at most `k` rows per stratum, chosen
+    * deterministically by [[shuffleKey]] (id tiebreak), emitted as a keep
+    * flag on every row. One window per stratum — a stratum's rows sort in
+    * one task, the right default for domain-sized strata; for a power-law
+    * hot stratum (one domain = half the corpus) thin it first with
+    * [[stratifiedKeep]] at a rate that leaves ~k survivors, then cap
+    * exactly.
+    */
+  def quotaCap(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               stratumCol: String, k: Int,
+               seed: String = "quota"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(shuffleKey(col(idCol), seed), col(idCol))
+    docs.withColumn("__qrank__", row_number().over(w))
+      .withColumn("keep", col("__qrank__") <= k)
+      .drop("__qrank__")
+  }
+
   /** train/validation/test assignment by per-mille thresholds (defaults
     * 80/10/10). Assignment is a pure function of the key: appending new
     * data never reassigns existing rows.

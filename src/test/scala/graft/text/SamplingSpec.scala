@@ -112,6 +112,30 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.length == 8 && sizes.forall(n => n > 100 && n < 500))
   }
 
+  test("sampleExactly returns exactly n rows, stable across layouts, and plans a top-n") {
+    val a = Sampling.sampleExactly(ids, "id", 150).as[Long].collect().toSet
+    val b = Sampling.sampleExactly(ids.repartition(13), "id", 150).as[Long].collect().toSet
+    assert(a.size == 150 && a == b)
+    // a different seed draws a different sample
+    val c = Sampling.sampleExactly(ids, "id", 150, seed = "v2").as[Long].collect().toSet
+    assert(a != c)
+    // top-n plan, not a global sort
+    val p = Sampling.sampleExactly(ids, "id", 150).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quotaCap keeps at most k per stratum, deterministically") {
+    val df = ids.withColumn("dom", (col("id") % 4).cast("string"))
+    val out = Sampling.quotaCap(df, "id", "dom", k = 7)
+    val kept = out.where(col("keep")).groupBy("dom").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept.values.forall(_ == 7L) && kept.size == 4)
+    assert(out.count() == 2000) // every row emitted, flag only
+    val again = Sampling.quotaCap(df.repartition(11), "id", "dom", k = 7)
+      .where(col("keep")).select("id").as[Long].collect().toSet
+    assert(again == out.where(col("keep")).select("id").as[Long].collect().toSet)
+  }
+
   test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra common common"),
