@@ -256,7 +256,7 @@ object LlmQueries {
     // buckets) resolved into clusters, one canonical keeper per cluster.
     "q_embed_semdedup" -> ((s, dir) =>
       Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.45, numPlanes = 8)),
+        threshold = 0.45, numPlanes = 12)),
 
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -775,7 +775,7 @@ object LlmQueries {
         "SELECT a.vec_id AS a, b.vec_id AS b, " +
         "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
-    "q_embed_semdedup" -> semdedupSql(numPlanes = 8, dim = 64, threshold = 0.45),
+    "q_embed_semdedup" -> semdedupSql(numPlanes = 12, dim = 64, threshold = 0.45),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
     "q_embed_kmeans" -> kmeansSql(dim = 64, iterations = 2),
