@@ -139,6 +139,12 @@ object LlmQueries {
       TextStats.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkTokens = 32, stride = 16)),
 
+    // Content-defined chunking: rolling-hash boundaries (4-token window,
+    // divisor 16 -> ~16-token expected chunks) — edit-stable chunk
+    // boundaries for dedup-oriented pipelines.
+    "q_chunk_cdc" -> ((s, dir) =>
+      TextStats.cdcChunks(docs(s, dir), "doc_id", "text", window = 4, divisor = 16)),
+
     // CROSS-corpus near-dup join (incremental-ingest dedup): docs with
     // doc_id % 3 == 0 stand in for the already-trained reference corpus,
     // the rest is the fresh crawl; pairs only ever cross the boundary.
@@ -562,6 +568,24 @@ object LlmQueries {
       "FROM r WHERE rn <= 3 GROUP BY vec_id) " +
       "SELECT vec_id, seed_score, seed_score >= 0.2 AS keep FROM g"
 
+  /** DuckDB replica of [[TextStats.cdcChunks]] (window 4, divisor 16): the
+    * same per-token polynomial hashes, rolling window sums, boundary rule,
+    * and prefix-sum chunk ids.
+    */
+  private val cdcSql: String = {
+    val th = "list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(token, '')]), (a, b) -> (a * 31 + b) % 4294967296)"
+    "WITH s AS (SELECT doc_id, string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) - 1 AS idx FROM s), " +
+      s"h AS (SELECT doc_id, idx, token, $th AS th FROM tok), " +
+      "r AS (SELECT doc_id, idx, token, (idx >= 3 AND sum(th) OVER (PARTITION BY doc_id ORDER BY idx " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) % 16 = 0) AS boundary FROM h), " +
+      "c AS (SELECT doc_id, idx, token, coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (" +
+      "PARTITION BY doc_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx FROM r) " +
+      "SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, string_agg(token, ' ' ORDER BY idx) AS chunk_text, " +
+      "count(*)::BIGINT AS n_tokens, min(idx)::BIGINT AS start_idx FROM c GROUP BY doc_id, chunk_idx"
+  }
+
   /** DuckDB replica of [[TextStats.tokenRarity]]: same \s+ tokens, corpus
     * counts, (cnt desc, token) top-50, integer-exact ratios.
     */
@@ -710,6 +734,7 @@ object LlmQueries {
     "q_shuffle_det" -> shuffleSql,
     "q_mix_budget" -> mixSql,
     "q_chunk_docs" -> chunkSql,
+    "q_chunk_cdc" -> cdcSql,
     "q_dedup_cross" ->
       (s"$shingleCte SELECT a, b, jaccard FROM (" +
         "SELECT n.doc_id AS a, r.doc_id AS b, " +

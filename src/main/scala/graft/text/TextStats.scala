@@ -207,6 +207,48 @@ object TextStats {
           .cast("bigint").as("chunk_n_tokens"))
   }
 
+  /** CONTENT-DEFINED chunking (CDC): chunk boundaries fall where a rolling
+    * hash of the last `window` tokens is 0 mod `divisor`, so boundaries
+    * depend only on LOCAL content — inserting a sentence early in a
+    * document leaves every later boundary (and so every later chunk)
+    * intact, where fixed-stride windows ([[chunkDocs]]) shift all of them.
+    * That stability is why dedup-oriented pipelines chunk this way: edited
+    * re-crawls still collide on their unchanged chunks. Expected chunk
+    * length is `divisor` tokens (geometric); no min/max clamp is applied —
+    * compose with [[chunkDocs]] downstream if hard bounds are needed.
+    *
+    * Shape: tokens explode with positions (narrow), the rolling hash is a
+    * `window`-row sum of per-token [[fingerprint]]s over a per-doc window
+    * (one doc-keyed shuffle — a document's tokens sort in one task, the
+    * [[graft.rules.AsofJoin]] single-key contract), boundary counts
+    * prefix-sum into chunk ids, and chunks reassemble by (doc, chunk)
+    * aggregation. All arithmetic is integer-exact and SQL-replicable.
+    */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, window: Int, divisor: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window > 0 && divisor > 0, s"need positive window/divisor, got $window/$divisor")
+    val toks = docs
+      .select(col(idCol), posexplode(split(regexp_replace(col(textCol), "\\s+", " "), " "))
+        .as(Seq("idx", "token")))
+      .withColumn("th", fingerprint(col("token")))
+    val wRoll = Window.partitionBy(col(idCol)).orderBy(col("idx"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withChunk = toks
+      .withColumn("__boundary__",
+        col("idx") >= (window - 1) && pmod(sum(col("th")).over(wRoll), lit(divisor.toLong)) === 0)
+      .withColumn("chunk_idx",
+        coalesce(sum(col("__boundary__").cast("bigint")).over(wPrev), lit(0L)))
+    withChunk.groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("token")))),
+          x => x.getField("token")), " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"),
+        min(col("idx")).cast("bigint").as("start_idx"))
+  }
+
   /** Unigram corpus-frequency RARITY signals per document — the
     * exactly-replicable analog of LM-perplexity quality filtering (CCNet
     * scores documents under a reference LM; a unigram corpus model is the

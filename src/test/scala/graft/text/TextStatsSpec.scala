@@ -115,6 +115,27 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1)._4 == 0.25)                    // dog is the only OOV token
   }
 
+  test("cdcChunks boundaries are edit-stable: a prefix insertion leaves later chunks intact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 400).map(_ => s"w${rnd.nextInt(5000)}")
+    val original = words.mkString(" ")
+    val edited = "inserted sentence goes here " + original
+    val docs = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val out = TextStats.cdcChunks(docs, "doc_id", "text", window = 4, divisor = 16)
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+    val c1 = out.filter(_._1 == 1L).map(_._2).toSet
+    val c2 = out.filter(_._1 == 2L).map(_._2).toSet
+    // every original chunk except the edit-adjacent head reappears verbatim
+    // in the edited doc; fixed-stride chunking would shift every window
+    val shared = (c1 & c2).size.toDouble / c1.size
+    assert(shared > 0.8, s"only ${(shared * 100).round}% of chunks survived the edit")
+    // chunks partition the token stream: counts sum to doc length
+    val lens = TextStats.cdcChunks(docs, "doc_id", "text", 4, 16)
+      .groupBy("doc_id").agg(sum("n_tokens")).as[(Long, Long)].collect().toMap
+    assert(lens(1L) == 400 && lens(2L) == 404)
+  }
+
   test("lineDedup flags lines by cross-document frequency, not within-doc count") {
     import spark.implicits._
     val docs = Seq(
