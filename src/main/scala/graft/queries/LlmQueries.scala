@@ -164,6 +164,21 @@ object LlmQueries {
         "vec_id", "embedding", k = 3, threshold = 0.2)
     }),
 
+    // End-to-end corpus PREPARATION (composition capstone): exact dedup ->
+    // quality filter (>= 0.82 drops the low-scoring half) -> deterministic split + token count, as one plan. The
+    // primitives compose because each is a pure column/frame transform.
+    "q_corpus_prep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepIds = Dedup.exactDedup(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val quality = TextStats.qualityColumns(col("text")).toMap
+      d.join(keepIds, Seq("doc_id"), "left_semi")
+        .where(quality("quality_score") >= 0.82)
+        .select(col("doc_id"), col("lang"),
+          Sampling.split(col("doc_id")).as("split"),
+          TextStats.bpeishTokenCount(col("text")).cast("bigint").as("n_tokens"))
+    }),
+
     // Unigram corpus-frequency rarity signals (the hash-exact analog of
     // LM-perplexity quality filtering): mean token corpus frequency +
     // out-of-top-50 fraction per doc.
@@ -586,6 +601,27 @@ object LlmQueries {
       "count(*)::BIGINT AS n_tokens, min(idx)::BIGINT AS start_idx FROM c GROUP BY doc_id, chunk_idx"
   }
 
+  /** DuckDB replica of the q_corpus_prep composition: dedup keepers ∩
+    * quality >= 0.5, with split + token count.
+    */
+  private val corpusPrepSql: String = {
+    val ws = "regexp_split_to_array(text, '\\s+')"
+    val quality =
+      "round((len(list_distinct(" + ws + "))::DOUBLE / len(" + ws + ")::DOUBLE " +
+        " + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1)::DOUBLE " +
+        s" + (CASE WHEN len($ws) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) " +
+        s" + (CASE WHEN list_sum(list_transform($ws, w -> length(w)))::DOUBLE / len($ws)::DOUBLE BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)" +
+        ") / 4, 6)"
+    s"WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), " +
+      // bucketSql is a def — the splitBucketSql VAL initializes after this
+      // one and would interpolate as null here (object init order)
+      s"q AS (SELECT doc_id, lang, text, $quality AS qs, ${bucketSql(1000)} AS bucket FROM documents) " +
+      "SELECT q.doc_id, q.lang, " +
+      "CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'validation' ELSE 'test' END AS split, " +
+      s"len(regexp_extract_all(text, '${TextStats.BpeishPattern}'))::BIGINT AS n_tokens " +
+      "FROM q JOIN keep USING (doc_id) WHERE qs >= 0.82"
+  }
+
   /** DuckDB replica of [[TextStats.tokenRarity]]: same \s+ tokens, corpus
     * counts, (cnt desc, token) top-50, integer-exact ratios.
     */
@@ -729,6 +765,7 @@ object LlmQueries {
         "(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 100 END) AS keep FROM hb"),
     "q_sample_fixed" -> sampleFixedSql,
     "q_sample_quota" -> sampleQuotaSql,
+    "q_corpus_prep" -> corpusPrepSql,
     "q_text_rarity" -> raritySql,
     "q_text_line_dedup" -> lineDedupSql,
     "q_shuffle_det" -> shuffleSql,
