@@ -179,6 +179,13 @@ object LlmQueries {
           TextStats.bpeishTokenCount(col("text")).cast("bigint").as("n_tokens"))
     }),
 
+    // Training-shard export manifest: deterministic shard assignment +
+    // per-shard counts, token mass, and an order-free content signature the
+    // consumer re-derives to verify the export (writer spec in
+    // CorpusExportSpec covers the JSONL files themselves).
+    "q_export_manifest" -> ((s, dir) =>
+      graft.sources.CorpusExport.manifest(docs(s, dir), "doc_id", "text", nShards = 16)),
+
     // Unigram corpus-frequency rarity signals (the hash-exact analog of
     // LM-perplexity quality filtering): mean token corpus frequency +
     // out-of-top-50 fraction per doc.
@@ -622,6 +629,22 @@ object LlmQueries {
       "FROM q JOIN keep USING (doc_id) WHERE qs >= 0.82"
   }
 
+  /** DuckDB replica of [[graft.sources.CorpusExport.manifest]]: the
+    * ":shard"-salted bucket, token mass, and mod-2^32 fingerprint sum.
+    */
+  private val exportManifestSql: String = {
+    val h = "list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR) || ':shard', '')]), " +
+      "(a, b) -> (a * 31 + b) % 4294967296)"
+    val m1 = s"(($h * 48271) % 2147483647)"
+    val shard = s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % 16)"
+    val fp = "list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(text, '')]), (a, b) -> (a * 31 + b) % 4294967296)"
+    s"SELECT $shard AS shard, count(*)::BIGINT AS n_docs, " +
+      s"sum(len(regexp_extract_all(text, '${TextStats.BpeishPattern}')))::BIGINT AS n_tokens, " +
+      s"(sum($fp) % 4294967296) AS content_sig FROM documents GROUP BY 1"
+  }
+
   /** DuckDB replica of [[TextStats.tokenRarity]]: same \s+ tokens, corpus
     * counts, (cnt desc, token) top-50, integer-exact ratios.
     */
@@ -766,6 +789,7 @@ object LlmQueries {
     "q_sample_fixed" -> sampleFixedSql,
     "q_sample_quota" -> sampleQuotaSql,
     "q_corpus_prep" -> corpusPrepSql,
+    "q_export_manifest" -> exportManifestSql,
     "q_text_rarity" -> raritySql,
     "q_text_line_dedup" -> lineDedupSql,
     "q_shuffle_det" -> shuffleSql,
