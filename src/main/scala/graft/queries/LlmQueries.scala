@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Dedup, Sampling, TextStats}
+import graft.text.{Dedup, Sampling, SpanDedup, TextStats}
 import graft.similarity.Similarity
 import graft.multimodal.Multimodal
 
@@ -58,6 +58,18 @@ object LlmQueries {
     // Hamming <= 3) + exact popcount verify.
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // Exact duplicate-substring detection (suffix-array-style span dedup,
+    // Lee et al.): maximal token runs whose every 4-window repeats
+    // corpus-wide, reported at >= 6 tokens.
+    "q_dedup_spans" -> ((s, dir) =>
+      SpanDedup.dupSpans(docs(s, dir), "doc_id", "text", k = 4, minTokens = 6)),
+
+    // Span removal with the keep-globally-first rule: every non-first
+    // occurrence of a duplicated 4-window is dropped and the document
+    // reassembled from the surviving tokens.
+    "q_dedup_span_strip" -> ((s, dir) =>
+      SpanDedup.stripDupSpans(docs(s, dir), "doc_id", "text", k = 4)),
 
     "q_text_stats" -> ((s, dir) => {
       val cols = col("doc_id") +: TextStats.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
@@ -336,6 +348,18 @@ object LlmQueries {
           size(col("features")).cast("bigint").as("dim"))
     })
   )
+
+  /** Shared CTE for span dedup: positional tokens + 4-token k-grams (null
+    * tail windows excluded), mirroring [[SpanDedup.positionalKgrams]].
+    * A def, not a val: SQL-builder vals referenced from earlier map vals
+    * interpolate null during object init.
+    */
+  private def spanGramCte: String =
+    "WITH s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
+      "g AS (SELECT doc_id, pos, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w AS kgram, " +
+      "lead(tok, 3) OVER w AS lst FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+      "g2 AS (SELECT doc_id, pos, kgram FROM g WHERE lst IS NOT NULL)"
 
   private val statsSql: String = {
     val ws = "regexp_split_to_array(text, '\\s+')"
@@ -854,6 +878,24 @@ object LlmQueries {
         s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
+    "q_dedup_spans" -> (s"$spanGramCte, " +
+      "c AS (SELECT kgram FROM g2 GROUP BY kgram HAVING count(*) > 1), " +
+      "d AS (SELECT doc_id, pos FROM g2 JOIN c USING (kgram)), " +
+      "i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d) " +
+      "SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos)+3)::BIGINT AS span_end, " +
+      "(max(pos)+3-min(pos)+1)::BIGINT AS n_tokens, count(*)::BIGINT AS n_windows " +
+      "FROM i GROUP BY doc_id, grp HAVING max(pos)+3-min(pos)+1 >= 6"),
+    "q_dedup_span_strip" -> (s"$spanGramCte, " +
+      "occ AS (SELECT doc_id, pos, kgram, doc_id*1000000 + pos AS occ FROM g2), " +
+      "f AS (SELECT kgram, count(*) AS cnt, min(occ) AS first FROM occ GROUP BY kgram), " +
+      "rs AS (SELECT doc_id, pos FROM occ JOIN f USING (kgram) WHERE cnt > 1 AND occ != first), " +
+      "cov AS (SELECT DISTINCT doc_id, pos + r.range AS pos FROM rs, range(4) r), " +
+      "tot AS (SELECT doc_id, count(*) AS total FROM tok GROUP BY doc_id), " +
+      "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL), " +
+      "ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean, count(*) AS kept FROM kept GROUP BY doc_id) " +
+      "SELECT tot.doc_id, coalesce(ka.clean, '') AS clean_text, coalesce(ka.kept, 0)::BIGINT AS n_tokens, " +
+      "(tot.total - coalesce(ka.kept, 0))::BIGINT AS n_dropped " +
+      "FROM tot LEFT JOIN ka USING (doc_id)"),
     "q_embed_knn" -> knnSql,
     "q_embed_neardup" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
     "q_embed_neardup_exact" ->
