@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Dedup, Sampling, SpanDedup, TextStats}
+import graft.text.{Dedup, IncrementalDedup, Sampling, SpanDedup, TextStats}
 import graft.similarity.Similarity
 import graft.multimodal.Multimodal
 
@@ -58,6 +58,16 @@ object LlmQueries {
     // Hamming <= 3) + exact popcount verify.
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // Incremental crawl dedup: fresh batch (all docs) vs already-ingested
+    // reference (doc_id % 3 = 0) — distributed Bloom sketch pre-filter,
+    // exact anti-join on the suspect fraction only. Output is exact.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      IncrementalDedup.newAgainstReference(
+        d, d.where(pmod(col("doc_id"), lit(3)) === 0), "text",
+        expectedItems = 4096, numBits = 1L << 16)
+    }),
 
     // Exact duplicate-substring detection (suffix-array-style span dedup,
     // Lee et al.): maximal token runs whose every 4-window repeats
@@ -878,6 +888,9 @@ object LlmQueries {
         s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
+    "q_dedup_incremental" ->
+      ("SELECT * FROM documents WHERE text NOT IN " +
+        "(SELECT text FROM documents WHERE doc_id % 3 = 0)"),
     "q_dedup_spans" -> (s"$spanGramCte, " +
       "c AS (SELECT kgram FROM g2 GROUP BY kgram HAVING count(*) > 1), " +
       "d AS (SELECT doc_id, pos FROM g2 JOIN c USING (kgram)), " +
