@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Dedup, IncrementalDedup, Sampling, SpanDedup, TextStats}
+import graft.text.{Dedup, EditDistance, IncrementalDedup, Sampling, SpanDedup, TextStats}
 import graft.similarity.Similarity
 import graft.multimodal.Multimodal
 
@@ -58,6 +58,12 @@ object LlmQueries {
     // Hamming <= 3) + exact popcount verify.
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // Char-level edit-distance near-dups: untouched-edge (prefix/suffix
+    // key) candidates + banded thresholded Levenshtein verify.
+    "q_dedup_editdist" -> ((s, dir) =>
+      EditDistance.editDistancePairs(docs(s, dir), "doc_id", "text",
+        maxDist = 6, keyLen = 32)),
 
     // Incremental crawl dedup: fresh batch (all docs) vs already-ingested
     // reference (doc_id % 3 = 0) — distributed Bloom sketch pre-filter,
@@ -888,6 +894,14 @@ object LlmQueries {
         s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
+    "q_dedup_editdist" ->
+      ("SELECT a, b, ed::BIGINT AS edit_distance FROM (" +
+        "SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.text, b.text) AS ed " +
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id " +
+        "AND abs(len(a.text) - len(b.text)) <= 6 " +
+        "AND (substring(a.text, 1, 32) = substring(b.text, 1, 32) " +
+        "OR substring(a.text, -32, 32) = substring(b.text, -32, 32))) p " +
+        "WHERE ed <= 6"),
     "q_dedup_incremental" ->
       ("SELECT * FROM documents WHERE text NOT IN " +
         "(SELECT text FROM documents WHERE doc_id % 3 = 0)"),
