@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Dedup, EditDistance, IncrementalDedup, Sampling, SpanDedup, TextStats}
+import graft.text.{Dedup, EditDistance, IncrementalDedup, NormalizeExpression, Sampling, SpanDedup, TextStats}
 import graft.similarity.Similarity
 import graft.multimodal.Multimodal
 
@@ -58,6 +58,16 @@ object LlmQueries {
     // Hamming <= 3) + exact popcount verify.
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // Unicode canonicalization (NFC + case/accent/quote folding +
+    // whitespace collapse) — the stage-zero transform every downstream
+    // hash/dedup operator assumes. Native codegen (JDK Normalizer), no UDF.
+    "q_text_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        (NormalizeExpression.nfc(col("text")) === col("text")).as("was_nfc"),
+        NormalizeExpression.canonicalText(col("text")).as("norm_text"),
+        (NormalizeExpression.canonicalText(col("text")) =!= col("text"))
+          .as("changed"))),
 
     // Char-level edit-distance near-dups: untouched-edge (prefix/suffix
     // key) candidates + banded thresholded Levenshtein verify.
@@ -894,6 +904,13 @@ object LlmQueries {
         s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
+    "q_text_normalize" ->
+      ("SELECT doc_id, nfc_normalize(text) = text AS was_nfc, " +
+        "trim(regexp_replace(translate(strip_accents(lower(nfc_normalize(text))), " +
+        "'‘’“”–—', '''''\"\"--'), '\\s+', ' ', 'g')) AS norm_text, " +
+        "trim(regexp_replace(translate(strip_accents(lower(nfc_normalize(text))), " +
+        "'‘’“”–—', '''''\"\"--'), '\\s+', ' ', 'g')) != text AS changed " +
+        "FROM documents"),
     "q_dedup_editdist" ->
       ("SELECT a, b, ed::BIGINT AS edit_distance FROM (" +
         "SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.text, b.text) AS ed " +
