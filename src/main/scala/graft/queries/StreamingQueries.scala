@@ -95,6 +95,41 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$base/out")
+    }),
+
+    // Stream-stream interval join (view -> purchase attribution within 30
+    // minutes, per user). Both sides stream from files; the watermark delay
+    // spans the dataset so no row is late-dropped and the streamed result
+    // equals the batch interval join exactly (production sizes the delay to
+    // its ingestion skew instead — see Streaming.intervalJoin).
+    "q_stream_join" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_join"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val events = CoreQueries.loadEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      events.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+        .coalesce(2).write.parquet(s"$base/views")
+      events.where(col("event_type") === "purchase")
+        .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .coalesce(2).write.parquet(s"$base/purchases")
+      def stream(path: String): DataFrame =
+        s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+      val joined = Streaming.intervalJoin(
+        stream(s"$base/views"), stream(s"$base/purchases"), "user_id",
+        "view_ts", "purchase_ts", watermarkDelay = "365 days", within = "30 minutes")
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
     })
   )
 
@@ -108,6 +143,11 @@ object StreamingQueries {
       ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start, " +
         "event_type, count(1)::BIGINT AS cnt FROM events GROUP BY 1, 2"),
     "q_stream_dedup" ->
-      "SELECT DISTINCT l_orderkey FROM lineitem"
+      "SELECT DISTINCT l_orderkey FROM lineitem",
+    "q_stream_join" ->
+      ("SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id " +
+        "FROM events l JOIN events r ON l.event_type = 'view' " +
+        "AND r.event_type = 'purchase' AND l.user_id = r.user_id " +
+        "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE")
   )
 }

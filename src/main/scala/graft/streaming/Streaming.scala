@@ -56,6 +56,35 @@ object Streaming {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt").cast("bigint").as("cnt"))
 
+  /** Stream-stream interval join: left rows match right rows with the same
+    * key whose event time falls in [leftTs, leftTs + within]. Both sides
+    * carry watermarks, so the join state is evictable: a buffered left row
+    * can be dropped once the watermark passes leftTs + within (no right row
+    * can match it anymore), which is what lets the join run indefinitely at
+    * bounded state — the canonical view-to-conversion attribution shape.
+    *
+    * Inner joins emit eagerly per micro-batch; `watermarkDelay` trades
+    * state size against tolerance to cross-side disorder (a right row
+    * arriving more than the delay behind the max seen event time may be
+    * dropped as late). Exactness against a batch join therefore requires
+    * delay >= the maximum disorder — at-scale callers size it to their
+    * ingestion skew.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String,
+                   watermarkDelay: String, within: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      "rename the time columns apart before joining (both survive in the output)")
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+      .withColumnRenamed(keyCol, "__rkey__")
+    l.join(r,
+      col(keyCol) === col("__rkey__") &&
+        col(rightTsCol) >= col(leftTsCol) &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $within"))
+      .drop("__rkey__")
+  }
+
   /** Streaming exact-dedup on key columns via the engine's own state-store
     * operator (`dropDuplicates` on a stream): codegen'd, no typed
     * serialization, watermark-evictable state when the caller adds

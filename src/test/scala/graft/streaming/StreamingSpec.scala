@@ -44,6 +44,33 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", "b", 1L)))
   }
 
+  test("intervalJoin matches right rows inside [leftTs, leftTs + within] per key") {
+    val views = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val buys = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val joined = Streaming.intervalJoin(
+      views.toDF().toDF("user_id", "view_ts"),
+      buys.toDF().toDF("user_id", "purchase_ts"),
+      "user_id", "view_ts", "purchase_ts",
+      watermarkDelay = "2 hours", within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    views.addData((1L, t(0)), (2L, t(0)))
+    buys.addData((1L, t(10)), // in window -> match
+      (1L, t(45)), // past view_ts+30m -> no match
+      (2L, t(0)), // boundary: equal timestamps match
+      (3L, t(5))) // no view for user 3
+    q.processAllAvailable()
+    val got = spark.table("ij_out")
+      .select("user_id", "view_ts", "purchase_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString))
+      .toSet
+    q.stop()
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0"),
+      (2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0")))
+  }
+
   test("streamingDedup dedups within the horizon and re-emits after state eviction") {
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
     val df = stream.toDF().toDF("ts", "id", "v").withWatermark("ts", "0 seconds")
