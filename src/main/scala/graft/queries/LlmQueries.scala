@@ -59,6 +59,11 @@ object LlmQueries {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    // Per-stratum corpus audit report (docs, dup mass, token mass, mean
+    // quality) — one aggregation pass, integer micro-unit ratios.
+    "q_corpus_report" -> ((s, dir) =>
+      TextStats.corpusReport(docs(s, dir), "text", Seq("lang", "source"))),
+
     // Unicode canonicalization (NFC + case/accent/quote folding +
     // whitespace collapse) — the stage-zero transform every downstream
     // hash/dedup operator assumes. Native codegen (JDK Normalizer), no UDF.
@@ -903,6 +908,25 @@ object LlmQueries {
         s"len(regexp_extract_all(text, '$num'))::BIGINT AS n_long_numbers, " +
         s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
+    },
+    "q_corpus_report" -> {
+      val ws = "regexp_split_to_array(text, '\\s+')"
+      val quality =
+        "CAST(round((len(list_distinct(" + ws + "))::DOUBLE / len(" + ws + ")::DOUBLE " +
+          " + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1)::DOUBLE " +
+          s" + (CASE WHEN len($ws) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) " +
+          s" + (CASE WHEN list_sum(list_transform($ws, w -> length(w)))::DOUBLE / len($ws)::DOUBLE BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)" +
+          ") / 4, 6) AS DOUBLE)"
+      s"WITH b AS (SELECT lang, source, text, len($ws)::BIGINT AS nt, " +
+        s"round(($quality) * 1000000)::BIGINT AS q6, length(text) AS len FROM documents) " +
+        "SELECT lang, source, count(*)::BIGINT AS n_docs, " +
+        "count(DISTINCT text)::BIGINT AS n_unique_texts, " +
+        "floor((count(*) - count(DISTINCT text)) * 1000000.0 / count(*))::BIGINT AS dup_frac_micro, " +
+        "sum(nt)::BIGINT AS n_tokens, " +
+        "floor(sum(nt) * 1000000.0 / count(*))::BIGINT AS mean_tokens_micro, " +
+        "floor(sum(q6) * 1.0 / count(*))::BIGINT AS mean_quality_micro, " +
+        "min(len)::BIGINT AS min_chars, max(len)::BIGINT AS max_chars " +
+        "FROM b GROUP BY 1, 2"
     },
     "q_text_normalize" ->
       ("SELECT doc_id, nfc_normalize(text) = text AS was_nfc, " +

@@ -77,6 +77,52 @@ object TextStats {
       "quality_score" -> score)
   }
 
+  /** Corpus audit report: the per-stratum statistics a curation team
+    * reviews before training — doc counts, exact-dup mass, token mass, and
+    * mean quality — as ONE aggregation pass over the corpus. Fractions and
+    * means are reported in integer micro-units (floor(1e6 * x)), the
+    * cross-engine-exact encoding for ratios of bigints.
+    *
+    * 100 TB shape: a single hash aggregation keyed by the strata columns
+    * (partial aggregation absorbs the per-row work map-side); the only
+    * per-stratum heavy state is count_distinct(text), which Spark executes
+    * as a two-level aggregation — for corpora where even that is too much,
+    * swap in approx_count_distinct (the q_distinct_approx scale path).
+    */
+  def corpusReport(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   strata: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(strata.nonEmpty, "corpusReport needs at least one stratum column")
+    val q = qualityColumns(col(textCol)).toMap
+    val base = docs.select(
+      strata.map(col) ++ Seq(
+        col(textCol).as("__t__"),
+        size(tokens(col(textCol))).as("__nt__"),
+        round(q("quality_score") * 1000000).cast("bigint").as("__q6__"),
+        length(col(textCol)).as("__len__")): _*)
+    def micro(num: Column, den: Column): Column =
+      floor(num.cast("double") * 1000000.0 / den.cast("double")).cast("bigint")
+    base.groupBy(strata.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("__t__")).as("n_unique_texts"),
+        sum(col("__nt__")).as("__sumnt__"),
+        sum(col("__q6__")).as("__sumq__"),
+        min(col("__len__")).as("__minc__"),
+        max(col("__len__")).as("__maxc__"))
+      .select(
+        strata.map(col) ++ Seq(
+          col("n_docs").cast("bigint").as("n_docs"),
+          col("n_unique_texts").cast("bigint").as("n_unique_texts"),
+          micro(col("n_docs") - col("n_unique_texts"), col("n_docs"))
+            .as("dup_frac_micro"),
+          col("__sumnt__").cast("bigint").as("n_tokens"),
+          micro(col("__sumnt__"), col("n_docs")).as("mean_tokens_micro"),
+          floor(col("__sumq__").cast("double") / col("n_docs").cast("double"))
+            .cast("bigint").as("mean_quality_micro"),
+          col("__minc__").cast("bigint").as("min_chars"),
+          col("__maxc__").cast("bigint").as("max_chars")): _*)
+  }
+
   /** Within-document repetition signals (Gopher-style repetition filters):
     * the fraction of word n-gram occurrences that are repeats of an earlier
     * occurrence, for n = 2 and 3. Highly repetitive machine-generated or

@@ -171,4 +171,21 @@ class TextStatsSpec extends SparkSpec {
     val r = df.select(TextStats.stopwordRatio(TextStats.tokens(col("text")), Seq("the"))).as[Double].head()
     assert(r == 0.75)
   }
+
+  test("corpusReport aggregates per stratum with exact micro-unit ratios") {
+    val df = Seq(
+      ("en", "web", "one two three"),
+      ("en", "web", "one two three"), // exact dup
+      ("en", "web", "four five six seven"),
+      ("fr", "web", "un deux")
+    ).toDF("lang", "source", "text")
+    val out = TextStats.corpusReport(df, "text", Seq("lang", "source"))
+      .select("lang", "n_docs", "n_unique_texts", "dup_frac_micro",
+        "n_tokens", "mean_tokens_micro", "min_chars", "max_chars")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // en: 3 docs, 2 unique -> dup frac 1/3 -> 333333 micro; tokens 3+3+4=10
+    assert(out("en") == (("en", 3L, 2L, 333333L, 10L, 3333333L, 13L, 19L)))
+    assert(out("fr") == (("fr", 1L, 1L, 0L, 2L, 2000000L, 7L, 7L)))
+  }
 }
