@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.similarity.{DoubleDotProductExpr, LshCodeExpr}
-import graft.text.{MinHashSignatureExpr, PolyHashExpr, ShinglesExpr, SimHashExpr}
+import graft.text.{AccentFoldExpr, MinHashSignatureExpr, PolyHashExpr, ShinglesExpr, SimHashExpr, UnicodeNormalizeExpr}
 
 /** `SparkSessionExtensions` wiring: exposes the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql` users (and SQL-only
@@ -72,6 +72,18 @@ object GraftExtensions {
     },
     fd("graft_dot", "double-precision dot product of two numeric arrays") { args =>
       arity("graft_dot", args, 2); DoubleDotProductExpr(args.head, args(1))
+    },
+    fd("graft_normalize", "UAX#15 unicode normalization to the given form") { args =>
+      arity("graft_normalize", args, 2)
+      val form = args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_normalize: form must be a string literal, got $other")
+      }
+      UnicodeNormalizeExpr(args.head, form)
+    },
+    fd("graft_accent_fold", "NFD-decompose and strip combining marks") { args =>
+      arity("graft_accent_fold", args, 1); AccentFoldExpr(args.head)
     })
 
   /** Register the same function set on an already-built session. */

@@ -39,6 +39,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql == api)
   }
 
+  test("SQL normalize and accent_fold match the Column API") {
+    val df = Seq(Tuple1("Mühleisen résumé")).toDF("t")
+    df.createOrReplaceTempView("ext_norm")
+    val sql = spark.sql(
+      "SELECT graft_normalize(t, 'NFC') AS n, graft_accent_fold(t) AS f FROM ext_norm")
+      .as[(String, String)].head()
+    val api = df.select(
+      graft.text.NormalizeExpression.nfc(col("t")).as("n"),
+      graft.text.NormalizeExpression.accentFold(col("t")).as("f"))
+      .as[(String, String)].head()
+    assert(sql == api)
+    assert(sql._2 == "Muhleisen resume")
+  }
+
   test("geometry arguments must be integer literals") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b c', id) FROM range(1)").collect()
