@@ -145,6 +145,64 @@ object Multimodal {
     }(encoder)
   }
 
+  /** 64-bit perceptual average-hash (aHash) of a decoded image: sample an
+    * 8x8 grid by nearest neighbor (x = i*w/8, y = j*h/8 — integer floor,
+    * covering up- and down-sampling), integer grayscale (r+g+b)/3, then
+    * bit k = j*8+i set when gray >= floor(mean of the 64 samples). Returned
+    * as two non-negative 32-bit halves (hi = bits 63..32), the same
+    * cross-engine-safe packing as SimHash. Hamming distance between hashes
+    * is the standard image near-dup measure; the pairing stage reuses the
+    * SimHash chunk-banding machinery.
+    */
+  def imageAHash(payload: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = new Array[Int](64)
+    var sum = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val c = img.getRGB(i * w / 8, j * h / 8)
+        val g = (((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)) / 3
+        gray(j * 8 + i) = g
+        sum += g
+        i += 1
+      }
+      j += 1
+    }
+    val mean = sum / 64
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) {
+      if (gray(k) >= mean) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** Batched aHash over a binary image column: adds `ph_hi`, `ph_lo`
+    * bigint columns (same mapPartitions lane as [[decodeFeatures]]).
+    */
+  def decodeAHash(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("ph_hi", LongType, nullable = false),
+      StructField("ph_lo", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (hi, lo) = imageAHash(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq ++ Seq(hi, lo))
+      }
+    }(encoder)
+  }
+
   /** Batched decode / feature-extract over partitions: the media analogue
     * of `mapInPandas` — each executor thread pulls its partition's rows,
     * runs the (expensive, possibly native) decoder per payload, and emits

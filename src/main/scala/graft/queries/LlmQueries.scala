@@ -59,6 +59,11 @@ object LlmQueries {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    // Bigram-LM fluency score (micro-unit conditional probabilities —
+    // the hash-exact transition-level analog of perplexity filtering).
+    "q_text_bigram_lm" -> ((s, dir) =>
+      TextStats.bigramLmScore(docs(s, dir), "doc_id", "text")),
+
     // Per-stratum corpus audit report (docs, dup mass, token mass, mean
     // quality) — one aggregation pass, integer micro-unit ratios.
     "q_corpus_report" -> ((s, dir) =>
@@ -377,6 +382,16 @@ object LlmQueries {
           element_at(col("features"), 4).cast("bigint").as("sum_g"),
           element_at(col("features"), 5).cast("bigint").as("sum_b"),
           size(col("features")).cast("bigint").as("dim"))
+    }),
+
+    // Perceptual average-hash over REAL decoded BMP bytes; the oracle
+    // recomputes the 8x8 nearest-neighbor grid, integer grayscale, mean
+    // threshold and bit packing straight from the generative pixel formula.
+    "q_multimodal_phash" -> ((s, dir) => {
+      val withBin = Multimodal.syntheticBmp(
+        docs(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeAHash(withBin, "payload")
+        .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
     })
   )
 
@@ -909,6 +924,20 @@ object LlmQueries {
         s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
+    "q_text_bigram_lm" ->
+      ("WITH s AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS w1, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
+        "tr AS (SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok), " +
+        "tr2 AS (SELECT doc_id, w1, w2 FROM tr WHERE w2 IS NOT NULL), " +
+        "uni AS (SELECT w1, count(*) AS c1 FROM tok GROUP BY w1), " +
+        "bi AS (SELECT w1, w2, count(*) AS c2 FROM tr2 GROUP BY w1, w2), " +
+        "sc AS (SELECT tr2.doc_id, floor(c2 * 1000000.0 / c1)::BIGINT AS p6 " +
+        "FROM tr2 JOIN bi USING (w1, w2) JOIN uni USING (w1)), " +
+        "pd AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, " +
+        "floor(sum(p6) * 1.0 / count(*))::BIGINT AS m FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams, " +
+        "coalesce(pd.m, 0)::BIGINT AS mean_bigram_p_micro " +
+        "FROM documents d LEFT JOIN pd USING (doc_id)"),
     "q_corpus_report" -> {
       val ws = "regexp_split_to_array(text, '\\s+')"
       val quality =
@@ -987,6 +1016,22 @@ object LlmQueries {
         "sum((doc_id * 7 + x * 13 + y * 31) % 256)::BIGINT AS sum_r, " +
         "sum((doc_id * 11 + x * 17 + y * 5) % 256)::BIGINT AS sum_g, " +
         "sum((doc_id * 3 + x * 29 + y * 23) % 256)::BIGINT AS sum_b, " +
-        "5::BIGINT AS dim FROM px GROUP BY doc_id")
+        "5::BIGINT AS dim FROM px GROUP BY doc_id"),
+    // aHash replica: same pixel formula, nearest-neighbor 8x8 grid
+    // (x = i*w/8, y = j*h/8 floor), integer gray (r+g+b)/3, floor-mean
+    // threshold, row-major bit packing into non-negative 32-bit halves.
+    "q_multimodal_phash" ->
+      ("WITH g AS (SELECT doc_id, i.range AS i, j.range AS j, " +
+        "(((doc_id*7 + ((i.range*(4+doc_id%5))//8)*13 + ((j.range*(3+doc_id%4))//8)*31) % 256 " +
+        "+ (doc_id*11 + ((i.range*(4+doc_id%5))//8)*17 + ((j.range*(3+doc_id%4))//8)*5) % 256 " +
+        "+ (doc_id*3 + ((i.range*(4+doc_id%5))//8)*29 + ((j.range*(3+doc_id%4))//8)*23) % 256) // 3) AS gray " +
+        "FROM documents, range(8) i, range(8) j), " +
+        "m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM g GROUP BY doc_id), " +
+        "b AS (SELECT g.doc_id, j*8+i AS k, CASE WHEN gray >= mean THEN 1 ELSE 0 END AS bit " +
+        "FROM g JOIN m ON g.doc_id = m.doc_id) " +
+        "SELECT doc_id, " +
+        "sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k-32)) ELSE 0 END)::BIGINT AS ph_hi, " +
+        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS ph_lo " +
+        "FROM b GROUP BY doc_id")
   )
 }

@@ -321,6 +321,51 @@ object TextStats {
           / count(lit(1)), 6).as("oov_frac"))
   }
 
+  /** Bigram language-model fluency score — the hash-exact analog of
+    * LM-perplexity filtering one order above [[tokenRarity]]'s unigram
+    * signal: machine-mangled or shuffled text has locally-improbable token
+    * TRANSITIONS even when every individual token is common. Scores are
+    * conditional probabilities in integer micro-units,
+    * p(w2|w1) = 1e6 * c(w1 w2) / c(w1) floor-divided, averaged per doc —
+    * all bigint arithmetic, so the DuckDB oracle is bit-exact.
+    *
+    * Shuffle shape at 100 TB: one per-doc window (docs are independent) to
+    * form transitions, two partial-aggregated counts (unigram, bigram —
+    * map-side combine collapses hot pairs before the shuffle), one
+    * bigram-keyed join back. No driver materialization, no row blowup.
+    * Documents with < 2 tokens have no transitions: n_bigrams 0, score 0.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("__id__"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w1")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id__")).orderBy(col("pos"))
+    // transition and its guard in ONE projection (the SpanDedup lesson: a
+    // filter between them would re-run lead over already-filtered rows)
+    val trans = toks
+      .select(col("__id__"), col("w1"), lead(col("w1"), 1).over(w).as("w2"))
+      .where(col("w2").isNotNull)
+    val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("__c1__"))
+    val bi = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2__"))
+    val scored = trans
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("__p6__",
+        floor(col("__c2__").cast("double") * 1000000.0 / col("__c1__"))
+          .cast("bigint"))
+    val perDoc = scored.groupBy(col("__id__")).agg(
+      count(lit(1)).as("n_bigrams"),
+      floor(sum(col("__p6__")).cast("double") / count(lit(1)))
+        .cast("bigint").as("mean_bigram_p_micro"))
+    docs.select(col(idCol).as("__id__"))
+      .join(perDoc, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).cast("bigint").as("n_bigrams"),
+        coalesce(col("mean_bigram_p_micro"), lit(0L)).cast("bigint")
+          .as("mean_bigram_p_micro"))
+  }
+
   /** Corpus-level boilerplate LINE removal (the C4 discipline: drop lines
     * that recur across many documents — nav bars, cookie banners, footers —
     * while keeping lines that belong to the document). Emits one row per

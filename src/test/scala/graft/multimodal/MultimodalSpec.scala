@@ -93,4 +93,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 2) // ~89 bytes total / 40 -> 2
     assert(out.count() == 2)
   }
+
+  test("imageAHash is stable under brightness shift and flips bits on inversion") {
+    // flat gradient image: left half dark, right half bright
+    def img(base: Int) = Multimodal.encodeBmp(16, 16, (x, _) =>
+      { val v = if (x < 8) base else base + 100; (v << 16) | (v << 8) | v })
+    val (h1, l1) = Multimodal.imageAHash(img(20))
+    val (h2, l2) = Multimodal.imageAHash(img(80)) // same structure, brighter
+    assert((h1, l1) == (h2, l2)) // aHash thresholds on the per-image mean
+    // inverted structure -> complementary bits
+    val inv = Multimodal.encodeBmp(16, 16, (x, _) =>
+      { val v = if (x >= 8) 20 else 120; (v << 16) | (v << 8) | v })
+    val (h3, l3) = Multimodal.imageAHash(inv)
+    assert(java.lang.Long.bitCount((l1 ^ l3) & 0xffffffffL) +
+      java.lang.Long.bitCount((h1 ^ h3) & 0xffffffffL) == 64)
+    // halves are non-negative 32-bit (cross-engine packing contract)
+    Seq(h1, l1, h3, l3).foreach(v => assert(v >= 0 && v <= 0xffffffffL))
+  }
+
+  test("decodeAHash matches the single-payload function through the batched lane") {
+    val ids = spark.range(0, 6).toDF("doc_id")
+    val withBin = Multimodal.syntheticBmp(ids, "doc_id", "payload")
+    val batched = Multimodal.decodeAHash(withBin, "payload")
+      .select("doc_id", "ph_hi", "ph_lo").as[(Long, Long, Long)].collect()
+    val direct = withBin.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .collect().map { case (d, p) =>
+        val (hi, lo) = Multimodal.imageAHash(p); (d, hi, lo)
+      }
+    assert(batched.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq)
+  }
 }

@@ -172,6 +172,23 @@ class TextStatsSpec extends SparkSpec {
     assert(r == 0.75)
   }
 
+  test("bigramLmScore scores transition probability in exact micro-units") {
+    val df = Seq(
+      (1L, "a b a b"), // transitions: a->b (x2), b->a
+      (2L, "a c"), // a->c once
+      (3L, "solo") // no transitions
+    ).toDF("doc_id", "text")
+    val out = TextStats.bigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // corpus: c(a)=3, c(b)=2, c(c)=1, c(solo)=1; c(a,b)=2, c(b,a)=1, c(a,c)=1
+    // doc 1: p(b|a)=2*1e6/3=666666 (x2), p(a|b)=1e6/2=500000
+    //        mean = floor((666666+666666+500000)/3) = 611110
+    assert(out(1L) == ((3L, 611110L)))
+    // doc 2: p(c|a)=1e6/3=333333
+    assert(out(2L) == ((1L, 333333L)))
+    assert(out(3L) == ((0L, 0L)))
+  }
+
   test("corpusReport aggregates per stratum with exact micro-unit ratios") {
     val df = Seq(
       ("en", "web", "one two three"),
