@@ -150,4 +150,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
     assert(!p.contains("transform("), p)
   }
+
+  test("edit-distance candidates are equi-joins, never a nested-loop scan") {
+    val p = plan("q_dedup_editdist")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("incremental dedup applies the bloom predicate before the anti-join") {
+    val p = plan("q_dedup_incremental")
+    // both branches filter on the sketch; the anti-join sees suspects only
+    assert(p.contains("might_contain"), p)
+    assert(p.split("might_contain").length >= 3, p) // suspect + clean branch
+  }
+
+  test("span dedup is windows + keyed aggregations, no cartesian anywhere") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("stream-stream interval join compiles to a symmetric stream join with watermarks") {
+    // analyzed (pre-execution) plan: the streaming join node and both
+    // event-time watermarks must be present
+    val s = spark
+    val dir = "/tmp/graft_planspec_sj"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    import org.apache.spark.sql.functions._
+    val ev = spark.range(4).select(col("id").as("user_id"),
+      org.apache.spark.sql.functions.expr("timestamp'2024-01-01 10:00:00' + make_interval(0,0,0,0,0,cast(id as int),0)").as("ts"))
+    ev.write.parquet(s"$dir/l"); ev.select(col("user_id"), col("ts").as("ts2")).write.parquet(s"$dir/r")
+    val l = s.readStream.schema(s.read.parquet(s"$dir/l").schema).parquet(s"$dir/l")
+    val r = s.readStream.schema(s.read.parquet(s"$dir/r").schema).parquet(s"$dir/r")
+    val j = graft.streaming.Streaming.intervalJoin(l, r, "user_id", "ts", "ts2",
+      "1 hour", "30 minutes")
+    val analyzed = j.queryExecution.analyzed.toString
+    assert(analyzed.split("EventTimeWatermark").length == 3, analyzed)
+    assert(analyzed.contains("Join Inner"), analyzed)
+  }
 }
