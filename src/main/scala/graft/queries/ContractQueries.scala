@@ -217,6 +217,16 @@ object ContractQueries {
     }),
 
     // Headerless CSV: positional mapping + trim + null_values sanitisation.
+    // ORC ingest through the same stringified-interchange + contract-cast
+    // lane as CSV/JSON/XML (declared columns enforced, extras dropped).
+    "q_reader_orc" -> ((s, dir) => {
+      val tmp = orcFixture(s, dir)
+      val spec = EntitySpec("supplier", Seq(
+        FieldSpec("s_suppkey", "long"), FieldSpec("s_name", "str"),
+        FieldSpec("s_nationkey", "long"), FieldSpec("s_acctbal", "double")))
+      Contract.cast(Readers.readOrc(s, tmp, spec), spec)
+    }),
+
     "q_reader_csv_headerless" -> ((s, dir) => {
       val tmp = csvHeaderlessFixture(s, dir)
       val spec = EntitySpec("nation", Seq(
@@ -278,6 +288,17 @@ object ContractQueries {
       Contract.cast(Readers.readXml(s, tmp, spec, rowTag = "nation"), spec)
     })
   )
+
+  private def orcFixture(s: SparkSession, dir: String): String = {
+    val tmp = "/tmp/graft_q_reader_orc"
+    Fixtures.ensure(tmp, dir) {
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .sort("s_suppkey").coalesce(1)
+        .write.mode("overwrite").orc(tmp)
+    }
+    tmp
+  }
 
   private def csvFixture(s: SparkSession, dir: String): String = {
     val tmp = "/tmp/graft_q_reader_csv"
@@ -391,7 +412,8 @@ object ContractQueries {
     (s, d) => { jsonFixture(s, d); () },
     (s, d) => { xsdFixture(s, d); () },
     (s, d) => { headerCheckFixture(s, d); () },
-    (s, d) => { xmlFixture(s, d); () })
+    (s, d) => { xmlFixture(s, d); () },
+    (s, d) => { orcFixture(s, d); () })
 
   val oracleSql: Map[String, String] = Map(
     "q_contract_cast" ->
@@ -471,6 +493,10 @@ object ContractQueries {
     "q_reader_csv" ->
       ("SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS p_size, " +
         "row_number() OVER (ORDER BY p_partkey) AS __record_index__ FROM part"),
+    "q_reader_orc" ->
+      ("SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, " +
+        "s_acctbal, row_number() OVER (ORDER BY s_suppkey) AS __record_index__ " +
+        "FROM supplier"),
     "q_reader_csv_headerless" ->
       ("SELECT n_nationkey, n_name, " +
         "CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS n_regionkey, " +

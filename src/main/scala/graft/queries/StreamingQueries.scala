@@ -97,6 +97,35 @@ object StreamingQueries {
       s.read.parquet(s"$base/out")
     }),
 
+    // Stream-static enrichment: the streaming side joins a static dimension
+    // (broadcast per micro-batch, no state store) — the standard dimension
+    // lookup inside a streaming pipeline.
+    "q_stream_enrich" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_enrich"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      CoreQueries.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(2).write.parquet(s"$base/landing")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/landing").schema).parquet(s"$base/landing")
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val enriched = stream.join(broadcast(dim),
+        stream("user_id") === dim("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_nationkey").cast("bigint").as("c_nationkey"))
+      val q = enriched.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
     // Stream-stream interval join (view -> purchase attribution within 30
     // minutes, per user). Both sides stream from files; the watermark delay
     // spans the dataset so no row is late-dropped and the streamed result
@@ -144,6 +173,10 @@ object StreamingQueries {
         "event_type, count(1)::BIGINT AS cnt FROM events GROUP BY 1, 2"),
     "q_stream_dedup" ->
       "SELECT DISTINCT l_orderkey FROM lineitem",
+    "q_stream_enrich" ->
+      ("SELECT e.event_id, e.user_id, c.c_name, " +
+        "CAST(c.c_nationkey AS BIGINT) AS c_nationkey " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey"),
     "q_stream_join" ->
       ("SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id " +
         "FROM events l JOIN events r ON l.event_type = 'view' " +

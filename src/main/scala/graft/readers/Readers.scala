@@ -100,6 +100,23 @@ object Readers {
     * (ref: spark/readers/json.py:23-74). Nested fields stay nested; leaves
     * are read as strings for the contract stage.
     */
+  /** ORC ingest: self-describing columnar files still go through the
+    * declared-schema discipline — every declared field must be present
+    * (matched case-insensitively), is selected in spec order, stringified
+    * into the interchange form (so `Contract.cast` applies the SAME parse
+    * + validate lane as CSV/JSON/XML), and record-indexed. Extra columns in
+    * the file are dropped, like the reference's column-projection readers.
+    */
+  def readOrc(spark: SparkSession, path: String, spec: EntitySpec): DataFrame = {
+    val df = spark.read.orc(path)
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val missing = spec.fields.map(_.name).filterNot(n => byLower.contains(n.toLowerCase))
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"ORC at $path lacks declared columns: ${missing.mkString(", ")}")
+    addRecordIndex(df.select(spec.fields.map(f =>
+      col(s"`${byLower(f.name.toLowerCase)}`").cast("string").as(f.name)): _*))
+  }
+
   def readJson(spark: SparkSession, path: String, spec: EntitySpec,
                multiLine: Boolean = true): DataFrame = {
     val df = spark.read

@@ -180,6 +180,80 @@ object ScaleProbe {
     line(f"- $exGroups distinct-content groups in $exSec%.1f s")
     line("")
 
+    // ---- duplicate-span detection ----------------------------------------
+    // exact-dup clusters make every window of 10% of docs duplicated, and
+    // the shared base vocabulary repeats k-grams across docs — both the
+    // count-aggregation hot path and the islands windows get real mass
+    val ((spanCount, spanTokens), spanSec) = timed {
+      val sp = graft.text.SpanDedup.dupSpans(docs, "doc_id", "text", k = 4, minTokens = 6)
+      val r = sp.agg(count(lit(1)), sum(col("n_tokens"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    line("## Duplicate-span detection (k=4 windows, spans >= 6 tokens)")
+    line("")
+    line(f"- dupSpans: $spanCount spans covering $spanTokens tokens in $spanSec%.1f s " +
+      "(kgram count agg is linear — map-side combine absorbs hot boilerplate windows)")
+    val (stripDropped, stripSec) = timed(
+      graft.text.SpanDedup.stripDupSpans(docs, "doc_id", "text", k = 4)
+        .agg(sum(col("n_dropped"))).head().getLong(0))
+    line(f"- stripDupSpans: $stripDropped tokens dropped (keep-globally-first) in $stripSec%.1f s")
+    spark.catalog.clearCache()
+    line("")
+
+    // ---- edit-distance near-dup -------------------------------------------
+    // the skew signal: occupancy of the 32-char prefix/suffix key groups
+    // (the exact-dup clusters all share edge keys -> hottest groups)
+    val edgeKeys = docs.select(substring(col("text"), 1, 32).as("k"))
+      .unionAll(docs.select(substring(col("text"), -32, 32).as("k")))
+      .groupBy("k").count()
+    val (ekMax, ekP99, ekMean, ekPairs, ekBuckets) = occupancy(edgeKeys)
+    line("## Edit-distance near-dup (untouched-edge keys + banded Levenshtein)")
+    line("")
+    line(f"- edge-key occupancy: max $ekMax, p99 $ekP99%.1f, mean $ekMean%.2f over " +
+      f"$ekBuckets keys; raw candidate mass $ekPairs")
+    val (edPairs, edSec) = timed(
+      graft.text.EditDistance.editDistancePairs(docs, "doc_id", "text",
+        maxDist = 6, keyLen = 32).count())
+    line(f"- editDistancePairs (d<=6): $edPairs pairs in $edSec%.1f s")
+    spark.catalog.clearCache()
+    line("")
+
+    // ---- incremental bloom dedup ------------------------------------------
+    // reference = half the corpus; because exact-dup clusters straddle the
+    // halves, the batch has real duplicate mass. Compare against the plain
+    // anti-join to show what the sketch pre-filter saves.
+    val refHalf = docs.where(col("doc_id") % 2 === 1)
+    val batchHalf = docs.where(col("doc_id") % 2 === 0)
+    val nBatch = batchHalf.count()
+    val bloomBytesArr = graft.text.IncrementalDedup.bloomBytes(
+      refHalf, col("text"), expectedItems = nDocs, numBits = nDocs * 10)
+    val suspects = batchHalf.where(
+      graft.text.IncrementalDedup.mightContain(bloomBytesArr, col("text"))).count()
+    val (incNew, incSec) = timed(
+      graft.text.IncrementalDedup.newAgainstReference(batchHalf, refHalf, "text",
+        expectedItems = nDocs, numBits = nDocs * 10).count())
+    val (plainNew, plainSec) = timed(
+      batchHalf.join(refHalf.select("text").distinct(), Seq("text"), "left_anti").count())
+    line("## Incremental bloom dedup (batch=even ids vs reference=odd ids)")
+    line("")
+    line(f"- sketch ${bloomBytesArr.length / 1024} KiB for ${nDocs / 2} ref texts; " +
+      f"bloom-positive suspects $suspects of $nBatch batch rows " +
+      f"(${100.0 * suspects / nBatch}%.1f%% enter the anti-join)")
+    line(f"- newAgainstReference: $incNew new rows in $incSec%.1f s " +
+      f"(plain anti-join: $plainNew rows in $plainSec%.1f s)")
+    spark.catalog.clearCache()
+    line("")
+
+    // ---- bigram LM scoring ------------------------------------------------
+    val (bgDocs, bgSec) = timed(
+      graft.text.TextStats.bigramLmScore(docs, "doc_id", "text").count())
+    line("## Bigram-LM fluency scoring")
+    line("")
+    line(f"- bigramLmScore: $bgDocs docs scored in $bgSec%.1f s " +
+      "(two partial-agg counts + one bigram-keyed join back)")
+    spark.catalog.clearCache()
+    line("")
+
     // ---- cross-corpus dedup ----------------------------------------------
     // fresh/reference split by id parity: every near-dup cluster straddles
     // the boundary, so cross-pair mass is representative
