@@ -75,4 +75,23 @@ class ReadersSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id", "name", "city", Readers.RecordIndexColumn))
     assert(rows(df.select("id", "name", "city")) == Set(Seq("1", "ada", null)))
   }
+
+  test("ORC ingest enforces declared columns case-insensitively and drops extras") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString + "/t"
+    Seq((1L, "ada", "london", "extra"), (2L, "alan", "manchester", "extra"))
+      .toDF("ID", "Name", "city", "unrelated")
+      .coalesce(1).sortWithinPartitions(col("ID")).write.orc(dir)
+    val df = Readers.readOrc(spark, dir, spec)
+    assert(df.columns.toSeq == Seq("id", "name", "city", Readers.RecordIndexColumn))
+    assert(df.schema.fields.take(3).forall(_.dataType.typeName == "string"))
+    assert(rows(df.select("id", "name", "city")) ==
+      Set(Seq("1", "ada", "london"), Seq("2", "alan", "manchester")))
+    val bad = intercept[IllegalArgumentException] {
+      Readers.readOrc(spark, dir,
+        EntitySpec("people", spec.fields :+ FieldSpec("missing_col", "str")))
+    }
+    assert(bad.getMessage.contains("missing_col"))
+  }
 }
