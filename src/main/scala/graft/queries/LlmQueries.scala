@@ -384,6 +384,17 @@ object LlmQueries {
           size(col("features")).cast("bigint").as("dim"))
     }),
 
+    // Image near-dup pairs: aHash Hamming <= 3 through the same
+    // chunk-banding engine as SimHash text pairing (complete by pigeonhole,
+    // identical hashes pre-collapsed).
+    "q_multimodal_phash_pairs" -> ((s, dir) => {
+      val withBin = Multimodal.syntheticBmp(
+        docs(s, dir).select(col("doc_id")), "doc_id", "payload")
+      val members = Multimodal.decodeAHash(withBin, "payload")
+        .select(col("doc_id"), col("ph_hi").as("hi"), col("ph_lo").as("lo"))
+      Dedup.hammingNearDupPairs(members, "doc_id", maxHamming = 3)._1
+    }),
+
     // Perceptual average-hash over REAL decoded BMP bytes; the oracle
     // recomputes the 8x8 nearest-neighbor grid, integer grayscale, mean
     // threshold and bit packing straight from the generative pixel formula.
@@ -1021,17 +1032,31 @@ object LlmQueries {
     // (x = i*w/8, y = j*h/8 floor), integer gray (r+g+b)/3, floor-mean
     // threshold, row-major bit packing into non-negative 32-bit halves.
     "q_multimodal_phash" ->
-      ("WITH g AS (SELECT doc_id, i.range AS i, j.range AS j, " +
-        "(((doc_id*7 + ((i.range*(4+doc_id%5))//8)*13 + ((j.range*(3+doc_id%4))//8)*31) % 256 " +
-        "+ (doc_id*11 + ((i.range*(4+doc_id%5))//8)*17 + ((j.range*(3+doc_id%4))//8)*5) % 256 " +
-        "+ (doc_id*3 + ((i.range*(4+doc_id%5))//8)*29 + ((j.range*(3+doc_id%4))//8)*23) % 256) // 3) AS gray " +
-        "FROM documents, range(8) i, range(8) j), " +
-        "m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM g GROUP BY doc_id), " +
-        "b AS (SELECT g.doc_id, j*8+i AS k, CASE WHEN gray >= mean THEN 1 ELSE 0 END AS bit " +
-        "FROM g JOIN m ON g.doc_id = m.doc_id) " +
-        "SELECT doc_id, " +
-        "sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k-32)) ELSE 0 END)::BIGINT AS ph_hi, " +
-        "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS ph_lo " +
-        "FROM b GROUP BY doc_id")
+      s"$phashCte SELECT doc_id, hi AS ph_hi, lo AS ph_lo FROM ph",
+    // brute-force Hamming pairs over the formula-derived hashes — the
+    // banded Spark plan must emit exactly this set
+    "q_multimodal_phash_pairs" ->
+      (s"$phashCte SELECT x.doc_id AS a, y.doc_id AS b, " +
+        "(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::BIGINT AS hamming " +
+        "FROM ph x JOIN ph y ON x.doc_id < y.doc_id " +
+        "AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3")
   )
+
+  /** Pixel-formula replica of the aHash pipeline (see Multimodal.aHash):
+    * ends with CTE `ph(doc_id, hi, lo)`. A def — SQL-builder vals
+    * referenced from earlier map vals interpolate null during object init.
+    */
+  private def phashCte: String =
+    "WITH g AS (SELECT doc_id, i.range AS i, j.range AS j, " +
+      "(((doc_id*7 + ((i.range*(4+doc_id%5))//8)*13 + ((j.range*(3+doc_id%4))//8)*31) % 256 " +
+      "+ (doc_id*11 + ((i.range*(4+doc_id%5))//8)*17 + ((j.range*(3+doc_id%4))//8)*5) % 256 " +
+      "+ (doc_id*3 + ((i.range*(4+doc_id%5))//8)*29 + ((j.range*(3+doc_id%4))//8)*23) % 256) // 3) AS gray " +
+      "FROM documents, range(8) i, range(8) j), " +
+      "m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM g GROUP BY doc_id), " +
+      "bits AS (SELECT g.doc_id, j*8+i AS k, CASE WHEN gray >= mean THEN 1 ELSE 0 END AS bit " +
+      "FROM g JOIN m ON g.doc_id = m.doc_id), " +
+      "ph AS (SELECT doc_id, " +
+      "sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k-32)) ELSE 0 END)::BIGINT AS hi, " +
+      "sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo " +
+      "FROM bits GROUP BY doc_id)"
 }

@@ -618,9 +618,22 @@ object Dedup {
   def simHashNearDupWithStats(docs: DataFrame, idCol: String, textCol: String,
                               maxHamming: Int = 3,
                               maxBucketSize: Int = Int.MaxValue): (DataFrame, Option[SimHashSkewStats]) = {
-    require(maxHamming <= 3, "4-chunk banding is only complete for maxHamming <= 3")
     val members = widen(docs).select(col(idCol), simHash(col(textCol)).as("sh"))
       .select(col(idCol), col("sh.hi").as("hi"), col("sh.lo").as("lo"))
+    hammingNearDupPairs(members, idCol, maxHamming, maxBucketSize)
+  }
+
+  /** Hamming near-dup pairing over ANY 64-bit signature presented as
+    * non-negative 32-bit halves (id, hi, lo) — the banding engine behind
+    * [[simHashNearDup]], reused verbatim by the image perceptual-hash
+    * pairing ([[graft.multimodal.Multimodal.decodeAHash]] output). Chunk
+    * banding is pigeonhole-complete for Hamming <= 3; identical signatures
+    * are pre-collapsed so clone clusters cost one node.
+    */
+  def hammingNearDupPairs(members: DataFrame, idCol: String,
+                          maxHamming: Int = 3,
+                          maxBucketSize: Int = Int.MaxValue): (DataFrame, Option[SimHashSkewStats]) = {
+    require(maxHamming <= 3, "4-chunk banding is only complete for maxHamming <= 3")
     // Same-signature pairs: Hamming 0 by definition, one equi-join on the
     // full signature. Output-inherent cost (these ARE near-dup pairs).
     val pinnedMembers = pinPartitions(members, col("hi"), col("lo"))
