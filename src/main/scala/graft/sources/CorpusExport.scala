@@ -52,11 +52,17 @@ object CorpusExport {
     * export complete.
     */
   def exportJsonlShards(docs: DataFrame, idCol: String, textCol: String,
-                        path: String, nShards: Int): DataFrame = {
+                        path: String, nShards: Int,
+                        compression: String = "none"): DataFrame = {
     val withShard = docs.withColumn("shard", shardOf(col(idCol), nShards))
     withShard
       .repartition(nShards, col("shard"))
-      .write.partitionBy("shard").mode("overwrite").json(path)
+      .write.partitionBy("shard").mode("overwrite")
+      // gzip/lz4/zstd ride Spark's codec option (zstd needs the native
+      // Hadoop codec on the cluster): shard files come out as
+      // part-*.json.gz etc., and spark.read.json decodes them by extension
+      .option("compression", compression)
+      .json(path)
     manifest(docs, idCol, textCol, nShards)
   }
 }
