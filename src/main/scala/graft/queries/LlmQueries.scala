@@ -313,6 +313,15 @@ object LlmQueries {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
 
+    // Hard-negative mining: per query, top-5 most-similar vectors with
+    // cosine in [0.1, 0.45) — under the near-dup threshold (no false
+    // negatives), over the easy-negative floor.
+    "q_embed_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e, e.where(pmod(col("vec_id"), lit(41)) === 0),
+        "vec_id", "embedding", k = 5, floor = 0.1, ceiling = 0.45)
+    }),
+
     // The scale path: sign-LSH buckets (Hamming-1 multiprobe) + exact cosine
     // verify. Its oracle replicates the SAME bucketed computation in SQL
     // (the plane hash is integer-arithmetic-replicable), so the bucketed
@@ -1005,6 +1014,16 @@ object LlmQueries {
       "(tot.total - coalesce(ka.kept, 0))::BIGINT AS n_dropped " +
       "FROM tot LEFT JOIN ka USING (doc_id)"),
     "q_embed_knn" -> knnSql,
+    "q_embed_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 = 0), " +
+        "p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "CAST(round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS DOUBLE) AS cos " +
+        "FROM q JOIN embeddings c ON q.vec_id != c.vec_id), " +
+        "b AS (SELECT * FROM p WHERE cos >= 0.1 AND cos < 0.45), " +
+        "r AS (SELECT query_id, neighbor_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM b) " +
+        "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos AS cosine " +
+        "FROM r WHERE rank <= 5"),
     "q_embed_neardup" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
     "q_embed_neardup_exact" ->
       ("SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +

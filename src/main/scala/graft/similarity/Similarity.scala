@@ -50,6 +50,32 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors whose cosine lies in [floor, ceiling) —
+    * below `ceiling` excludes near-duplicates/positives (which would be
+    * FALSE negatives and poison the loss), above `floor` excludes easy
+    * negatives with no gradient signal. Ranking happens AFTER the band
+    * filter, so rank 1 is the hardest admissible negative.
+    *
+    * Same 100 TB shape as [[bruteForceKnn]] (broadcast query side, one
+    * corpus scan, per-query heap window); for web-scale corpora swap the
+    * candidate stage for [[lshKnn]]'s buckets and keep the band + rank.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, floor: Double,
+                    ceiling: Double): DataFrame = {
+    require(floor < ceiling, s"need floor < ceiling, got [$floor, $ceiling)")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      // band on the ROUNDED cosine (the cross-engine-stable value; the raw
+      // double would make boundary rows engine-dependent)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .where(col("cosine") >= floor && col("cosine") < ceiling)
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))

@@ -23,6 +23,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 0.8) < 1e-9)
   }
 
+  test("hardNegatives bands out near-duplicates and easy negatives, hardest first") {
+    val out = Similarity.hardNegatives(vecs, vecs.where("vec_id = 0"),
+      "vec_id", "embedding", k = 10, floor = 0.05, ceiling = 0.9)
+      .select("neighbor_id", "rank", "cosine").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // every same-cluster vector (cosine ~1 with query 0) is excluded;
+    // every returned cosine sits inside the band
+    assert(out.forall { case (_, _, c) => c >= 0.05 && c < 0.9 })
+    assert(!out.exists { case (n, _, _) => n % 3 == 0 }) // cluster 0 members
+    // rank 1 is the highest admissible cosine, descending thereafter
+    val byRank = out.sortBy(_._2).map(_._3)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
   test("bruteForceKnn returns k deterministic neighbors per query") {
     val out = Similarity.bruteForceKnn(vecs, vecs.where("vec_id < 3"), "vec_id", "embedding", 5)
     val grouped = out.select("query_id", "rank").as[(Long, Long)].collect().groupBy(_._1)
