@@ -59,6 +59,12 @@ object LlmQueries {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    // BPE tokenizer-vocabulary induction: 8 deterministic merge rounds
+    // over the word-frequency table (native greedy-merge expression; the
+    // oracle replays every round as chained CTEs with a list_reduce fold).
+    "q_text_bpe" -> ((s, dir) =>
+      graft.text.Bpe.trainBpe(docs(s, dir), "text", numMerges = 8)),
+
     // Bigram-LM fluency score (micro-unit conditional probabilities —
     // the hash-exact transition-level analog of perplexity filtering).
     "q_text_bigram_lm" -> ((s, dir) =>
@@ -944,6 +950,7 @@ object LlmQueries {
         s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
+    "q_text_bpe" -> bpeSql(8),
     "q_text_bigram_lm" ->
       ("WITH s AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents), " +
         "tok AS (SELECT doc_id, unnest(ws) AS w1, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
@@ -1060,6 +1067,38 @@ object LlmQueries {
         "FROM ph x JOIN ph y ON x.doc_id < y.doc_id " +
         "AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3")
   )
+
+  /** DuckDB replay of [[graft.text.Bpe.trainBpe]]: `rounds` chained CTE
+    * blocks, each = pair count -> deterministic argmax -> greedy merge.
+    * The merge fold encodes the symbol list as a chr(31)-delimited string
+    * inside list_reduce (acc ends with sep+left AND next == right -> fuse),
+    * which reproduces the scan-resumes-after-merge greedy semantics of
+    * [[graft.text.Bpe.mergePair]] exactly. A def (val-init-order hazard).
+    */
+  private def bpeSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      "WITH wt AS (SELECT word, count(*)::BIGINT AS wc FROM " +
+        "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) GROUP BY word), " +
+        "s0 AS (SELECT wc, string_split(word, '') AS s FROM wt)")
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb.append(
+        s", p$i AS (SELECT l, r, sum(wc)::BIGINT AS cnt FROM " +
+          s"(SELECT wc, unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r FROM s$p) GROUP BY l, r)" +
+          s", b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)" +
+          s", s$i AS (SELECT wc, string_split(substr(fold, 2), chr(31)) AS s FROM " +
+          s"(SELECT wc, list_reduce(list_prepend('', s), (acc, x) -> " +
+          s"CASE WHEN right(acc, length(b$i.l)+1) = chr(31) || b$i.l AND x = b$i.r " +
+          s"THEN left(acc, length(acc)-length(b$i.l)-1) || chr(31) || b$i.l || b$i.r " +
+          s"ELSE acc || chr(31) || x END) AS fold FROM s$p, b$i))")
+    }
+    sb.append(" SELECT * FROM (")
+    sb.append((1 to rounds).map(i =>
+      s"""SELECT $i::BIGINT AS round, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM b$i""")
+      .mkString(" UNION ALL "))
+    sb.append(")")
+    sb.toString
+  }
 
   /** Pixel-formula replica of the aHash pipeline (see Multimodal.aHash):
     * ends with CTE `ph(doc_id, hi, lo)`. A def — SQL-builder vals

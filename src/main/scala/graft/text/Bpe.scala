@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ExpressionBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding vocabulary induction — tokenizer TRAINING as a
+  * corpus operator. Classic BPE (Sennrich et al.) works on the word
+  * frequency table, not the raw corpus: each round counts adjacent symbol
+  * pairs weighted by word count, merges the globally most frequent pair
+  * (ties broken lexicographically, so training is deterministic), and
+  * repeats. The word table is what shuffles — bounded by distinct
+  * vocabulary, not corpus size.
+  *
+  * Per-round shape at 100 TB: one pair explode + partial-aggregated count
+  * over the word table, one 1-row argmax to the driver (the merge decision
+  * — same driver role as k-means centroid collection), one per-row merge
+  * projection (native codegen [[BpeMergeExpr]], no HOF lambda). Lineage is
+  * cut per round with localCheckpoint, like connectedComponents.
+  */
+object Bpe {
+
+  /** Greedy left-to-right merge of adjacent (a, b) symbol pairs — the
+    * exact single-round BPE word update: after a merge the scan resumes
+    * AFTER the merged symbol ([a,a,a] with pair (a,a) -> [aa, a]).
+    */
+  def mergePair(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur != null && cur.equals(a)) {
+        val nxt = syms.getUTF8String(i + 1)
+        if (nxt != null && nxt.equals(b)) {
+          out(m) = UTF8String.concat(a, b); m += 1; i += 2
+        } else { out(m) = cur; m += 1; i += 1 }
+      } else { out(m) = cur; m += 1; i += 1 }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], m))
+  }
+
+  def mergeColumn(syms: Column, a: String, b: String): Column =
+    ExpressionBridge.column(BpeMergeExpr(
+      ExpressionBridge.expression(syms),
+      ExpressionBridge.expression(lit(a)),
+      ExpressionBridge.expression(lit(b))))
+
+  /** One learned merge: `round` is 1-based merge order (= token rank in
+    * the induced vocabulary), `pair_count` the weighted adjacency count
+    * that won the round.
+    */
+  case class Merge(round: Int, left: String, right: String, count: Long)
+
+  /** Train `numMerges` BPE merges over the whitespace vocabulary of
+    * `textCol`. Returns the merge table (round, left, right, merged,
+    * pair_count) — the artifact a tokenizer consumes.
+    */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    var syms = words.select(col("wc"), split(col("w"), "").as("s"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val pairs = syms
+        .select(col("wc"),
+          slice(col("s"), lit(1), size(col("s")) - 1).as("la"),
+          slice(col("s"), lit(2), size(col("s")) - 1).as("ra"))
+        .select(col("wc"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+        .select(col("wc"), col("p.la").as("l"), col("p.ra").as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("wc")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (l, rt, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += Merge(r, l, rt, cnt)
+        syms = syms.select(col("wc"), mergeColumn(col("s"), l, rt).as("s"))
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    mergeFrame(spark, merges.toSeq)
+  }
+
+  /** The merge list as a frame (driver-built: it IS driver metadata, like
+    * k-means centroids — `numMerges` rows, not data).
+    */
+  def mergeFrame(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("left", StringType),
+      org.apache.spark.sql.types.StructField("right", StringType),
+      org.apache.spark.sql.types.StructField("merged", StringType),
+      org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(merges.map(m =>
+        Row(m.round.toLong, m.left, m.right, m.left + m.right, m.count)): _*),
+      schema)
+  }
+}
+
+/** Greedy adjacent-pair merge over an array<string> symbol column. */
+final case class BpeMergeExpr(first: Expression, second: Expression,
+                              third: Expression) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "bpe_merge"
+
+  override protected def nullSafeEval(syms: Any, a: Any, b: Any): Any =
+    Bpe.mergePair(syms.asInstanceOf[ArrayData],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, a, b) => s"graft.text.Bpe.mergePair($s, $a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BpeMergeExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

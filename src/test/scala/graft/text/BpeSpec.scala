@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("mergePair is greedy left-to-right (overlaps resume after the merge)") {
+    val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("s")
+    val out = df.select(Bpe.mergeColumn(col("s"), "a", "a")).as[Seq[String]].head()
+    assert(out == Seq("aa", "a"))
+    val df2 = Seq(Tuple1(Seq("x", "a", "b", "a", "b", "y"))).toDF("s")
+    val out2 = df2.select(Bpe.mergeColumn(col("s"), "a", "b")).as[Seq[String]].head()
+    assert(out2 == Seq("x", "ab", "ab", "y"))
+    // boundary safety: 'xa' + 'b' must NOT merge as (a, b)
+    val df3 = Seq(Tuple1(Seq("xa", "b"))).toDF("s")
+    assert(df3.select(Bpe.mergeColumn(col("s"), "a", "b")).as[Seq[String]].head()
+      == Seq("xa", "b"))
+  }
+
+  test("trainBpe learns the classic merge sequence with deterministic tie-breaks") {
+    // Sennrich-style vocabulary: low x5, lower x2, newest x6, widest x3
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest"
+    ).toDF("text")
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 3)
+      .select("round", "left", "right", "merged", "pair_count")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    // round 1: es and st tie at 9 -> (e, s) wins lexicographically
+    assert(merges(0) == ((1L, "e", "s", "es", 9L)))
+    // round 2: (es, t) at 9
+    assert(merges(1) == ((2L, "es", "t", "est", 9L)))
+    // round 3: lo and ow tie at 7 -> (l, o)
+    assert(merges(2) == ((3L, "l", "o", "lo", 7L)))
+  }
+
+  test("training stops early when no pairs remain") {
+    val docs = Seq("a a a", "b").toDF("text")
+    // single-char words only: round 1 has no adjacent pairs at all
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 5)
+    assert(merges.count() == 0)
+  }
+
+  test("the merge expression is codegen (no interpreted fallback)") {
+    val df = spark.range(4).select(split(concat(lit("ab"),
+      col("id").cast("string")), "").as("s"))
+      .select(Bpe.mergeColumn(col("s"), "a", "b").as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
