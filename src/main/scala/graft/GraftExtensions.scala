@@ -84,6 +84,10 @@ object GraftExtensions {
     },
     fd("graft_accent_fold", "NFD-decompose and strip combining marks") { args =>
       arity("graft_accent_fold", args, 1); AccentFoldExpr(args.head)
+    },
+    fd("graft_bpe_merge", "greedy adjacent-pair merge over a symbol array") { args =>
+      arity("graft_bpe_merge", args, 3)
+      graft.text.BpeMergeExpr(args.head, args(1), args(2))
     })
 
   /** Register the same function set on an already-built session. */

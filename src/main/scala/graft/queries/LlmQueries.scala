@@ -59,6 +59,10 @@ object LlmQueries {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    // Token-phrase corpus search (grep over the positional window lane).
+    "q_text_phrase_search" -> ((s, dir) =>
+      SpanDedup.phraseMatches(docs(s, dir), "doc_id", "text", "table hash")),
+
     // BPE tokenizer-vocabulary induction: 8 deterministic merge rounds
     // over the word-frequency table (native greedy-merge expression; the
     // oracle replays every round as chained CTEs with a list_reduce fold).
@@ -951,6 +955,13 @@ object LlmQueries {
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
     "q_text_bpe" -> bpeSql(8),
+    "q_text_phrase_search" ->
+      ("WITH s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
+        "g AS (SELECT doc_id, pos, tok || ' ' || lead(tok, 1) OVER w AS kg, lead(tok, 1) OVER w AS lst " +
+        "FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_matches, min(pos)::BIGINT AS first_pos " +
+        "FROM g WHERE lst IS NOT NULL AND kg = 'table hash' GROUP BY doc_id"),
     "q_text_bigram_lm" ->
       ("WITH s AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents), " +
         "tok AS (SELECT doc_id, unnest(ws) AS w1, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +

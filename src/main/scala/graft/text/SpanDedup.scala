@@ -59,6 +59,35 @@ object SpanDedup {
       .select(col("__id__"), col("pos"), col("kgram"))
   }
 
+  /** Token-phrase search (corpus grep): every occurrence of a token
+    * sequence, as (id, n_matches, first_pos) per matching document. Built
+    * on the positional k-gram machinery with k = phrase length: one window
+    * per doc, one codegen filter — no inverted index needed for one-shot
+    * queries; repeated lookups against a frozen corpus would persist the
+    * k-gram frame once and equi-join phrases against it.
+    *
+    * Matching is on exact whitespace tokens (the corpus discipline every
+    * operator here shares), not substrings — "able was" never matches
+    * "table washed".
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: String): DataFrame = {
+    val toks = phrase.trim.split("\\s+").toSeq
+    require(toks.nonEmpty && toks.head.nonEmpty, "empty phrase")
+    val joined = toks.mkString(" ")
+    val grams =
+      if (toks.length == 1)
+        docs.select(col(idCol).as("__id__"),
+          posexplode(split(regexp_replace(trim(col(textCol)), "\\s+", " "), " "))
+            .as(Seq("pos", "kgram")))
+      else positionalKgrams(docs, idCol, textCol, toks.length)
+    grams.where(col("kgram") === joined)
+      .groupBy(col("__id__"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .select(col("__id__").as(idCol), col("n_matches").cast("bigint"),
+        col("first_pos").cast("bigint"))
+  }
+
   /** Maximal duplicated spans: every maximal run of >= minTokens tokens
     * whose every k-window occurs more than once corpus-wide (across or
     * within documents). Returns

@@ -53,6 +53,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql._2 == "Muhleisen resume")
   }
 
+  test("SQL bpe_merge matches the Column API") {
+    val df = Seq(Tuple1(Seq("a", "b", "a", "b"))).toDF("s")
+    df.createOrReplaceTempView("ext_bpe")
+    val sql = spark.sql("SELECT graft_bpe_merge(s, 'a', 'b') AS m FROM ext_bpe")
+      .as[Seq[String]].head()
+    assert(sql == Seq("ab", "ab"))
+  }
+
   test("geometry arguments must be integer literals") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b c', id) FROM range(1)").collect()

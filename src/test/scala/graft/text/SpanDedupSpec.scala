@@ -69,6 +69,22 @@ class SpanDedupSpec extends SparkSpec {
     assert(spans == Set((1L, 3L, 7L), (2L, 1L, 5L)))
   }
 
+  test("phraseMatches finds token-boundary occurrences with counts and positions") {
+    val df = Seq(
+      (1L, "the table hash join and the table hash again"),
+      (2L, "a table hashed row"), // substring but not token match
+      (3L, "unrelated text entirely"),
+      (4L, "table hash")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.phraseMatches(df, "doc_id", "text", "table hash")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(1L -> ((2L, 1L)), 4L -> ((1L, 0L))))
+    // single-token phrase goes through the no-window lane
+    val one = SpanDedup.phraseMatches(df, "doc_id", "text", "table")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("fully-covered documents still appear in strip output with empty text") {
     val dupOnly = Seq(
       (1L, "p q r s"),
