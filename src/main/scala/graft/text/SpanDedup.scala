@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   * per doc of n tokens). Hot k-grams (corpus boilerplate) concentrate in the
   * count aggregation where partial aggregation absorbs them — unlike pair
   * generation there is no quadratic term: counting is linear in occurrences.
+  *
+  * The aggregate-then-join formulation deliberately re-derives the k-gram
+  * frame on both sides (the plan scans the corpus twice) instead of a
+  * single count-over-window pass: a window partitioned by k-gram would put
+  * EVERY occurrence of a hot boilerplate k-gram in one task — the classic
+  * skew melt — while the aggregation ships one partial count per task per
+  * distinct k-gram. Two linear scans beat one skewed shuffle at corpus
+  * scale; AQE picks a broadcast for the counts side only while it is
+  * actually small.
   */
 object SpanDedup {
 
