@@ -97,6 +97,37 @@ object StreamingQueries {
       s.read.parquet(s"$base/out")
     }),
 
+    // STREAMING sessionization: session_window aggregation with a
+    // watermark — gap-based sessions close and emit once the watermark
+    // passes; must equal the batch gaps-and-islands result (sentinel event
+    // flushes the final sessions, its own row excluded on read-back).
+    "q_stream_sessions" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_sessions"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val events = CoreQueries.loadEvents(s, dir).select(col("ts"), col("user_id"))
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+      val withSentinel = events.unionByName(
+        s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(sentinel, -1L)),
+          events.schema))
+      withSentinel.coalesce(2).write.parquet(s"$base/landing")
+      val stream = s.readStream.schema(events.schema).parquet(s"$base/landing")
+      val agg = Streaming.sessionize(stream, "ts", "user_id",
+        gap = "10 minutes", watermarkDelay = "1 minute")
+        .select(col("user_id"), col("session_start"), col("n_events"))
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").where(col("user_id") =!= -1L)
+    }),
+
     // Stream-static enrichment: the streaming side joins a static dimension
     // (broadcast per micro-batch, no state store) — the standard dimension
     // lookup inside a streaming pipeline.
@@ -179,6 +210,15 @@ object StreamingQueries {
         "event_type, count(1)::BIGINT AS cnt FROM events GROUP BY 1, 2"),
     "q_stream_dedup" ->
       "SELECT DISTINCT l_orderkey FROM lineitem",
+    "q_stream_sessions" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, min(ts) AS session_start, count(1)::BIGINT AS n_events " +
+        "FROM s GROUP BY user_id, sid"),
     "q_stream_enrich" ->
       ("SELECT e.event_id, e.user_id, c.c_name, " +
         "CAST(c.c_nationkey AS BIGINT) AS c_nationkey " +

@@ -56,6 +56,25 @@ object Streaming {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt").cast("bigint").as("cnt"))
 
+  /** Streaming sessionization: gap-based session windows per key via
+    * Spark's native `session_window` state-store operator. A session closes
+    * (and its one aggregated row emits) once the watermark passes the
+    * session end + gap, so state is bounded by the number of OPEN sessions,
+    * not by history — the streaming equivalent of the batch
+    * gaps-and-islands sessionizer (reference event grouping:
+    * /root/reference/src/dve/core_engine/backends/implementations/spark/rules.py).
+    * Scale shape: state is keyed by (key, merged-window), merges happen in
+    * the state store; no per-key history is retained.
+    */
+  def sessionize(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("n_events").cast("bigint").as("n_events"))
+
   /** Stream-stream interval join: left rows match right rows with the same
     * key whose event time falls in [leftTs, leftTs + within]. Both sides
     * carry watermarks, so the join state is evictable: a buffered left row

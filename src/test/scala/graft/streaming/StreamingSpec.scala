@@ -71,6 +71,37 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0")))
   }
 
+  test("sessionize merges gap-windows per key and emits once the watermark passes") {
+    val stream = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val df = Streaming.sessionize(
+      stream.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gap = "10 minutes", watermarkDelay = "1 minute")
+    val q = df.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: two events 5 min apart (one session), arriving OUT of order;
+    // then an event 15 min later (new session). user 2: lone event.
+    stream.addData((t(5), 1L), (t(0), 1L), (t(2), 2L))
+    q.processAllAvailable()
+    // batch 1 watermark is 10:04 — no session end (+gap) passed, none emit
+    assert(spark.table("sess_out").count() == 0)
+    stream.addData((t(20), 1L)) // watermark -> 10:19: closes both early sessions
+    q.processAllAvailable()
+    def snap() = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(snap() == Set(
+      (1L, "2024-01-01 10:00:00.0", 2L), // 10:00+10:05 merged despite disorder
+      (2L, "2024-01-01 10:02:00.0", 1L)))
+    stream.addData((t(59), 9L)) // watermark -> 10:58, closes user 1's 2nd session
+    q.processAllAvailable()
+    val got = snap()
+    q.stop()
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", 2L),
+      (1L, "2024-01-01 10:20:00.0", 1L),
+      (2L, "2024-01-01 10:02:00.0", 1L)))
+  }
+
   test("streamingDedup dedups within the horizon and re-emits after state eviction") {
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
     val df = stream.toDF().toDF("ts", "id", "v").withWatermark("ts", "0 seconds")
