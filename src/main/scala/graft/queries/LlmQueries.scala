@@ -69,6 +69,15 @@ object LlmQueries {
     "q_text_bpe" -> ((s, dir) =>
       graft.text.Bpe.trainBpe(docs(s, dir), "text", numMerges = 8)),
 
+    // BPE corpus ENCODING (the apply side of q_text_bpe): tokenize every
+    // doc with the 8 learned merges. The distinct-word vocabulary is
+    // encoded once through the merge chain; occurrences join back to it.
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Bpe.encodeCorpus(d, "doc_id", "text",
+        graft.text.Bpe.trainBpe(d, "text", numMerges = 8))
+    }),
+
     // Bigram-LM fluency score (micro-unit conditional probabilities —
     // the hash-exact transition-level analog of perplexity filtering).
     "q_text_bigram_lm" -> ((s, dir) =>
@@ -955,6 +964,7 @@ object LlmQueries {
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
     "q_text_bpe" -> bpeSql(8),
+    "q_text_bpe_encode" -> bpeEncodeSql(8),
     "q_text_phrase_search" ->
       ("WITH s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
         "tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
@@ -1086,30 +1096,47 @@ object LlmQueries {
     * which reproduces the scan-resumes-after-merge greedy semantics of
     * [[graft.text.Bpe.mergePair]] exactly. A def (val-init-order hazard).
     */
-  private def bpeSql(rounds: Int): String = {
+  /** The shared BPE training-round CTE chain: wt (word counts), s0..sN
+    * (symbol tables, `word` carried through), pN/bN (pair counts + winning
+    * merge per round). Both the training oracle (reads the bN) and the
+    * encode oracle (reads the final sN) append their own final SELECT.
+    */
+  private def bpeRoundsCte(rounds: Int): String = {
     val sb = new StringBuilder(
       "WITH wt AS (SELECT word, count(*)::BIGINT AS wc FROM " +
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) GROUP BY word), " +
-        "s0 AS (SELECT wc, string_split(word, '') AS s FROM wt)")
+        "s0 AS (SELECT word, wc, string_split(word, '') AS s FROM wt)")
     for (i <- 1 to rounds) {
       val p = i - 1
       sb.append(
         s", p$i AS (SELECT l, r, sum(wc)::BIGINT AS cnt FROM " +
           s"(SELECT wc, unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r FROM s$p) GROUP BY l, r)" +
           s", b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)" +
-          s", s$i AS (SELECT wc, string_split(substr(fold, 2), chr(31)) AS s FROM " +
-          s"(SELECT wc, list_reduce(list_prepend('', s), (acc, x) -> " +
+          s", s$i AS (SELECT word, wc, string_split(substr(fold, 2), chr(31)) AS s FROM " +
+          s"(SELECT word, wc, list_reduce(list_prepend('', s), (acc, x) -> " +
           s"CASE WHEN right(acc, length(b$i.l)+1) = chr(31) || b$i.l AND x = b$i.r " +
           s"THEN left(acc, length(acc)-length(b$i.l)-1) || chr(31) || b$i.l || b$i.r " +
           s"ELSE acc || chr(31) || x END) AS fold FROM s$p, b$i))")
     }
-    sb.append(" SELECT * FROM (")
-    sb.append((1 to rounds).map(i =>
-      s"""SELECT $i::BIGINT AS round, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM b$i""")
-      .mkString(" UNION ALL "))
-    sb.append(")")
     sb.toString
   }
+
+  private def bpeSql(rounds: Int): String =
+    bpeRoundsCte(rounds) + " SELECT * FROM (" +
+      (1 to rounds).map(i =>
+        s"""SELECT $i::BIGINT AS round, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM b$i""")
+        .mkString(" UNION ALL ") + ")"
+
+  /** Encode oracle: the final-round symbol table IS the encoded
+    * vocabulary; join per-occurrence tokens back and count subwords.
+    */
+  private def bpeEncodeSql(rounds: Int): String =
+    bpeRoundsCte(rounds) +
+      ", tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents), " +
+      s"enc AS (SELECT word, len(s)::BIGINT AS nt, length(word)::BIGINT AS nc FROM s$rounds) " +
+      "SELECT doc_id, count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens, " +
+      "floor(sum(nc) * 1000000.0 / sum(nt))::BIGINT AS chars_per_token_micro " +
+      "FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"
 
   /** Pixel-formula replica of the aHash pipeline (see Multimodal.aHash):
     * ends with CTE `ph(doc_id, hi, lo)`. A def — SQL-builder vals

@@ -97,6 +97,51 @@ object Bpe {
     mergeFrame(spark, merges.toSeq)
   }
 
+  /** Tokenize a corpus with a learned merge list — the APPLY side of BPE.
+    * The scale trick: encode the DISTINCT-word vocabulary once (vocab is
+    * bounded, corpus is not), then join the per-occurrence token lane back
+    * to it — at 100 TB the merge chain runs over millions of words, not
+    * trillions of occurrences. The merge chain itself is `merges.size`
+    * collapsed projections of the native [[BpeMergeExpr]] (one codegen
+    * stage, no HOF lambda). Per-doc output: word/subword-token counts and
+    * chars-per-token (micro-units), the compression-rate signal tokenizer
+    * evaluations use.
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[Merge]): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+    var syms = words.select(col("w")).distinct()
+      .select(col("w"), split(col("w"), "").as("s"))
+    merges.sortBy(_.round).foreach { m =>
+      syms = syms.select(col("w"), mergeColumn(col("s"), m.left, m.right).as("s"))
+    }
+    val encoded = syms.select(col("w"),
+      size(col("s")).cast("long").as("__nt__"),
+      length(col("w")).cast("long").as("__nc__"))
+    words.join(encoded, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt__")).as("n_tokens"),
+        sum(col("__nc__")).as("__nc__"))
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        floor(col("__nc__") * lit(1000000L) / col("n_tokens"))
+          .cast("long").as("chars_per_token_micro"))
+  }
+
+  /** [[encodeCorpus]] from the merge TABLE [[trainBpe]] returns — collects
+    * the merge list to the driver (numMerges rows of tokenizer metadata,
+    * not data; same driver role as k-means centroids).
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   mergeTable: DataFrame): DataFrame =
+    encodeCorpus(docs, idCol, textCol,
+      mergeTable.select("round", "left", "right", "pair_count").collect().toSeq
+        .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3))))
+
   /** The merge list as a frame (driver-built: it IS driver metadata, like
     * k-means centroids — `numMerges` rows, not data).
     */

@@ -39,6 +39,23 @@ class BpeSpec extends SparkSpec {
     assert(merges(2) == ((3L, "l", "o", "lo", 7L)))
   }
 
+  test("encodeCorpus tokenizes each doc with the learned merges") {
+    val docs = Seq(
+      (1L, "low low lowest"),
+      (2L, "west west"),
+      (3L, "q")
+    ).toDF("doc_id", "text")
+    // hand-derived merges on this vocabulary: (e,s)->es, (es,t)->est, (l,o)->lo
+    val merges = Seq(Bpe.Merge(1, "e", "s", 0L), Bpe.Merge(2, "es", "t", 0L),
+      Bpe.Merge(3, "l", "o", 0L))
+    val got = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // low -> [lo,w] (2), lowest -> [lo,w,est] (3), west -> [w,est] (2), q -> [q] (1)
+    assert(got(0) == ((1L, 3L, 7L, 1714285L))) // 12 chars / 7 tokens
+    assert(got(1) == ((2L, 2L, 4L, 2000000L))) //  8 chars / 4 tokens
+    assert(got(2) == ((3L, 1L, 1L, 1000000L)))
+  }
+
   test("training stops early when no pairs remain") {
     val docs = Seq("a a a", "b").toDF("text")
     // single-char words only: round 1 has no adjacent pairs at all
