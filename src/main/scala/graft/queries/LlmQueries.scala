@@ -63,6 +63,12 @@ object LlmQueries {
     "q_text_phrase_search" -> ((s, dir) =>
       SpanDedup.phraseMatches(docs(s, dir), "doc_id", "text", "table hash")),
 
+    // Winnowing fingerprints (MOSS): rightmost-min-of-window k-gram hash
+    // selection — ~2/(w+1) of k-grams kept, shared-run detection floor of
+    // window+k-1 tokens.
+    "q_text_winnow" -> ((s, dir) =>
+      SpanDedup.winnow(docs(s, dir), "doc_id", "text", k = 4, window = 5)),
+
     // BPE tokenizer-vocabulary induction: 8 deterministic merge rounds
     // over the word-frequency table (native greedy-merge expression; the
     // oracle replays every round as chained CTEs with a list_reduce fold).
@@ -965,6 +971,18 @@ object LlmQueries {
     },
     "q_text_bpe" -> bpeSql(8),
     "q_text_bpe_encode" -> bpeEncodeSql(8),
+    "q_text_winnow" ->
+      ("WITH s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
+        "g AS (SELECT doc_id, pos, concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w, lead(tok,3) OVER w) AS kg, " +
+        "lead(tok, 3) OVER w AS lst FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "h AS (SELECT doc_id, pos, (list_reduce(list_prepend(17::BIGINT, " +
+        "[ascii(c)::BIGINT for c in string_split(kg, '')]), (a, b) -> (a * 31 + b) % 4294967296) " +
+        "% 2147483648) * 2147483648 + (2147483647 - pos) AS v FROM g WHERE lst IS NOT NULL), " +
+        "m AS (SELECT doc_id, min(v) OVER w2 AS m, count(*) OVER w2 AS n FROM h " +
+        "WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)), " +
+        "sel AS (SELECT DISTINCT doc_id, m FROM m WHERE n = 5) " +
+        "SELECT doc_id, (2147483647 - (m % 2147483648))::BIGINT AS pos, (m // 2147483648)::BIGINT AS fp FROM sel"),
     "q_text_phrase_search" ->
       ("WITH s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
         "tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +

@@ -97,6 +97,44 @@ object SpanDedup {
         col("first_pos").cast("bigint"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken, the MOSS
+    * algorithm): hash every token k-gram, slide a window of `window`
+    * consecutive k-gram hashes per doc, and keep the MINIMUM of each
+    * window (ties broken by the RIGHTMOST position — the paper's rule that
+    * makes selection position-robust). Guarantee: any token run of at
+    * least `window + k - 1` tokens shared by two docs yields at least one
+    * shared fingerprint VALUE, while only ~2/(window+1) of all k-grams are
+    * kept — sub-linear fingerprint storage with a detection floor, the
+    * plagiarism/near-dup index shape suffix sampling can't give.
+    *
+    * The rightmost-min-of-window selection runs as ONE per-doc window
+    * min over a composite encoding `hash31 * 2^31 + (2^31-1-pos)`
+    * (minimizing it minimizes the hash, then maximizes the position) —
+    * no nested window functions, no self-join. Scale shape: per-doc window
+    * sorts only (partitioned by doc id), one distinct on (doc, encoded) —
+    * no cross-doc shuffle beyond hash-partitioning docs.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 4, window: Int = 5): DataFrame = {
+    require(k > 0 && window > 0, s"k and window must be positive, got $k, $window")
+    val HALF = 1L << 31
+    val grams = positionalKgrams(docs, idCol, textCol, k)
+    val w = Window.partitionBy(col("__id__")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1L)
+    val enc = grams.select(col("__id__"), col("pos"),
+      (pmod(TextHashExpressions.fingerprint(col("kgram")), lit(HALF)) * lit(HALF) +
+        (lit(HALF - 1L) - col("pos").cast("long"))).as("__v__"))
+    enc
+      .select(col("__id__"),
+        min(col("__v__")).over(w).as("__m__"),
+        count(lit(1)).over(w).as("__n__"))
+      .where(col("__n__") === window) // full windows only: the guarantee's frame
+      .select(col("__id__"), col("__m__")).distinct()
+      .select(col("__id__").as(idCol),
+        (lit(HALF - 1L) - pmod(col("__m__"), lit(HALF))).cast("long").as("pos"),
+        shiftright(col("__m__"), 31).cast("long").as("fp"))
+  }
+
   /** Maximal duplicated spans: every maximal run of >= minTokens tokens
     * whose every k-window occurs more than once corpus-wide (across or
     * within documents). Returns

@@ -85,6 +85,41 @@ class SpanDedupSpec extends SparkSpec {
     assert(one == Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("winnow honors the shared-run guarantee and the density bound") {
+    // docs 1 and 2 share an 8-token run (>= window + k - 1 = 5 + 4 - 1):
+    // the winnowing guarantee says they must share a fingerprint VALUE.
+    val docs = Seq(
+      (1L, "aa bb cc one two three four five six seven eight dd ee ff gg hh"),
+      (2L, "zz yy one two three four five six seven eight xx ww vv uu tt ss"),
+      (3L, "totally different content with no overlap to the others at all ok")
+    ).toDF("doc_id", "text")
+    val fps = SpanDedup.winnow(docs, "doc_id", "text", k = 4, window = 5)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // density: every full window contributes a selection, selections are
+    // distinct-per-doc, so n_windows/window <= |fps| <= n_windows
+    val nWindows = 16 - 4 + 1 - 5 + 1 // tokens - k + 1 kgrams, - w + 1 windows
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(byDoc(id).size <= nWindows && fps.count(_._1 == id) >= nWindows / 5)
+    }
+    // selected positions are valid k-gram starts
+    assert(fps.forall(f => f._2 >= 0 && f._2 <= 16 - 4))
+  }
+
+  test("winnow breaks hash ties by the rightmost position") {
+    // identical k-grams tie on hash; within one window the RIGHTMOST of
+    // the tied minima must win. "a a a a a a a a a a" has one distinct
+    // 4-gram ("a a a a", 7 occurrences) — every window min is that hash,
+    // selected at each window's LAST position: pos 4, 5, 6 (3 windows).
+    val docs = Seq((1L, "a a a a a a a a a a")).toDF("doc_id", "text")
+    val fps = SpanDedup.winnow(docs, "doc_id", "text", k = 4, window = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(fps.map(_._2).toSeq == Seq(4L, 5L, 6L))
+    assert(fps.map(_._3).distinct.length == 1)
+  }
+
   test("fully-covered documents still appear in strip output with empty text") {
     val dupOnly = Seq(
       (1L, "p q r s"),
