@@ -382,6 +382,14 @@ object LlmQueries {
         "vec_id", "embedding", iterations = 2)
     }),
 
+    // Product-quantization encode: 64 dims -> 4 subspace code ids against
+    // a 16-entry codebook (vec_id < 16 stands in for trained centroids).
+    "q_embed_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqEncode(e, e.where(col("vec_id") < 16),
+        "vec_id", "embedding", dim = 64, numSubspaces = 4)
+    }),
+
     "q_embed_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfKnn(e, e.where(col("vec_id") < 10),
@@ -1080,6 +1088,20 @@ object LlmQueries {
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
     "q_embed_kmeans" -> kmeansSql(dim = 64, iterations = 2),
+    "q_embed_pq" ->
+      ("WITH cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id < 16), " +
+        "a AS (SELECT e.vec_id, s.range AS sub, cb.code_id, " +
+        "list_cosine_similarity(list_slice(e.embedding, s.range*16+1, s.range*16+16)::DOUBLE[], " +
+        "list_slice(cb.embedding, s.range*16+1, s.range*16+16)::DOUBLE[]) AS cos " +
+        "FROM embeddings e, range(4) s, cb), " +
+        "r AS (SELECT vec_id, sub, code_id, " +
+        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY cos DESC, code_id) AS rn FROM a) " +
+        "SELECT vec_id, " +
+        "max(CASE WHEN sub = 0 THEN code_id END)::BIGINT AS code_0, " +
+        "max(CASE WHEN sub = 1 THEN code_id END)::BIGINT AS code_1, " +
+        "max(CASE WHEN sub = 2 THEN code_id END)::BIGINT AS code_2, " +
+        "max(CASE WHEN sub = 3 THEN code_id END)::BIGINT AS code_3 " +
+        "FROM r WHERE rn = 1 GROUP BY vec_id"),
     "q_multimodal_meta" -> multimodalSql,
     // Recompute the decoded image features from the generative pixel
     // formula (see Multimodal.syntheticBmp): the Spark side must recover

@@ -291,6 +291,47 @@ object Similarity {
       round(col("cval"), 9).as("val"))
   }
 
+  /** Product-quantization ENCODE (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): split each `dim`-vector into
+    * `numSubspaces` contiguous subvectors and replace each with the id of
+    * its nearest codebook entry (argmax cosine, ties to the smallest code
+    * id) — a vector becomes `numSubspaces` small integers, the ~100×
+    * compression that makes billion-vector ANN indexes fit in memory.
+    *
+    * Scale shape: the codebook is broadcast (k codewords × dim — KB, the
+    * trained artifact of [[kmeansCentroids]] per subspace in a real
+    * pipeline); the corpus is scanned once, expanded to
+    * (vector × subspace × codeword) scored rows that immediately collapse
+    * through a partial-aggregated `max(struct(cos, -code))` argmax — the
+    * shuffle carries one row per (vector, subspace), never the expansion.
+    * No window sort, no self-join.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+               vecCol: String, dim: Int, numSubspaces: Int): DataFrame = {
+    require(numSubspaces > 0 && dim % numSubspaces == 0,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    def subspaced(df: DataFrame, id: String, out: String): DataFrame = df
+      .select(col(id),
+        explode(sequence(lit(0), lit(numSubspaces - 1))).as("sub"),
+        col(vecCol).as("__full__"))
+      .select(col(id), col("sub"),
+        slice(col("__full__"), col("sub") * subDim + 1, lit(subDim)).as(out))
+    val cb = broadcast(subspaced(
+      codebook.select(col(idCol).as("code_id"), col(vecCol)), "code_id", "__cs__"))
+    val v = subspaced(corpus.select(col(idCol), col(vecCol)), idCol, "__vs__")
+    val perSub = v.join(cb, "sub")
+      .select(col(idCol), col("sub"),
+        struct(cosine(col("__vs__"), col("__cs__")).as("cos"),
+          (-col("code_id")).cast("long").as("nc")).as("__s__"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max(col("__s__")).as("__m__"))
+      .select(col(idCol), col("sub"), (-col("__m__.nc")).as("code"))
+    val codeCols = (0 until numSubspaces).map(s =>
+      max(when(col("sub") === s, col("code"))).cast("long").as(s"code_$s"))
+    perSub.groupBy(col(idCol)).agg(codeCols.head, codeCols.tail: _*)
+  }
+
   /** Embedding-based QUALITY scoring against a curated seed set (the
     * classifier-free filtering step of pipelines like LAION's CLIP filter
     * or DCLM's fastText seed ranking): every corpus vector is scored by the

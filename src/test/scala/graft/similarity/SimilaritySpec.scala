@@ -131,6 +131,35 @@ class SimilaritySpec extends SparkSpec {
     assert(again == out.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("pqEncode assigns each subspace its nearest codeword (self-code for codebook rows)") {
+    // 8-dim vectors, 2 subspaces of 4. Codebook: ids 0/1 point along
+    // orthogonal directions in both subspaces.
+    val cb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 1f)),
+      // first half near codeword 1, second half near codeword 0
+      (7L, Seq(0.1f, 0f, 1f, 0f, 0.1f, 1f, 0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(corpus, cb, "vec_id", "embedding",
+      dim = 8, numSubspaces = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, 0L, 0L)))
+    assert(got(1) == ((1L, 1L, 1L)))
+    assert(got(2) == ((7L, 1L, 0L)))
+  }
+
+  test("pqEncode argmax aggregates without a window sort (no Exchange beyond the final group)") {
+    val cb = vecs.where("vec_id < 4")
+    val plan = Similarity.pqEncode(vecs, cb, "vec_id", "embedding",
+      dim = 8, numSubspaces = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("kmeansCentroids keeps an empty cell's previous centroid") {
     // a far-away seed that attracts no vectors keeps its original values
     val far = Seq((99L, Seq.fill(8)(-1.0f))).toDF("vec_id", "embedding")
