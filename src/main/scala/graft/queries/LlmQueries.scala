@@ -390,6 +390,15 @@ object LlmQueries {
         "vec_id", "embedding", dim = 64, numSubspaces = 4)
     }),
 
+    // PQ asymmetric-distance KNN: queries score database CODES via a
+    // broadcast lookup table — no database float vector touched at search.
+    "q_embed_pq_adc" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqAdcKnn(e, e.where(col("vec_id") < 16),
+        e.where(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, numSubspaces = 4, k = 5)
+    }),
+
     "q_embed_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfKnn(e, e.where(col("vec_id") < 10),
@@ -1102,6 +1111,27 @@ object LlmQueries {
         "max(CASE WHEN sub = 2 THEN code_id END)::BIGINT AS code_2, " +
         "max(CASE WHEN sub = 3 THEN code_id END)::BIGINT AS code_3 " +
         "FROM r WHERE rn = 1 GROUP BY vec_id"),
+    "q_embed_pq_adc" ->
+      ("WITH cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id < 16), " +
+        "a AS (SELECT e.vec_id, s.range AS sub, cb.code_id, " +
+        "list_cosine_similarity(list_slice(e.embedding, s.range*16+1, s.range*16+16)::DOUBLE[], " +
+        "list_slice(cb.embedding, s.range*16+1, s.range*16+16)::DOUBLE[]) AS cos " +
+        "FROM embeddings e, range(4) s, cb), " +
+        "codes AS (SELECT vec_id AS neighbor_id, sub, code_id AS code FROM " +
+        "(SELECT vec_id, sub, code_id, row_number() OVER (PARTITION BY vec_id, sub ORDER BY cos DESC, code_id) AS rn FROM a) " +
+        "WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10), " +
+        "lut AS (SELECT q.query_id, s.range AS sub, cb.code_id AS code, " +
+        "list_dot_product(list_slice(q.embedding, s.range*16+1, s.range*16+16)::DOUBLE[], " +
+        "list_slice(cb.embedding, s.range*16+1, s.range*16+16)::DOUBLE[])::DECIMAL(30,12) AS pd " +
+        "FROM q, range(4) s, cb), " +
+        "sc AS (SELECT lut.query_id, codes.neighbor_id, sum(pd)::DOUBLE AS score " +
+        "FROM codes JOIN lut USING (sub, code) GROUP BY 1, 2), " +
+        "r AS (SELECT query_id, neighbor_id, score, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+        "FROM sc WHERE query_id != neighbor_id) " +
+        "SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(score, 6)::DOUBLE AS score " +
+        "FROM r WHERE rank <= 5"),
     "q_multimodal_meta" -> multimodalSql,
     // Recompute the decoded image features from the generative pixel
     // formula (see Multimodal.syntheticBmp): the Spark side must recover

@@ -306,30 +306,82 @@ object Similarity {
     * shuffle carries one row per (vector, subspace), never the expansion.
     * No window sort, no self-join.
     */
-  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
-               vecCol: String, dim: Int, numSubspaces: Int): DataFrame = {
+  /** Per-row subspace slices: (id, sub, `out` = the sub'th `subDim`-slice). */
+  private def subspaced(df: DataFrame, vecCol: String, id: String, out: String,
+                        numSubspaces: Int, subDim: Int): DataFrame = df
+    .select(col(id),
+      explode(sequence(lit(0), lit(numSubspaces - 1))).as("sub"),
+      col(vecCol).as("__full__"))
+    .select(col(id), col("sub"),
+      slice(col("__full__"), col("sub") * subDim + 1, lit(subDim)).as(out))
+
+  /** Long-form PQ codes (id, sub, code) — see [[pqEncode]]. */
+  def pqCodes(corpus: DataFrame, codebook: DataFrame, idCol: String,
+              vecCol: String, dim: Int, numSubspaces: Int): DataFrame = {
     require(numSubspaces > 0 && dim % numSubspaces == 0,
       s"dim $dim must divide into $numSubspaces subspaces")
     val subDim = dim / numSubspaces
-    def subspaced(df: DataFrame, id: String, out: String): DataFrame = df
-      .select(col(id),
-        explode(sequence(lit(0), lit(numSubspaces - 1))).as("sub"),
-        col(vecCol).as("__full__"))
-      .select(col(id), col("sub"),
-        slice(col("__full__"), col("sub") * subDim + 1, lit(subDim)).as(out))
     val cb = broadcast(subspaced(
-      codebook.select(col(idCol).as("code_id"), col(vecCol)), "code_id", "__cs__"))
-    val v = subspaced(corpus.select(col(idCol), col(vecCol)), idCol, "__vs__")
-    val perSub = v.join(cb, "sub")
+      codebook.select(col(idCol).as("code_id"), col(vecCol)),
+      vecCol = vecCol, id = "code_id", out = "__cs__", numSubspaces, subDim))
+    val v = subspaced(corpus.select(col(idCol), col(vecCol)),
+      vecCol, idCol, "__vs__", numSubspaces, subDim)
+    v.join(cb, "sub")
       .select(col(idCol), col("sub"),
         struct(cosine(col("__vs__"), col("__cs__")).as("cos"),
           (-col("code_id")).cast("long").as("nc")).as("__s__"))
       .groupBy(col(idCol), col("sub"))
       .agg(max(col("__s__")).as("__m__"))
       .select(col(idCol), col("sub"), (-col("__m__.nc")).as("code"))
+  }
+
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+               vecCol: String, dim: Int, numSubspaces: Int): DataFrame = {
+    val perSub = pqCodes(corpus, codebook, idCol, vecCol, dim, numSubspaces)
     val codeCols = (0 until numSubspaces).map(s =>
       max(when(col("sub") === s, col("code"))).cast("long").as(s"code_$s"))
     perSub.groupBy(col(idCol)).agg(codeCols.head, codeCols.tail: _*)
+  }
+
+  /** PQ asymmetric-distance KNN (the SEARCH side of [[pqEncode]]): each
+    * query builds a lookup table of per-subspace dot products against the
+    * codebook, and a database vector's approximate score is the sum of the
+    * `numSubspaces` table entries its codes select — reconstruction-dot
+    * scoring that never touches a database float vector at query time,
+    * which is the entire point of PQ at billion-vector scale.
+    *
+    * Scale shape: codes carry (id, sub, code) only; the lookup table
+    * (queries × subspaces × codewords — KB for any sane setup) is
+    * broadcast; scoring is an equi-join on (sub, code) followed by a
+    * partial-aggregated per-(query, vector) sum. The per-subspace dots sum
+    * in DECIMAL so the total is order-independent and cross-engine
+    * reproducible (same discipline as [[kmeansCentroids]] means).
+    */
+  def pqAdcKnn(corpus: DataFrame, codebook: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, dim: Int, numSubspaces: Int,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / numSubspaces
+    val codes = pqCodes(corpus, codebook, idCol, vecCol, dim, numSubspaces)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qSub = subspaced(queries.select(col(idCol).as("query_id"), col(vecCol)),
+      vecCol, "query_id", "__qs__", numSubspaces, subDim)
+    val cbSub = subspaced(
+      codebook.select(col(idCol).as("code_id"), col(vecCol)),
+      vecCol, "code_id", "__cs__", numSubspaces, subDim)
+    val lut = broadcast(qSub.join(cbSub, "sub")
+      .select(col("query_id"), col("sub"), col("code_id").as("code"),
+        dot(col("__qs__"), col("__cs__")).cast("decimal(30,12)").as("__pd__")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    codes.join(lut, Seq("sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__pd__")).cast("double").as("score"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("score"), 6).as("score"))
   }
 
   /** Embedding-based QUALITY scoring against a curated seed set (the

@@ -160,6 +160,18 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pqAdcKnn retrieves same-cluster neighbors from codes alone") {
+    // codebook = one representative per cluster; ADC scores see only the
+    // codes, so same-cluster vectors rank first (ties by id).
+    val cb = vecs.where("vec_id < 3")
+    val out = Similarity.pqAdcKnn(vecs, cb, vecs.where("vec_id = 0"),
+      "vec_id", "embedding", dim = 8, numSubspaces = 2, k = 5)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect()
+    assert(out.length == 5)
+    // vec 0 is in cluster 0 (vec_id % 3 == 0)
+    assert(out.forall(_._1 % 3 == 0), out.mkString(","))
+  }
+
   test("kmeansCentroids keeps an empty cell's previous centroid") {
     // a far-away seed that attracts no vectors keeps its original values
     val far = Seq((99L, Seq.fill(8)(-1.0f))).toDF("vec_id", "embedding")
