@@ -69,6 +69,13 @@ object LlmQueries {
     "q_text_winnow" -> ((s, dir) =>
       SpanDedup.winnow(docs(s, dir), "doc_id", "text", k = 4, window = 5)),
 
+    // Winnow-fingerprint near-dup pairs (the MOSS match step): doc pairs
+    // sharing >= 2 fingerprint values — each witnesses a shared token run
+    // of >= window+k-1 tokens.
+    "q_text_winnow_pairs" -> ((s, dir) =>
+      SpanDedup.winnowNearDup(docs(s, dir), "doc_id", "text",
+        k = 4, window = 5, minShared = 2)),
+
     // BPE tokenizer-vocabulary induction: 8 deterministic merge rounds
     // over the word-frequency table (native greedy-merge expression; the
     // oracle replays every round as chained CTEs with a list_reduce fold).
@@ -989,17 +996,14 @@ object LlmQueries {
     "q_text_bpe" -> bpeSql(8),
     "q_text_bpe_encode" -> bpeEncodeSql(8),
     "q_text_winnow" ->
-      ("WITH s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
-        "tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
-        "g AS (SELECT doc_id, pos, concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w, lead(tok,3) OVER w) AS kg, " +
-        "lead(tok, 3) OVER w AS lst FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
-        "h AS (SELECT doc_id, pos, (list_reduce(list_prepend(17::BIGINT, " +
-        "[ascii(c)::BIGINT for c in string_split(kg, '')]), (a, b) -> (a * 31 + b) % 4294967296) " +
-        "% 2147483648) * 2147483648 + (2147483647 - pos) AS v FROM g WHERE lst IS NOT NULL), " +
-        "m AS (SELECT doc_id, min(v) OVER w2 AS m, count(*) OVER w2 AS n FROM h " +
-        "WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)), " +
-        "sel AS (SELECT DISTINCT doc_id, m FROM m WHERE n = 5) " +
-        "SELECT doc_id, (2147483647 - (m % 2147483648))::BIGINT AS pos, (m // 2147483648)::BIGINT AS fp FROM sel"),
+      (winnowCte +
+        " SELECT doc_id, (2147483647 - (m % 2147483648))::BIGINT AS pos, (m // 2147483648)::BIGINT AS fp FROM sel"),
+    "q_text_winnow_pairs" ->
+      (winnowCte +
+        ", f AS (SELECT DISTINCT doc_id, m // 2147483648 AS fp FROM sel) " +
+        "SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared " +
+        "FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
     "q_text_phrase_search" ->
       ("WITH s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
         "tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
@@ -1166,6 +1170,22 @@ object LlmQueries {
     * which reproduces the scan-resumes-after-merge greedy semantics of
     * [[graft.text.Bpe.mergePair]] exactly. A def (val-init-order hazard).
     */
+  /** Winnowing replica up to CTE `sel(doc_id, m)` — m is the composite
+    * `hash31 * 2^31 + (2^31-1-pos)` rightmost-min encoding (see
+    * SpanDedup.winnow). k = 4, window = 5.
+    */
+  private def winnowCte: String =
+    "WITH s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM s), " +
+      "g AS (SELECT doc_id, pos, concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w, lead(tok,3) OVER w) AS kg, " +
+      "lead(tok, 3) OVER w AS lst FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+      "h AS (SELECT doc_id, pos, (list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(kg, '')]), (a, b) -> (a * 31 + b) % 4294967296) " +
+      "% 2147483648) * 2147483648 + (2147483647 - pos) AS v FROM g WHERE lst IS NOT NULL), " +
+      "m AS (SELECT doc_id, min(v) OVER w2 AS m, count(*) OVER w2 AS n FROM h " +
+      "WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)), " +
+      "sel AS (SELECT DISTINCT doc_id, m FROM m WHERE n = 5)"
+
   /** The shared BPE training-round CTE chain: wt (word counts), s0..sN
     * (symbol tables, `word` carried through), pN/bN (pair counts + winning
     * merge per round). Both the training oracle (reads the bN) and the

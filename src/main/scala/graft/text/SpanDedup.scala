@@ -135,6 +135,40 @@ object SpanDedup {
         shiftright(col("__m__"), 31).cast("long").as("fp"))
   }
 
+  /** Winnow-fingerprint near-dup pairs (the MOSS match step): doc pairs
+    * sharing at least `minShared` fingerprint VALUES. By the winnowing
+    * guarantee every shared token run of >= window+k-1 tokens contributes
+    * a shared fingerprint, so `minShared` is a lower bound on detected
+    * shared runs — boilerplate-robust plagiarism/mirror detection over a
+    * sub-linear index.
+    *
+    * Scale shape: one shuffle lands the (id, fp) rows hash-partitioned on
+    * fp (pinned against AQE coalescing like every candidate generator
+    * here); the bucket gate is a window count on that same partitioning
+    * (no second exchange), and the self-join reuses it too. The pair
+    * aggregation counts join rows — (id, fp) is distinct, so the count IS
+    * the number of shared fingerprint values. `maxBucketSize` drops
+    * degenerate boilerplate fingerprints (same cap discipline as
+    * MinHash-LSH buckets).
+    */
+  def winnowNearDup(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, window: Int = 5, minShared: Int = 2,
+                    maxBucketSize: Int = 10000): DataFrame = {
+    val fps = Dedup.pinPartitions(
+      winnow(docs, idCol, textCol, k, window)
+        .select(col(idCol).as("__id__"), col("fp")).distinct(),
+      col("fp"))
+    val gated = fps
+      .withColumn("__n__", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("__n__").between(2, maxBucketSize))
+      .drop("__n__")
+    gated.as("x").join(gated.as("y"),
+        col("x.fp") === col("y.fp") && col("x.__id__") < col("y.__id__"))
+      .groupBy(col("x.__id__").as("a"), col("y.__id__").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Maximal duplicated spans: every maximal run of >= minTokens tokens
     * whose every k-window occurs more than once corpus-wide (across or
     * within documents). Returns

@@ -120,6 +120,31 @@ class SpanDedupSpec extends SparkSpec {
     assert(fps.map(_._3).distinct.length == 1)
   }
 
+  test("winnowNearDup pairs docs by shared fingerprint values, not boilerplate") {
+    // 1/2 share an 8-token run (two+ shared fingerprints expected at
+    // minShared=1..2); 3 is a clone of 1; 4 shares nothing.
+    val docs = Seq(
+      (1L, "aa bb cc one two three four five six seven eight dd ee ff gg hh"),
+      (2L, "zz yy one two three four five six seven eight xx ww vv uu tt ss"),
+      (3L, "aa bb cc one two three four five six seven eight dd ee ff gg hh"),
+      (4L, "totally different content with no overlap to the others at all ok")
+    ).toDF("doc_id", "text")
+    // the guarantee is >= 1 shared fingerprint per shared run of
+    // window+k-1 tokens, so detect at minShared = 1.
+    val pairs = SpanDedup.winnowNearDup(docs, "doc_id", "text",
+        k = 4, window = 5, minShared = 1)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the clone pair shares every fingerprint; strictly more than the
+    // partial-overlap pairs.
+    assert(pairs((1L, 3L)) > pairs((1L, 2L)) && pairs((1L, 2L)) == pairs((2L, 3L)))
+    // a tight bucket cap drops ALL pairs (every fp bucket here has >= 2
+    // members only via these docs; cap=1 excludes everything) — the gate
+    // engages rather than degrading to a cross join.
+    assert(SpanDedup.winnowNearDup(docs, "doc_id", "text",
+      k = 4, window = 5, minShared = 1, maxBucketSize = 1).count() == 0L)
+  }
+
   test("fully-covered documents still appear in strip output with empty text") {
     val dupOnly = Seq(
       (1L, "p q r s"),
