@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Dedup, EditDistance, IncrementalDedup, NormalizeExpression, Sampling, SpanDedup, TextStats}
+import graft.text.{Dedup, EditDistance, Importance, IncrementalDedup, NormalizeExpression, Sampling, SpanDedup, TextStats}
 import graft.similarity.Similarity
 import graft.multimodal.Multimodal
 
@@ -168,6 +168,17 @@ object LlmQueries {
     // Corpus vocabulary: top-50 tokens, deterministic tiebreak.
     "q_text_vocab" -> ((s, dir) =>
       TextStats.topTokens(docs(s, dir), "text", 50)),
+
+    // DSIR importance weights: hashed-bigram log-likelihood ratio of the
+    // src0 target distribution vs the raw corpus, in integer micro-nats.
+    "q_dsir_weights" -> ((s, dir) =>
+      Importance.dsirWeights(docs(s, dir), "doc_id", "text",
+        col("source") === "src0", buckets = 4096)),
+
+    // Zipf slope/intercept of ln(freq) vs ln(rank) over the top-200 tokens
+    // (integer least-squares in micro-ln units).
+    "q_corpus_zipf" -> ((s, dir) =>
+      TextStats.zipfFit(docs(s, dir), "text", topK = 200)),
 
     // Top-3 characteristic terms per doc by tf-idf (rational smoothed idf —
     // cross-engine bit-exact, see TextStats.tfidfTopTerms).
@@ -848,6 +859,52 @@ object LlmQueries {
   }
   private val splitBucketSql: String = bucketSql(1000)
 
+  /** DSIR oracle: hashed-bigram (polyhash + MINSTD finalizer, mirroring
+    * [[graft.text.Sampling.hashBucket]]) llr table in micro-nats, summed
+    * per doc. A def (val-init-order hazard).
+    */
+  private def dsirSql(buckets: Int, target: String): String = {
+    val h = "list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(bgs, '')]), " +
+      "(a, b) -> (a * 31 + b) % 4294967296)"
+    val m1 = s"(($h * 48271) % 2147483647)"
+    val f = s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % $buckets)"
+    "WITH s AS (SELECT doc_id, (" + target + ") AS tgt, " +
+      "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+      "tok AS (SELECT doc_id, tgt, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM s), " +
+      "bg AS (SELECT doc_id, tgt, concat_ws(' ', w, lead(w) OVER win) AS bgs, " +
+      "lead(w) OVER win AS w2 FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), " +
+      s"fx AS (SELECT doc_id, tgt, $f AS f FROM bg WHERE w2 IS NOT NULL), " +
+      "feats AS (SELECT f, count(1)::BIGINT AS r, count(1) FILTER (WHERE tgt)::BIGINT AS t FROM fx GROUP BY f), " +
+      "tot AS (SELECT sum(r)::BIGINT AS rr, sum(t)::BIGINT AS tt FROM feats), " +
+      s"llr AS (SELECT f, floor(1000000.0 * ln(((t + 1) * (rr + $buckets))::DOUBLE / " +
+      s"((r + 1) * (tt + $buckets))::DOUBLE))::BIGINT AS llr FROM feats, tot), " +
+      "per AS (SELECT doc_id, count(1)::BIGINT AS n, sum(llr)::BIGINT AS sm " +
+      "FROM fx JOIN llr USING (f) GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_bigrams, " +
+      "coalesce(sm, 0)::BIGINT AS dsir_micro FROM documents d LEFT JOIN per USING (doc_id)"
+  }
+
+  /** Zipf least-squares oracle over the top-`k` token ranks, mirroring
+    * [[graft.text.TextStats.zipfFit]]'s micro-ln integer sums.
+    */
+  private def zipfSql(k: Int): String =
+    "WITH c AS (SELECT token, count(1)::BIGINT AS cnt FROM " +
+      "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) t GROUP BY token), " +
+      s"top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk " +
+      s"FROM c ORDER BY cnt DESC, token LIMIT $k), " +
+      "xy AS (SELECT floor(1000000.0 * ln(rnk))::BIGINT AS x, floor(1000000.0 * ln(cnt))::BIGINT AS y FROM top), " +
+      "a AS (SELECT count(1)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, " +
+      "sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx FROM xy) " +
+      "SELECT n AS n_terms, " +
+      "CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0::BIGINT ELSE " +
+      "floor(1000000.0 * (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE / " +
+      "(n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)::BIGINT END AS slope_micro, " +
+      "CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0::BIGINT ELSE " +
+      "floor((sy::DOUBLE - ((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE / " +
+      "(n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE)::BIGINT END AS intercept_micro " +
+      "FROM a"
+
   private val multimodalSql: String =
     "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, " +
       "sha256(text) AS content_sha256, " +
@@ -886,6 +943,8 @@ object LlmQueries {
       ("SELECT token, count(1)::BIGINT AS cnt FROM " +
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) t " +
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+    "q_dsir_weights" -> dsirSql(4096, "source = 'src0'"),
+    "q_corpus_zipf" -> zipfSql(200),
     "q_text_tfidf" ->
       ("WITH tc AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(1)::BIGINT AS tf FROM tc GROUP BY 1, 2), " +

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-selection importance weighting (DSIR, Xie et al. 2023): score each
+  * document by how much more likely its hashed-bigram features are under a
+  * TARGET distribution (a trusted / in-domain subset) than under the RAW
+  * corpus distribution. Selecting or resampling by this weight tilts a raw
+  * crawl toward the target domain — the hashed-n-gram stand-in for a
+  * trained quality classifier.
+  *
+  * All arithmetic is engine-exact: feature probabilities are integer
+  * counts with +1 smoothing, each feature's log-likelihood-ratio is
+  * floored into integer micro-nats once per FEATURE (bucket count is
+  * small, so the `ln` boundary surface is tiny and data-independent), and
+  * per-document scores are integer sums of those micro-nat values.
+  */
+object Importance {
+
+  /** Per-document DSIR log-importance weight in micro-nats.
+    *
+    * `isTarget` marks the target-distribution rows (evaluated against each
+    * input row, e.g. `col("source") === "src0"`). Features are token
+    * bigrams hashed into `buckets` buckets ([[Sampling.hashBucket]] — the
+    * shared MINSTD-finalized polyhash both engines replicate). With
+    * smoothing mass B = `buckets`:
+    *
+    *   llr(f)  = floor(1e6 * ln( ((t_f+1) * (R+B)) / ((r_f+1) * (T+B)) ))
+    *   dsir(d) = sum over bigram OCCURRENCES in d of llr(bucket(bigram))
+    *
+    * Output: (idCol, n_bigrams, dsir_micro); docs with < 2 tokens score 0.
+    *
+    * Shuffle shape at 100 TB: one per-doc window to form transitions (docs
+    * independent), one partial-aggregated count keyed on the bucket (at
+    * most `buckets` groups survive the map side — the shuffle is tiny
+    * regardless of corpus size), corpus totals as a window over the
+    * bucket-count frame (single exchange of <= `buckets` rows), and the
+    * per-occurrence llr lookup is a BROADCAST join (feature table is <=
+    * `buckets` rows by construction). One final per-doc aggregation. No
+    * driver materialization anywhere.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 4096): DataFrame = {
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val toks = docs.select(col(idCol).as("__id__"), isTarget.as("__tgt__"),
+      posexplode(split(norm, " ")).as(Seq("pos", "w1")))
+    val w = Window.partitionBy(col("__id__")).orderBy(col("pos"))
+    // transition + guard in ONE projection (the SpanDedup window lesson)
+    val grams = toks
+      .select(col("__id__"), col("__tgt__"),
+        concat_ws(" ", col("w1"), lead(col("w1"), 1).over(w)).as("__bg__"),
+        lead(col("w1"), 1).over(w).as("__w2__"))
+      .where(col("__w2__").isNotNull)
+      .select(col("__id__"), col("__tgt__"),
+        Sampling.hashBucket(col("__bg__"), buckets).as("__f__"))
+    val feats = grams.groupBy(col("__f__")).agg(
+      count(lit(1)).as("__r__"),
+      sum(when(col("__tgt__"), 1L).otherwise(0L)).as("__t__"))
+    // corpus totals in-plan: every bigram lands in a bucket, so the sums
+    // over this <= `buckets`-row frame ARE the corpus totals. Total column
+    // names must differ from the per-feature ones by MORE than case —
+    // withColumn under default case-insensitive resolution would replace
+    // them.
+    val tot = Window.partitionBy()
+    val llr = feats
+      .withColumn("__rtot__", sum(col("__r__")).over(tot))
+      .withColumn("__ttot__", sum(col("__t__")).over(tot))
+      .select(col("__f__"),
+        floor(lit(1000000.0) * log(
+          ((col("__t__") + 1) * (col("__rtot__") + buckets)).cast("double") /
+            ((col("__r__") + 1) * (col("__ttot__") + buckets)).cast("double")))
+          .cast("bigint").as("__llr__"))
+    val perDoc = grams.join(broadcast(llr), Seq("__f__"))
+      .groupBy(col("__id__")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("__llr__")).as("dsir_micro"))
+    docs.select(col(idCol).as("__id__"))
+      .join(perDoc, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).cast("bigint").as("n_bigrams"),
+        coalesce(col("dsir_micro"), lit(0L)).cast("bigint").as("dsir_micro"))
+  }
+}

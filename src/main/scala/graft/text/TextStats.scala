@@ -123,6 +123,51 @@ object TextStats {
           col("__maxc__").cast("bigint").as("max_chars")): _*)
   }
 
+  /** Zipf least-squares fit over the `topK` token ranks: the slope of
+    * ln(frequency) against ln(rank). Natural corpora track slope ~ -1
+    * (Zipf's law); machine-generated or template-heavy corpora flatten or
+    * steepen it, so the slope is a cheap corpus-health dial next to the
+    * per-doc quality columns.
+    *
+    * Engine-exact discipline: x = floor(1e6*ln(rank)) and
+    * y = floor(1e6*ln(cnt)) are integers, all least-squares sums are exact
+    * integer aggregates (decimal-widened products), and only the final
+    * slope/intercept divisions run in double — on identical exact operands
+    * in both engines. Output: one row (n_terms, slope_micro,
+    * intercept_micro).
+    *
+    * Shuffle shape at 100 TB: the token count is one partial-aggregated
+    * shuffle; everything after the top-K limit runs on `topK` rows.
+    */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, textCol: String,
+              topK: Int = 200): org.apache.spark.sql.DataFrame = {
+    // row_number over the already-limited topK frame: single-partition
+    // window over topK rows, not over the corpus
+    val ranked = topTokens(docs, textCol, topK).withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))))
+    val xy = ranked.select(
+      floor(lit(1000000.0) * log(col("rank").cast("double")))
+        .cast("bigint").as("x"),
+      floor(lit(1000000.0) * log(col("cnt").cast("double")))
+        .cast("bigint").as("y"))
+    val a = xy.agg(
+      count(lit(1)).cast("bigint").as("n"),
+      sum(col("x")).cast("bigint").as("sx"),
+      sum(col("y")).cast("bigint").as("sy"),
+      sum(col("x") * col("y")).cast("bigint").as("sxy"),
+      sum(col("x") * col("x")).cast("bigint").as("sxx"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    val den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    a.select(col("n").as("n_terms"),
+      when(den === 0.0, lit(0L)).otherwise(
+        floor(lit(1000000.0) * num / den).cast("bigint")).as("slope_micro"),
+      when(den === 0.0, lit(0L)).otherwise(
+        floor((col("sy").cast("double") - (num / den) * col("sx").cast("double"))
+          / col("n").cast("double")).cast("bigint")).as("intercept_micro"))
+  }
+
   /** Within-document repetition signals (Gopher-style repetition filters):
     * the fraction of word n-gram occurrences that are repeats of an earlier
     * occurrence, for n = 2 and 3. Highly repetitive machine-generated or
