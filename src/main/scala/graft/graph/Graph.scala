@@ -1,0 +1,74 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists (the companion to the label-propagation
+  * connected components in [[graft.text.Dedup]]). The motivating pipeline
+  * use is the CommonCrawl/CCNet discipline of ranking HOSTS by the link
+  * or duplication structure between them and using the rank as a corpus
+  * quality prior.
+  */
+object Graph {
+
+  /** Weighted PageRank in exact integer arithmetic, so the result is
+    * engine-reproducible (no floating-point accumulation anywhere):
+    *
+    *   rate(u,v)  = w(u,v) * 1e6  div  out_w(u)        (edge micro-rate)
+    *   tele       = (100-d) * 1e12  div  (100 * N)
+    *   sc_0(v)    = 1e12 div N
+    *   sc_i+1(v)  = tele + d * sum_{u->v}(sc_i(u) * rate(u,v) div 1e6) div 100
+    *
+    * with `d` = `dampingPct` (integer percent). All quantities are
+    * non-negative longs; `sc * rate <= 1e12 * 1e6 < 2^63` cannot overflow.
+    * Scores are in 1e-12 units of probability mass ("pr_e12"). Rounding
+    * mass lost to the floor divisions is NOT redistributed — scores are a
+    * hair under the true power iteration, identically in every engine.
+    *
+    * Nodes are those appearing as a SOURCE of an edge; pass a symmetric
+    * edge list (both directions) for undirected graphs, which also
+    * guarantees no dangling nodes. `iterations` is fixed (default 8) — a
+    * deterministic plan with no driver-side convergence loop.
+    *
+    * Shuffle shape at 100 TB: the caller's edge derivation (often the
+    * expensive part — e.g. a near-dup pair join) runs ONCE: the edge list,
+    * per-edge rates, and node set are `localCheckpoint`ed up front
+    * (GraphX's materialize-the-edges discipline; an iteration-k plan
+    * referencing the full upstream 2^k times is what this avoids —
+    * checkpoint blocks are freed when the frames are GC'd). After that,
+    * out-weights and contributions are partial-aggregated keyed shuffles
+    * on the node id; N and the teleport term are 1-row broadcast
+    * aggregates (never a driver count); each iteration is one join + one
+    * aggregation over the materialized edge list.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+               iterations: Int = 8, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).as("__s__"), col(dstCol).as("__d__"),
+      col(wCol).cast("long").as("__w__")).localCheckpoint()
+    val ow = e.groupBy(col("__s__")).agg(sum(col("__w__")).as("__ow__"))
+    val rates = e.join(ow, Seq("__s__"))
+      .select(col("__s__"), col("__d__"),
+        expr("(__w__ * 1000000L) div __ow__").as("__rate__")).localCheckpoint()
+    val nodes = e.select(col("__s__").as("__node__")).distinct().localCheckpoint()
+    val n = nodes.agg(count(lit(1)).as("__n__"))
+    val tele = broadcast(n.select(
+      expr(s"(${100 - dampingPct}L * 1000000000000L) div (100L * __n__)")
+        .as("__tele__")))
+    var scores = nodes.crossJoin(broadcast(n))
+      .select(col("__node__"), expr("1000000000000L div __n__").as("__sc__"))
+    for (_ <- 1 to iterations) {
+      val contribs = rates
+        .join(scores, rates("__s__") === scores("__node__"))
+        .select(col("__d__").as("__node__"),
+          expr("(__sc__ * __rate__) div 1000000L").as("__c__"))
+        .groupBy(col("__node__")).agg(sum(col("__c__")).as("__in__"))
+      scores = nodes.join(contribs, Seq("__node__"), "left").crossJoin(tele)
+        .select(col("__node__"),
+          (col("__tele__") +
+            expr(s"(${dampingPct}L * coalesce(__in__, 0L)) div 100L"))
+            .as("__sc__"))
+    }
+    scores.select(col("__node__").as("node"), col("__sc__").as("pr_e12"))
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.text.{Dedup, EditDistance, Importance, IncrementalDedup, NormalizeExpression, Sampling, SpanDedup, TextStats}
 import graft.similarity.Similarity
 import graft.multimodal.Multimodal
+import graft.graph.Graph
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) as correctness queries over the driver's `documents` and
@@ -168,6 +169,24 @@ object LlmQueries {
     // Corpus vocabulary: top-50 tokens, deterministic tiebreak.
     "q_text_vocab" -> ((s, dir) =>
       TextStats.topTokens(docs(s, dir), "text", 50)),
+
+    // Source-level PageRank over the near-dup graph (the CCNet host-prior
+    // discipline): nodes are `source` values, edge weight = number of
+    // near-dup pairs between them, 8 integer power-iteration rounds.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.prefixFilterJoin(d, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5).select(col("a"), col("b"))
+      val src = d.select(col("doc_id"), col("source"))
+      val e = pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+        .select(col("sa"), col("sb"))
+      val eg = e.union(e.select(col("sb"), col("sa"))).toDF("s", "d")
+        .groupBy(col("s"), col("d")).agg(count(lit(1)).cast("long").as("w"))
+      Graph.pageRank(eg, "s", "d", "w", iterations = 8)
+        .select(col("node").as("source"), col("pr_e12"))
+    }),
 
     // DSIR importance weights: hashed-bigram log-likelihood ratio of the
     // src0 target distribution vs the raw corpus, in integer micro-nats.
@@ -885,6 +904,35 @@ object LlmQueries {
       "coalesce(sm, 0)::BIGINT AS dsir_micro FROM documents d LEFT JOIN per USING (doc_id)"
   }
 
+  /** PageRank oracle: the near-dup pair graph lifted to `source` nodes,
+    * then `iterations` chained power-iteration CTEs in the same exact
+    * integer arithmetic as [[graft.graph.Graph.pageRank]]. DuckDB `//`
+    * floors and Spark `div` truncates — identical on these all-positive
+    * operands.
+    */
+  private def pagerankSql(iterations: Int, dampingPct: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH pairs AS (${allPairsSql("a, b")}), "
+    sb ++= "e AS (SELECT da.source AS s, db.source AS d FROM pairs p " +
+      "JOIN documents da ON p.a = da.doc_id JOIN documents db ON p.b = db.doc_id), "
+    sb ++= "eg AS (SELECT s, d, count(1)::BIGINT AS w FROM " +
+      "(SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e) u GROUP BY s, d), "
+    sb ++= "ow AS (SELECT s, sum(w)::BIGINT AS ow FROM eg GROUP BY s), "
+    sb ++= "er AS (SELECT eg.s, eg.d, (eg.w * 1000000) // ow.ow AS rate FROM eg JOIN ow ON eg.s = ow.s), "
+    sb ++= "nodes AS (SELECT DISTINCT s AS node FROM eg), "
+    sb ++= "nn AS (SELECT count(1)::BIGINT AS n FROM nodes), "
+    sb ++= s"tele AS (SELECT (${100 - dampingPct} * 1000000000000) // (100 * n) AS tv FROM nn), "
+    sb ++= "p0 AS (SELECT node, 1000000000000 // n AS sc FROM nodes, nn)"
+    for (i <- 1 to iterations) {
+      sb ++= s", c$i AS (SELECT er.d AS node, sum((p${i - 1}.sc * er.rate) // 1000000)::BIGINT AS sm " +
+        s"FROM er JOIN p${i - 1} ON er.s = p${i - 1}.node GROUP BY er.d)"
+      sb ++= s", p$i AS (SELECT nd.node, tele.tv + ($dampingPct * coalesce(c$i.sm, 0)) // 100 AS sc " +
+        s"FROM nodes nd CROSS JOIN tele LEFT JOIN c$i ON c$i.node = nd.node)"
+    }
+    sb ++= s" SELECT node AS source, sc::BIGINT AS pr_e12 FROM p$iterations"
+    sb.toString
+  }
+
   /** Zipf least-squares oracle over the top-`k` token ranks, mirroring
     * [[graft.text.TextStats.zipfFit]]'s micro-ln integer sums.
     */
@@ -945,6 +993,7 @@ object LlmQueries {
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
     "q_dsir_weights" -> dsirSql(4096, "source = 'src0'"),
     "q_corpus_zipf" -> zipfSql(200),
+    "q_graph_pagerank" -> pagerankSql(8, 85),
     "q_text_tfidf" ->
       ("WITH tc AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, count(1)::BIGINT AS tf FROM tc GROUP BY 1, 2), " +
