@@ -443,6 +443,17 @@ object LlmQueries {
         "vec_id", "embedding", k = 5, nProbe = 3)
     }),
 
+    // IVF-PQ (IVFADC): coarse cells + residual PQ codes; queries probe the
+    // 3 nearest cells and score codes through broadcast
+    // difference-of-dots tables — no database float vector at search time.
+    "q_embed_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqKnn(e, e.where(col("vec_id") < 10),
+        centroids = e.where(col("vec_id") % 50 === 0),
+        codebook = e.where(col("vec_id") < 16),
+        "vec_id", "embedding", dim = 64, numSubspaces = 4, k = 5, nProbe = 3)
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val bin = col("text").cast("binary")
       docs(s, dir)
@@ -706,6 +717,50 @@ object LlmQueries {
       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
       s"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
       s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
+
+  /** DuckDB replica of [[Similarity.ivfPqKnn]]: the same coarse quantizer
+    * as [[ivfKnnSql]] (centroids = vec_id % 50 == 0, cos-desc/cell-id
+    * tiebreak), residual PQ codes via the difference-of-dots arithmetic
+    * (`dot(v,c) - dot(cent,c)` — the exact doubles the Spark side defines,
+    * NOT a fused residual loop), and probe-scoring by decimal-summed
+    * per-subspace `(qdot - cdot)` table entries.
+    */
+  private def ivfPqKnnSql(dim: Int, numSubspaces: Int, k: Int, nProbe: Int): String = {
+    val sd = dim / numSubspaces
+    s"WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0), " +
+      "cb AS (SELECT vec_id AS code_id, embedding AS b_emb FROM embeddings WHERE vec_id < 16), " +
+      "ca AS (SELECT e.vec_id, cent.cell_id, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) DESC, cent.cell_id) AS rn " +
+      "FROM embeddings e CROSS JOIN cent), " +
+      "corpus_cell AS (SELECT vec_id AS neighbor_id, cell_id FROM ca WHERE rn = 1), " +
+      s"query_cell AS (SELECT vec_id AS query_id, cell_id FROM ca WHERE rn <= $nProbe AND vec_id < 10), " +
+      "centcb AS (SELECT cent.cell_id, s.range AS sub, cb.code_id AS code, " +
+      s"list_dot_product(list_slice(cent.c_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[], " +
+      s"list_slice(cb.b_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[]) AS cdot " +
+      s"FROM cent CROSS JOIN range($numSubspaces) s CROSS JOIN cb), " +
+      "a AS (SELECT e.vec_id, cc.cell_id, s.range AS sub, cb.code_id, " +
+      s"list_dot_product(list_slice(e.embedding, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[], " +
+      s"list_slice(cb.b_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[]) - centcb.cdot AS rd " +
+      s"FROM embeddings e JOIN corpus_cell cc ON cc.neighbor_id = e.vec_id " +
+      s"CROSS JOIN range($numSubspaces) s CROSS JOIN cb " +
+      "JOIN centcb ON centcb.cell_id = cc.cell_id AND centcb.sub = s.range AND centcb.code = cb.code_id), " +
+      "codes AS (SELECT vec_id AS neighbor_id, cell_id, sub, code_id AS code FROM " +
+      "(SELECT vec_id, cell_id, sub, code_id, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd DESC, code_id) AS rn FROM a) " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT qc.query_id, qc.cell_id, s.range AS sub, cb.code_id AS code, " +
+      s"(list_dot_product(list_slice(q.embedding, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[], " +
+      s"list_slice(cb.b_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[]) - centcb.cdot)::DECIMAL(30,12) AS pd " +
+      "FROM query_cell qc JOIN embeddings q ON q.vec_id = qc.query_id " +
+      s"CROSS JOIN range($numSubspaces) s CROSS JOIN cb " +
+      "JOIN centcb ON centcb.cell_id = qc.cell_id AND centcb.sub = s.range AND centcb.code = cb.code_id), " +
+      "sc AS (SELECT lut.query_id, codes.neighbor_id, sum(pd)::DOUBLE AS score " +
+      "FROM codes JOIN lut USING (cell_id, sub, code) GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, neighbor_id, score, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+      "FROM sc WHERE query_id != neighbor_id) " +
+      s"SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(score, 6)::DOUBLE AS score " +
+      s"FROM r WHERE rank <= $k"
+  }
 
   /** Mixture targets for q_mix_budget — weights chosen so one stratum (de)
     * caps at rate 1000 while the rest subsample, exercising both arms of
@@ -1208,6 +1263,7 @@ object LlmQueries {
     "q_embed_semdedup" -> semdedupSql(numPlanes = 12, dim = 64, threshold = 0.45),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
+    "q_embed_ivfpq" -> ivfPqKnnSql(dim = 64, numSubspaces = 4, k = 5, nProbe = 3),
     "q_embed_kmeans" -> kmeansSql(dim = 64, iterations = 2),
     "q_embed_pq" ->
       ("WITH cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id < 16), " +

@@ -416,6 +416,104 @@ object Similarity {
       .withColumn("keep", col("seed_score") >= threshold)
   }
 
+  /** IVF-PQ (IVFADC — Jégou et al., the billion-vector layout used by
+    * FAISS-style indexes): coarse-quantize every corpus vector to its
+    * nearest centroid cell, PQ-encode the RESIDUAL (vector minus its cell
+    * centroid) per subspace, and answer queries by probing the `nProbe`
+    * nearest cells and summing per-subspace lookup-table entries over the
+    * codes in those cells — search touches (cell_id, sub, code) integers
+    * only, never a database float vector.
+    *
+    * Residuals are never materialized: by linearity,
+    * `dot(v - cent, w) = dot(v, w) - dot(cent, w)`, so residual scoring is
+    * the database/query dot MINUS a (cell × subspace × codeword) correction
+    * table that is tiny and broadcast. Both factors run through the native
+    * codegen dot expression; the oracle computes the IDENTICAL
+    * difference-of-dots, so scores are bit-reproducible (this is the
+    * defined arithmetic — it is NOT the same doubles as a fused
+    * `dot(v - cent, w)` loop).
+    *
+    * Scale shape: centroids, codebook, and the centroid-codebook correction
+    * are broadcast (all O(cells·m·k) — KB); database encoding is one corpus
+    * scan whose (vector × subspace × codeword) expansion collapses through
+    * a partial-aggregated argmax before any shuffle; the query LUT
+    * (queries × probes × m × k) is broadcast; scoring is an equi-join on
+    * (cell, sub, code) + a per-(query, vector) decimal sum. Per-subspace
+    * terms sum in DECIMAL so totals are order-independent.
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+               codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
+               numSubspaces: Int, k: Int, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numSubspaces > 0 && dim % numSubspaces == 0,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
+    // nearest cell(s) by cosine, deterministic cell-id tiebreak — the same
+    // coarse quantizer as ivfKnn
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("cell_cos").desc, col("cell_id"))
+      df.join(cent)
+        .withColumn("cell_cos", cosine(col(vec), col("c_vec")))
+        .withColumn("cell_rank", row_number().over(w))
+        .where(col("cell_rank") <= keep)
+        .drop("c_vec", "cell_cos", "cell_rank")
+    }
+    val cbSub = broadcast(subspaced(
+      codebook.select(col(idCol).as("code_id"), col(vecCol)),
+      vecCol, "code_id", "__cs__", numSubspaces, subDim))
+    // centroid-codebook correction: dot(cent_sub, code_sub) per
+    // (cell, sub, code) — the residual arithmetic's broadcast half
+    val centCb = broadcast(subspaced(
+      centroids.select(col(idCol).as("cell_id"), col(vecCol)),
+      vecCol, "cell_id", "__ts__", numSubspaces, subDim)
+      .join(subspaced(codebook.select(col(idCol).as("code_id"), col(vecCol)),
+        vecCol, "code_id", "__zs__", numSubspaces, subDim), "sub")
+      .select(col("cell_id"), col("sub"), col("code_id").as("code"),
+        dot(col("__ts__"), col("__zs__")).as("__cdot__")))
+    // database codes: argmax over codewords of the residual dot
+    // (vdot - cdot), collapsed via partial-agg max(struct) — the shuffle
+    // carries one row per (vector, subspace)
+    val assigned = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec")),
+      "neighbor_id", "n_vec", 1)
+    val codes = assigned
+      .select(col("neighbor_id"), col("cell_id"),
+        explode(sequence(lit(0), lit(numSubspaces - 1))).as("sub"), col("n_vec"))
+      .select(col("neighbor_id"), col("cell_id"), col("sub"),
+        slice(col("n_vec"), col("sub") * subDim + 1, lit(subDim)).as("__vs__"))
+      .join(cbSub.withColumnRenamed("code_id", "code"), "sub")
+      .join(centCb, Seq("cell_id", "sub", "code"))
+      .select(col("neighbor_id"), col("cell_id"), col("sub"),
+        struct((dot(col("__vs__"), col("__cs__")) - col("__cdot__")).as("rd"),
+          (-col("code")).cast("long").as("nc")).as("__s__"))
+      .groupBy(col("neighbor_id"), col("cell_id"), col("sub"))
+      .agg(max(col("__s__")).as("__m__"))
+      .select(col("neighbor_id"), col("cell_id"), col("sub"), (-col("__m__.nc")).as("code"))
+    // query LUT: per probed (query, cell), pd = dot(q_sub, code_sub) - cdot
+    val probed = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", nProbe)
+    val qd = subspaced(queries.select(col(idCol).as("query_id"), col(vecCol)),
+      vecCol, "query_id", "__qs__", numSubspaces, subDim)
+      .join(cbSub.withColumnRenamed("code_id", "code"), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("__qs__"), col("__cs__")).as("__qdot__"))
+    val lut = broadcast(probed.select(col("query_id"), col("cell_id"))
+      .join(qd, "query_id")
+      .join(centCb, Seq("cell_id", "sub", "code"))
+      .select(col("query_id"), col("cell_id"), col("sub"), col("code"),
+        (col("__qdot__") - col("__cdot__")).cast("decimal(30,12)").as("__pd__")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    codes.join(lut, Seq("cell_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__pd__")).cast("double").as("score"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("score"), 6).as("score"))
+  }
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

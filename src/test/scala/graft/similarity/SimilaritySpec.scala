@@ -68,6 +68,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivfPqKnn answers from codes in probed cells with good recall") {
+    val queries = vecs.where("vec_id < 3")
+    val exact = Similarity.bruteForceKnn(vecs, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val out = Similarity.ivfPqKnn(vecs, queries,
+      centroids = vecs.where("vec_id IN (0, 1, 2)"),
+      codebook = vecs.where("vec_id < 8"),
+      "vec_id", "embedding", dim = 8, numSubspaces = 2, k = 3, nProbe = 2)
+    val rows = out.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    // dense 1..k ranks per query, never self
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    assert(byQ.values.forall(_.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L)))
+    assert(rows.forall { case (q, n, _) => q != n })
+    val approx = rows.map { case (q, n, _) => (q, n) }.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("semanticDedup resolves embedding clusters to one keeper each") {
     spark.catalog.clearCache()
     // 3 orthogonal clusters: cluster-mates cos ~1, cross-cluster ~0 — at
