@@ -34,9 +34,16 @@ object CoreQueries {
     val s = spark.newSession()
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet timestamp[us] with isAdjustedToUTC=false reads as NTZ;
+        // the sessions all run in UTC so the LTZ cast is the same instant,
+        // and LTZ is what watermarks/event-time operators require
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   private def run(cat: EntityCatalog, steps: Step*): EntityCatalog = {

@@ -48,7 +48,9 @@ object StreamingQueries {
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val events = CoreQueries.loadEvents(s, dir)
         .select(col("ts"), col("event_type"))
-      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      // cast in-plan so the driver-side read is Timestamp regardless of the
+      // fixture's source encoding (LTZ / NTZ / int64-nanos)
+      val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
       val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
       val withSentinel = events.unionByName(
         events.sparkSession.createDataFrame(
@@ -106,7 +108,7 @@ object StreamingQueries {
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val events = CoreQueries.loadEvents(s, dir).select(col("ts"), col("user_id"))
-      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
       val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
       val withSentinel = events.unionByName(
         s.createDataFrame(

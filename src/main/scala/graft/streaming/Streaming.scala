@@ -43,13 +43,26 @@ object Streaming {
       .start()
   }
 
+  /** Event-time columns must be TIMESTAMP (with local time zone) for
+    * watermarks; a TIMESTAMP_NTZ source column (parquet timestamp without
+    * UTC adjustment) is cast session-zone-relative so the operators own the
+    * contract instead of every caller. Any other type fails fast with the
+    * Spark analysis error.
+    */
+  private def asEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Watermarked event-time windowed aggregation — late data beyond the
     * watermark is dropped and state is bounded, so the aggregation runs
     * indefinitely at constant memory.
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      windowDuration: String, watermarkDelay: String): DataFrame =
-    events
+    asEventTime(events, tsCol)
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration), col(keyCol))
       .agg(count(lit(1)).as("cnt"))
@@ -68,7 +81,7 @@ object Streaming {
     */
   def sessionize(events: DataFrame, tsCol: String, keyCol: String,
                  gap: String, watermarkDelay: String): DataFrame =
-    events
+    asEventTime(events, tsCol)
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
@@ -94,8 +107,8 @@ object Streaming {
                    watermarkDelay: String, within: String): DataFrame = {
     require(leftTsCol != rightTsCol,
       "rename the time columns apart before joining (both survive in the output)")
-    val l = left.withWatermark(leftTsCol, watermarkDelay)
-    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val l = asEventTime(left, leftTsCol).withWatermark(leftTsCol, watermarkDelay)
+    val r = asEventTime(right, rightTsCol).withWatermark(rightTsCol, watermarkDelay)
       .withColumnRenamed(keyCol, "__rkey__")
     l.join(r,
       col(keyCol) === col("__rkey__") &&

@@ -44,6 +44,27 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", "b", 1L)))
   }
 
+  test("windowedCounts accepts a TIMESTAMP_NTZ event-time column (casts to LTZ)") {
+    // parquet timestamp[us] without UTC adjustment surfaces as NTZ; the
+    // operator owns the LTZ normalization so watermarks still work
+    val stream = MemoryStream[(java.time.LocalDateTime, String)](spark)
+    val src = stream.toDF().toDF("ts", "k")
+    assert(src.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val df = Streaming.windowedCounts(src, "ts", "k", "10 minutes", "5 minutes")
+    val q = df.writeStream.format("memory").queryName("win_counts_ntz")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.time.LocalDateTime.parse(f"2024-01-01T10:$m%02d:00")
+    stream.addData((t(1), "a"), (t(2), "a"))
+    q.processAllAvailable()
+    stream.addData((t(40), "a"))
+    q.processAllAvailable()
+    val got = spark.table("win_counts_ntz")
+      .select("window_start", "k", "cnt").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set(("2024-01-01 10:00:00.0", "a", 2L)))
+  }
+
   test("intervalJoin matches right rows inside [leftTs, leftTs + within] per key") {
     val views = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val buys = MemoryStream[(Long, java.sql.Timestamp)](spark)
