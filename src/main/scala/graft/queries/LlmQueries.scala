@@ -19,6 +19,14 @@ object LlmQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Dataset-role predicates shared verbatim between the Spark closures and
+    * the DuckDB oracle SQL of the IVF/PQ family — one definition, so a
+    * literal change cannot silently diverge the pair.
+    */
+  private val IvfCentroidPred = "vec_id % 50 = 0" // stand-in trained coarse centroids
+  private val PqCodebookPred = "vec_id < 16"      // stand-in trained codebook
+  private val KnnQueryPred = "vec_id < 10"        // query subset
+
   /** Shared DuckDB CTE: distinct word-3-gram shingle sets per document,
     * mirroring [[Dedup.shingles]].
     */
@@ -438,19 +446,20 @@ object LlmQueries {
 
     "q_embed_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.ivfKnn(e, e.where(col("vec_id") < 10),
-        centroids = e.where(col("vec_id") % 50 === 0),
+      Similarity.ivfKnn(e, e.where(expr(KnnQueryPred)),
+        centroids = e.where(expr(IvfCentroidPred)),
         "vec_id", "embedding", k = 5, nProbe = 3)
     }),
 
-    // IVF-PQ (IVFADC): coarse cells + residual PQ codes; queries probe the
-    // 3 nearest cells and score codes through broadcast
-    // difference-of-dots tables — no database float vector at search time.
+    // IVF-PQ (IVFADC): coarse cells + min-L2 residual PQ codes; queries
+    // probe the 3 nearest cells and score codes as
+    // dot(q, cent) + Σ dot(q_sub, code_sub) through broadcast tables — no
+    // database float vector at search time.
     "q_embed_ivfpq" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.ivfPqKnn(e, e.where(col("vec_id") < 10),
-        centroids = e.where(col("vec_id") % 50 === 0),
-        codebook = e.where(col("vec_id") < 16),
+      Similarity.ivfPqKnn(e, e.where(expr(KnnQueryPred)),
+        centroids = e.where(expr(IvfCentroidPred)),
+        codebook = e.where(expr(PqCodebookPred)),
         "vec_id", "embedding", dim = 64, numSubspaces = 4, k = 5, nProbe = 3)
     }),
 
@@ -701,13 +710,12 @@ object LlmQueries {
     * probe the 3 nearest cells, exact re-rank within probed cells.
     */
   private def ivfKnnSql(k: Int, nProbe: Int): String =
-    "WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0), " +
+    s"WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE $IvfCentroidPred), " +
       "ca AS (SELECT e.vec_id, cent.cell_id, " +
-      "list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) AS cc, " +
-      "row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) DESC, cent.cell_id) AS rn " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]), 9) DESC, cent.cell_id) AS rn " +
       "FROM embeddings e CROSS JOIN cent), " +
       "corpus_cell AS (SELECT vec_id AS neighbor_id, cell_id FROM ca WHERE rn = 1), " +
-      s"query_cell AS (SELECT vec_id AS query_id, cell_id FROM ca WHERE rn <= $nProbe AND vec_id < 10), " +
+      s"query_cell AS (SELECT vec_id AS query_id, cell_id FROM ca WHERE rn <= $nProbe AND $KnnQueryPred), " +
       "cand AS (SELECT DISTINCT query_id, neighbor_id FROM query_cell JOIN corpus_cell USING (cell_id) " +
       "WHERE query_id != neighbor_id), " +
       "scored AS (SELECT query_id, neighbor_id, " +
@@ -719,45 +727,52 @@ object LlmQueries {
       s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
 
   /** DuckDB replica of [[Similarity.ivfPqKnn]]: the same coarse quantizer
-    * as [[ivfKnnSql]] (centroids = vec_id % 50 == 0, cos-desc/cell-id
-    * tiebreak), residual PQ codes via the difference-of-dots arithmetic
-    * (`dot(v,c) - dot(cent,c)` — the exact doubles the Spark side defines,
-    * NOT a fused residual loop), and probe-scoring by decimal-summed
-    * per-subspace `(qdot - cdot)` table entries.
+    * as [[ivfKnnSql]] (9-dp-rounded cos-desc/cell-id tiebreak), min-L2
+    * residual PQ codes via the difference-of-dots arithmetic
+    * (`(dot(v,c) - dot(cent,c)) - 0.5*||c||^2` — the exact doubles the
+    * Spark side defines, NOT a fused residual loop), and FAISS-IP probe
+    * scoring: `dot(q, cent) + Σ_sub dot(q_sub, code_sub)`, decimal-summed.
     */
   private def ivfPqKnnSql(dim: Int, numSubspaces: Int, k: Int, nProbe: Int): String = {
     val sd = dim / numSubspaces
-    s"WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0), " +
-      "cb AS (SELECT vec_id AS code_id, embedding AS b_emb FROM embeddings WHERE vec_id < 16), " +
+    s"WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE $IvfCentroidPred), " +
+      s"cb AS (SELECT vec_id AS code_id, embedding AS b_emb FROM embeddings WHERE $PqCodebookPred), " +
       "ca AS (SELECT e.vec_id, cent.cell_id, " +
-      "row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) DESC, cent.cell_id) AS rn " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]), 9) DESC, cent.cell_id) AS rn " +
       "FROM embeddings e CROSS JOIN cent), " +
       "corpus_cell AS (SELECT vec_id AS neighbor_id, cell_id FROM ca WHERE rn = 1), " +
-      s"query_cell AS (SELECT vec_id AS query_id, cell_id FROM ca WHERE rn <= $nProbe AND vec_id < 10), " +
-      "centcb AS (SELECT cent.cell_id, s.range AS sub, cb.code_id AS code, " +
-      s"list_dot_product(list_slice(cent.c_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[], " +
-      s"list_slice(cb.b_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[]) AS cdot " +
-      s"FROM cent CROSS JOIN range($numSubspaces) s CROSS JOIN cb), " +
-      "a AS (SELECT e.vec_id, cc.cell_id, s.range AS sub, cb.code_id, " +
-      s"list_dot_product(list_slice(e.embedding, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[], " +
-      s"list_slice(cb.b_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[]) - centcb.cdot AS rd " +
-      s"FROM embeddings e JOIN corpus_cell cc ON cc.neighbor_id = e.vec_id " +
-      s"CROSS JOIN range($numSubspaces) s CROSS JOIN cb " +
-      "JOIN centcb ON centcb.cell_id = cc.cell_id AND centcb.sub = s.range AND centcb.code = cb.code_id), " +
+      s"query_cell AS (SELECT vec_id AS query_id, cell_id FROM ca WHERE rn <= $nProbe AND $KnnQueryPred), " +
+      // per-(code, sub) slice + squared norm, shared by every later CTE
+      s"cbn AS (SELECT code_id, s.range AS sub, " +
+      s"list_slice(b_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[] AS cs " +
+      s"FROM cb CROSS JOIN range($numSubspaces) s), " +
+      "cbn2 AS (SELECT code_id, sub, cs, list_dot_product(cs, cs) AS cn FROM cbn), " +
+      "centcb AS (SELECT cent.cell_id, n.sub, n.code_id AS code, " +
+      s"list_dot_product(list_slice(cent.c_emb, n.sub*$sd+1, n.sub*$sd+$sd)::DOUBLE[], n.cs) AS cdot " +
+      "FROM cent CROSS JOIN cbn2 n), " +
+      "a AS (SELECT e.vec_id, cc.cell_id, n.sub, n.code_id, " +
+      s"list_dot_product(list_slice(e.embedding, n.sub*$sd+1, n.sub*$sd+$sd)::DOUBLE[], n.cs) - centcb.cdot - 0.5*n.cn AS rd " +
+      "FROM embeddings e JOIN corpus_cell cc ON cc.neighbor_id = e.vec_id " +
+      "CROSS JOIN cbn2 n " +
+      "JOIN centcb ON centcb.cell_id = cc.cell_id AND centcb.sub = n.sub AND centcb.code = n.code_id), " +
       "codes AS (SELECT vec_id AS neighbor_id, cell_id, sub, code_id AS code FROM " +
       "(SELECT vec_id, cell_id, sub, code_id, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd DESC, code_id) AS rn FROM a) " +
       "WHERE rn = 1), " +
-      "lut AS (SELECT qc.query_id, qc.cell_id, s.range AS sub, cb.code_id AS code, " +
-      s"(list_dot_product(list_slice(q.embedding, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[], " +
-      s"list_slice(cb.b_emb, s.range*$sd+1, s.range*$sd+$sd)::DOUBLE[]) - centcb.cdot)::DECIMAL(30,12) AS pd " +
+      "lut AS (SELECT qc.query_id, qc.cell_id, n.sub, n.code_id AS code, " +
+      s"list_dot_product(list_slice(q.embedding, n.sub*$sd+1, n.sub*$sd+$sd)::DOUBLE[], n.cs)::DECIMAL(30,12) AS pd " +
       "FROM query_cell qc JOIN embeddings q ON q.vec_id = qc.query_id " +
-      s"CROSS JOIN range($numSubspaces) s CROSS JOIN cb " +
-      "JOIN centcb ON centcb.cell_id = qc.cell_id AND centcb.sub = s.range AND centcb.code = cb.code_id), " +
-      "sc AS (SELECT lut.query_id, codes.neighbor_id, sum(pd)::DOUBLE AS score " +
-      "FROM codes JOIN lut USING (cell_id, sub, code) GROUP BY 1, 2), " +
+      "CROSS JOIN cbn2 n), " +
+      "qcent AS (SELECT qc.query_id, qc.cell_id, " +
+      "list_dot_product(q.embedding::DOUBLE[], cent.c_emb::DOUBLE[])::DECIMAL(30,12) AS qcd " +
+      "FROM query_cell qc JOIN embeddings q ON q.vec_id = qc.query_id " +
+      "JOIN cent ON cent.cell_id = qc.cell_id), " +
+      "sc AS (SELECT lut.query_id, codes.neighbor_id, codes.cell_id, sum(pd) AS s " +
+      "FROM codes JOIN lut USING (cell_id, sub, code) GROUP BY 1, 2, 3), " +
+      "sc2 AS (SELECT sc.query_id, sc.neighbor_id, (sc.s + qcent.qcd)::DOUBLE AS score " +
+      "FROM sc JOIN qcent ON qcent.query_id = sc.query_id AND qcent.cell_id = sc.cell_id), " +
       "r AS (SELECT query_id, neighbor_id, score, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
-      "FROM sc WHERE query_id != neighbor_id) " +
+      "FROM sc2 WHERE query_id != neighbor_id) " +
       s"SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(score, 6)::DOUBLE AS score " +
       s"FROM r WHERE rank <= $k"
   }

@@ -21,6 +21,13 @@ final case class DoubleDotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_dot_product"
 
+  // The result can be null even when both inputs are non-null (length
+  // mismatch / null element), so this must not inherit BinaryExpression's
+  // children-derived nullability: with non-nullable children Catalyst would
+  // allocate no isNull slot and the generated `ev.isNull = true` assignment
+  // fails janino compilation (whole-stage falls back to interpreted).
+  override def nullable: Boolean = true
+
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false

@@ -425,13 +425,21 @@ object Similarity {
     * only, never a database float vector.
     *
     * Residuals are never materialized: by linearity,
-    * `dot(v - cent, w) = dot(v, w) - dot(cent, w)`, so residual scoring is
-    * the database/query dot MINUS a (cell × subspace × codeword) correction
-    * table that is tiny and broadcast. Both factors run through the native
-    * codegen dot expression; the oracle computes the IDENTICAL
-    * difference-of-dots, so scores are bit-reproducible (this is the
-    * defined arithmetic — it is NOT the same doubles as a fused
-    * `dot(v - cent, w)` loop).
+    * `dot(v - cent, w) = dot(v, w) - dot(cent, w)`, so residual CODE
+    * SELECTION is the database dot minus a (cell × subspace × codeword)
+    * correction table that is tiny and broadcast. Codes minimize the
+    * per-subspace reconstruction error `||r - w||^2` — expanded to
+    * `argmax(dot(r, w) - ||w||^2 / 2)` (the `||r||^2` term is constant per
+    * (vector, subspace)), the standard PQ training criterion, so
+    * large-norm codewords are not systematically favored. The SEARCH score
+    * follows FAISS inner-product IVFADC semantics:
+    * `score(q, v) = dot(q, cent(v)) + Σ_sub dot(q_sub, code_sub)`
+    * ≈ `dot(q, cent + recon(r)) ≈ dot(q, v)` — the coarse `dot(q, cent)`
+    * term is credited once per probed cell, so cross-cell ranking is
+    * comparable. All factors run through the native codegen dot
+    * expression; the oracle computes the IDENTICAL arithmetic, so scores
+    * are bit-reproducible (this is the defined arithmetic — it is NOT the
+    * same doubles as a fused `dot(v - cent, w)` loop).
     *
     * Scale shape: centroids, codebook, and the centroid-codebook correction
     * are broadcast (all O(cells·m·k) — KB); database encoding is one corpus
@@ -450,18 +458,24 @@ object Similarity {
     val subDim = dim / numSubspaces
     val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
     // nearest cell(s) by cosine, deterministic cell-id tiebreak — the same
-    // coarse quantizer as ivfKnn
+    // coarse quantizer as ivfKnn. The assignment cosine is rounded to 9 dp
+    // before the tiebreak so a last-ulp divergence between engines (Spark
+    // sqrt(Σa²)·sqrt(Σb²) vs an oracle's sqrt(Σa²·Σb²)) cannot flip a
+    // near-tied cell choice.
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("cell_cos").desc, col("cell_id"))
       df.join(cent)
-        .withColumn("cell_cos", cosine(col(vec), col("c_vec")))
+        .withColumn("cell_cos", round(cosine(col(vec), col("c_vec")), 9))
         .withColumn("cell_rank", row_number().over(w))
         .where(col("cell_rank") <= keep)
         .drop("c_vec", "cell_cos", "cell_rank")
     }
+    // per-subspace codeword slices + their squared norms (for the min-L2
+    // code selection below)
     val cbSub = broadcast(subspaced(
       codebook.select(col(idCol).as("code_id"), col(vecCol)),
-      vecCol, "code_id", "__cs__", numSubspaces, subDim))
+      vecCol, "code_id", "__cs__", numSubspaces, subDim)
+      .withColumn("__cn__", dot(col("__cs__"), col("__cs__"))))
     // centroid-codebook correction: dot(cent_sub, code_sub) per
     // (cell, sub, code) — the residual arithmetic's broadcast half
     val centCb = broadcast(subspaced(
@@ -471,9 +485,11 @@ object Similarity {
         vecCol, "code_id", "__zs__", numSubspaces, subDim), "sub")
       .select(col("cell_id"), col("sub"), col("code_id").as("code"),
         dot(col("__ts__"), col("__zs__")).as("__cdot__")))
-    // database codes: argmax over codewords of the residual dot
-    // (vdot - cdot), collapsed via partial-agg max(struct) — the shuffle
-    // carries one row per (vector, subspace)
+    // database codes: per (vector, subspace), argmin over codewords of the
+    // residual reconstruction error ||r - w||^2, i.e. argmax of
+    // (vdot - cdot) - cn/2 (||r||^2 is constant per group), collapsed via
+    // partial-agg max(struct) — the shuffle carries one row per
+    // (vector, subspace)
     val assigned = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec")),
       "neighbor_id", "n_vec", 1)
     val codes = assigned
@@ -484,12 +500,16 @@ object Similarity {
       .join(cbSub.withColumnRenamed("code_id", "code"), "sub")
       .join(centCb, Seq("cell_id", "sub", "code"))
       .select(col("neighbor_id"), col("cell_id"), col("sub"),
-        struct((dot(col("__vs__"), col("__cs__")) - col("__cdot__")).as("rd"),
+        struct((dot(col("__vs__"), col("__cs__")) - col("__cdot__")
+            - lit(0.5) * col("__cn__")).as("rd"),
           (-col("code")).cast("long").as("nc")).as("__s__"))
       .groupBy(col("neighbor_id"), col("cell_id"), col("sub"))
       .agg(max(col("__s__")).as("__m__"))
       .select(col("neighbor_id"), col("cell_id"), col("sub"), (-col("__m__.nc")).as("code"))
-    // query LUT: per probed (query, cell), pd = dot(q_sub, code_sub) - cdot
+    // query LUT: pd = dot(q_sub, code_sub) per (query, sub, code),
+    // restricted to the probed (query, cell) pairs; the coarse
+    // dot(q, cent) term is added once per (query, cell) below so the
+    // total approximates dot(q, cent + recon) — FAISS IP-IVFADC semantics
     val probed = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec", nProbe)
     val qd = subspaced(queries.select(col(idCol).as("query_id"), col(vecCol)),
@@ -499,14 +519,21 @@ object Similarity {
         dot(col("__qs__"), col("__cs__")).as("__qdot__"))
     val lut = broadcast(probed.select(col("query_id"), col("cell_id"))
       .join(qd, "query_id")
-      .join(centCb, Seq("cell_id", "sub", "code"))
       .select(col("query_id"), col("cell_id"), col("sub"), col("code"),
-        (col("__qdot__") - col("__cdot__")).cast("decimal(30,12)").as("__pd__")))
+        col("__qdot__").cast("decimal(30,12)").as("__pd__")))
+    // coarse per-(query, probed-cell) credit: dot(q, cent) in DECIMAL so
+    // the final sum stays order-independent
+    val qc = broadcast(probed.join(cent, "cell_id")
+      .select(col("query_id"), col("cell_id"),
+        dot(col("q_vec"), col("c_vec")).cast("decimal(30,12)").as("__qc__")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     codes.join(lut, Seq("cell_id", "sub", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__pd__")).cast("double").as("score"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cell_id"))
+      .agg(sum(col("__pd__")).as("__sum__"))
+      .join(qc, Seq("query_id", "cell_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__sum__") + col("__qc__")).cast("double").as("score"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -518,10 +545,11 @@ object Similarity {
              idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
+    // assignment cosine rounded to 9 dp before the tiebreak — see ivfPqKnn
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("cell_cos").desc, col("cell_id"))
       df.join(cent)
-        .withColumn("cell_cos", cosine(col(vec), col("c_vec")))
+        .withColumn("cell_cos", round(cosine(col(vec), col("c_vec")), 9))
         .withColumn("cell_rank", row_number().over(w))
         .where(col("cell_rank") <= keep)
         .drop("c_vec", "cell_cos", "cell_rank")
