@@ -881,7 +881,11 @@ object LlmQueries {
       "[ascii(c)::BIGINT for c in string_split(text, '')]), (a, b) -> (a * 31 + b) % 4294967296)"
     s"SELECT $shard AS shard, count(*)::BIGINT AS n_docs, " +
       s"sum(len(regexp_extract_all(text, '${TextStats.BpeishPattern}')))::BIGINT AS n_tokens, " +
-      s"(sum($fp) % 4294967296) AS content_sig FROM documents GROUP BY 1"
+      // the modulo result fits BIGINT; without the cast DuckDB's HUGEINT
+      // sum type survives to the result and the driver's compare can
+      // materialize it as a float ("...669.0" vs "...669") — same values,
+      // different canonical strings, hash mismatch
+      s"(sum($fp) % 4294967296)::BIGINT AS content_sig FROM documents GROUP BY 1"
   }
 
   /** DuckDB replica of [[TextStats.tokenRarity]]: same \s+ tokens, corpus
