@@ -25,10 +25,19 @@ object Graph {
     * mass lost to the floor divisions is NOT redistributed — scores are a
     * hair under the true power iteration, identically in every engine.
     *
-    * Nodes are those appearing as a SOURCE of an edge; pass a symmetric
-    * edge list (both directions) for undirected graphs, which also
-    * guarantees no dangling nodes. `iterations` is fixed (default 8) — a
-    * deterministic plan with no driver-side convergence loop.
+    * Nodes are those appearing on EITHER side of an edge. DANGLING nodes
+    * (no outgoing edge — link-graph sinks) keep a score, and their mass is
+    * redistributed uniformly each iteration (the standard dangling-node
+    * treatment):
+    *
+    *   sc_i+1(v) = tele + d * (sum_{u->v}(...) + dm_i div N) div 100
+    *
+    * where `dm_i` is the summed score of dangling nodes — a 1-row
+    * broadcast aggregate per iteration, never a driver collect. For a
+    * symmetric (undirected) edge list the dangling set is empty and the
+    * term vanishes, so scores are unchanged from the source-nodes-only
+    * formulation. `iterations` is fixed (default 8) — a deterministic
+    * plan with no driver-side convergence loop.
     *
     * Shuffle shape at 100 TB: the caller's edge derivation (often the
     * expensive part — e.g. a near-dup pair join) runs ONCE: the edge list,
@@ -50,23 +59,34 @@ object Graph {
     val rates = e.join(ow, Seq("__s__"))
       .select(col("__s__"), col("__d__"),
         expr("(__w__ * 1000000L) div __ow__").as("__rate__")).localCheckpoint()
-    val nodes = e.select(col("__s__").as("__node__")).distinct().localCheckpoint()
+    val srcs = e.select(col("__s__").as("__node__")).distinct()
+    val nodes = e.select(col("__s__").as("__node__"))
+      .union(e.select(col("__d__").as("__node__"))).distinct()
+      .join(srcs.withColumn("__has_out__", lit(true)), Seq("__node__"), "left")
+      .select(col("__node__"), col("__has_out__").isNull.as("__dangling__"))
+      .localCheckpoint()
     val n = nodes.agg(count(lit(1)).as("__n__"))
+    // one broadcast row carrying both the teleport term and N (N feeds the
+    // per-iteration dangling-mass split)
     val tele = broadcast(n.select(
       expr(s"(${100 - dampingPct}L * 1000000000000L) div (100L * __n__)")
-        .as("__tele__")))
+        .as("__tele__"), col("__n__")))
     var scores = nodes.crossJoin(broadcast(n))
-      .select(col("__node__"), expr("1000000000000L div __n__").as("__sc__"))
+      .select(col("__node__"), col("__dangling__"),
+        expr("1000000000000L div __n__").as("__sc__"))
     for (_ <- 1 to iterations) {
+      val dm = broadcast(scores.where(col("__dangling__"))
+        .agg(coalesce(sum(col("__sc__")), lit(0L)).as("__dm__")))
       val contribs = rates
         .join(scores, rates("__s__") === scores("__node__"))
         .select(col("__d__").as("__node__"),
           expr("(__sc__ * __rate__) div 1000000L").as("__c__"))
         .groupBy(col("__node__")).agg(sum(col("__c__")).as("__in__"))
-      scores = nodes.join(contribs, Seq("__node__"), "left").crossJoin(tele)
-        .select(col("__node__"),
+      scores = nodes.join(contribs, Seq("__node__"), "left")
+        .crossJoin(tele).crossJoin(dm)
+        .select(col("__node__"), col("__dangling__"),
           (col("__tele__") +
-            expr(s"(${dampingPct}L * coalesce(__in__, 0L)) div 100L"))
+            expr(s"(${dampingPct}L * (coalesce(__in__, 0L) + (__dm__ div __n__))) div 100L"))
             .as("__sc__"))
     }
     scores.select(col("__node__").as("node"), col("__sc__").as("pr_e12"))

@@ -37,6 +37,24 @@ class GraphSpec extends SparkSpec {
     assert(pr(1L) > pr(2L))
   }
 
+  test("pageRank keeps sink nodes and redistributes their mass") {
+    // 0 -> 1, 1 -> 0, 0 -> 2; node 2 has no outgoing edge (a sink)
+    val g = Seq((0L, 1L, 1L), (1L, 0L, 1L), (0L, 2L, 1L)).toDF("s", "d", "w")
+    val pr = Graph.pageRank(g, "s", "d", "w", iterations = 8)
+      .as[(Long, Long)].collect().toMap
+    // the sink is a node with a real score, not dropped
+    assert(pr.keySet == Set(0L, 1L, 2L))
+    val tele = (100L - 85L) * 1000000000000L / (100L * 3L)
+    assert(pr(2L) > tele) // it receives link mass from 0 on top of teleport
+    // dangling mass is redistributed: total stays within floor-loss of 1.0
+    // (without redistribution the sink's inflow would leak every iteration
+    // and total mass would collapse far below 1e12)
+    val total = pr.values.sum
+    assert(total <= 1000000000000L && total > 990000000000L, s"mass was $total")
+    // node 0 gets 1's full rank plus a third of the redistributed sink mass
+    assert(pr(0L) > pr(1L) && pr(1L) > 0L)
+  }
+
   test("pageRank is deterministic run to run") {
     val a = Graph.pageRank(star, "s", "d", "w").as[(Long, Long)].collect().sortBy(_._1)
     val b = Graph.pageRank(star, "s", "d", "w").as[(Long, Long)].collect().sortBy(_._1)
