@@ -85,11 +85,12 @@ object LlmQueries {
       SpanDedup.winnowNearDup(docs(s, dir), "doc_id", "text",
         k = 4, window = 5, minShared = 2)),
 
-    // BPE tokenizer-vocabulary induction: 8 deterministic merge rounds
-    // over the word-frequency table (native greedy-merge expression; the
-    // oracle replays every round as chained CTEs with a list_reduce fold).
+    // BPE tokenizer-vocabulary induction: 8 deterministic merges trained
+    // BATCHED (4 per Spark round — the production shape: a 32k vocab is
+    // ~32k/batch rounds, not 32k driver round-trips). The oracle replays
+    // every round's ranked batch as chained CTEs with list_reduce folds.
     "q_text_bpe" -> ((s, dir) =>
-      graft.text.Bpe.trainBpe(docs(s, dir), "text", numMerges = 8)),
+      graft.text.Bpe.trainBpe(docs(s, dir), "text", numMerges = 8, batch = 4)),
 
     // BPE corpus ENCODING (the apply side of q_text_bpe): tokenize every
     // doc with the 8 learned merges. The distinct-word vocabulary is
@@ -97,7 +98,7 @@ object LlmQueries {
     "q_text_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.text.Bpe.encodeCorpus(d, "doc_id", "text",
-        graft.text.Bpe.trainBpe(d, "text", numMerges = 8))
+        graft.text.Bpe.trainBpe(d, "text", numMerges = 8, batch = 4))
     }),
 
     // Bigram-LM fluency score (micro-unit conditional probabilities —
@@ -1175,8 +1176,8 @@ object LlmQueries {
         s"sha256(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'), " +
         s"'$num', '[NUMBER]', 'g')) AS masked_sha256 FROM p"
     },
-    "q_text_bpe" -> bpeSql(8),
-    "q_text_bpe_encode" -> bpeEncodeSql(8),
+    "q_text_bpe" -> bpeSql(numMerges = 8, batch = 4),
+    "q_text_bpe_encode" -> bpeEncodeSql(numMerges = 8, batch = 4),
     "q_text_winnow" ->
       (winnowCte +
         " SELECT doc_id, (2147483647 - (m % 2147483648))::BIGINT AS pos, (m // 2147483648)::BIGINT AS fp FROM sel"),
@@ -1374,39 +1375,59 @@ object LlmQueries {
     * merge per round). Both the training oracle (reads the bN) and the
     * encode oracle (reads the final sN) append their own final SELECT.
     */
-  private def bpeRoundsCte(rounds: Int): String = {
+  /** CTE chain replaying [[graft.text.Bpe.trainBpe]] with batching: per
+    * round `i`, `p$i` counts pairs over the round-start symbol table,
+    * `b$i` ranks the top-`batch` (cnt desc, l, r), and each in-batch merge
+    * k produces symbol table `t$k` from `t$(k-1)` via the list_reduce
+    * fold — sequential in-rank application, exactly the Spark semantics.
+    * A missing rank (fewer candidates than `batch`) folds with a chr(30)
+    * sentinel pair that matches nothing.
+    */
+  private def bpeRoundsCte(numMerges: Int, batch: Int): String = {
     val sb = new StringBuilder(
       "WITH wt AS (SELECT word, count(*)::BIGINT AS wc FROM " +
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) GROUP BY word), " +
-        "s0 AS (SELECT word, wc, string_split(word, '') AS s FROM wt)")
+        "t0 AS (SELECT word, wc, string_split(word, '') AS s FROM wt)")
+    val rounds = (numMerges + batch - 1) / batch
     for (i <- 1 to rounds) {
-      val p = i - 1
+      val start = (i - 1) * batch // global rank of the round's first merge - 1
+      val m = math.min(batch, numMerges - start)
       sb.append(
         s", p$i AS (SELECT l, r, sum(wc)::BIGINT AS cnt FROM " +
-          s"(SELECT wc, unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r FROM s$p) GROUP BY l, r)" +
-          s", b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)" +
-          s", s$i AS (SELECT word, wc, string_split(substr(fold, 2), chr(31)) AS s FROM " +
-          s"(SELECT word, wc, list_reduce(list_prepend('', s), (acc, x) -> " +
-          s"CASE WHEN right(acc, length(b$i.l)+1) = chr(31) || b$i.l AND x = b$i.r " +
-          s"THEN left(acc, length(acc)-length(b$i.l)-1) || chr(31) || b$i.l || b$i.r " +
-          s"ELSE acc || chr(31) || x END) AS fold FROM s$p, b$i))")
+          s"(SELECT wc, unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r FROM t$start) GROUP BY l, r)" +
+          s", b$i AS (SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk " +
+          s"FROM p$i ORDER BY cnt DESC, l, r LIMIT $m)")
+      for (j <- 1 to m) {
+        val k = start + j
+        val bj = s"(SELECT coalesce(max(CASE WHEN rk = $j THEN l END), chr(30)) AS l, " +
+          s"coalesce(max(CASE WHEN rk = $j THEN r END), chr(30)) AS r FROM b$i)"
+        sb.append(
+          s", t$k AS (SELECT word, wc, string_split(substr(fold, 2), chr(31)) AS s FROM " +
+            s"(SELECT word, wc, list_reduce(list_prepend('', s), (acc, x) -> " +
+            s"CASE WHEN right(acc, length(bj.l)+1) = chr(31) || bj.l AND x = bj.r " +
+            s"THEN left(acc, length(acc)-length(bj.l)-1) || chr(31) || bj.l || bj.r " +
+            s"ELSE acc || chr(31) || x END) AS fold FROM t${k - 1}, $bj bj))")
+      }
     }
     sb.toString
   }
 
-  private def bpeSql(rounds: Int): String =
-    bpeRoundsCte(rounds) + " SELECT * FROM (" +
-      (1 to rounds).map(i =>
-        s"""SELECT $i::BIGINT AS round, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM b$i""")
-        .mkString(" UNION ALL ") + ")"
+  private def bpeSql(numMerges: Int, batch: Int): String = {
+    val rounds = (numMerges + batch - 1) / batch
+    bpeRoundsCte(numMerges, batch) + " SELECT * FROM (" +
+      (1 to rounds).map { i =>
+        val start = (i - 1) * batch
+        s"""SELECT ($start + rk)::BIGINT AS round, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM b$i"""
+      }.mkString(" UNION ALL ") + ")"
+  }
 
-  /** Encode oracle: the final-round symbol table IS the encoded
-    * vocabulary; join per-occurrence tokens back and count subwords.
+  /** Encode oracle: the final symbol table IS the encoded vocabulary;
+    * join per-occurrence tokens back and count subwords.
     */
-  private def bpeEncodeSql(rounds: Int): String =
-    bpeRoundsCte(rounds) +
+  private def bpeEncodeSql(numMerges: Int, batch: Int): String =
+    bpeRoundsCte(numMerges, batch) +
       ", tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents), " +
-      s"enc AS (SELECT word, len(s)::BIGINT AS nt, length(word)::BIGINT AS nc FROM s$rounds) " +
+      s"enc AS (SELECT word, len(s)::BIGINT AS nt, length(word)::BIGINT AS nc FROM t$numMerges) " +
       "SELECT doc_id, count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens, " +
       "floor(sum(nc) * 1000000.0 / sum(nt))::BIGINT AS chars_per_token_micro " +
       "FROM tok JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id"

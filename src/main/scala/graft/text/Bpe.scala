@@ -62,9 +62,23 @@ object Bpe {
   /** Train `numMerges` BPE merges over the whitespace vocabulary of
     * `textCol`. Returns the merge table (round, left, right, merged,
     * pair_count) — the artifact a tokenizer consumes.
+    *
+    * `batch` > 1 enables BATCHED training (the standard distributed-BPE
+    * trick): each Spark round counts pairs ONCE, takes the top-`batch`
+    * pairs by (count desc, left, right), and applies them sequentially in
+    * that rank order. A production 32k-merge vocabulary then needs
+    * ~32k/batch Spark rounds instead of 32k sequential jobs. Semantics are
+    * deterministic but differ slightly from classic one-at-a-time BPE:
+    * `pair_count` is measured at the START of the round (before earlier
+    * merges in the same batch apply), and a pair whose occurrences were
+    * consumed by an earlier in-batch merge is still recorded (applying it
+    * is a no-op; a merged symbol formed mid-round cannot win until the
+    * next round). `batch = 1` (default) is exactly classic BPE.
     */
-  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               batch: Int = 1): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(batch >= 1, s"batch must be positive, got $batch")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(TextStats.tokens(col(textCol))).as("w"))
@@ -75,6 +89,7 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
+      val m = math.min(batch, numMerges - r + 1)
       val pairs = syms
         .select(col("wc"),
           slice(col("s"), lit(1), size(col("s")) - 1).as("la"),
@@ -82,16 +97,22 @@ object Bpe {
         .select(col("wc"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
         .select(col("wc"), col("p.la").as("l"), col("p.ra").as("r"))
         .groupBy(col("l"), col("r")).agg(sum(col("wc")).as("cnt"))
-      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+      // one TakeOrdered to the driver per ROUND (m merge decisions — the
+      // same driver role as k-means centroid collection)
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(m)
         .collect()
       if (best.isEmpty) exhausted = true
       else {
-        val row = best.head
-        val (l, rt, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-        merges += Merge(r, l, rt, cnt)
-        syms = syms.select(col("wc"), mergeColumn(col("s"), l, rt).as("s"))
-          .localCheckpoint(false)
-        r += 1
+        var s = syms
+        best.foreach { row =>
+          val (l, rt, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(r, l, rt, cnt)
+          // sequential in-batch application: m collapsed codegen
+          // projections, ONE checkpoint per round below
+          s = s.select(col("wc"), mergeColumn(col("s"), l, rt).as("s"))
+          r += 1
+        }
+        syms = s.localCheckpoint(false)
       }
     }
     mergeFrame(spark, merges.toSeq)

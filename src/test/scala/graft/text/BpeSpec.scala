@@ -39,6 +39,29 @@ class BpeSpec extends SparkSpec {
     assert(merges(2) == ((3L, "l", "o", "lo", 7L)))
   }
 
+  test("batched training applies the round's top pairs sequentially in rank order") {
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest"
+    ).toDF("text")
+    // round-start counts: es 9, st 9, we 8, lo 7, ow 7 ... batch=3 takes
+    // (e,s), (s,t), (w,e) at their ROUND-START counts and applies in that
+    // order: (e,s) consumes every (s,t) occurrence, so merge 2 is recorded
+    // but vacuous — the documented batched-BPE deviation from classic.
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 3, batch = 3)
+      .select("round", "left", "right", "merged", "pair_count")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(merges(0) == ((1L, "e", "s", "es", 9L)))
+    assert(merges(1) == ((2L, "s", "t", "st", 9L)))
+    assert(merges(2) == ((3L, "w", "e", "we", 8L)))
+    // batch=1 stays exactly classic (the sibling test's sequence)
+    val classic = Bpe.trainBpe(docs, "text", numMerges = 3, batch = 1)
+      .select("left", "right").as[(String, String)].collect().sortBy(_._1)
+    assert(classic.toSet == Set(("e", "s"), ("es", "t"), ("l", "o")))
+  }
+
   test("encodeCorpus tokenizes each doc with the learned merges") {
     val docs = Seq(
       (1L, "low low lowest"),
