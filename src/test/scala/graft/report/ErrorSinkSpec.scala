@@ -99,6 +99,66 @@ class ErrorSinkSpec extends SparkSpec {
     assert(ErrorSink.readDetailCsv(spark, s"$wd/report/detail").count() == 2)
   }
 
+  test("xlsx workbook: reference sheet structure, overflow split, valid OOXML parts") {
+    import org.apache.spark.sql.Row
+    val wd = tmpDir()
+    val msgs = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 7).map { i =>
+        Row("planets", s"key$i", "record", "error", "record", "loc",
+          "msg <&> \"quoted\"", "CODE", null, i.toLong, s"v$i", "Bad value")
+      }), graft.rules.Messages.schema)
+    val path = ErrorSink.writeExcelReport(msgs, s"$wd/report.xlsx",
+      nRecords = 100L, summaryInfo = Seq("File Name" -> "demo.csv"),
+      overflow = 3L)
+    // unzip and parse with the JDK only
+    val zf = new java.util.zip.ZipFile(path)
+    def xml(name: String): org.w3c.dom.Document = {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(true)
+      f.newDocumentBuilder().parse(zf.getInputStream(zf.getEntry(name)))
+    }
+    val wb = xml("xl/workbook.xml")
+    val sheetEls = wb.getElementsByTagNameNS("*", "sheet")
+    val names = (0 until sheetEls.getLength)
+      .map(i => sheetEls.item(i).getAttributes.getNamedItem("name").getNodeValue)
+    // 7 detail rows at overflow 3 -> 3 detail sheets with the _N suffixes
+    assert(names == Seq("Summary", "Error Summary",
+      "Error Data", "Error Data_2", "Error Data_3"), names)
+    def sheetRows(idx: Int): Seq[Seq[String]] = {
+      val doc = xml(s"xl/worksheets/sheet$idx.xml")
+      val rows = doc.getElementsByTagNameNS("*", "row")
+      (0 until rows.getLength).map { r =>
+        val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element]
+          .getElementsByTagNameNS("*", "c")
+        (0 until cells.getLength).map(c => cells.item(c).getTextContent)
+      }
+    }
+    val summary = sheetRows(1)
+    assert(summary.exists(r => r.contains("Status") &&
+      r.contains("File has been accepted with record rejections")))
+    assert(summary.exists(r => r.contains("File Name") && r.contains("demo.csv")))
+    assert(summary.exists(r => r.contains("Total Number of Records Processed") &&
+      r.contains("100")))
+    // Type x Table matrix: planets column, Record Rejection row counts 7
+    assert(summary.exists(r => r.contains("Record Rejection") && r.contains("7")))
+    // aggregate sheet: reference heading renames applied
+    val agg = sheetRows(2)
+    assert(agg.head == Seq("Type", "Group", "Data Item Submission Name",
+      "Category", "Error Code", "Count"))
+    assert(agg(1).contains("CODE") && agg(1).contains("7"))
+    // detail sheets: header + <=3 rows (+ trailer on continued sheets);
+    // XML-escaped message survives parsing
+    val d1 = sheetRows(3)
+    assert(d1.head.take(3) == Seq("Entity", "Key", "FailureType"))
+    assert(d1.last.contains("Errors continued on next sheet"))
+    assert(d1.exists(_.contains("msg <&> \"quoted\"")))
+    assert(sheetRows(5).length == 2) // header + final row, no trailer
+    assert(zf.getEntry("[Content_Types].xml") != null)
+    assert(zf.getEntry("_rels/.rels") != null)
+    assert(zf.getEntry("xl/_rels/workbook.xml.rels") != null)
+    zf.close()
+  }
+
   test("readAllFeedbackErrors unions stages; processing errors have their own location") {
     val wd = tmpDir()
     val cat = new EntityCatalog(Map("planets" -> planets), keyFields = Map.empty)
