@@ -517,8 +517,11 @@ object Similarity {
       .join(cbSub.withColumnRenamed("code_id", "code"), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         dot(col("__qs__"), col("__cs__")).as("__qdot__"))
+    // qd is bounded by (queries x subspaces x codewords) — the same bound
+    // that makes the LUT broadcastable — so hint it: without the hint this
+    // one-time LUT build planned as a SortMergeJoin on query_id
     val lut = broadcast(probed.select(col("query_id"), col("cell_id"))
-      .join(qd, "query_id")
+      .join(broadcast(qd), "query_id")
       .select(col("query_id"), col("cell_id"), col("sub"), col("code"),
         col("__qdot__").cast("decimal(30,12)").as("__pd__")))
     // coarse per-(query, probed-cell) credit: dot(q, cent) in DECIMAL so
