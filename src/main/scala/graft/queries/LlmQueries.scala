@@ -445,6 +445,19 @@ object LlmQueries {
         dim = 64, numSubspaces = 4, k = 5)
     }),
 
+    // Scalar quantization (SQ8): per-dimension linear int8 codes between
+    // the corpus-wide [min, max] — the compression rung below PQ.
+    "q_embed_sq" -> ((s, dir) =>
+      Similarity.sqEncode(embs(s, dir), "vec_id", "embedding", dim = 64)),
+
+    // KNN over SQ codes: dot(q, recon(v)) from (id, dim, code) integers
+    // plus the broadcast per-dimension stats — no database float vector.
+    "q_embed_sq_knn" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.sqKnn(e, e.where(expr(KnnQueryPred)),
+        "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
     "q_embed_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfKnn(e, e.where(expr(KnnQueryPred)),
@@ -777,6 +790,36 @@ object LlmQueries {
       s"SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(score, 6)::DOUBLE AS score " +
       s"FROM r WHERE rank <= $k"
   }
+
+  /** DuckDB replica of [[Similarity.sqEncode]] / [[Similarity.sqKnn]]:
+    * identical double op order for the quantize and reconstruct formulas,
+    * decimal-summed per-dimension terms.
+    */
+  private def sqLongFormCte(dim: Int, levels: Int): String =
+    s"WITH lf AS (SELECT vec_id, d.range AS dim, embedding[d.range+1]::DOUBLE AS x " +
+      s"FROM embeddings CROSS JOIN range($dim) d), " +
+      "st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM lf GROUP BY dim), " +
+      "codes AS (SELECT lf.vec_id, lf.dim, " +
+      s"(CASE WHEN st.mx > st.mn THEN round(((lf.x - st.mn) * ${levels - 1}) / (st.mx - st.mn)) " +
+      "ELSE 0 END)::BIGINT AS code FROM lf JOIN st USING (dim))"
+
+  private def sqEncodeSql(dim: Int, levels: Int): String =
+    sqLongFormCte(dim, levels) +
+      " SELECT vec_id, dim::BIGINT AS dim, code FROM codes"
+
+  private def sqKnnSql(dim: Int, levels: Int, k: Int): String =
+    sqLongFormCte(dim, levels) +
+      s", stp AS (SELECT dim, mn, (mx - mn) / ${levels - 1} AS step FROM st), " +
+      s"q AS (SELECT vec_id AS query_id, d.range AS dim, embedding[d.range+1]::DOUBLE AS qx " +
+      s"FROM embeddings CROSS JOIN range($dim) d WHERE $KnnQueryPred), " +
+      "sc AS (SELECT q.query_id, codes.vec_id AS neighbor_id, " +
+      "sum((q.qx * (stp.mn + codes.code * stp.step))::DECIMAL(30,12))::DOUBLE AS score " +
+      "FROM codes JOIN q USING (dim) JOIN stp USING (dim) GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, neighbor_id, score, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+      "FROM sc WHERE query_id != neighbor_id) " +
+      s"SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(score, 6)::DOUBLE AS score " +
+      s"FROM r WHERE rank <= $k"
 
   /** Mixture targets for q_mix_budget — weights chosen so one stratum (de)
     * caps at rate 1000 while the rest subsample, exercising both arms of
@@ -1282,6 +1325,8 @@ object LlmQueries {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
     "q_embed_semdedup" -> semdedupSql(numPlanes = 12, dim = 64, threshold = 0.45),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
+    "q_embed_sq" -> sqEncodeSql(dim = 64, levels = 256),
+    "q_embed_sq_knn" -> sqKnnSql(dim = 64, levels = 256, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
     "q_embed_ivfpq" -> ivfPqKnnSql(dim = 64, numSubspaces = 4, k = 5, nProbe = 3),
     "q_embed_kmeans" -> kmeansSql(dim = 64, iterations = 2),

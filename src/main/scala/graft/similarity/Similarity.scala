@@ -544,6 +544,86 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("score"), 6).as("score"))
   }
 
+  /** Scalar quantization (SQ8 — the FAISS `ScalarQuantizer` lane): each
+    * dimension is linearly quantized to `levels` codes between the
+    * corpus-wide per-dimension [min, max]. 4x smaller than float32 at
+    * `levels = 256` with near-lossless recall for most embedding
+    * distributions — the cheapest compression rung below PQ, and the one
+    * production indexes reach for first.
+    *
+    * Long form (vec_id, dim, code): one corpus scan exploded per
+    * dimension; the per-dimension stats are a broadcast `dim`-row
+    * aggregate. `code = round(((v - mn) * (levels-1)) / (mx - mn))` in
+    * exactly that double op order (oracle-replicable; round is
+    * half-away-from-zero on the non-negative operand in both engines);
+    * a constant dimension (mx == mn) codes 0.
+    */
+  def sqEncode(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+               levels: Int = 256): DataFrame = {
+    val longForm = corpus
+      .select(col(idCol), explode(sequence(lit(0), lit(dim - 1))).as("dim"),
+        col(vecCol).as("__v__"))
+      .select(col(idCol), col("dim"),
+        element_at(col("__v__"), col("dim") + 1).cast("double").as("__x__"))
+    val stats = broadcast(longForm.groupBy(col("dim"))
+      .agg(min(col("__x__")).as("__mn__"), max(col("__x__")).as("__mx__")))
+    longForm.join(stats, "dim")
+      .select(col(idCol), col("dim").cast("bigint").as("dim"),
+        when(col("__mx__") > col("__mn__"),
+          round((col("__x__") - col("__mn__")) * lit(levels - 1)
+            / (col("__mx__") - col("__mn__"))))
+          .otherwise(lit(0.0)).cast("bigint").as("code"))
+  }
+
+  /** KNN over SQ codes: score = dot(q, recon(v)) where
+    * `recon_d = mn_d + code_d * step_d`, `step_d = (mx_d - mn_d)/(levels-1)`
+    * — search touches (id, dim, code) integers plus the broadcast
+    * `dim`-row stats table, never a database float vector (the SQ analog
+    * of [[pqAdcKnn]]).
+    *
+    * Scale shape: the query side is broadcast long-form (queries x dim);
+    * scoring joins codes on `dim`, and the per-(query, neighbor) sum
+    * partial-aggregates before the shuffle — the shuffle carries one row
+    * per (query, vector), not per dimension. Per-dimension terms are
+    * computed in one defined double op order and summed as DECIMAL, so
+    * totals are order-independent and cross-engine exact.
+    */
+  def sqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, dim: Int, k: Int, levels: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val longForm = corpus
+      .select(col(idCol), explode(sequence(lit(0), lit(dim - 1))).as("dim"),
+        col(vecCol).as("__v__"))
+      .select(col(idCol), col("dim"),
+        element_at(col("__v__"), col("dim") + 1).cast("double").as("__x__"))
+    val stats = broadcast(longForm.groupBy(col("dim"))
+      .agg(min(col("__x__")).as("__mn__"), max(col("__x__")).as("__mx__"))
+      .select(col("dim"), col("__mn__"),
+        ((col("__mx__") - col("__mn__")) / lit(levels - 1)).as("__step__")))
+    val codes = sqEncode(corpus, idCol, vecCol, dim, levels)
+      .select(col(idCol).as("neighbor_id"), col("dim").cast("int").as("dim"),
+        col("code"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        explode(sequence(lit(0), lit(dim - 1))).as("dim"), col(vecCol).as("__q__"))
+      .select(col("query_id"), col("dim"),
+        element_at(col("__q__"), col("dim") + 1).cast("double").as("__qx__"))
+      .join(stats, "dim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    codes.join(q, "dim")
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__qx__") * (col("__mn__") + col("code") * col("__step__")))
+          .cast("decimal(30,12)").as("__t__"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__t__")).cast("double").as("score"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), round(col("score"), 6).as("score"))
+  }
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

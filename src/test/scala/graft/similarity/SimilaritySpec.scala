@@ -160,6 +160,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("sqEncode quantizes each dimension linearly; codes hit the range ends") {
+    val data = Seq(
+      (0L, Seq(0.0f, 10.0f)),
+      (1L, Seq(1.0f, 20.0f)),
+      (2L, Seq(0.5f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.sqEncode(data, "vec_id", "embedding", dim = 2)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(codes((0L, 0L)) == 0L && codes((1L, 0L)) == 255L)
+    assert(codes((2L, 0L)) == 128L) // 0.5 of the range, round half up
+    assert(codes((0L, 1L)) == 0L && codes((1L, 1L)) == 255L && codes((2L, 1L)) == 0L)
+  }
+
+  test("sqKnn recall vs brute force on unit vectors") {
+    // intra-cluster neighbor gaps here (~1e-3 on unit vectors) sit at the
+    // SQ8 quantization error scale (range/255 per dim summed over 8 dims),
+    // so this is the WORST case for scalar quantization — deterministic
+    // recall 7/9; structures with gaps above the error are exact
+    val data = unitVecs.toDF("vec_id", "embedding")
+    val queries = data.where("vec_id < 3")
+    val exact = Similarity.bruteForceKnn(data, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.sqKnn(data, queries, "vec_id", "embedding",
+        dim = 8, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("semanticDedup resolves embedding clusters to one keeper each") {
     spark.catalog.clearCache()
     // 3 orthogonal clusters: cluster-mates cos ~1, cross-cluster ~0 — at
