@@ -445,6 +445,16 @@ object LlmQueries {
         dim = 64, numSubspaces = 4, k = 5)
     }),
 
+    // Johnson–Lindenstrauss projection: 64 -> 16 dims through the
+    // deterministic hyperplane table shared with sign-LSH; the dim
+    // reduction step that runs BEFORE every ANN operator at 100 TB.
+    "q_embed_jl" -> ((s, dir) =>
+      embs(s, dir)
+        .select(col("vec_id"),
+          posexplode(Similarity.jlProject(col("embedding"), 16)).as(Seq("p", "v")))
+        .select(col("vec_id"), col("p").cast("bigint").as("p"),
+          round(col("v"), 9).as("v"))),
+
     // Scalar quantization (SQ8): per-dimension linear int8 codes between
     // the corpus-wide [min, max] — the compression rung below PQ.
     "q_embed_sq" -> ((s, dir) =>
@@ -802,6 +812,20 @@ object LlmQueries {
       "codes AS (SELECT lf.vec_id, lf.dim, " +
       s"(CASE WHEN st.mx > st.mn THEN round(((lf.x - st.mn) * ${levels - 1}) / (st.mx - st.mn)) " +
       "ELSE 0 END)::BIGINT AS code FROM lf JOIN st USING (dim))"
+
+  /** DuckDB replica of [[Similarity.jlProject]]: the same
+    * MINSTD-xorshift-MINSTD component arithmetic as the LSH oracles, the
+    * same in-order sum, the same `* (1/sqrt(outDim))` scale op order.
+    */
+  private def jlProjectSql(dim: Int, outDim: Int): String = {
+    val h1 = "(((p.range * 131071 + d + 1) * 48271) % 2147483647)"
+    val comp = s"((((xor($h1, $h1 >> 15) * 48271) % 2147483647) % 2000000 - 1000000)::DOUBLE / 1000000.0)"
+    s"WITH pr AS (SELECT vec_id, p.range AS p, " +
+      s"list_sum(list_transform(range($dim), d -> embedding[d+1]::DOUBLE * $comp)) " +
+      s"* (1.0 / sqrt(${outDim}.0)) AS v " +
+      s"FROM embeddings CROSS JOIN range($outDim) p) " +
+      "SELECT vec_id, p::BIGINT AS p, round(v, 9)::DOUBLE AS v FROM pr"
+  }
 
   private def sqEncodeSql(dim: Int, levels: Int): String =
     sqLongFormCte(dim, levels) +
@@ -1325,6 +1349,7 @@ object LlmQueries {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
     "q_embed_semdedup" -> semdedupSql(numPlanes = 12, dim = 64, threshold = 0.45),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
+    "q_embed_jl" -> jlProjectSql(dim = 64, outDim = 16),
     "q_embed_sq" -> sqEncodeSql(dim = 64, levels = 256),
     "q_embed_sq_knn" -> sqKnnSql(dim = 64, levels = 256, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),

@@ -125,4 +125,93 @@ object LshCodeExpr {
     org.apache.spark.sql.graft.ExpressionBridge.column(
       LshCodeExpr(
         org.apache.spark.sql.graft.ExpressionBridge.expression(vec), numPlanes))
+
+  /** The pre-sign hyperplane projections of [[compute]], scaled by
+    * 1/sqrt(outDim) — the Johnson–Lindenstrauss map over the same
+    * deterministic component table. Null on an empty vector or null
+    * element (a projection of poisoned sums would silently look like a
+    * real point; sign-LSH's code-0 convention does not transfer).
+    */
+  def project(vec: ArrayData, outDim: Int, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    if (n == 0) return null
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    val comp = componentTable(outDim, n)
+    val scale = 1.0 / java.lang.Math.sqrt(outDim.toDouble)
+    val out = new Array[Any](outDim)
+    var p = 0
+    while (p < outDim) {
+      var s = 0.0
+      var d = 0
+      val off = p * n
+      while (d < n) {
+        val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        s += x * comp(off + d)
+        d += 1
+      }
+      out(p) = s * scale
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native codegen Johnson–Lindenstrauss random projection: `outDim`
+  * deterministic ±[-1,1) hyperplane dot products (the SAME component table
+  * as [[LshCodeExpr]] — sign-LSH is exactly the sign of this map), scaled
+  * by 1/sqrt(outDim). Cosine is scale-invariant, so downstream ANN over
+  * the projected vectors needs no further normalization.
+  *
+  * Can return null (empty vector / null element) even for a non-nullable
+  * child, so `nullable` is overridden — without it Catalyst allocates no
+  * isNull slot and whole-stage codegen fails compilation (the
+  * DoubleDotProductExpr lesson).
+  */
+final case class JlProjectExpr(child: Expression, outDim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jl_project"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshCodeExpr.project(input.asInstanceOf[ArrayData], outDim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat
+    nullSafeCodeGen(ctx, ev, arr => {
+      val boxed = ctx.freshName("jlBoxed")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $boxed =
+         |  graft.similarity.LshCodeExpr.project($arr, $outDim, $f);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
+    copy(child = newChild)
+}
+
+object JlProjectExpr {
+  def project(vec: Column, outDim: Int): Column =
+    org.apache.spark.sql.graft.ExpressionBridge.column(
+      JlProjectExpr(
+        org.apache.spark.sql.graft.ExpressionBridge.expression(vec), outDim))
 }

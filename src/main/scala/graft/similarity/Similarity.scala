@@ -119,6 +119,16 @@ object Similarity {
   /** MSB-first packed [[lshBits]] as one long — native codegen expression. */
   def lshCode(vec: Column, numPlanes: Int): Column = LshCodeExpr.code(vec, numPlanes)
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dims — native
+    * codegen expression over the SAME deterministic hyperplane table as
+    * [[lshCode]] (sign-LSH is exactly the sign of this map). The 100 TB
+    * use: collapse a 1536-dim embedding column to 32-64 dims once, then
+    * run every ANN/near-dup operator on the small vectors — JL preserves
+    * pairwise angles with high probability, and cosine is invariant to
+    * the 1/sqrt(outDim) scale.
+    */
+  def jlProject(vec: Column, outDim: Int): Column = JlProjectExpr.project(vec, outDim)
+
   /** Approximate top-k: candidates are corpus vectors sharing the query's
     * bucket or any Hamming-1 probe bucket; exact cosine re-rank inside
     * candidates. Recall tunes with `numPlanes` (fewer planes = bigger

@@ -344,6 +344,62 @@ class SimilaritySpec extends SparkSpec {
     assert(proj(mismatch).isNullAt(0))
   }
 
+  test("jlProject signs equal lshBits (same hyperplane table); cosine survives") {
+    val both = vecs.select(
+      Similarity.lshBits(col("embedding"), 8).as("bits"),
+      Similarity.jlProject(col("embedding"), 8).as("proj"))
+      .as[(Seq[Long], Seq[Double])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (bits, proj) =>
+      assert(proj.length == 8)
+      assert(bits == proj.map(v => if (v >= 0) 1L else 0L), s"$bits vs $proj")
+    }
+    // JL preserves relative similarity structure: same-cluster pairs stay
+    // more similar than cross-cluster pairs after a 64->16 projection
+    val rnd = new scala.util.Random(3)
+    val wide = (0 until 30).map { i =>
+      val base = Array.fill(64)(0.0f); base(i % 3) = 1.0f
+      (i.toLong, base.map(v => v + rnd.nextFloat() * 0.1f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val projected = wide.select(col("vec_id"),
+      Similarity.jlProject(col("embedding"), 16).as("embedding"))
+    val cos = projected.as("a").join(projected.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+    val (same, cross) = cos.partition { case (a, b, _) => a % 3 == b % 3 }
+    assert(same.map(_._3).min > cross.map(_._3).max,
+      s"JL lost cluster separation: same-min=${same.map(_._3).min} cross-max=${cross.map(_._3).max}")
+  }
+
+  test("jlProject null semantics and codegen with non-nullable input") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tag", StringType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row("null_vec", null),
+      Row("empty_vec", Seq.empty[Float]),
+      Row("null_elem", Seq[java.lang.Float](1.0f, null, 2.0f)))
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(col("tag"), Similarity.jlProject(col("embedding"), 4).as("p"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(out.values.forall(identity), s"all three poison cases must be null: $out")
+    // codegen compiles with a non-nullable child even though the result
+    // can be null (the DoubleDotProductExpr janino trap)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val expr = JlProjectExpr(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = false), 4)
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    assert(!proj(InternalRow(ArrayData.toArrayData(Array(1.0, 2.0)))).isNullAt(0))
+    assert(proj(InternalRow(ArrayData.toArrayData(Array.empty[Double]))).isNullAt(0))
+  }
+
   test("lshBits is deterministic across invocations") {
     val a = vecs.select(Similarity.lshBits(col("embedding"), 8)).as[Seq[Long]].collect()
     val b = vecs.select(Similarity.lshBits(col("embedding"), 8)).as[Seq[Long]].collect()
