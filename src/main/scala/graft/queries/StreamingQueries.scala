@@ -198,6 +198,57 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$base/out")
+    }),
+
+    // LEFT OUTER stream-stream interval join: converting views match
+    // eagerly, non-converting views emit with null purchase columns once
+    // the watermark passes view_ts + 30min. All real rows land in ONE file
+    // per stream (exact inner matches need no cross-batch tolerance) with
+    // a far-future sentinel on BOTH streams in the same file: the
+    // post-batch watermark advance triggers the no-data batch that flushes
+    // every unmatched real view. The sentinels themselves stay in state
+    // (watermark never passes them) and are filtered on read-back.
+    "q_stream_join_outer" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_join_outer"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      Fixtures.ensure(s"$base/landing", dir) {
+        val events = CoreQueries.loadEvents(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
+        val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+        def side(tpe: String, tsName: String, idName: String, sentinelUid: Long): Unit =
+          events.where(col("event_type") === tpe)
+            .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
+            .unionByName(s.createDataFrame(
+              java.util.List.of(org.apache.spark.sql.Row(sentinelUid, sentinel, -1L)),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("user_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField(tsName,
+                  org.apache.spark.sql.types.TimestampType),
+                org.apache.spark.sql.types.StructField(idName,
+                  org.apache.spark.sql.types.LongType)))))
+            .coalesce(1).write.mode("overwrite").parquet(s"$base/landing/$tpe")
+        side("view", "view_ts", "view_id", -1L)
+        side("purchase", "purchase_ts", "purchase_id", -2L)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+      def stream(path: String): DataFrame =
+        s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+      val joined = Streaming.intervalJoinLeftOuter(
+        stream(s"$base/landing/view"), stream(s"$base/landing/purchase"), "user_id",
+        "view_ts", "purchase_ts", watermarkDelay = "1 minute", within = "30 minutes")
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").where(col("user_id") >= 0L)
     })
   )
 
@@ -229,6 +280,12 @@ object StreamingQueries {
       ("SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id " +
         "FROM events l JOIN events r ON l.event_type = 'view' " +
         "AND r.event_type = 'purchase' AND l.user_id = r.user_id " +
-        "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE")
+        "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"),
+    "q_stream_join_outer" ->
+      ("WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') " +
+        "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id " +
+        "FROM v LEFT JOIN p ON v.user_id = p.user_id " +
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE")
   )
 }

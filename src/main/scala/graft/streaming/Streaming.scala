@@ -104,18 +104,36 @@ object Streaming {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTsCol: String, rightTsCol: String,
-                   watermarkDelay: String, within: String): DataFrame = {
+                   watermarkDelay: String, within: String,
+                   joinType: String = "inner"): DataFrame = {
     require(leftTsCol != rightTsCol,
       "rename the time columns apart before joining (both survive in the output)")
+    require(Seq("inner", "leftouter", "left").contains(
+      joinType.toLowerCase.replace("_", "")),
+      s"interval join supports inner and left_outer, got '$joinType'")
     val l = asEventTime(left, leftTsCol).withWatermark(leftTsCol, watermarkDelay)
     val r = asEventTime(right, rightTsCol).withWatermark(rightTsCol, watermarkDelay)
       .withColumnRenamed(keyCol, "__rkey__")
     l.join(r,
       col(keyCol) === col("__rkey__") &&
         col(rightTsCol) >= col(leftTsCol) &&
-        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $within"))
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $within"),
+      joinType)
       .drop("__rkey__")
   }
+
+  /** LEFT OUTER variant of [[intervalJoin]]: matched rows emit eagerly per
+    * micro-batch; an UNMATCHED left row emits with null right columns once
+    * the watermark passes `leftTs + within` (no right row can match it
+    * anymore) — the attribution shape that also reports non-converting
+    * events. State bounds are identical to the inner join; the null-side
+    * emission is what the watermark contract buys.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                            leftTsCol: String, rightTsCol: String,
+                            watermarkDelay: String, within: String): DataFrame =
+    intervalJoin(left, right, keyCol, leftTsCol, rightTsCol,
+      watermarkDelay, within, joinType = "left_outer")
 
   /** Streaming exact-dedup on key columns via the engine's own state-store
     * operator (`dropDuplicates` on a stream): codegen'd, no typed

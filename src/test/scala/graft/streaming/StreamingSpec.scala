@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0")))
   }
 
+  test("intervalJoinLeftOuter emits unmatched left rows after the watermark passes") {
+    val views = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val buys = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val joined = Streaming.intervalJoinLeftOuter(
+      views.toDF().toDF("user_id", "view_ts"),
+      buys.toDF().toDF("user_id", "purchase_ts"),
+      "user_id", "view_ts", "purchase_ts",
+      watermarkDelay = "10 minutes", within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ijo_out")
+      .outputMode(OutputMode.Append()).start()
+    views.addData((1L, t(0)), (2L, t(0))) // user 2 never converts
+    buys.addData((1L, t(10)))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past t0+30m: the unmatched view flushes
+    views.addData((9L, t(120)))
+    buys.addData((9L, t(121)))
+    q.processAllAvailable()
+    val got = spark.table("ijo_out")
+      .select("user_id", "view_ts", "purchase_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.getTimestamp(2)).map(_.toString))).toSet
+    q.stop()
+    assert(got.contains((1L, "2024-01-01 10:00:00.0", Some("2024-01-01 10:10:00.0"))))
+    assert(got.contains((2L, "2024-01-01 10:00:00.0", None)), s"unmatched row missing: $got")
+    assert(got.contains((9L, "2024-01-01 12:00:00.0", Some("2024-01-01 12:01:00.0"))))
+  }
+
   test("sessionize merges gap-windows per key and emits once the watermark passes") {
     val stream = MemoryStream[(java.sql.Timestamp, Long)](spark)
     val df = Streaming.sessionize(
