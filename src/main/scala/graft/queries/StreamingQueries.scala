@@ -70,6 +70,36 @@ object StreamingQueries {
       s.read.parquet(s"$base/out").where(col("event_type") =!= "___sentinel___")
     }),
 
+    // SLIDING-window streaming counts: 1-hour windows every 15 minutes —
+    // each event lands in exactly 4 epoch-aligned windows; same sentinel
+    // flush discipline as q_stream_window.
+    "q_stream_window_sliding" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_window_sliding"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val events = CoreQueries.loadEvents(s, dir)
+        .select(col("ts"), col("event_type"))
+      val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
+      val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+      val withSentinel = events.unionByName(
+        events.sparkSession.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(sentinel, "___sentinel___")),
+          events.schema))
+      withSentinel.coalesce(2).write.parquet(s"$base/landing")
+      val stream = s.readStream.schema(events.schema).parquet(s"$base/landing")
+      val agg = Streaming.windowedCounts(stream, "ts", "event_type",
+        "1 hour", "1 minute", slideDuration = Some("15 minutes"))
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").where(col("event_type") =!= "___sentinel___")
+    }),
+
     // Streaming exact-dedup through the state-store dropDuplicates
     // operator: only the first row per key passes. Output restricted to
     // the key so the result is arrival-order independent — the surviving
@@ -261,6 +291,13 @@ object StreamingQueries {
     "q_stream_window" ->
       ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start, " +
         "event_type, count(1)::BIGINT AS cnt FROM events GROUP BY 1, 2"),
+    // each event falls in the 4 epoch-aligned hour windows whose starts
+    // are its 15-minute bucket minus 0..3 slides
+    "q_stream_window_sliding" ->
+      ("SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) " +
+        "- k.range * INTERVAL 15 MINUTE AS window_start, " +
+        "event_type, count(1)::BIGINT AS cnt " +
+        "FROM events CROSS JOIN range(4) k GROUP BY 1, 2"),
     "q_stream_dedup" ->
       "SELECT DISTINCT l_orderkey FROM lineitem",
     "q_stream_sessions" ->

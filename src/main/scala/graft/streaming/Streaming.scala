@@ -58,13 +58,18 @@ object Streaming {
 
   /** Watermarked event-time windowed aggregation — late data beyond the
     * watermark is dropped and state is bounded, so the aggregation runs
-    * indefinitely at constant memory.
+    * indefinitely at constant memory. `slideDuration` < `windowDuration`
+    * gives overlapping (sliding) windows — each event lands in
+    * window/slide windows, all epoch-aligned; `None` is tumbling.
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-                     windowDuration: String, watermarkDelay: String): DataFrame =
+                     windowDuration: String, watermarkDelay: String,
+                     slideDuration: Option[String] = None): DataFrame =
     asEventTime(events, tsCol)
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .groupBy(slideDuration
+        .map(s => window(col(tsCol), windowDuration, s))
+        .getOrElse(window(col(tsCol), windowDuration)), col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt").cast("bigint").as("cnt"))

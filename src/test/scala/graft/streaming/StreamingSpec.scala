@@ -44,6 +44,28 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:10:00.0", "b", 1L)))
   }
 
+  test("windowedCounts sliding: each event lands in window/slide overlapping windows") {
+    val stream = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = Streaming.windowedCounts(
+      stream.toDF().toDF("ts", "k"), "ts", "k", "30 minutes", "5 minutes",
+      slideDuration = Some("10 minutes"))
+    val q = df.writeStream.format("memory").queryName("win_sliding")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((t(1), "a"), (t(20), "a"))
+    q.processAllAvailable()
+    stream.addData((t(59), "a")) // advances watermark past every earlier window
+    q.processAllAvailable()
+    val got = spark.table("win_sliding")
+      .select("window_start", "k", "cnt").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    q.stop()
+    // 10:01 -> windows starting 09:40, 09:50, 10:00; 10:20 -> 10:00, 10:10, 10:20
+    assert(got("2024-01-01 09:40:00.0") == 1L && got("2024-01-01 09:50:00.0") == 1L)
+    assert(got("2024-01-01 10:00:00.0") == 2L) // both events overlap here
+    assert(got("2024-01-01 10:10:00.0") == 1L && got("2024-01-01 10:20:00.0") == 1L)
+  }
+
   test("windowedCounts accepts a TIMESTAMP_NTZ event-time column (casts to LTZ)") {
     // parquet timestamp[us] without UTC adjustment surfaces as NTZ; the
     // operator owns the LTZ normalization so watermarks still work
