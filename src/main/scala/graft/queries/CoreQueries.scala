@@ -211,6 +211,13 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))),
 
+    // Z-order layout key over (user_id, event minute): the Morton
+    // interleave that clusters files for min/max pruning on BOTH columns.
+    "q_layout_zorder" -> ((s, dir) =>
+      loadEvents(s, dir).select(col("event_id"),
+        graft.sources.ZOrder.zOrderKey(col("user_id"),
+          expr("unix_timestamp(ts) div 60")).as("zkey"))),
+
     // As-of join (union-sort-carry — Spark has no ASOF operator): each
     // purchase event gets the user's most recent view at-or-before it.
     // Oracle: DuckDB's native ASOF JOIN — an independent implementation of
@@ -512,7 +519,26 @@ object CoreQueries {
   private[graft] val fixtures: Seq[(SparkSession, String) => Unit] =
     Seq((s, d) => bucketedFixture(s, d))
 
+  /** DuckDB replica of the Morton bit spread in
+    * [[graft.sources.ZOrder.spreadBits]] — the same 5 shift/mask rounds in
+    * 64-bit integer arithmetic.
+    */
+  private def spreadSql(x: String): String = {
+    val s0 = s"($x & 4294967295)"
+    val s1 = s"(($s0 | ($s0 << 16)) & 281470681808895)"
+    val s2 = s"(($s1 | ($s1 << 8)) & 71777214294589695)"
+    val s3 = s"(($s2 | ($s2 << 4)) & 1085102592571150095)"
+    val s4 = s"(($s3 | ($s3 << 2)) & 3689348814741910323)"
+    s"(($s4 | ($s4 << 1)) & 6148914691236517205)"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      (s"SELECT event_id, (${spreadSql("user_id")} | " +
+        // floor before the cast: DuckDB epoch() is a DOUBLE and ::BIGINT
+        // ROUNDS, while Spark's unix_timestamp truncates sub-second parts
+        s"(${spreadSql("(floor(epoch(CAST(ts AS TIMESTAMP)))::BIGINT // 60)")} << 1)) AS zkey " +
+        "FROM events"),
     "q_add" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS disc_price FROM lineitem",
     "q_remove" ->
