@@ -140,6 +140,33 @@ object Streaming {
     intervalJoin(left, right, keyCol, leftTsCol, rightTsCol,
       watermarkDelay, within, joinType = "left_outer")
 
+  /** Streaming sink through the COMMITTED-append audit protocol: every
+    * micro-batch is written via
+    * [[graft.audit.Auditing.appendAuditCommitted]] (data files at final
+    * unique names, a conditional-put `_commits/<writeId>` marker as the
+    * commit point), so concurrent readers using `readCommitted` never see
+    * a torn batch — the streaming extension of the batch pipeline's audit
+    * discipline. Structured Streaming's checkpoint gives at-least-once
+    * batch delivery; a replayed batch writes a NEW writeId, so consumers
+    * needing exactly-once should dedup on `batch_id`, which is stamped on
+    * every row here for that purpose. Rows without the audit-table
+    * `updated_at` column get the batch wall-clock time (it drives the
+    * table's date partitioning).
+    */
+  def committedSink(df: DataFrame, path: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val stamped0 = batch.withColumn("batch_id", lit(batchId))
+        val stamped =
+          if (stamped0.columns.contains("updated_at")) stamped0
+          else stamped0.withColumn("updated_at", current_timestamp())
+        graft.audit.Auditing.appendAuditCommitted(stamped, path)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming exact-dedup on key columns via the engine's own state-store
     * operator (`dropDuplicates` on a stream): codegen'd, no typed
     * serialization, watermark-evictable state when the caller adds
