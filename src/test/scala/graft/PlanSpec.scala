@@ -190,4 +190,29 @@ class PlanSpec extends SparkSpec {
     assert(analyzed.split("EventTimeWatermark").length == 3, analyzed)
     assert(analyzed.contains("Join Inner"), analyzed)
   }
+
+  test("SQ and IVF-PQ search paths plan with broadcast joins only") {
+    for (q <- Seq("q_embed_sq_knn", "q_embed_ivfpq")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q regressed to a non-broadcast join:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("z-order key is pure codegen column arithmetic (no shuffle, no fallback)") {
+    val p = plan("q_layout_zorder")
+    assert(!p.contains("Exchange"), s"zorder key gained a shuffle:\n$p")
+    // the projection computing the key sits in a WholeStageCodegen span
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*")), p)
+  }
+
+  test("jl_project is the native expression in the plan (no interpreted HOF)") {
+    val docs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = docs.select(graft.similarity.Similarity.jlProject(
+      org.apache.spark.sql.functions.col("embedding"), 16))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("jl_project"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
 }
