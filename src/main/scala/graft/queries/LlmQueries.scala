@@ -53,6 +53,12 @@ object LlmQueries {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.prefixFilterJoin(docs(s, dir), "doc_id", "text", shingleSize = 3, threshold = 0.5)),
 
+    // Asymmetric containment pairs: a's shingles mostly inside b — the
+    // doc-embedded-in-longer-doc case symmetric Jaccard misses.
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashDedup(docs(s, dir), "doc_id", "text",
         shingleSize = 3, numHashes = 192, numBands = 64, threshold = 0.5)
@@ -1110,6 +1116,14 @@ object LlmQueries {
     "q_dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS dup_count FROM documents GROUP BY 1",
     "q_dedup_ngram" -> allPairsSql("a, b, jaccard"),
+    // exact all-ORDERED-pairs containment reference (candidates in the
+    // Spark plan come from the one-sided prefix filter, which is
+    // completeness-preserving, so the sets must match exactly)
+    "q_dedup_containment" ->
+      (s"$shingleCte SELECT a, b, round(c, 6)::DOUBLE AS containment FROM (" +
+        "SELECT x.doc_id AS a, y.doc_id AS b, " +
+        "len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh)::DOUBLE AS c " +
+        "FROM sh x JOIN sh y ON x.doc_id != y.doc_id) p WHERE c >= 0.8"),
     "q_dedup_minhash" -> allPairsSql("a, b"),
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_simhash_pairs" ->

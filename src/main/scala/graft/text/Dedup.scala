@@ -355,6 +355,79 @@ object Dedup {
       .dropDuplicates("a", "b"), withShingles)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: ordered pairs (a, b) with
+    * `C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| >= threshold` — a document
+    * embedded in a longer one (quoted posts, aggregator pages, boilerplate
+    * wrappers). Symmetric Jaccard misses these: a 10x-longer container
+    * caps jaccard at ~0.1 while containment is ~1.
+    *
+    * Candidate generation is the one-sided prefix filter: if
+    * C(a→b) >= t then fewer than t*|a| of a's tokens are outside its
+    * rare-first prefix of length |a| - ceil(t*|a|) + 1, so at least one
+    * PREFIX token of `a` is shared with b — probing a full token index of
+    * the container side finds every qualifying pair (completeness
+    * argument mirrors [[prefixFilterJoin]]; only the probe side can be
+    * prefix-pruned for containment because |b| is unbounded). A size
+    * filter (`|b| >= ceil(t*|a|)` — the intersection needs that many
+    * tokens in b) prunes the rest. Shuffles are pinned equi-joins on the
+    * token key; the container-side index is the corpus token table — the
+    * documented skew remedy is the LSH family's: pre-collapse exact dups
+    * first.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame =
+    containmentPairsImpl(docs, idCol, textCol, shingleSize, threshold)._1
+
+  /** [[containmentPairs]] with cache ownership — see [[minHashDedupWith]]. */
+  def containmentPairsWith[T](docs: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int = 3, threshold: Double = 0.8)
+                             (use: DataFrame => T): T = {
+    val (result, owned) = containmentPairsImpl(docs, idCol, textCol, shingleSize, threshold)
+    try use(result) finally owned.unpersist(blocking = false)
+  }
+
+  private def containmentPairsImpl(docs: DataFrame, idCol: String, textCol: String,
+                                   shingleSize: Int, threshold: Double): (DataFrame, DataFrame) = {
+    val withShingles = widen(docs).select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withShingles.count()
+    val exploded = withShingles.select(col(idCol), explode(col("sh")).as("tok"))
+    val withCnt = exploded.withColumn("cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    val sorted = withCnt
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
+    val prefixLen = (size(col("sh_sorted"))
+      - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
+    val prefixes = pinPartitions(sorted
+      .select(col(idCol).as("a"), size(col("sh_sorted")).as("a_sz"),
+        explode(transform(slice(col("sh_sorted"), lit(1), prefixLen),
+          x => x.getField("tok"))).as("tok")),
+      col("tok"))
+    val full = pinPartitions(sorted
+      .select(col(idCol).as("b"), size(col("sh_sorted")).as("b_sz"),
+        explode(transform(col("sh_sorted"), x => x.getField("tok"))).as("tok")),
+      col("tok"))
+    val candidates = prefixes.join(full,
+        prefixes("tok") === full("tok") && col("a") =!= col("b")
+          && col("b_sz") >= ceil(lit(threshold) * col("a_sz")))
+      .select(col("a"), col("b"))
+    val left = withShingles.select(col(idCol).as("a"), col("sh").as("sh_a"))
+    val right = withShingles.select(col(idCol).as("b"), col("sh").as("sh_b"))
+    val spark = candidates.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val verified = candidates.repartition(n, col("a"))
+      .join(left, "a")
+      .join(right, "b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+      .dropDuplicates("a", "b")
+    (verified, withShingles)
+  }
+
   /** Connected components of an undirected pair graph (near-dup pairs →
     * duplicate CLUSTERS) by iterative min-label propagation: every node
     * starts labelled with its own id; each round every node takes the min

@@ -36,6 +36,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("containmentPairs is asymmetric and matches brute force") {
+    spark.catalog.clearCache() // earlier plain-variant tests leave caches
+    // B embeds all of A plus as much again: C(A->B) = 1, C(B->A) ~ 0.5
+    val words = (1 to 12).map(i => s"w$i")
+    val a = words.take(6).mkString(" ")
+    val b = words.mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairsWith(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8) {
+      _.select("a", "b", "containment").as[(Long, Long, Double)].collect().toSet
+    }
+    assert(out.map(t => (t._1, t._2)) == Set((1L, 2L)), out)   // A in B only
+    assert(out.head._3 == 1.0)                                  // fully contained
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // brute-force reference over the same shingle sets (ordered pairs)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      (x, sx) <- sh; (y, sy) <- sh if x != y
+      c = sx.toSet.intersect(sy.toSet).size.toDouble / sx.size
+      if c >= 0.8
+    } yield (x, y)).toSet
+    assert(out.map(t => (t._1, t._2)) == brute)
+  }
+
   test("bracket forms release the shingle cache once use returns") {
     spark.catalog.clearCache()
     val pairs = Dedup.minHashDedupWith(corpus, "doc_id", "text")(
