@@ -53,13 +53,23 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
                iterations: Int = 8, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // Hash-partition the edge list on the SOURCE key before checkpointing:
+    // `Dataset.localCheckpoint` preserves the physical outputPartitioning
+    // into the LogicalRDD, so every iteration's rates-to-scores join is
+    // already co-partitioned and the 10^7-edge side never re-shuffles —
+    // without this the probe measured the full edge list exchanged once
+    // per iteration.
     val e = edges.select(col(srcCol).as("__s__"), col(dstCol).as("__d__"),
-      col(wCol).cast("long").as("__w__")).localCheckpoint()
+      col(wCol).cast("long").as("__w__"))
+      .repartition(col("__s__")).localCheckpoint()
     val ow = e.groupBy(col("__s__")).agg(sum(col("__w__")).as("__ow__"))
     val rates = e.join(ow, Seq("__s__"))
       .select(col("__s__"), col("__d__"),
         expr("(__w__ * 1000000L) div __ow__").as("__rate__")).localCheckpoint()
     val srcs = e.select(col("__s__").as("__node__")).distinct()
+    // nodes comes out of the union-distinct hash-partitioned on __node__
+    // (checkpoint-preserved): the per-iteration left join against the
+    // contributions aggregate (also keyed on __node__) is exchange-free.
     val nodes = e.select(col("__s__").as("__node__"))
       .union(e.select(col("__d__").as("__node__"))).distinct()
       .join(srcs.withColumn("__has_out__", lit(true)), Seq("__node__"), "left")
@@ -74,11 +84,29 @@ object Graph {
     var scores = nodes.crossJoin(broadcast(n))
       .select(col("__node__"), col("__dangling__"),
         expr("1000000000000L div __n__").as("__sc__"))
+    var lastCkpt: DataFrame = null
     for (_ <- 1 to iterations) {
-      val dm = broadcast(scores.where(col("__dangling__"))
-        .agg(coalesce(sum(col("__sc__")), lit(0L)).as("__dm__")))
+      // Materialize the previous iteration ONCE per round. Both consumers
+      // below (the dangling-mass aggregate and the contributions join) then
+      // read a checkpoint scan, so the plan stays constant-size across
+      // iterations instead of doubling per round (each un-checkpointed
+      // reference would re-execute the full prior lineage — the same trap
+      // documented at text/Dedup.scala connectedComponents). The round-
+      // before-last's checkpoint blocks are released eagerly: relying on
+      // driver GC lets ~iterations x |nodes| of dead blocks pile up in
+      // storage memory (the probe measured marginal iteration cost
+      // climbing 4x by round 16 before this).
+      val t0 = System.nanoTime()
+      val prev = scores.localCheckpoint()
+      if (sys.env.contains("GRAFT_PR_DEBUG"))
+        println(f"[pr-iter] ckpt ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+      lastCkpt = prev
+      val dm = broadcast(prev
+        .agg(coalesce(sum(when(col("__dangling__"), col("__sc__"))), lit(0L))
+          .as("__dm__")))
       val contribs = rates
-        .join(scores, rates("__s__") === scores("__node__"))
+        .join(prev, rates("__s__") === prev("__node__"))
         .select(col("__d__").as("__node__"),
           expr("(__sc__ * __rate__) div 1000000L").as("__c__"))
         .groupBy(col("__node__")).agg(sum(col("__c__")).as("__in__"))
