@@ -116,8 +116,16 @@ object Dischema {
       case "formatteddatetime" => FieldSpec(name, "formatteddatetime", format = str("format"),
         timezoneTreatment = str("timezone_treatment"))
       case "formattedtime" => FieldSpec(name, "time", format = str("format"))
-      case "postcode" | "nhsnumber" | "permissivenhsno" | "orgid" =>
-        FieldSpec(name, if (callableName == "permissivenhsno") "nhsnumber" else callableName)
+      case "postcode" | "nhsnumber" | "orgid" =>
+        FieldSpec(name, callableName)
+      // checksum enforced like nhsnumber, but test-number warnings are OFF
+      // unless warn_on_test_numbers asks for them (ref:
+      // domain_types.py:166-174 — the permissive factory defaults the
+      // class flag to False; the r8 alias onto nhsnumber wrongly inherited
+      // the always-warn lane)
+      case "permissivenhsno" =>
+        FieldSpec(name, "permissivenhsno",
+          warnOnTestNumbers = Option(c.get("warn_on_test_numbers")).map(_.asBoolean))
       case "alphanumeric"  => FieldSpec(name, "alphanumeric", maxLength = int("max_length"))
       case "identifier"    => FieldSpec(name, "identifier", maxLength = int("max_length"))
       case "reportingperiodstart" => FieldSpec(name, "reportingperiodstart")

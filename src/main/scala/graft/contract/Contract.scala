@@ -412,9 +412,12 @@ object Contract {
       // NHS sentinel/test-number warnings: informational, never rejecting —
       // values that PASS the checksum but indicate test data
       // (ref: domain_types.py:44-163 SENTINEL_VALUES / starts-with-9 /
-      // palindrome warnings).
+      // palindrome warnings). permissivenhsno keeps the checksum but NOT
+      // the warnings unless warn_on_test_numbers opted in (ref:
+      // domain_types.py:166-174).
       val warnings =
-        if (f.typeName == "nhsnumber") {
+        if (f.typeName == "nhsnumber" ||
+            (f.typeName == "permissivenhsno" && f.warnOnTestNumbers.contains(true))) {
           val cleaned = regexp_replace(regexp_replace(trim(c), " ", ""), "-", "")
           val reason =
             when(cleaned === "0000000000", lit("returned by MPS to indicate no match"))

@@ -25,7 +25,11 @@ final case class FieldSpec(
     scale: Option[Int] = None,
     default: Option[String] = None, // applied when the raw value is blank
     functions: Seq[FieldFunction] = Nil, // per-field validation functions (§2.8.3)
-    timezoneTreatment: Option[String] = None // formatteddatetime: forbid|permit|require
+    timezoneTreatment: Option[String] = None, // formatteddatetime: forbid|permit|require
+    // permissivenhsno only: emit test-number warnings despite the permissive
+    // type (ref: domain_types.py:168-174 permissive_nhs_number's
+    // warn_on_test_numbers kwarg — the plain nhsnumber type always warns).
+    warnOnTestNumbers: Option[Boolean] = None
 )
 
 /** A per-field validation/normalisation function attachment

@@ -286,6 +286,30 @@ object ContractQueries {
         FieldSpec("n_nationkey", "long"), FieldSpec("n_name", "str"),
         FieldSpec("n_regionkey", "long")))
       Contract.cast(Readers.readXml(s, tmp, spec, rowTag = "nation"), spec)
+    }),
+
+    // nhsnumber vs permissivenhsno semantics (ref: domain_types.py:98,
+    // 166-174): both enforce the mod-11 checksum, but only nhsnumber emits
+    // the sentinel / starts-with-9 / palindrome informational warnings —
+    // the permissive type defaults warn_on_test_numbers to False. Fixed
+    // test values per custkey bucket: three warning shapes, one clean
+    // valid, one checksum failure.
+    "q_contract_nhs_permissive" -> ((s, dir) => {
+      val nhs = when(col("c_custkey") % 6 === 0, lit("9999999999")) // sentinel (valid checksum)
+        .when(col("c_custkey") % 6 === 1, lit("0000000000"))        // sentinel (valid checksum)
+        .when(col("c_custkey") % 6 === 2, lit("0000110000"))        // valid palindrome
+        .when(col("c_custkey") % 6 === 3, lit("9434765919"))        // valid, starts with 9
+        .when(col("c_custkey") % 6 === 4, lit("1234567881"))        // valid, no warning
+        .otherwise(lit("1234567890"))                               // checksum failure
+      val input = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("string").as("c_custkey"), nhs.as("nhs"))
+      def lane(tn: String, label: String) =
+        Contract.validate(input, EntitySpec("customer", Seq(
+          FieldSpec("c_custkey", "long"), FieldSpec("nhs", tn))))
+          .withColumn("lane", lit(label))
+      lane("nhsnumber", "strict").unionByName(lane("permissivenhsno", "permissive"))
+        .groupBy("lane", "ErrorCode", "Status", "FailureType", "ErrorMessage", "Value")
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -510,6 +534,19 @@ object ContractQueries {
         "row_number() OVER (ORDER BY o_orderkey) AS __record_index__ FROM orders"),
     "q_reader_xml" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey, " +
-        "row_number() OVER (ORDER BY n_nationkey) AS __record_index__ FROM nation")
+        "row_number() OVER (ORDER BY n_nationkey) AS __record_index__ FROM nation"),
+    "q_contract_nhs_permissive" ->
+      ("WITH c AS (SELECT c_custkey % 6 AS b FROM customer) SELECT * FROM (" +
+        "SELECT 'strict' AS lane, 'BadValue' AS ErrorCode, 'informational' AS Status, 'record' AS FailureType, " +
+        "'nhs NHS number possibly invalid (returned by MPS to indicate multiple matches)' AS ErrorMessage, " +
+        "'9999999999' AS Value, count(1) AS n FROM c WHERE b = 0 " +
+        "UNION ALL SELECT 'strict', 'BadValue', 'informational', 'record', " +
+        "'nhs NHS number possibly invalid (returned by MPS to indicate no match)', '0000000000', count(1) FROM c WHERE b = 1 " +
+        "UNION ALL SELECT 'strict', 'BadValue', 'informational', 'record', " +
+        "'nhs NHS number possibly invalid (NHS number is a palindrome: this indicates a test number)', '0000110000', count(1) FROM c WHERE b = 2 " +
+        "UNION ALL SELECT 'strict', 'BadValue', 'informational', 'record', " +
+        "'nhs NHS number possibly invalid (NHS number starts with ''9'': this indicates a test number)', '9434765919', count(1) FROM c WHERE b = 3 " +
+        "UNION ALL SELECT 'strict', 'WrongFormat', 'error', 'record', 'nhs has wrong format', '1234567890', count(1) FROM c WHERE b = 5 " +
+        "UNION ALL SELECT 'permissive', 'WrongFormat', 'error', 'record', 'nhs has wrong format', '1234567890', count(1) FROM c WHERE b = 5) t")
   )
 }

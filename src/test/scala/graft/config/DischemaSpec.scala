@@ -90,6 +90,19 @@ class DischemaSpec extends AnyFunSuite {
       && byName("reading").scale.contains(2))
   }
 
+  test("permissivenhsno keeps its own type name and parses warn_on_test_numbers") {
+    val doc =
+      """{"contract": {"datasets": {"p": {"fields": {
+        | "a": {"callable": "permissivenhsno"},
+        | "b": {"callable": "permissivenhsno", "constraints": {"warn_on_test_numbers": true}},
+        | "c": {"callable": "nhsnumber"}
+        |}}}}}""".stripMargin
+    val fields = Dischema.parseString(doc).entities.head.fields.map(f => f.name -> f).toMap
+    assert(fields("a").typeName == "permissivenhsno" && fields("a").warnOnTestNumbers.isEmpty)
+    assert(fields("b").typeName == "permissivenhsno" && fields("b").warnOnTestNumbers.contains(true))
+    assert(fields("c").typeName == "nhsnumber")
+  }
+
   test("reader config and reference data are exposed") {
     assert(parsed.readerByEntity("planets") == Map(".csv" -> "SparkCSVReader"))
     assert(parsed.referenceData("sats") == Dischema.RefDataSource("filename", "./refdata/sats.parquet"))
