@@ -22,7 +22,8 @@ object SparkEntry {
     * cheaply skipped once fresh (see [[graft.queries.Fixtures]]).
     */
   def prepareFixtures(spark: SparkSession, sfDir: String): Unit =
-    (ContractQueries.fixtures ++ CoreQueries.fixtures).foreach(f => f(spark, sfDir))
+    (ContractQueries.fixtures ++ CoreQueries.fixtures ++ StreamingQueries.fixtures)
+      .foreach(f => f(spark, sfDir))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

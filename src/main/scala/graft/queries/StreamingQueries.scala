@@ -10,8 +10,149 @@ import graft.streaming.Streaming
   * present files as micro-batches, then stop) and returns the materialized
   * result — so the driver's DuckDB oracle checks the STREAMING lineage, not
   * a batch stand-in.
+  *
+  * Landing fixtures are sf-derived and immutable, so they are built ONCE
+  * per sf dir (Fixtures.ensure; also pre-built by SparkEntry
+  * .prepareFixtures outside bench timing) — the r8 bench was paying a
+  * landing re-encode plus a max-timestamp action on every rep of every
+  * streaming query, which is fixture cost, not streaming-operator cost.
+  * The out/ckpt dirs still reset per run: the stream under test always
+  * executes from a cold checkpoint.
   */
 object StreamingQueries {
+
+  private def localFs(s: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+
+  /** Reset the run-scoped outputs (sink + checkpoint), keep the landing. */
+  private def resetOut(s: SparkSession, base: String): Unit = {
+    val fs = localFs(s)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+  }
+
+  private def runToParquet(df: DataFrame, base: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def stream(s: SparkSession, path: String): DataFrame =
+    s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+
+  /** (ts, event_type, user_id) events plus one far-future sentinel row
+    * (event_type '___sentinel___', user_id -1): the sentinel advances the
+    * watermark 2 hours past the data's max event time so append-mode
+    * windows/sessions all flush before AvailableNow stops. Shared by the
+    * window, sliding-window and session queries — one build, one schema.
+    */
+  private def eventsSentinelFixture(s: SparkSession, dir: String): String = {
+    val landing = "/tmp/graft_stream_events_sentinel/landing"
+    Fixtures.ensure(landing, dir) {
+      val events = CoreQueries.loadEvents(s, dir)
+        .select(col("ts"), col("event_type"), col("user_id"))
+      // cast in-plan so the fixture timestamps are session-zone independent
+      // of the source encoding (LTZ / NTZ / int64-nanos)
+      val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
+      val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+      events.unionByName(
+          s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(sentinel, "___sentinel___", -1L)),
+            events.schema))
+        .coalesce(2).write.mode("overwrite").parquet(landing)
+    }
+    landing
+  }
+
+  private def contractFixture(s: SparkSession, dir: String): String = {
+    val landing = "/tmp/graft_q_stream_contract/landing"
+    Fixtures.ensure(landing, dir) {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").cast("string"), col("o_orderpriority").cast("string"),
+          col("o_totalprice").cast("string"))
+        .coalesce(2)
+        .write.mode("overwrite").json(landing)
+    }
+    landing
+  }
+
+  private def dedupFixture(s: SparkSession, dir: String): String = {
+    val landing = "/tmp/graft_q_stream_dedup/landing"
+    Fixtures.ensure(landing, dir) {
+      s.read.parquet(s"$dir/lineitem.parquet").select(col("l_orderkey"))
+        .coalesce(2).write.mode("overwrite").parquet(landing)
+    }
+    landing
+  }
+
+  private def enrichFixture(s: SparkSession, dir: String): String = {
+    val landing = "/tmp/graft_q_stream_enrich/landing"
+    Fixtures.ensure(landing, dir) {
+      CoreQueries.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(2).write.mode("overwrite").parquet(landing)
+    }
+    landing
+  }
+
+  private def joinFixture(s: SparkSession, dir: String): String = {
+    val landing = "/tmp/graft_q_stream_join/landing"
+    Fixtures.ensure(landing, dir) {
+      val events = CoreQueries.loadEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      events.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$landing/views")
+      events.where(col("event_type") === "purchase")
+        .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$landing/purchases")
+    }
+    landing
+  }
+
+  private def joinOuterFixture(s: SparkSession, dir: String): String = {
+    val landing = "/tmp/graft_q_stream_join_outer/landing"
+    Fixtures.ensure(landing, dir) {
+      val events = CoreQueries.loadEvents(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
+      val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+      def side(tpe: String, tsName: String, idName: String, sentinelUid: Long): Unit =
+        events.where(col("event_type") === tpe)
+          .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
+          .unionByName(s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(sentinelUid, sentinel, -1L)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField(tsName,
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField(idName,
+                org.apache.spark.sql.types.LongType)))))
+          .coalesce(1).write.mode("overwrite").parquet(s"$landing/$tpe")
+      side("view", "view_ts", "view_id", -1L)
+      side("purchase", "purchase_ts", "purchase_id", -2L)
+    }
+    landing
+  }
+
+  /** Landing builders, exposed so Bench's prepareFixtures pre-pays them
+    * outside the timed loop (each is also ensured in its query — fixture
+    * construction is never part of the operator under test).
+    */
+  val fixtures: Seq[(SparkSession, String) => Unit] = Seq(
+    (s, dir) => { eventsSentinelFixture(s, dir); () },
+    (s, dir) => { contractFixture(s, dir); () },
+    (s, dir) => { dedupFixture(s, dir); () },
+    (s, dir) => { enrichFixture(s, dir); () },
+    (s, dir) => { joinFixture(s, dir); () },
+    (s, dir) => { joinOuterFixture(s, dir); () })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -19,18 +160,12 @@ object StreamingQueries {
     // Semantics must equal the batch contract cast of the same rows.
     "q_stream_contract" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_contract"
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      // landing files: orders subset as JSONL, all-string (stringified ingest)
-      s.read.parquet(s"$dir/orders.parquet")
-        .select(col("o_orderkey").cast("string"), col("o_orderpriority").cast("string"),
-          col("o_totalprice").cast("string"))
-        .coalesce(2)
-        .write.json(s"$base/landing")
+      val landing = contractFixture(s, dir)
+      resetOut(s, base)
       val spec = EntitySpec("orders", Seq(
         FieldSpec("o_orderkey", "long"), FieldSpec("o_orderpriority", "str"),
         FieldSpec("o_totalprice", "double")))
-      val q = Streaming.contractStream(s, s"$base/landing", spec, "json",
+      val q = Streaming.contractStream(s, landing, spec, "json",
         s"$base/out", s"$base/ckpt")
       q.awaitTermination()
       s.read.parquet(s"$base/out")
@@ -39,34 +174,17 @@ object StreamingQueries {
     // Watermarked event-time window counts over the events table, streamed
     // from parquet files with AvailableNow; result equals the batch
     // tumbling-window aggregation. Append mode only emits a window once the
-    // watermark passes its end, so a sentinel event 2 hours past the data's
-    // max timestamp flushes every real window before the stream stops (the
-    // sentinel's own window is excluded from the read-back).
+    // watermark passes its end, so the fixture's sentinel event 2 hours
+    // past the data's max timestamp flushes every real window before the
+    // stream stops (the sentinel's own window is excluded on read-back).
     "q_stream_window" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_window"
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val events = CoreQueries.loadEvents(s, dir)
-        .select(col("ts"), col("event_type"))
-      // cast in-plan so the driver-side read is Timestamp regardless of the
-      // fixture's source encoding (LTZ / NTZ / int64-nanos)
-      val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
-      val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
-      val withSentinel = events.unionByName(
-        events.sparkSession.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(sentinel, "___sentinel___")),
-          events.schema))
-      withSentinel.coalesce(2).write.parquet(s"$base/landing")
-      val stream = s.readStream.schema(events.schema).parquet(s"$base/landing")
-      val agg = Streaming.windowedCounts(stream, "ts", "event_type", "1 hour", "1 minute")
-      val q = agg.writeStream
-        .format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val landing = eventsSentinelFixture(s, dir)
+      resetOut(s, base)
+      val agg = Streaming.windowedCounts(
+        stream(s, landing).select(col("ts"), col("event_type")),
+        "ts", "event_type", "1 hour", "1 minute")
+      runToParquet(agg, base)
       s.read.parquet(s"$base/out").where(col("event_type") =!= "___sentinel___")
     }),
 
@@ -75,28 +193,12 @@ object StreamingQueries {
     // flush discipline as q_stream_window.
     "q_stream_window_sliding" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_window_sliding"
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val events = CoreQueries.loadEvents(s, dir)
-        .select(col("ts"), col("event_type"))
-      val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
-      val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
-      val withSentinel = events.unionByName(
-        events.sparkSession.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(sentinel, "___sentinel___")),
-          events.schema))
-      withSentinel.coalesce(2).write.parquet(s"$base/landing")
-      val stream = s.readStream.schema(events.schema).parquet(s"$base/landing")
-      val agg = Streaming.windowedCounts(stream, "ts", "event_type",
-        "1 hour", "1 minute", slideDuration = Some("15 minutes"))
-      val q = agg.writeStream
-        .format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val landing = eventsSentinelFixture(s, dir)
+      resetOut(s, base)
+      val agg = Streaming.windowedCounts(
+        stream(s, landing).select(col("ts"), col("event_type")),
+        "ts", "event_type", "1 hour", "1 minute", slideDuration = Some("15 minutes"))
+      runToParquet(agg, base)
       s.read.parquet(s"$base/out").where(col("event_type") =!= "___sentinel___")
     }),
 
@@ -107,56 +209,27 @@ object StreamingQueries {
     // custom-state variant is covered in StreamingSpec.)
     "q_stream_dedup" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_dedup"
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"))
-        .coalesce(2).write.parquet(s"$base/landing")
-      val stream = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("l_orderkey",
-            org.apache.spark.sql.types.LongType))))
-        .parquet(s"$base/landing")
-      val deduped = Streaming.streamingDedupExact(stream, "l_orderkey")
-      val q = deduped.writeStream
-        .format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val landing = dedupFixture(s, dir)
+      resetOut(s, base)
+      val deduped = Streaming.streamingDedupExact(stream(s, landing), "l_orderkey")
+      runToParquet(deduped, base)
       s.read.parquet(s"$base/out")
     }),
 
     // STREAMING sessionization: session_window aggregation with a
     // watermark — gap-based sessions close and emit once the watermark
-    // passes; must equal the batch gaps-and-islands result (sentinel event
-    // flushes the final sessions, its own row excluded on read-back).
+    // passes; must equal the batch gaps-and-islands result (the fixture's
+    // sentinel event flushes the final sessions, its own row excluded on
+    // read-back).
     "q_stream_sessions" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_sessions"
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val events = CoreQueries.loadEvents(s, dir).select(col("ts"), col("user_id"))
-      val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
-      val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
-      val withSentinel = events.unionByName(
-        s.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(sentinel, -1L)),
-          events.schema))
-      withSentinel.coalesce(2).write.parquet(s"$base/landing")
-      val stream = s.readStream.schema(events.schema).parquet(s"$base/landing")
-      val agg = Streaming.sessionize(stream, "ts", "user_id",
-        gap = "10 minutes", watermarkDelay = "1 minute")
+      val landing = eventsSentinelFixture(s, dir)
+      resetOut(s, base)
+      val agg = Streaming.sessionize(
+        stream(s, landing).select(col("ts"), col("user_id")),
+        "ts", "user_id", gap = "10 minutes", watermarkDelay = "1 minute")
         .select(col("user_id"), col("session_start"), col("n_events"))
-      val q = agg.writeStream
-        .format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runToParquet(agg, base)
       s.read.parquet(s"$base/out").where(col("user_id") =!= -1L)
     }),
 
@@ -165,27 +238,15 @@ object StreamingQueries {
     // lookup inside a streaming pipeline.
     "q_stream_enrich" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_enrich"
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      CoreQueries.loadEvents(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .coalesce(2).write.parquet(s"$base/landing")
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$base/landing").schema).parquet(s"$base/landing")
+      val landing = enrichFixture(s, dir)
+      resetOut(s, base)
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      val enriched = stream.join(broadcast(dim),
-        stream("user_id") === dim("c_custkey"))
+      val st = stream(s, landing)
+      val enriched = st.join(broadcast(dim), st("user_id") === dim("c_custkey"))
         .select(col("event_id"), col("user_id"), col("c_name"),
           col("c_nationkey").cast("bigint").as("c_nationkey"))
-      val q = enriched.writeStream
-        .format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runToParquet(enriched, base)
       s.read.parquet(s"$base/out")
     }),
 
@@ -196,37 +257,13 @@ object StreamingQueries {
     // its ingestion skew instead — see Streaming.intervalJoin).
     "q_stream_join" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_join"
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      // landing fixtures are sf-derived and immutable: ensure once per sf
-      // (bench reps were paying the re-encode, not the streaming join);
-      // the out/ckpt dirs still reset per run
-      Fixtures.ensure(s"$base/landing", dir) {
-        val events = CoreQueries.loadEvents(s, dir)
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        events.where(col("event_type") === "view")
-          .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
-          .coalesce(2).write.mode("overwrite").parquet(s"$base/landing/views")
-        events.where(col("event_type") === "purchase")
-          .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
-            col("event_id").as("purchase_id"))
-          .coalesce(2).write.mode("overwrite").parquet(s"$base/landing/purchases")
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
-      def stream(path: String): DataFrame =
-        s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+      val landing = joinFixture(s, dir)
+      resetOut(s, base)
       val joined = Streaming.intervalJoin(
-        stream(s"$base/landing/views"), stream(s"$base/landing/purchases"), "user_id",
+        stream(s, s"$landing/views"), stream(s, s"$landing/purchases"), "user_id",
         "view_ts", "purchase_ts", watermarkDelay = "365 days", within = "30 minutes")
         .select(col("user_id"), col("view_id"), col("purchase_id"))
-      val q = joined.writeStream
-        .format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runToParquet(joined, base)
       s.read.parquet(s"$base/out")
     }),
 
@@ -240,44 +277,13 @@ object StreamingQueries {
     // (watermark never passes them) and are filtered on read-back.
     "q_stream_join_outer" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_join_outer"
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-      Fixtures.ensure(s"$base/landing", dir) {
-        val events = CoreQueries.loadEvents(s, dir)
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        val maxTs = events.agg(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
-        val sentinel = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
-        def side(tpe: String, tsName: String, idName: String, sentinelUid: Long): Unit =
-          events.where(col("event_type") === tpe)
-            .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
-            .unionByName(s.createDataFrame(
-              java.util.List.of(org.apache.spark.sql.Row(sentinelUid, sentinel, -1L)),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("user_id",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField(tsName,
-                  org.apache.spark.sql.types.TimestampType),
-                org.apache.spark.sql.types.StructField(idName,
-                  org.apache.spark.sql.types.LongType)))))
-            .coalesce(1).write.mode("overwrite").parquet(s"$base/landing/$tpe")
-        side("view", "view_ts", "view_id", -1L)
-        side("purchase", "purchase_ts", "purchase_id", -2L)
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
-      def stream(path: String): DataFrame =
-        s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+      val landing = joinOuterFixture(s, dir)
+      resetOut(s, base)
       val joined = Streaming.intervalJoinLeftOuter(
-        stream(s"$base/landing/view"), stream(s"$base/landing/purchase"), "user_id",
+        stream(s, s"$landing/view"), stream(s, s"$landing/purchase"), "user_id",
         "view_ts", "purchase_ts", watermarkDelay = "1 minute", within = "30 minutes")
         .select(col("user_id"), col("view_id"), col("purchase_id"))
-      val q = joined.writeStream
-        .format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runToParquet(joined, base)
       s.read.parquet(s"$base/out").where(col("user_id") >= 0L)
     })
   )
