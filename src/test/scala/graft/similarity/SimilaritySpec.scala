@@ -111,13 +111,11 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall (expected ~1.0 with exact reconstruction)")
   }
 
-  test("ivfPqKnn answers from codes in probed cells with good recall") {
-    // realistic setting: an approximate (1-per-subgroup) residual codebook.
-    // The data is hierarchical — 3 coarse clusters x 5 subgroups x 4
-    // members, subgroup separation (0.35) >> intra-subgroup noise (0.02) —
-    // so quantization error stays well below the gaps KNN must resolve;
-    // recall is a property of the operator, not of tiebreak luck.
-    val dim = 16
+  // Hierarchical unit-sphere corpus: 3 coarse clusters x 5 subgroups x 4
+  // members — subgroup separation (0.35) >> intra-subgroup noise (0.02), so
+  // quantization error stays well below the gaps KNN must resolve and
+  // recall is a property of the operator under test, not of tiebreak luck.
+  private def hierVecs(dim: Int = 16): Seq[(Long, Seq[Float])] = {
     val dirRnd = new scala.util.Random(13)
     val dirs = Array.tabulate(3, 5) { (_, _) =>
       val d = Array.fill(dim)(dirRnd.nextGaussian())
@@ -126,7 +124,7 @@ class SimilaritySpec extends SparkSpec {
       d.map(x => (x / n).toFloat)
     }
     val rnd = new scala.util.Random(7)
-    val members = (0 until 60).map { i =>
+    (0 until 60).map { i =>
       val c = i % 3; val g = (i / 3) % 5
       val base = Array.fill(dim)(0.0f)
       base(c) = 1.0f
@@ -135,6 +133,13 @@ class SimilaritySpec extends SparkSpec {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       (i.toLong, v.map(_ / n).toSeq)
     }
+  }
+
+  test("ivfPqKnn answers from codes in probed cells with good recall") {
+    // realistic setting: an approximate (1-per-subgroup) residual codebook
+    // over the hierarchical corpus.
+    val dim = 16
+    val members = hierVecs(dim)
     val cents = (0 to 2).map(c => members.find(_._1 == c).get._2)
     val codebook = members.collect { case (id, v) if id >= 15 && id < 30 =>
       val c = cents((id % 3).toInt)
@@ -279,6 +284,69 @@ class SimilaritySpec extends SparkSpec {
       dim = 8, numSubspaces = 2).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("pqAdcKnn matches a hand-computed 4-vector ADC table") {
+    // Independent of any replica oracle: dim=4, 2 subspaces of 2, codebook
+    // codewords c0=(1,0|1,0), c1=(0,1|0,1); query q=(2,1|1,2).
+    // Hand-built lookup table of per-subspace dots:
+    //   sub0: dot(q0,c0)=2, dot(q0,c1)=1;  sub1: dot(q1,c0)=1, dot(q1,c1)=2.
+    // Corpus codes (per-subspace nearest by cosine) and ADC scores:
+    //   v10=(1,0,1,0) -> (c0,c0) -> 2+1=3     v11=(0,1,0,1) -> (c1,c1) -> 1+2=3
+    //   v12=(1,0,0,1) -> (c0,c1) -> 2+2=4     v13=(0,1,1,0) -> (c1,c0) -> 1+1=2
+    // Ranking (score desc, id asc): v12(4), v10(3), v11(3), v13(2).
+    val cb = Seq(
+      (0L, Seq(1f, 0f, 1f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 1f, 0f)),
+      (11L, Seq(0f, 1f, 0f, 1f)),
+      (12L, Seq(1f, 0f, 0f, 1f)),
+      (13L, Seq(0f, 1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(2f, 1f, 1f, 2f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcKnn(corpus, cb, q, "vec_id", "embedding",
+        dim = 4, numSubspaces = 2, k = 4)
+      .select("neighbor_id", "rank", "score").as[(Long, Long, Double)]
+      .collect().sortBy(_._2).toSeq
+    assert(out == Seq((12L, 1L, 4.0), (10L, 2L, 3.0), (11L, 3L, 3.0), (13L, 4L, 2.0)))
+  }
+
+  test("pqAdcKnn recall vs brute force on the hierarchical corpus") {
+    // Plain PQ (no coarse quantizer): codebook = the 15 subgroup
+    // representatives (ids 15..29 cover each (cluster, subgroup) once), so
+    // per-subspace quantization error ~ the 0.02 intra-subgroup noise while
+    // neighbor gaps are the 0.35 subgroup separation — principled >= 0.8:
+    // code-identical subgroup mates tie at the top and resolve by id, which
+    // is also the brute-force order on near-equal cosines.
+    val members = hierVecs()
+    val data = members.toDF("vec_id", "embedding")
+    val queries = data.where("vec_id < 3")
+    val exact = Similarity.bruteForceKnn(data, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqAdcKnn(data,
+        data.where("vec_id >= 15 AND vec_id < 30"), queries,
+        "vec_id", "embedding", dim = 16, numSubspaces = 4, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("sqKnn recall vs brute force when neighbor gaps dominate quantization error") {
+    // The hierarchical corpus's 0.35 subgroup separation is ~350x the SQ8
+    // per-dim step (range ~1/255), so reconstruction-dot ranking must
+    // recover the brute-force neighbor set essentially exactly — a
+    // principled >= 0.9 (the companion worst-case test keeps the 7/9
+    // gap-at-error-scale regime honest).
+    val members = hierVecs()
+    val data = members.toDF("vec_id", "embedding")
+    val queries = data.where("vec_id < 3")
+    val exact = Similarity.bruteForceKnn(data, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.sqKnn(data, queries, "vec_id", "embedding",
+        dim = 16, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
   }
 
   test("pqAdcKnn retrieves same-cluster neighbors from codes alone") {
