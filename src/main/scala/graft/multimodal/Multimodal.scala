@@ -93,6 +93,29 @@ object Multimodal {
     buf.array()
   }
 
+  /** Encode through the JDK's ImageIO writers (PNG/JPEG/BMP/GIF ship in
+    * every JRE): `rgb(x, y)` is a packed 0xRRGGBB, (0, 0) top-left. PNG is
+    * lossless, so a decode of the result recovers the exact pixels (the
+    * property the PNG oracle query leans on); JPEG is lossy —
+    * deterministic bytes, approximate pixels.
+    */
+  def encodeImage(width: Int, height: Int, rgb: (Int, Int) => Int,
+                  format: String): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad image dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
   /** Real image decode via the JDK's ImageIO (BMP/PNG/GIF readers ship in
     * every JRE — no external codec needed): features are
     * [width, height, sum_R, sum_G, sum_B]. Channel SUMS, not means — small
@@ -127,14 +150,26 @@ object Multimodal {
     * round-trips real BMP bytes through a real decoder — so the decode
     * path is pinned end to end, not stubbed.
     */
-  def syntheticBmp(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+  def syntheticBmp(df: DataFrame, idCol: String, outCol: String): DataFrame =
+    syntheticPayload(df, idCol, outCol, encodeBmp(_, _, _))
+
+  /** [[syntheticBmp]]'s pixel formula encoded as PNG through the JDK
+    * writer: same generative formula, a different (compressed, chunked,
+    * CRC-checked) container — the decode lane must recover identical
+    * features from both.
+    */
+  def syntheticPng(df: DataFrame, idCol: String, outCol: String): DataFrame =
+    syntheticPayload(df, idCol, outCol, encodeImage(_, _, _, "png"))
+
+  private def syntheticPayload(df: DataFrame, idCol: String, outCol: String,
+                               enc: (Int, Int, (Int, Int) => Int) => Array[Byte]): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType, nullable = false))
     val idIdx = df.schema.fieldIndex(idCol)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
         val d = r.getLong(idIdx)
-        val bytes = encodeBmp((4 + d % 5).toInt, (3 + d % 4).toInt, (x, y) => {
+        val bytes = enc((4 + d % 5).toInt, (3 + d % 4).toInt, (x, y) => {
           val rr = ((d * 7 + x * 13 + y * 31) % 256).toInt
           val gg = ((d * 11 + x * 17 + y * 5) % 256).toInt
           val bb = ((d * 3 + x * 29 + y * 23) % 256).toInt

@@ -541,6 +541,25 @@ object LlmQueries {
         docs(s, dir).select(col("doc_id")), "doc_id", "payload")
       Multimodal.decodeAHash(withBin, "payload")
         .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
+    }),
+
+    // Same decode lane, PNG container: the pixel formula is identical but
+    // the payload goes through the JDK PNG writer (compressed, chunked,
+    // CRC-checked) and back through the ImageIO PNG reader — the oracle is
+    // the SAME formula replica as q_multimodal_decode, so a decoder that
+    // only handles BMP (the r8 state) cannot pass.
+    "q_multimodal_decode_png" -> ((s, dir) => {
+      val withBin = Multimodal.syntheticPng(
+        docs(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeFeatures(withBin, "payload", "features", dim = 5,
+        decoder = Multimodal.imageFeatureDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("bigint").as("width"),
+          element_at(col("features"), 2).cast("bigint").as("height"),
+          element_at(col("features"), 3).cast("bigint").as("sum_r"),
+          element_at(col("features"), 4).cast("bigint").as("sum_g"),
+          element_at(col("features"), 5).cast("bigint").as("sum_b"),
+          size(col("features")).cast("bigint").as("dim"))
     })
   )
 
@@ -1411,15 +1430,9 @@ object LlmQueries {
     // Recompute the decoded image features from the generative pixel
     // formula (see Multimodal.syntheticBmp): the Spark side must recover
     // exactly these integers from real BMP bytes via ImageIO.
-    "q_multimodal_decode" ->
-      ("WITH px AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, " +
-        "x.range AS x, y.range AS y FROM documents, range(8) x, range(6) y " +
-        "WHERE x.range < 4 + doc_id % 5 AND y.range < 3 + doc_id % 4) " +
-        "SELECT doc_id, min(w)::BIGINT AS width, min(h)::BIGINT AS height, " +
-        "sum((doc_id * 7 + x * 13 + y * 31) % 256)::BIGINT AS sum_r, " +
-        "sum((doc_id * 11 + x * 17 + y * 5) % 256)::BIGINT AS sum_g, " +
-        "sum((doc_id * 3 + x * 29 + y * 23) % 256)::BIGINT AS sum_b, " +
-        "5::BIGINT AS dim FROM px GROUP BY doc_id"),
+    "q_multimodal_decode" -> multimodalDecodeSql,
+    // identical replica: the PNG container must decode to the same pixels
+    "q_multimodal_decode_png" -> multimodalDecodeSql,
     // aHash replica: same pixel formula, nearest-neighbor 8x8 grid
     // (x = i*w/8, y = j*h/8 floor), integer gray (r+g+b)/3, floor-mean
     // threshold, row-major bit packing into non-negative 32-bit halves.
@@ -1433,6 +1446,21 @@ object LlmQueries {
         "FROM ph x JOIN ph y ON x.doc_id < y.doc_id " +
         "AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3")
   )
+
+  /** Formula replica of the decoded image features (see
+    * Multimodal.syntheticBmp/syntheticPng — both encode the same generative
+    * pixel formula): width/height/channel sums recomputed straight from the
+    * formula, never from bytes. A def (val-init-order hazard).
+    */
+  private def multimodalDecodeSql: String =
+    "WITH px AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, " +
+      "x.range AS x, y.range AS y FROM documents, range(8) x, range(6) y " +
+      "WHERE x.range < 4 + doc_id % 5 AND y.range < 3 + doc_id % 4) " +
+      "SELECT doc_id, min(w)::BIGINT AS width, min(h)::BIGINT AS height, " +
+      "sum((doc_id * 7 + x * 13 + y * 31) % 256)::BIGINT AS sum_r, " +
+      "sum((doc_id * 11 + x * 17 + y * 5) % 256)::BIGINT AS sum_g, " +
+      "sum((doc_id * 3 + x * 29 + y * 23) % 256)::BIGINT AS sum_b, " +
+      "5::BIGINT AS dim FROM px GROUP BY doc_id"
 
   /** DuckDB replay of [[graft.text.Bpe.trainBpe]]: `rounds` chained CTE
     * blocks, each = pair count -> deterministic argmax -> greedy merge.

@@ -88,6 +88,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodeImage PNG round-trips pixel-exact; same features and aHash as the BMP encoding") {
+    // PNG is lossless: the JDK-writer payload must decode to the exact
+    // pixels, so features and aHash agree with the independently
+    // hand-rolled BMP container of the same image.
+    def rgb(x: Int, y: Int): Int = ((x * 37 + y * 11) % 256 << 16) |
+      ((x * 5 + y * 61) % 256 << 8) | ((x * 23 + y * 3) % 256)
+    val png = Multimodal.encodeImage(9, 7, rgb, "png")
+    val bmp = Multimodal.encodeBmp(9, 7, rgb)
+    assert(png.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(Multimodal.imageFeatureDecoder(png).toSeq == Multimodal.imageFeatureDecoder(bmp).toSeq)
+    assert(Multimodal.imageAHash(png) == Multimodal.imageAHash(bmp))
+  }
+
+  test("syntheticPng + decodeFeatures matches the BMP lane row for row") {
+    val ids = spark.range(0, 20).toDF("doc_id")
+    def feats(payload: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeFeatures(payload, "payload", "features",
+          dim = 5, decoder = Multimodal.imageFeatureDecoder)
+        .select("doc_id", "features").as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(feats(Multimodal.syntheticPng(ids, "doc_id", "payload"))
+      == feats(Multimodal.syntheticBmp(ids, "doc_id", "payload")))
+  }
+
+  test("JPEG payloads ride the same decode lane: exact dims, bounded channel error") {
+    // JPEG is lossy, so only the container changes the numbers: dims must
+    // be exact; on a smooth gradient the per-pixel channel error stays
+    // small (assert mean abs error < 8 of 255).
+    def rgb(x: Int, y: Int): Int = {
+      val v = 40 + x * 4 + y * 3
+      (v << 16) | (v << 8) | v
+    }
+    val jpg = Multimodal.encodeImage(16, 16, rgb, "jpg")
+    val f = Multimodal.imageFeatureDecoder(jpg)
+    assert(f(0) == 16f && f(1) == 16f)
+    val exactSum = (for { x <- 0 until 16; y <- 0 until 16 } yield 40 + x * 4 + y * 3).sum
+    Seq(f(2), f(3), f(4)).foreach { s =>
+      assert(math.abs(s - exactSum) / 256.0 < 8.0, s"channel sum $s vs $exactSum")
+    }
+    // and through the batched lane: one JPEG row among BMP/PNG rows decodes
+    // uniformly (the lane sniffs nothing — ImageIO's reader registry does)
+    val mixed = Seq(
+      (1L, Multimodal.encodeBmp(4, 3, rgb)),
+      (2L, Multimodal.encodeImage(4, 3, rgb, "png")),
+      (3L, Multimodal.encodeImage(4, 3, rgb, "jpg"))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeatures(mixed, "payload", "features",
+        dim = 5, decoder = Multimodal.imageFeatureDecoder)
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == out(2L)) // lossless containers agree exactly
+    assert(out(3L)(0) == 4f && out(3L)(1) == 3f)
+  }
+
   test("repartitionByBytes sizes partitions by payload volume") {
     val out = Multimodal.repartitionByBytes(media, "payload", targetBytesPerTask = 40)
     assert(out.rdd.getNumPartitions == 2) // ~89 bytes total / 40 -> 2
