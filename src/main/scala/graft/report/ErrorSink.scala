@@ -194,11 +194,16 @@ object ErrorSink {
         val name = if (suffix == 0) "Error Data" else s"Error Data_${suffix + 1}"
         var n = 0L
         var overflowed = false
+        // `n <= overflow`: the reference appends while row_count <= overflow
+        // (0-based enumerate, trailer at the first STRICTLY-greater index),
+        // i.e. overflow+1 rows per sheet before the trailer
+        // (ref: excel_report.py:272-281); nulls render as the reference's
+        // str(None) = "None".
         val chunk = Iterator(detailHeader) ++ new Iterator[Seq[Any]] {
-          def hasNext: Boolean = (n < overflow && detail.hasNext) || {
+          def hasNext: Boolean = (n <= overflow && detail.hasNext) || {
             if (detail.hasNext) overflowed = true; false
           }
-          def next(): Seq[Any] = { n += 1; detail.next().toSeq.map(v => if (v == null) "" else v.toString) }
+          def next(): Seq[Any] = { n += 1; detail.next().toSeq.map(v => if (v == null) "None" else v.toString) }
         } ++ new Iterator[Seq[Any]] { // evaluated after the rows drain
           def hasNext: Boolean = overflowed
           def next(): Seq[Any] = { overflowed = false; Seq("Errors continued on next sheet") }

@@ -73,7 +73,10 @@ object Bpe {
     * merges in the same batch apply), and a pair whose occurrences were
     * consumed by an earlier in-batch merge is still recorded (applying it
     * is a no-op; a merged symbol formed mid-round cannot win until the
-    * next round). `batch = 1` (default) is exactly classic BPE.
+    * next round). Rounds follow a FIXED schedule: each consumes `batch`
+    * round numbers even when fewer candidate pairs exist (missing ranks
+    * are no-ops), so the merge table is reproducible by a static replay of
+    * the schedule. `batch = 1` (default) is exactly classic BPE.
     */
   def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
                batch: Int = 1): DataFrame = {
@@ -104,14 +107,20 @@ object Bpe {
       if (best.isEmpty) exhausted = true
       else {
         var s = syms
-        best.foreach { row =>
+        best.zipWithIndex.foreach { case (row, k) =>
           val (l, rt, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-          merges += Merge(r, l, rt, cnt)
+          merges += Merge(r + k, l, rt, cnt)
           // sequential in-batch application: m collapsed codegen
           // projections, ONE checkpoint per round below
           s = s.select(col("wc"), mergeColumn(col("s"), l, rt).as("s"))
-          r += 1
         }
+        // FIXED schedule: a round that returns fewer than `m` candidates
+        // still consumes all `m` round numbers (the missing ranks are
+        // no-ops) — round numbering and total round count then match a
+        // static replay of the schedule (the DuckDB oracle's sentinel
+        // folds) even on degenerate vocabularies where a batch comes up
+        // short.
+        r += m
         syms = s.localCheckpoint(false)
       }
     }

@@ -408,10 +408,16 @@ object Dedup {
       .select(col(idCol).as("b"), size(col("sh_sorted")).as("b_sz"),
         explode(transform(col("sh_sorted"), x => x.getField("tok"))).as("tok")),
       col("tok"))
+    // A pair surfaces once PER SHARED PREFIX TOKEN of `a` (the container
+    // index is the full token table, so high-containment pairs share many)
+    // — dedupe the id-only candidates BEFORE hauling both shingle arrays
+    // through the verify joins; unlike prefixFilterJoin's ~5%-dup position
+    // filter, duplication here scales with the overlap itself.
     val candidates = prefixes.join(full,
         prefixes("tok") === full("tok") && col("a") =!= col("b")
           && col("b_sz") >= ceil(lit(threshold) * col("a_sz")))
       .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
     val left = withShingles.select(col(idCol).as("a"), col("sh").as("sh_a"))
     val right = withShingles.select(col(idCol).as("b"), col("sh").as("sh_b"))
     val spark = candidates.sparkSession

@@ -121,9 +121,11 @@ class ErrorSinkSpec extends SparkSpec {
     val sheetEls = wb.getElementsByTagNameNS("*", "sheet")
     val names = (0 until sheetEls.getLength)
       .map(i => sheetEls.item(i).getAttributes.getNamedItem("name").getNodeValue)
-    // 7 detail rows at overflow 3 -> 3 detail sheets with the _N suffixes
+    // 7 detail rows at overflow 3 -> overflow+1 = 4 rows on the first
+    // sheet (the reference's 0-based `row_count > overflow` trailer
+    // condition), 3 on the continuation
     assert(names == Seq("Summary", "Error Summary",
-      "Error Data", "Error Data_2", "Error Data_3"), names)
+      "Error Data", "Error Data_2"), names)
     def sheetRows(idx: Int): Seq[Seq[String]] = {
       val doc = xml(s"xl/worksheets/sheet$idx.xml")
       val rows = doc.getElementsByTagNameNS("*", "row")
@@ -146,13 +148,16 @@ class ErrorSinkSpec extends SparkSpec {
     assert(agg.head == Seq("Type", "Group", "Data Item Submission Name",
       "Category", "Error Code", "Count"))
     assert(agg(1).contains("CODE") && agg(1).contains("7"))
-    // detail sheets: header + <=3 rows (+ trailer on continued sheets);
-    // XML-escaped message survives parsing
+    // detail sheets: header + overflow+1 rows + trailer on the first,
+    // the remaining 3 rows and no trailer on the second; XML-escaped
+    // message survives parsing; nulls render as the reference's "None"
     val d1 = sheetRows(3)
     assert(d1.head.take(3) == Seq("Entity", "Key", "FailureType"))
+    assert(d1.length == 6) // header + 4 rows + trailer
     assert(d1.last.contains("Errors continued on next sheet"))
     assert(d1.exists(_.contains("msg <&> \"quoted\"")))
-    assert(sheetRows(5).length == 2) // header + final row, no trailer
+    assert(d1.exists(_.contains("None"))) // the null ErrorCode column
+    assert(sheetRows(4).length == 4) // header + final 3 rows, no trailer
     assert(zf.getEntry("[Content_Types].xml") != null)
     assert(zf.getEntry("_rels/.rels") != null)
     assert(zf.getEntry("xl/_rels/workbook.xml.rels") != null)

@@ -86,6 +86,19 @@ class BpeSpec extends SparkSpec {
     assert(merges.count() == 0)
   }
 
+  test("a short batch consumes its full round-number budget (fixed schedule)") {
+    // one word "abc": round 1 (batch = 3) finds only 2 candidate pairs —
+    // (a,b) then (b,c), the latter a no-op after a+b merges. The fixed
+    // schedule still burns all 3 round numbers, so the next round's merge
+    // (ab,c) lands at round 4, exactly where a static replay of the
+    // schedule (the DuckDB oracle's sentinel folds) puts it.
+    val docs = Seq("abc").toDF("text")
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 4, batch = 3)
+      .select("round", "left", "right", "pair_count")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges == Seq((1L, "a", "b", 1L), (2L, "b", "c", 1L), (4L, "ab", "c", 1L)))
+  }
+
   test("the merge expression is codegen (no interpreted fallback)") {
     val df = spark.range(4).select(split(concat(lit("ab"),
       col("id").cast("string")), "").as("s"))
