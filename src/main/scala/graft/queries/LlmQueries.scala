@@ -209,6 +209,41 @@ object LlmQueries {
       Importance.dsirWeights(docs(s, dir), "doc_id", "text",
         col("source") === "src0", buckets = 4096)),
 
+    // Hashed-linear quality-classifier scoring: unigram+bigram features
+    // into 4096 buckets, a deterministic (bucket -> weight) table standing
+    // in for trained fastText/LR weights, integer micro-unit mean logit.
+    "q_text_classifier" -> ((s, dir) => {
+      val weights = s.range(0, 4096).select(col("id").as("bucket"),
+        (col("id") * 2654435761L % 2001L - 1000L).as("weight_micro"))
+      Importance.linearQualityScore(docs(s, dir), "doc_id", "text",
+        weights, buckets = 4096, thresholdMicro = 0L)
+    }),
+
+    // URL canonicalization + dedup-by-URL (the crawl-record key web
+    // pipelines dedupe on before any content comparison): three synthetic
+    // container forms of the same logical URL — uppercase scheme/host +
+    // www + default port + tracking params + fragment; plain https; http
+    // with fbclid — must collapse so that the https pair dedupes together
+    // while the http form stays distinct (scheme is semantic).
+    "q_dedup_url" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Path/"),
+            (col("doc_id") % 7).cast("string"), lit("/?utm_source=feed&id="),
+            (col("doc_id") % 5).cast("string"), lit("&utm_campaign=x#frag")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://"), col("source"), lit(".example.com/Path/"),
+            (col("doc_id") % 7).cast("string"), lit("?id="),
+            (col("doc_id") % 5).cast("string")))
+        .otherwise(
+          concat(lit("http://"), col("source"), lit(".example.com:80/Path/"),
+            (col("doc_id") % 7).cast("string"), lit("/?id="),
+            (col("doc_id") % 5).cast("string"), lit("&fbclid=abc")))
+      d.select(col("doc_id"), TextStats.urlCanonicalize(raw).as("url_canon"))
+        .groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+    }),
+
     // Zipf slope/intercept of ln(freq) vs ln(rank) over the top-200 tokens
     // (integer least-squares in micro-ln units).
     "q_corpus_zipf" -> ((s, dir) =>
@@ -1074,6 +1109,55 @@ object LlmQueries {
       "coalesce(sm, 0)::BIGINT AS dsir_micro FROM documents d LEFT JOIN per USING (doc_id)"
   }
 
+  /** Replica of [[graft.text.Importance.linearQualityScore]] with the
+    * deterministic weight table: unigram+bigram hashBucket features,
+    * broadcast weight lookup, floored mean logit in micro-units.
+    */
+  private def classifierSql(buckets: Int): String = {
+    def bucketOf(c: String) = {
+      val h = "list_reduce(list_prepend(17::BIGINT, " +
+        s"[ascii(ch)::BIGINT for ch in string_split($c, '')]), " +
+        "(a, b) -> (a * 31 + b) % 4294967296)"
+      val m1 = s"(($h * 48271) % 2147483647)"
+      s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % $buckets)"
+    }
+    s"WITH wts AS (SELECT range AS bucket, (range * 2654435761) % 2001 - 1000 AS wm FROM range($buckets)), " +
+      "s AS (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM s), " +
+      s"uni AS (SELECT doc_id, ${bucketOf("w")} AS f FROM tok WHERE w <> ''), " +
+      "bg AS (SELECT doc_id, concat_ws(' ', w, lead(w) OVER win) AS bgs, " +
+      "lead(w) OVER win AS w2 FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), " +
+      s"bi AS (SELECT doc_id, ${bucketOf("bgs")} AS f FROM bg WHERE w2 IS NOT NULL), " +
+      "fx AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
+      "per AS (SELECT doc_id, count(1)::BIGINT AS n, " +
+      "floor(coalesce(sum(wm), 0)::DOUBLE / count(1)::DOUBLE)::BIGINT AS lg " +
+      "FROM fx LEFT JOIN wts ON fx.f = wts.bucket GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_features, " +
+      "coalesce(lg, 0)::BIGINT AS logit_micro, coalesce(lg, 0) >= 0 AS keep " +
+      "FROM documents d LEFT JOIN per USING (doc_id)"
+  }
+
+  /** Replica of [[graft.text.TextStats.urlCanonicalize]] over the same
+    * synthetic three-container URL construction as the q_dedup_url query.
+    */
+  private def urlDedupSql: String =
+    "WITH u AS (SELECT doc_id, CASE " +
+      "WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || (doc_id % 7) || '/?utm_source=feed&id=' || (doc_id % 5) || '&utm_campaign=x#frag' " +
+      "WHEN doc_id % 3 = 1 THEN 'https://' || source || '.example.com/Path/' || (doc_id % 7) || '?id=' || (doc_id % 5) " +
+      "ELSE 'http://' || source || '.example.com:80/Path/' || (doc_id % 7) || '/?id=' || (doc_id % 5) || '&fbclid=abc' END AS url FROM documents), " +
+      "c AS (SELECT doc_id, " +
+      "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+      "regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)), '^www\\.', '') AS hp, " +
+      "regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS p0, " +
+      "regexp_extract(url, '\\?([^#]*)', 1) AS q0 FROM u), " +
+      "c2 AS (SELECT doc_id, scheme, " +
+      "CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '') " +
+      "WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '') ELSE hp END AS host, " +
+      "CASE WHEN p0 = '' THEN '/' WHEN length(p0) > 1 THEN regexp_replace(p0, '/$', '') ELSE p0 END AS p, " +
+      "regexp_replace(regexp_replace(q0 || '&', '(utm_[^&]*|gclid=[^&]*|fbclid=[^&]*)&', '', 'g'), '&$', '') AS q FROM c) " +
+      "SELECT scheme || '://' || host || p || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon, " +
+      "min(doc_id)::BIGINT AS keeper, count(1)::BIGINT AS n_dups FROM c2 GROUP BY 1"
+
   /** PageRank oracle: the near-dup pair graph lifted to `source` nodes,
     * then `iterations` chained power-iteration CTEs in the same exact
     * integer arithmetic as [[graft.graph.Graph.pageRank]]. DuckDB `//`
@@ -1170,6 +1254,8 @@ object LlmQueries {
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) t " +
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
     "q_dsir_weights" -> dsirSql(4096, "source = 'src0'"),
+    "q_text_classifier" -> classifierSql(4096),
+    "q_dedup_url" -> urlDedupSql,
     "q_corpus_zipf" -> zipfSql(200),
     "q_graph_pagerank" -> pagerankSql(8, 85),
     "q_text_tfidf" ->

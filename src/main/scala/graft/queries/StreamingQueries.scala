@@ -216,6 +216,25 @@ object StreamingQueries {
       s.read.parquet(s"$base/out")
     }),
 
+    // BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark — the
+    // production-scale operator whose state a key only occupies until the
+    // watermark passes first-seen + delay (plain dropDuplicates grows
+    // without bound on an unbounded key space). With the delay spanning
+    // the dataset nothing expires mid-run, so the surviving key set equals
+    // batch DISTINCT — the streamed lineage is what's under test; the
+    // eviction/re-emission contract is spec'd in StreamingSpec.
+    "q_stream_dedup_watermark" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_dedup_watermark"
+      val landing = eventsSentinelFixture(s, dir)
+      resetOut(s, base)
+      val deduped = Streaming.streamingDedupWithinWatermark(
+        stream(s, landing).select(col("ts"), col("user_id"))
+          .withWatermark("ts", "365 days"), "user_id")
+        .select(col("user_id"))
+      runToParquet(deduped, base)
+      s.read.parquet(s"$base/out").where(col("user_id") =!= -1L)
+    }),
+
     // STREAMING sessionization: session_window aggregation with a
     // watermark — gap-based sessions close and emit once the watermark
     // passes; must equal the batch gaps-and-islands result (the fixture's
@@ -306,6 +325,10 @@ object StreamingQueries {
         "FROM events CROSS JOIN range(4) k GROUP BY 1, 2"),
     "q_stream_dedup" ->
       "SELECT DISTINCT l_orderkey FROM lineitem",
+    // delay spans the dataset: nothing expires, survivors = DISTINCT keys
+    // (sentinel user filtered on read-back)
+    "q_stream_dedup_watermark" ->
+      "SELECT DISTINCT user_id FROM events",
     "q_stream_sessions" ->
       ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
         "m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +

@@ -176,6 +176,21 @@ object Streaming {
   def streamingDedupExact(rows: DataFrame, keyCols: String*): DataFrame =
     rows.dropDuplicates(keyCols)
 
+  /** The ENGINE-NATIVE bounded-state variant: Spark's
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its first-seen event time plus the watermark delay,
+    * so on an unbounded key space (crawl URLs, event ids) the store stays
+    * O(keys within the horizon) — the production-scale shape of streaming
+    * dedup, where plain `dropDuplicates` state grows without bound. A
+    * duplicate arriving after its key's state expired re-emits (the same
+    * dedup-within-window contract as [[streamingDedup]]'s custom-state
+    * formulation — this is the operator to prefer when the horizon rule
+    * "expiry measured from FIRST-seen" fits). `rows` must carry
+    * `withWatermark` on its event-time column.
+    */
+  def streamingDedupWithinWatermark(rows: DataFrame, keyCols: String*): DataFrame =
+    rows.dropDuplicatesWithinWatermark(keyCols)
+
   /** Stateful streaming exact-dedup with BOUNDED state: the first row per
     * key within `horizonMs` of its event time passes; duplicates inside the
     * horizon drop. State is evicted by `EventTimeTimeout` once the

@@ -82,4 +82,53 @@ object Importance {
         coalesce(col("n_bigrams"), lit(0L)).cast("bigint").as("n_bigrams"),
         coalesce(col("dsir_micro"), lit(0L)).cast("bigint").as("dsir_micro"))
   }
+
+  /** Hashed-linear quality-classifier SCORING (the serving side of a
+    * fastText/DCLM-style quality filter): features are token unigrams AND
+    * bigrams hashed into `buckets` ids ([[Sampling.hashBucket]]); a
+    * trained weight table `(bucket, weight_micro)` — the artifact a
+    * logistic-regression / fastText training run exports — is broadcast;
+    * a document's score is the MEAN feature weight in integer micro-units
+    * (floored), the linear logit without the monotone sigmoid (thresholds
+    * compare identically, and staying in integers keeps the oracle
+    * bit-exact). `keep` flags `logit_micro >= thresholdMicro`.
+    *
+    * Shuffle shape at 100 TB: one per-doc window for bigrams, the feature
+    * lane carries (doc, bucket) ids only, the weight table is a broadcast
+    * <= `buckets` rows, and the score is one per-doc partial-aggregated
+    * sum. Missing buckets weigh 0 (an untrained feature is neutral). Docs
+    * with no tokens score 0 and keep only if the threshold is <= 0.
+    */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                         weights: DataFrame, buckets: Int,
+                         thresholdMicro: Long): DataFrame = {
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val toks = docs.select(col(idCol).as("__id__"),
+      posexplode(split(norm, " ")).as(Seq("pos", "w1")))
+    val w = Window.partitionBy(col("__id__")).orderBy(col("pos"))
+    val uni = toks.where(col("w1") =!= "")
+      .select(col("__id__"), Sampling.hashBucket(col("w1"), buckets).as("__f__"))
+    val bi = toks
+      .select(col("__id__"),
+        concat_ws(" ", col("w1"), lead(col("w1"), 1).over(w)).as("__bg__"),
+        lead(col("w1"), 1).over(w).as("__w2__"))
+      .where(col("__w2__").isNotNull)
+      .select(col("__id__"), Sampling.hashBucket(col("__bg__"), buckets).as("__f__"))
+    val wt = broadcast(weights.select(col("bucket").cast("bigint").as("__f__"),
+      col("weight_micro").cast("bigint").as("__wm__")))
+    val perDoc = uni.unionByName(bi)
+      .join(wt, Seq("__f__"), "left")
+      .groupBy(col("__id__")).agg(
+        count(lit(1)).as("n_features"),
+        coalesce(sum(col("__wm__")), lit(0L)).as("__sum__"))
+      .select(col("__id__"), col("n_features"),
+        floor(col("__sum__").cast("double") / col("n_features").cast("double"))
+          .cast("bigint").as("logit_micro"))
+    docs.select(col(idCol).as("__id__"))
+      .join(perDoc, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("n_features"), lit(0L)).cast("bigint").as("n_features"),
+        coalesce(col("logit_micro"), lit(0L)).cast("bigint").as("logit_micro"),
+        (coalesce(col("logit_micro"), lit(0L)) >= thresholdMicro).as("keep"))
+  }
 }

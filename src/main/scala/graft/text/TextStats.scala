@@ -234,6 +234,40 @@ object TextStats {
     "domains" -> concat_ws(",",
       array_sort(array_distinct(regexp_extract_all(textCol, lit(DomainPattern), lit(1))))))
 
+  /** Canonical form of an absolute http(s) URL — the key web-corpus
+    * pipelines dedupe crawl records on before any content comparison
+    * (CommonCrawl/CCNet discipline): lowercase scheme and host, strip a
+    * leading `www.`, drop the scheme's default port (:80 http, :443
+    * https), drop the fragment, remove tracking query params (utm_*,
+    * gclid, fbclid — other params keep their original order), collapse an
+    * empty path to `/` and strip a trailing slash from non-root paths.
+    * Pure codegen'd regexp column logic — no UDF, no HOF lambda (the
+    * tracking-param removal is a sentinel-delimited global regexp_replace,
+    * not an interpreted array filter).
+    */
+  def urlCanonicalize(urlCol: Column): Column = {
+    val scheme = lower(regexp_extract(urlCol, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport0 = lower(regexp_extract(urlCol, "^[^:/?#]+://([^/?#]*)", 1))
+    val hostport = regexp_replace(hostport0, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val path0 = regexp_extract(urlCol, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .when(length(path0) > 1, regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val query0 = regexp_extract(urlCol, "\\?([^#]*)", 1)
+    // sentinel-delimited removal: append '&', strip every tracking pair
+    // (handles consecutive ones in a single global pass), trim the tail
+    val query = regexp_replace(
+      regexp_replace(concat(query0, lit("&")),
+        "(utm_[^&]*|gclid=[^&]*|fbclid=[^&]*)&", ""),
+      "&$", "")
+    when(scheme === "", urlCol) // not an absolute URL: pass through
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
   /** Top-`k` characteristic terms per document by tf-idf. The idf is the
     * smoothed RATIONAL form (N+1)/(df+1) rather than its logarithm: ranking
     * is order-equivalent per document (log is monotone), and the rational

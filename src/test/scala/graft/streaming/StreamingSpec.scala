@@ -219,6 +219,30 @@ class StreamingSpec extends SparkSpec {
       (9L, "advance"), (1L, "after-horizon")))
   }
 
+  test("streamingDedupWithinWatermark dedups inside the delay and re-emits after expiry") {
+    // the engine-native bounded-state dedup: a key's state lives until the
+    // watermark passes first-seen + delay; a later duplicate is a fresh row
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val df = stream.toDF().toDF("ts", "id", "v").withWatermark("ts", "10 minutes")
+    val deduped = Streaming.streamingDedupWithinWatermark(df, "id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((t(1), 1L, "first"), (t(1), 1L, "dup-same-batch"), (t(2), 2L, "two"))
+    q.processAllAvailable()
+    stream.addData((t(3), 1L, "dup-within-delay"))
+    q.processAllAvailable()
+    // watermark jumps far past first-seen + 10 min: state evicts
+    stream.addData((t(40), 9L, "advance"))
+    q.processAllAvailable()
+    stream.addData((t(41), 1L, "after-expiry"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_wm_out").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    q.stop()
+    assert(got == Set((1L, "first"), (2L, "two"), (9L, "advance"), (1L, "after-expiry")))
+  }
+
   test("streamingDedup survives rows with a null event time") {
     val stream = MemoryStream[(Option[java.sql.Timestamp], Long, String)](spark)
     val df = stream.toDF().toDF("ts", "id", "v").withWatermark("ts", "0 seconds")

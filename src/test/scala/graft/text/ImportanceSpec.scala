@@ -61,4 +61,50 @@ class ImportanceSpec extends SparkSpec {
     // one distinct token -> one (x, y) point -> den = 0 guard engages
     assert(out == ((1L, 0L, 0L)))
   }
+
+  test("linearQualityScore: floored mean of the matched feature weights, empty docs neutral") {
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    // features: doc1 = {uni a, uni b, bi "a b"}; doc3 = {uni a}; doc2 = none.
+    // Weight table built from the ACTUAL bucket ids (grouped in case of a
+    // collision) so the test pins the scoring arithmetic, not the hash.
+    val buckets = 64
+    val keyWeight = Map("a" -> 7L, "b" -> 1L, "a b" -> 1L)
+    val ids = keyWeight.keys.toSeq.toDF("k")
+      .select(col("k"), Sampling.hashBucket(col("k"), buckets).as("bucket"))
+      .as[(String, Long)].collect().toMap
+    val byBucket = keyWeight.groupBy { case (k, _) => ids(k) }
+      .map { case (b, kw) => (b, kw.values.sum) }
+    val weights = byBucket.toSeq.toDF("bucket", "weight_micro")
+    val out = Importance.linearQualityScore(docs, "doc_id", "text",
+        weights, buckets, thresholdMicro = 4L)
+      .as[(Long, Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    val d1Logit = math.floor(
+      (byBucket(ids("a")) + byBucket(ids("b")) + byBucket(ids("a b"))).toDouble / 3).toLong
+    assert(out(1L) == ((1L, 3L, d1Logit, d1Logit >= 4L)))
+    assert(out(2L) == ((2L, 0L, 0L, false)))
+    assert(out(3L) == ((3L, 1L, byBucket(ids("a")), byBucket(ids("a")) >= 4L)))
+  }
+
+  test("linearQualityScore: unmatched buckets weigh zero; negative means floor down") {
+    val docs = Seq((1L, "x y z w")).toDF("doc_id", "text") // 4 uni + 3 bi = 7 features
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "weight_micro")
+    val none = Importance.linearQualityScore(docs, "doc_id", "text",
+        empty, 64, thresholdMicro = 0L)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(none == ((1L, 7L, 0L, true)))
+    // negative weight on bucket("x"): the mean floors DOWN (-1 for -5/7,
+    // never the truncation toward zero). Expected value derived from the
+    // actual bucket ids so a hash collision among the 7 features cannot
+    // destabilize the assertion.
+    val feats = Seq("x", "y", "z", "w", "x y", "y z", "z w")
+    val fb = feats.toDF("k").select(Sampling.hashBucket(col("k"), 64))
+      .as[Long].collect()
+    val neg = Seq((fb.head, -5L)).toDF("bucket", "weight_micro")
+    val expect = math.floor(-5.0 * fb.count(_ == fb.head) / 7).toLong
+    val out = Importance.linearQualityScore(docs, "doc_id", "text",
+        neg, 64, thresholdMicro = 0L)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(expect < 0L)
+    assert(out == ((1L, 7L, expect, false)))
+  }
 }

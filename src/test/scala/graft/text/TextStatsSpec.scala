@@ -205,4 +205,33 @@ class TextStatsSpec extends SparkSpec {
     assert(out("en") == (("en", 3L, 2L, 333333L, 10L, 3333333L, 13L, 19L)))
     assert(out("fr") == (("fr", 1L, 1L, 0L, 2L, 2000000L, 7L, 7L)))
   }
+
+  test("urlCanonicalize folds case/www/default-port/tracking/fragment; keeps semantics") {
+    val cases = Seq(
+      // the full fold: scheme+host case, www, :443, utm_* pair, fragment,
+      // trailing slash — param order of survivors preserved
+      "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&id=1&utm_campaign=y#f"
+        -> "https://ex.com/A/b?id=1",
+      // root slash survives; :80 is http's default
+      "http://ex.com:80/" -> "http://ex.com/",
+      // no path at all -> canonical root
+      "https://ex.com" -> "https://ex.com/",
+      // only tracking params -> no query at all
+      "https://ex.com/?utm_source=a" -> "https://ex.com/",
+      // non-default port is semantic
+      "https://ex.com:8080/x" -> "https://ex.com:8080/x",
+      // :443 is NOT http's default port
+      "http://ex.com:443/x" -> "http://ex.com:443/x",
+      // consecutive tracking params, fbclid, survivors keep order
+      "https://ex.com/p?utm_a=1&utm_b=2&keep=2&fbclid=z&x=3"
+        -> "https://ex.com/p?keep=2&x=3",
+      // other schemes: host lowercased, path case kept, no port defaults
+      "FTP://Ex.com/X/" -> "ftp://ex.com/X",
+      // not an absolute URL: untouched
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), TextStats.urlCanonicalize(col("u")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"for $in") }
+  }
 }
