@@ -219,6 +219,21 @@ object LlmQueries {
         weights, buckets = 4096, thresholdMicro = 0L)
     }),
 
+    // Gopher quality ruleset over line-structured synthetic pages (the
+    // documents corpus is single-line word soup, so the query builds a
+    // deterministic multi-line page per doc: sentences, a bullet line, a
+    // symbol-soup or ellipsis line on a doc_id schedule, then corpus text).
+    "q_text_gopher" -> ((s, dir) => {
+      val cols = graft.text.TextStats.gopherColumns(pageText)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // C4 page-level ruleset over the same synthetic pages.
+    "q_text_c4" -> ((s, dir) => {
+      val cols = graft.text.TextStats.c4Columns(pageText)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // URL canonicalization + dedup-by-URL (the crawl-record key web
     // pipelines dedupe on before any content comparison): three synthetic
     // container forms of the same logical URL — uppercase scheme/host +
@@ -1109,6 +1124,71 @@ object LlmQueries {
       "coalesce(sm, 0)::BIGINT AS dsir_micro FROM documents d LEFT JOIN per USING (doc_id)"
   }
 
+  /** Deterministic multi-line synthetic page per document (the documents
+    * corpus is single-line), shared by the Gopher/C4 ruleset queries and
+    * replicated verbatim by [[pageTextSql]].
+    */
+  private def pageText: org.apache.spark.sql.Column =
+    concat(
+      lit("The data value is number "), (col("doc_id") % 7).cast("string"),
+      lit(" of that set.\n- bullet item\n"),
+      when(col("doc_id") % 5 === 0, lit("@@ ### $$$ ### ##\n"))
+        .otherwise(lit("A proper line to have and to hold with words.\n")),
+      when(col("doc_id") % 3 === 0, lit("this one trails off into dots ...\n"))
+        .otherwise(lit("Another full sentence ends properly here!\n")),
+      substring(col("text"), 1, 120), lit(" end of the text sample."))
+
+  private def pageTextSql: String =
+    "'The data value is number ' || (doc_id % 7) || ' of that set.' || chr(10) || " +
+      "'- bullet item' || chr(10) || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '@@ ### $$$ ### ##' " +
+      "ELSE 'A proper line to have and to hold with words.' END || chr(10) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'this one trails off into dots ...' " +
+      "ELSE 'Another full sentence ends properly here!' END || chr(10) || " +
+      "substr(text, 1, 120) || ' end of the text sample.'"
+
+  private def gopherSql: String = {
+    def cnt(pat: String) = s"len(regexp_extract_all(t, '$pat'))"
+    def micro(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN floor(($num)::DOUBLE * 1000000.0 / ($den)::DOUBLE)::BIGINT ELSE 0 END"
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => s"CASE WHEN regexp_matches(t, '(^|\\s)$w(\\s|$$)') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val nWords = "len(string_split_regex(t, '\\s+'))"
+    val nLines = "len(string_split(t, chr(10)))"
+    s"WITH p AS (SELECT doc_id, $pageTextSql AS t FROM documents), " +
+      s"m AS (SELECT doc_id, $nWords AS nw, $nLines AS nl, " +
+      s"${cnt("#")} + ${cnt("\\.\\.\\.")} + ${cnt("…")} AS sym, " +
+      s"length(regexp_replace(t, '\\s', '', 'g')) AS chars, " +
+      s"${cnt("(?m)^\\s*[-*•]")} AS bul, " +
+      s"${cnt("(?m)(\\.\\.\\.|…)[ \\t]*$$")} AS ell, " +
+      s"${cnt("(^|\\s)[^\\s]*[A-Za-z][^\\s]*")} AS aw, " +
+      s"($stopHits)::BIGINT AS sh FROM p) " +
+      s"SELECT doc_id, nw::BIGINT AS n_words, " +
+      s"${micro("chars", "nw")} AS mean_word_len_micro, " +
+      s"${micro("sym", "nw")} AS symbol_ratio_micro, " +
+      s"${micro("bul", "nl")} AS bullet_frac_micro, " +
+      s"${micro("ell", "nl")} AS ellipsis_frac_micro, " +
+      s"${micro("aw", "nw")} AS alpha_word_frac_micro, " +
+      "sh AS stop_hits, " +
+      s"(nw >= 50 AND nw <= 100000 AND ${micro("chars", "nw")} >= 3000000 " +
+      s"AND ${micro("chars", "nw")} <= 10000000 AND ${micro("sym", "nw")} <= 100000 " +
+      s"AND ${micro("bul", "nl")} <= 900000 AND ${micro("ell", "nl")} <= 300000 " +
+      s"AND ${micro("aw", "nw")} >= 800000 AND sh >= 2) AS gopher_keep FROM m"
+  }
+
+  private def c4Sql: String = {
+    def cnt(pat: String) = s"len(regexp_extract_all(t, '$pat'))"
+    s"WITH p AS (SELECT doc_id, $pageTextSql AS t FROM documents), " +
+      s"m AS (SELECT doc_id, len(string_split(t, chr(10)))::BIGINT AS n_lines, " +
+      s"${cnt("(?m)^[ \\t]*(?:[^\\s]+[ \\t]+){4,}[^\\s]*[.!?\"''][ \\t]*$$")}::BIGINT AS n_kept_lines, " +
+      s"${cnt("[.!?]")}::BIGINT AS n_sentences, " +
+      "contains(lower(t), 'lorem ipsum') AS has_lorem, " +
+      "contains(t, '{') AS has_brace FROM p) " +
+      "SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace, " +
+      "(NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS c4_keep FROM m"
+  }
+
   /** Replica of [[graft.text.Importance.linearQualityScore]] with the
     * deterministic weight table: unigram+bigram hashBucket features,
     * broadcast weight lookup, floored mean logit in micro-units.
@@ -1256,6 +1336,8 @@ object LlmQueries {
     "q_dsir_weights" -> dsirSql(4096, "source = 'src0'"),
     "q_text_classifier" -> classifierSql(4096),
     "q_dedup_url" -> urlDedupSql,
+    "q_text_gopher" -> gopherSql,
+    "q_text_c4" -> c4Sql,
     "q_corpus_zipf" -> zipfSql(200),
     "q_graph_pagerank" -> pagerankSql(8, 85),
     "q_text_tfidf" ->

@@ -77,6 +77,73 @@ object TextStats {
       "quality_score" -> score)
   }
 
+  /** Gopher-style quality-filter signals (the Rae et al. 2021 repetition/
+    * quality ruleset practitioners quote by name): word-count bounds, mean
+    * word length, symbol-to-word ratio (# and ellipses), bullet- and
+    * ellipsis-line fractions, fraction of words containing an alphabetic
+    * character, and a minimum count of distinct common English stop words.
+    * All ratios are integer micro-units (floor(1e6 * num / den)) so an
+    * external engine reproduces them bit-for-bit; `gopher_keep` is the
+    * conjunction with the paper's thresholds. Pure codegen regexp columns
+    * — no UDF, no HOF lambda, no shuffle.
+    */
+  def gopherColumns(textCol: Column): Seq[(String, Column)] = {
+    val nWords = size(tokens(textCol))
+    val nLines = size(split(textCol, "\n"))
+    def microFrac(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") * 1000000.0 / den.cast("double")))
+        .otherwise(lit(0.0)).cast("bigint")
+    val meanWordLen = microFrac(length(regexp_replace(textCol, "\\s", "")), nWords)
+    val symbolRatio = microFrac(
+      regexp_count(textCol, lit("#")) + regexp_count(textCol, lit("\\.\\.\\.")) +
+        regexp_count(textCol, lit("…")), nWords)
+    val bulletFrac = microFrac(regexp_count(textCol, lit("(?m)^\\s*[-*•]")), nLines)
+    val ellipsisFrac = microFrac(
+      regexp_count(textCol, lit("(?m)(\\.\\.\\.|…)[ \\t]*$")), nLines)
+    val alphaWordFrac = microFrac(
+      regexp_count(textCol, lit("(^|\\s)[^\\s]*[A-Za-z][^\\s]*")), nWords)
+    val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stopWords.map(w =>
+      when(textCol.rlike(s"(^|\\s)$w(\\s|$$)"), 1L).otherwise(0L)).reduce(_ + _)
+    val keep = nWords >= 50 && nWords <= 100000 &&
+      meanWordLen >= 3000000L && meanWordLen <= 10000000L &&
+      symbolRatio <= 100000L && bulletFrac <= 900000L &&
+      ellipsisFrac <= 300000L && alphaWordFrac >= 800000L && stopHits >= 2L
+    Seq(
+      "n_words" -> nWords.cast("bigint"),
+      "mean_word_len_micro" -> meanWordLen,
+      "symbol_ratio_micro" -> symbolRatio,
+      "bullet_frac_micro" -> bulletFrac,
+      "ellipsis_frac_micro" -> ellipsisFrac,
+      "alpha_word_frac_micro" -> alphaWordFrac,
+      "stop_hits" -> stopHits,
+      "gopher_keep" -> keep)
+  }
+
+  /** C4-style page-level filter signals (Raffel et al. 2020): lorem-ipsum
+    * and curly-brace markers, sentence count, and the kept-line count
+    * under the "ends in terminal punctuation AND has >= 5 words" line
+    * rule. `c4_keep` is the page conjunction (no markers, >= 3
+    * sentences). Line REMOVAL (reassembly) composes from [[lineDedup]]'s
+    * per-line lane; these are the page-level columns — pure codegen, no
+    * shuffle.
+    */
+  def c4Columns(textCol: Column): Seq[(String, Column)] = {
+    val nSentences = regexp_count(textCol, lit("[.!?]"))
+    val hasLorem = lower(textCol).contains("lorem ipsum")
+    val hasBrace = textCol.contains("{")
+    // within-line separators only ([ \t], not \s): \s matches \n, which
+    // would let one greedy match swallow several lines and undercount
+    val keptLine = "(?m)^[ \\t]*(?:[^\\s]+[ \\t]+){4,}[^\\s]*[.!?\"'][ \\t]*$"
+    Seq(
+      "n_lines" -> size(split(textCol, "\n")).cast("bigint"),
+      "n_kept_lines" -> regexp_count(textCol, lit(keptLine)).cast("bigint"),
+      "n_sentences" -> nSentences.cast("bigint"),
+      "has_lorem" -> hasLorem,
+      "has_brace" -> hasBrace,
+      "c4_keep" -> (!hasLorem && !hasBrace && nSentences >= 3))
+  }
+
   /** Corpus audit report: the per-stratum statistics a curation team
     * reviews before training — doc counts, exact-dup mass, token mass, and
     * mean quality — as ONE aggregation pass over the corpus. Fractions and

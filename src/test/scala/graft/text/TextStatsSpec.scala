@@ -206,6 +206,51 @@ class TextStatsSpec extends SparkSpec {
     assert(out("fr") == (("fr", 1L, 1L, 0L, 2L, 2000000L, 7L, 7L)))
   }
 
+  test("gopherColumns: hand-computed signals on a 3-line page") {
+    val text = "- first bullet\nGood words here ...\nThe cat and dog"
+    // tokens (split \s+ across newlines): 11; non-ws chars: 40
+    val out = Seq(text).toDF("t")
+      .select(TextStats.gopherColumns(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(out._1 == 11L)                 // n_words
+    assert(out._2 == 40L * 1000000 / 11)  // mean_word_len_micro = 3636363
+    assert(out._3 == 1000000L / 11)       // one "..." symbol / 11 words
+    assert(out._4 == 1000000L / 3)        // 1 of 3 lines is a bullet
+    assert(out._5 == 1000000L / 3)        // 1 of 3 lines ends in ellipsis
+    assert(out._6 == 9L * 1000000 / 11)   // 9 of 11 tokens contain a letter
+    assert(out._7 == 1L)                  // only "and" (case-sensitive: "The" is not "the")
+    assert(!out._8)                       // n_words < 50
+  }
+
+  test("gopherColumns: a clean prose page passes the full conjunction") {
+    val text = Seq.fill(7)("the data and value look right here to stay").mkString(" ")
+    val out = Seq(text).toDF("t")
+      .select(TextStats.gopherColumns(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(out._1 == 63L)
+    assert(out._2 == 238L * 1000000 / 63) // mean word length ~3.78 chars
+    assert(out._7 >= 3L)                  // the, and, to
+    assert(out._8, out.toString)
+  }
+
+  test("c4Columns: kept-line rule, sentence count, lorem/brace markers") {
+    val text = "One two three four five.\nshort line\nlorem ipsum here\n" +
+      "Six seven eight nine ten okay!"
+    val out = Seq(text).toDF("t")
+      .select(TextStats.c4Columns(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean)].head()
+    assert(out == ((4L, 2L, 2L, true, false, false)))
+    val ok = Seq("Alpha beta gamma delta one. Two of three four five! Six seven eight nine ten?")
+      .toDF("t")
+      .select(TextStats.c4Columns(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean)].head()
+    assert(ok._3 == 3L && ok._6, ok.toString) // 3 sentences, keep
+    val brace = Seq("{ json: 1 }").toDF("t")
+      .select(TextStats.c4Columns(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean)].head()
+    assert(brace._5 && !brace._6)
+  }
+
   test("urlCanonicalize folds case/www/default-port/tracking/fragment; keeps semantics") {
     val cases = Seq(
       // the full fold: scheme+host case, www, :443, utm_* pair, fragment,
