@@ -125,6 +125,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_chunk_docs").contains("Generate"), "chunking lost its generator")
   }
 
+  test("quality rulesets are single narrow stages; classifier weights broadcast") {
+    for (q <- Seq("q_text_gopher", "q_text_c4")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+    // the <= buckets-row weight table must join by broadcast, never shuffle
+    // the id-only feature lane against it
+    assert(plan("q_text_classifier").contains("BroadcastHashJoin"))
+  }
+
   test("line dedup joins the corpus-size aggregate by broadcast (no driver count)") {
     val p = plan("q_text_line_dedup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

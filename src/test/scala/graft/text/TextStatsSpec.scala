@@ -278,5 +278,11 @@ class TextStatsSpec extends SparkSpec {
       .select(col("u"), TextStats.urlCanonicalize(col("u")).as("c"))
       .as[(String, String)].collect().toMap
     cases.foreach { case (in, want) => assert(got(in) == want, s"for $in") }
+    // canonicalization is IDEMPOTENT: a canonical URL is its own canonical
+    // form (dedup keys stay stable when a pipeline re-canonicalizes)
+    val twice = cases.map(_._2).toDF("u")
+      .select(col("u"), TextStats.urlCanonicalize(col("u")).as("c"))
+      .as[(String, String)].collect()
+    twice.foreach { case (in, out) => assert(out == in, s"not idempotent on $in") }
   }
 }
