@@ -84,6 +84,12 @@ object Graph {
     var scores = nodes.crossJoin(broadcast(n))
       .select(col("__node__"), col("__dangling__"),
         expr("1000000000000L div __n__").as("__sc__"))
+    // One bounded setup probe (limit-1 over the checkpointed node table):
+    // a symmetric edge list — the near-dup/host graphs this feeds on — has
+    // NO dangling nodes, and then every per-iteration dangling-mass
+    // broadcast aggregate is provably zero; skipping it drops a sub-job
+    // per round without touching semantics (dm == 0 exactly).
+    val hasDangling = nodes.where(col("__dangling__")).limit(1).count() > 0
     var lastCkpt: DataFrame = null
     for (_ <- 1 to iterations) {
       // Materialize the previous iteration ONCE per round. Both consumers
@@ -102,20 +108,27 @@ object Graph {
         println(f"[pr-iter] ckpt ${(System.nanoTime() - t0) / 1e9}%.3f s")
       if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
       lastCkpt = prev
-      val dm = broadcast(prev
-        .agg(coalesce(sum(when(col("__dangling__"), col("__sc__"))), lit(0L))
-          .as("__dm__")))
       val contribs = rates
         .join(prev, rates("__s__") === prev("__node__"))
         .select(col("__d__").as("__node__"),
           expr("(__sc__ * __rate__) div 1000000L").as("__c__"))
         .groupBy(col("__node__")).agg(sum(col("__c__")).as("__in__"))
-      scores = nodes.join(contribs, Seq("__node__"), "left")
-        .crossJoin(tele).crossJoin(dm)
-        .select(col("__node__"), col("__dangling__"),
-          (col("__tele__") +
-            expr(s"(${dampingPct}L * (coalesce(__in__, 0L) + (__dm__ div __n__))) div 100L"))
-            .as("__sc__"))
+      val joined = nodes.join(contribs, Seq("__node__"), "left").crossJoin(tele)
+      scores =
+        if (hasDangling) {
+          val dm = broadcast(prev
+            .agg(coalesce(sum(when(col("__dangling__"), col("__sc__"))), lit(0L))
+              .as("__dm__")))
+          joined.crossJoin(dm)
+            .select(col("__node__"), col("__dangling__"),
+              (col("__tele__") +
+                expr(s"(${dampingPct}L * (coalesce(__in__, 0L) + (__dm__ div __n__))) div 100L"))
+                .as("__sc__"))
+        } else
+          joined.select(col("__node__"), col("__dangling__"),
+            (col("__tele__") +
+              expr(s"(${dampingPct}L * coalesce(__in__, 0L)) div 100L"))
+              .as("__sc__"))
     }
     scores.select(col("__node__").as("node"), col("__sc__").as("pr_e12"))
   }
