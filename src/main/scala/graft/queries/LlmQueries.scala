@@ -339,6 +339,16 @@ object LlmQueries {
         "vec_id", "embedding", k = 3, threshold = 0.2)
     }),
 
+    // Semantic benchmark decontamination: max cosine against a broadcast
+    // benchmark set (vec_id % 41), contaminated when >= 0.95 — the
+    // embedding-space complement of q_text_decontaminate.
+    "q_embed_decontaminate" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semanticDecontaminate(e,
+        e.where(pmod(col("vec_id"), lit(41)) === 0),
+        "vec_id", "embedding", threshold = 0.95)
+    }),
+
     // End-to-end corpus PREPARATION (composition capstone): exact dedup ->
     // quality filter (>= 0.82 drops the low-scoring half) -> deterministic split + token count, as one plan. The
     // primitives compose because each is a pure column/frame transform.
@@ -1395,6 +1405,12 @@ object LlmQueries {
         "len(list_intersect(n.sh, r.sh))::DOUBLE / len(list_distinct(list_concat(n.sh, r.sh)))::DOUBLE AS jaccard " +
         "FROM sh n JOIN sh r ON n.doc_id % 3 != 0 AND r.doc_id % 3 = 0) p WHERE jaccard >= 0.5"),
     "q_embed_quality" -> seedQualitySql,
+    "q_embed_decontaminate" ->
+      ("WITH b AS (SELECT vec_id AS bench_id, embedding AS b_vec FROM embeddings WHERE vec_id % 41 = 0), " +
+        "p AS (SELECT e.vec_id, max(round(list_cosine_similarity(e.embedding::DOUBLE[], b.b_vec::DOUBLE[]), 6)) AS mbc " +
+        "FROM embeddings e JOIN b ON e.vec_id != b.bench_id GROUP BY e.vec_id) " +
+        "SELECT e.vec_id, coalesce(mbc, 0.0) AS max_bench_cosine, " +
+        "coalesce(mbc, 0.0) < 0.95 AS keep FROM embeddings e LEFT JOIN p USING (vec_id)"),
     "q_dedup_components" ->
       (s"WITH RECURSIVE p AS ($shingleCte SELECT a, b FROM (" +
         "SELECT a.doc_id AS a, b.doc_id AS b, " +

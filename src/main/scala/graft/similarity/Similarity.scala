@@ -426,6 +426,37 @@ object Similarity {
       .withColumn("keep", col("seed_score") >= threshold)
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space complement
+    * of [[graft.text.Dedup.decontaminate]]'s n-gram overlap: a corpus
+    * vector is contaminated when its cosine against ANY benchmark/eval
+    * vector reaches `threshold` (paraphrased or reformatted eval items
+    * that n-gram overlap misses). Scores are the max benchmark cosine,
+    * rounded to 6 dp before the max so the aggregate is order-independent
+    * and engine-exact; `keep` flags scores < threshold. Vectors sharing an
+    * id with a benchmark row skip the self-pair ([[seedQualityScore]]
+    * discipline).
+    *
+    * Scale shape: the benchmark side is small by construction (an eval
+    * suite) — broadcast it; the corpus is scanned once with a per-id
+    * partial-aggregated max. No corpus self-join, no shuffle of vectors.
+    * For benchmark sets too large to broadcast, the LSH-bucketed
+    * [[cosineNearDupPairs]] cross-family is the scale path.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val b = broadcast(benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("b_vec")))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__v__"))
+      .join(b, col(idCol) =!= col("bench_id"))
+      .groupBy(col(idCol))
+      .agg(max(round(cosine(col("__v__"), col("b_vec")), 6)).as("max_bench_cosine"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("max_bench_cosine"), lit(0.0)).as("max_bench_cosine"),
+        (coalesce(col("max_bench_cosine"), lit(0.0)) < threshold).as("keep"))
+  }
+
   /** IVF-PQ (IVFADC — Jégou et al., the billion-vector layout used by
     * FAISS-style indexes): coarse-quantize every corpus vector to its
     * nearest centroid cell, PQ-encode the RESIDUAL (vector minus its cell

@@ -209,6 +209,26 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("semanticDecontaminate flags benchmark-similar vectors, keeps the rest") {
+    // benchmark = three cluster-0 members; every cluster-0 corpus vector
+    // is near-identical to one of them (cosine ~1 >= 0.95) and flags;
+    // orthogonal clusters keep. Self-pairs (shared ids) are skipped, but
+    // benchmark members still flag via their cluster-mates.
+    val benchmark = vecs.where("vec_id IN (0, 3, 6)")
+    val out = Similarity.semanticDecontaminate(vecs, benchmark,
+        "vec_id", "embedding", threshold = 0.95)
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.length == 60)
+    val (c0, rest) = out.partition(_._1 % 3 == 0)
+    assert(c0.forall { case (_, s, keep) => s >= 0.95 && !keep }, c0.mkString(","))
+    assert(rest.forall { case (_, s, keep) => s < 0.5 && keep })
+    // empty benchmark: nothing is contaminated, scores are 0
+    val none = Similarity.semanticDecontaminate(vecs, vecs.where("vec_id < 0"),
+        "vec_id", "embedding", threshold = 0.95)
+      .as[(Long, Double, Boolean)].collect()
+    assert(none.length == 60 && none.forall { case (_, s, k) => s == 0.0 && k })
+  }
+
   test("seedQualityScore scores cluster-mates of seeds high, others low") {
     // seeds are cluster-0 members; cluster-0 vectors should score ~1 and
     // keep, orthogonal clusters ~0 and drop
