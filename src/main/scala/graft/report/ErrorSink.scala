@@ -70,6 +70,46 @@ object ErrorSink {
     */
   val CsvNullMarker = "\\N"
 
+  /** Error-code map loader (ref: reporting/error_report.py:39-51): a flat
+    * JSON `{field -> code}` file expands to one (Category, Data_Item,
+    * Error_Code) row per field for each of the three contract categories
+    * ("Blank", "Wrong format", "Bad value"). Read through the path's
+    * Hadoop filesystem (scheme-resolved like every other file access).
+    * Non-textual values are skipped — the legacy nested
+    * {category -> {field -> code}} shape joins nothing in the reference
+    * either (its Data_Item column holds category names no message carries).
+    */
+  def errorCodesFromJson(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val flat = node.properties().asScala.toSeq
+      .collect { case e if e.getValue.isTextual => (e.getKey, e.getValue.asText) }
+    val cats = Seq("Blank", "Wrong format", "Bad value")
+    import spark.implicits._
+    flat.flatMap { case (f, c) => cats.map(cat => (cat, f, c)) }
+      .toDF("Category", "Data_Item", "Error_Code")
+  }
+
+  /** Populate missing error codes from the map (ref:
+    * reporting/error_report.py:106-112): a broadcast left join on
+    * (ReportingField, Category); a message's OWN code always wins — the
+    * map only fills nulls (the reference's coalesce order).
+    */
+  def populateErrorCodes(messages: DataFrame, codes: DataFrame): DataFrame = {
+    val c = broadcast(codes.select(col("Category").as("__cat__"),
+      col("Data_Item").as("__di__"), col("Error_Code").as("__ec__")))
+    messages.join(c,
+        messages("ReportingField") === c("__di__") &&
+          messages("Category") === c("__cat__"), "left")
+      .withColumn("ErrorCode", coalesce(col("ErrorCode"), col("__ec__")))
+      .drop("__cat__", "__di__", "__ec__")
+  }
+
   /** Detail report as CSV — the offline stand-in for the reference's Excel
     * detail sheets: the exact `FeedbackMessage.HEADER` column order
     * (ref: core_engine/message.py:184-197), rows globally ordered by

@@ -99,6 +99,33 @@ class ErrorSinkSpec extends SparkSpec {
     assert(ErrorSink.readDetailCsv(spark, s"$wd/report/detail").count() == 2)
   }
 
+  test("error-code map: flat file expands per category; own code wins; nested values skipped") {
+    import spark.implicits._
+    val wd = tmpDir()
+    val path = s"$wd/error_codes.json"
+    java.nio.file.Files.writeString(java.nio.file.Path.of(path),
+      """{"name": "001", "mass": "002", "legacy": {"x": "9"}}""")
+    val codes = ErrorSink.errorCodesFromJson(spark, path)
+      .as[(String, String, String)].collect().toSet
+    // 2 textual fields x 3 categories; the nested value contributes nothing
+    assert(codes == (for {
+      f <- Set("name", "mass"); c <- Set("Blank", "Wrong format", "Bad value")
+    } yield (c, f, if (f == "name") "001" else "002")))
+    val msgs = Seq(
+      ("name", "Blank", null.asInstanceOf[String]),   // filled from map
+      ("name", "Bad value", "OWN"),                   // own code wins
+      ("mass", "Wrong format", null.asInstanceOf[String]), // filled
+      ("other", "Blank", null.asInstanceOf[String]),  // unmapped stays null
+      ("name", "Constraint", null.asInstanceOf[String]) // category not in map
+    ).toDF("ReportingField", "Category", "ErrorCode")
+    val out = ErrorSink.populateErrorCodes(msgs, ErrorSink.errorCodesFromJson(spark, path))
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(
+      ("name", "Blank", "001"), ("name", "Bad value", "OWN"),
+      ("mass", "Wrong format", "002"), ("other", "Blank", null),
+      ("name", "Constraint", null)))
+  }
+
   test("xlsx workbook: reference sheet structure, overflow split, valid OOXML parts") {
     import org.apache.spark.sql.Row
     val wd = tmpDir()
