@@ -1239,7 +1239,7 @@ object LlmQueries {
       "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
       "regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)), '^www\\.', '') AS hp, " +
       "regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS p0, " +
-      "regexp_extract(url, '\\?([^#]*)', 1) AS q0 FROM u), " +
+      "regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS q0 FROM u), " +
       "c2 AS (SELECT doc_id, scheme, " +
       "CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '') " +
       "WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '') ELSE hp END AS host, " +

@@ -323,7 +323,9 @@ object TextStats {
     val path = when(path0 === "", lit("/"))
       .when(length(path0) > 1, regexp_replace(path0, "/$", ""))
       .otherwise(path0)
-    val query0 = regexp_extract(urlCol, "\\?([^#]*)", 1)
+    // anchored so only a '?' BEFORE any '#' starts the query — a '?'
+    // inside the fragment ("/p#f?x=1") is fragment content, not a query
+    val query0 = regexp_extract(urlCol, "^[^#]*?\\?([^#]*)", 1)
     // sentinel-delimited removal: append '&', strip every tracking pair
     // (handles consecutive ones in a single global pass), trim the tail
     val query = regexp_replace(

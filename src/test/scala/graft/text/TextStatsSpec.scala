@@ -272,6 +272,12 @@ class TextStatsSpec extends SparkSpec {
         -> "https://ex.com/p?keep=2&x=3",
       // other schemes: host lowercased, path case kept, no port defaults
       "FTP://Ex.com/X/" -> "ftp://ex.com/X",
+      // a '?' inside the fragment is NOT a query
+      "https://ex.com/p#f?x=1" -> "https://ex.com/p",
+      // query before fragment still survives
+      "https://ex.com/p?a=1#f?b=2" -> "https://ex.com/p?a=1",
+      // query with no path
+      "https://ex.com?x=1" -> "https://ex.com/?x=1",
       // not an absolute URL: untouched
       "not a url" -> "not a url")
     val got = cases.map(_._1).toDF("u")
