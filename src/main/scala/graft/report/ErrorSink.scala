@@ -165,7 +165,7 @@ object ErrorSink {
     */
   private[report] def formatHeading(h: String): String = {
     val titled = if (h.nonEmpty && h.head.isLower)
-      h.split('_').map(w => if (w.isEmpty) w else w.head.toUpper + w.tail).mkString("_")
+      h.split('_').map(w => if (w.isEmpty) w else s"${w.head.toUpper}${w.tail}").mkString("_")
     else h
     val spaced = titled.replace('_', ' ')
     Map("Table" -> "Group", "Data Item" -> "Data Item Submission Name",
@@ -212,7 +212,7 @@ object ErrorSink {
           Seq[Any]("", lane) ++ tables.map(t => counts.getOrElse((lane, t), 0L)))
     val agg = aggregateReport(messages)
     val aggRows = Iterator(agg.columns.toSeq.map(formatHeading): Seq[Any]) ++
-      agg.orderBy(agg.columns.map(col): _*).collect().iterator
+      agg.orderBy(agg.columns.toIndexedSeq.map(col): _*).collect().iterator
         .map(_.toSeq)
     val detailHeader: Seq[Any] = Messages.header.map(formatHeading)
     val detail = messages

@@ -58,7 +58,7 @@ object AsofJoin {
     // the left row still appears (left-join shape) with a null payload,
     // matching DuckDB's ASOF JOIN ON l.k = r.k.
     val keysNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
-    lFull.unionByName(rFull.select(lFull.columns.map(col): _*))
+    lFull.unionByName(rFull.select(lFull.columns.toIndexedSeq.map(col): _*))
       .withColumn("__carry__",
         when(keysNonNull, last(col("__r__"), ignoreNulls = true).over(w)))
       .where(col("__side__") === 1)
@@ -154,8 +154,8 @@ object AsofJoin {
         col("__r__").getField(rightTieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     leftRows
-      .unionByName(rightRows.select(leftRows.columns.map(col): _*))
-      .unionByName(carryRows.select(leftRows.columns.map(col): _*))
+      .unionByName(rightRows.select(leftRows.columns.toIndexedSeq.map(col): _*))
+      .unionByName(carryRows.select(leftRows.columns.toIndexedSeq.map(col): _*))
       .withColumn("__carry__", last(col("__r__"), ignoreNulls = true).over(w))
       .where(col("__side__") === 1)
       .select(leftCols.map(col) ++

@@ -48,7 +48,7 @@ object AsofProbe {
 
     def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
       // order-independent full-row checksum; XOR cannot overflow under ANSI
-      val r = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      val r = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
         .agg(count(lit(1)), expr("bit_xor(h)")).head()
       (r.getLong(0), r.getLong(1))
     }
