@@ -142,6 +142,17 @@ object StreamingQueries {
     landing
   }
 
+  private def crossDedupFixture(s: SparkSession, dir: String): String = {
+    val landing = "/tmp/graft_q_stream_cross_dedup/landing"
+    Fixtures.ensure(landing, dir) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .where(pmod(col("doc_id"), lit(3)) =!= 0)
+        .coalesce(2).write.mode("overwrite").parquet(landing)
+    }
+    landing
+  }
+
   /** Landing builders, exposed so Bench's prepareFixtures pre-pays them
     * outside the timed loop (each is also ensured in its query — fixture
     * construction is never part of the operator under test).
@@ -152,7 +163,8 @@ object StreamingQueries {
     (s, dir) => { dedupFixture(s, dir); () },
     (s, dir) => { enrichFixture(s, dir); () },
     (s, dir) => { joinFixture(s, dir); () },
-    (s, dir) => { joinOuterFixture(s, dir); () })
+    (s, dir) => { joinOuterFixture(s, dir); () },
+    (s, dir) => { crossDedupFixture(s, dir); () })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -286,6 +298,24 @@ object StreamingQueries {
       s.read.parquet(s"$base/out")
     }),
 
+    // Continuous-crawl near-dup detection: streamed new docs checked per
+    // micro-batch against the static trained reference (banded MinHash
+    // cross join between sides only). With AvailableNow draining every
+    // file, the appended pair set equals the batch cross-dedup exactly —
+    // the oracle is the same exact cross-pairs SQL as q_dedup_cross.
+    "q_stream_cross_dedup" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_cross_dedup"
+      val landing = crossDedupFixture(s, dir)
+      resetOut(s, base)
+      val reference = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .where(pmod(col("doc_id"), lit(3)) === 0)
+      val q = Streaming.crossDedupSink(stream(s, landing), reference,
+        "doc_id", "text", s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").select(col("a"), col("b"), col("jaccard"))
+    }),
+
     // LEFT OUTER stream-stream interval join: converting views match
     // eagerly, non-converting views emit with null purchase columns once
     // the watermark passes view_ts + 30min. All real rows land in ONE file
@@ -325,6 +355,9 @@ object StreamingQueries {
         "FROM events CROSS JOIN range(4) k GROUP BY 1, 2"),
     "q_stream_dedup" ->
       "SELECT DISTINCT l_orderkey FROM lineitem",
+    // identical result contract to the batch operator: same exact
+    // cross-pairs oracle (AvailableNow drains all files into the join)
+    "q_stream_cross_dedup" -> LlmQueries.oracleSql("q_dedup_cross"),
     // delay spans the dataset: nothing expires, survivors = DISTINCT keys
     // (sentinel user filtered on read-back)
     "q_stream_dedup_watermark" ->

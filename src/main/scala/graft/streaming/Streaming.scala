@@ -167,6 +167,36 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /** CONTINUOUS-CRAWL near-dup detection: every micro-batch of incoming
+    * documents is checked against a TRAINED static reference corpus with
+    * the banded [[graft.text.Dedup.minHashCrossDedup]] (band equi-join
+    * BETWEEN sides only — batch-internal duplicate mass generates no
+    * pairs), and the (a = new id, b = ref id, jaccard, batch_id) matches
+    * append to the sink. A batch doc is novel iff it has no row here —
+    * downstream anti-joins on `a`. This is the streaming front door of the
+    * incremental-ingest family ([[graft.text.IncrementalDedup]] is the
+    * Bloom-gated EXACT sibling); `foreachBatch` because the operator
+    * composes a bounded batch frame with a static frame per trigger —
+    * the persistent state is the reference, not stream state.
+    */
+  def crossDedupSink(stream: DataFrame, reference: DataFrame,
+                     idCol: String, textCol: String,
+                     outPath: String, checkpointDir: String,
+                     threshold: Double = 0.5,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.text.Dedup.minHashCrossDedupWith(batch.toDF(), reference,
+          idCol, textCol, threshold = threshold) { pairs =>
+          pairs.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming exact-dedup on key columns via the engine's own state-store
     * operator (`dropDuplicates` on a stream): codegen'd, no typed
     * serialization, watermark-evictable state when the caller adds

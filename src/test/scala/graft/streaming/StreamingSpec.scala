@@ -219,6 +219,31 @@ class StreamingSpec extends SparkSpec {
       (9L, "advance"), (1L, "after-horizon")))
   }
 
+  test("crossDedupSink flags batch-vs-reference near-dups only, per micro-batch") {
+    val wd = java.nio.file.Files.createTempDirectory("graft_cross_sink").toString
+    val reference = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = Streaming.crossDedupSink(stream.toDF().toDF("doc_id", "text"),
+      reference, "doc_id", "text", s"$wd/out", s"$wd/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 0: one near-dup of ref 100, one novel doc, and an exact pair
+    // WITHIN the batch (1, 2) that must NOT be flagged (cross-side only)
+    stream.addData(
+      (1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words entirely here now"))
+    q.processAllAvailable()
+    // batch 1: a near-dup of ref 101 arrives later
+    stream.addData((4L, "one two three four five seven"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$wd/out")
+      .select("a", "b", "batch_id").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 0L), (2L, 100L, 0L), (4L, 101L, 1L)), got.toString)
+  }
+
   test("streamingDedupWithinWatermark dedups inside the delay and re-emits after expiry") {
     // the engine-native bounded-state dedup: a key's state lives until the
     // watermark passes first-seen + delay; a later duplicate is a fresh row
