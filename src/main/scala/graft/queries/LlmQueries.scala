@@ -407,6 +407,17 @@ object LlmQueries {
       Sampling.quotaCap(docs(s, dir), "doc_id", "source", k = 10)
         .select("doc_id", "source", "keep")),
 
+    // Soft (sublinear) dedup: clusters keyed on the first-3-token prefix
+    // (the corpus has no exact text dups), keep ceil(sqrt(cluster)) lowest
+    // shuffle-key members per cluster.
+    "q_sample_soft_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("key3"))
+      Sampling.sublinearClusterSample(d, "doc_id", "key3", alpha = 0.5)
+        .select(col("doc_id"), col("key3"),
+          col("cluster_size").cast("bigint").as("cluster_size"), col("keep"))
+    }),
+
     // PII detect/mask signals over docs with injected synthetic PII (the
     // corpus itself is clean, so the fixture appends a deterministic email
     // + long reference number per doc).
@@ -1088,6 +1099,17 @@ object LlmQueries {
     s"SELECT doc_id, ${shuffleKeySql("shuffle")} AS shuffle_key, " +
       s"${shuffleKeySql("epoch2")} AS shuffle_key_epoch2 FROM documents"
 
+  /** Replica of [[graft.text.Sampling.sublinearClusterSample]] at
+    * alpha = 0.5 over the first-3-token cluster key: same shuffle-key
+    * ordering, same 9-dp-rounded pow-before-ceil threshold.
+    */
+  private def softDedupSql: String =
+    "WITH d AS (SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS key3 FROM documents), " +
+      "r AS (SELECT doc_id, key3, count(1) OVER (PARTITION BY key3) AS cluster_size, " +
+      s"row_number() OVER (PARTITION BY key3 ORDER BY ${shuffleKeySql("soft-dedup")}, doc_id) AS rk FROM d) " +
+      "SELECT doc_id, key3, cluster_size::BIGINT AS cluster_size, " +
+      "rk <= ceil(round(pow(cluster_size::DOUBLE, 0.5), 9)) AS keep FROM r"
+
   private val sampleFixedSql: String =
     s"SELECT doc_id, lang FROM documents ORDER BY ${shuffleKeySql("sample")}, doc_id LIMIT 100"
 
@@ -1391,6 +1413,7 @@ object LlmQueries {
         "(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250 ELSE 100 END) AS keep FROM hb"),
     "q_sample_fixed" -> sampleFixedSql,
     "q_sample_quota" -> sampleQuotaSql,
+    "q_sample_soft_dedup" -> softDedupSql,
     "q_corpus_prep" -> corpusPrepSql,
     "q_export_manifest" -> exportManifestSql,
     "q_text_rarity" -> raritySql,

@@ -75,6 +75,41 @@ object Sampling {
       .drop("__qrank__")
   }
 
+  /** SOFT (sublinear) dedup sampling: instead of hard-collapsing each
+    * exact-duplicate cluster to one copy, keep `ceil(cluster_size^alpha)`
+    * deterministic representatives per distinct text (alpha = 0.5 gives
+    * the sqrt down-weighting several LLM corpus recipes use for
+    * naturally-repeated content — full dedup erases the popularity signal,
+    * no dedup lets boilerplate dominate the gradient). Keepers are the
+    * lowest [[shuffleKey]] members (id tiebreak), so the choice is
+    * reproducible and append-stable for existing rows within a cluster.
+    * Emitted as a `keep` flag plus the cluster size.
+    *
+    * Shuffle shape at 100 TB: ONE window over the text key (count + rank
+    * in the same frame) — the cluster-heavy mass that motivates the
+    * operator is exactly the mass that collapses well under the
+    * text-hash partitioning. alpha = 0 is hard exact-dedup (keep 1);
+    * alpha = 1 keeps everything.
+    */
+  def sublinearClusterSample(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                             textCol: String, alpha: Double = 0.5,
+                             seed: String = "soft-dedup"): org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val byText = Window.partitionBy(col(textCol))
+    val w = byText.orderBy(shuffleKey(col(idCol), seed), col(idCol))
+    docs
+      .withColumn("cluster_size", count(lit(1)).over(byText))
+      .withColumn("__rank__", row_number().over(w))
+      // pow rounded to 9 dp before ceil: Java Math.pow and libm pow may
+      // differ in the last ulp, and an integer-valued n^alpha sitting one
+      // ulp above its integer would ceil differently across engines — the
+      // cosine-rounding discipline applied to the keep threshold
+      .withColumn("keep",
+        col("__rank__") <= ceil(round(pow(col("cluster_size").cast("double"), alpha), 9)))
+      .drop("__rank__")
+  }
+
   /** train/validation/test assignment by per-mille thresholds (defaults
     * 80/10/10). Assignment is a pure function of the key: appending new
     * data never reassigns existing rows.

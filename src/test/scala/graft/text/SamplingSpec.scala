@@ -136,6 +136,33 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.where(col("keep")).select("id").as[Long].collect().toSet)
   }
 
+  test("sublinearClusterSample keeps ceil(n^alpha) per cluster, deterministically") {
+    // clusters of 1, 2, 4, 9 identical texts -> sqrt keeps 1, 2, 2, 3
+    val docs = (Seq((1L, "solo")) ++
+      (10L to 11L).map(i => (i, "pair")) ++
+      (20L to 23L).map(i => (i, "quad")) ++
+      (30L to 38L).map(i => (i, "nine"))).toDF("doc_id", "text")
+    val out = Sampling.sublinearClusterSample(docs, "doc_id", "text")
+      .as[(Long, String, Long, Boolean)].collect()
+    val byText = out.groupBy(_._2)
+    assert(byText("solo").map(r => (r._3, r._4)).toSeq == Seq((1L, true)))
+    assert(byText("pair").count(_._4) == 2)  // ceil(sqrt(2)) = 2: both kept
+    assert(byText("quad").count(_._4) == 2)  // ceil(sqrt(4)) = 2
+    assert(byText("nine").count(_._4) == 3)  // ceil(sqrt(9)) = 3
+    assert(out.forall { case (_, t, sz, _) => sz == byText(t).length })
+    // alpha extremes: 0 = hard exact-dedup (one keeper), 1 = keep all
+    val hard = Sampling.sublinearClusterSample(docs, "doc_id", "text", alpha = 0)
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(hard.groupBy(_._2).values.forall(_.count(_._4) == 1))
+    val all = Sampling.sublinearClusterSample(docs, "doc_id", "text", alpha = 1)
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(all.forall(_._4))
+    // keeper choice is layout-stable
+    val again = Sampling.sublinearClusterSample(docs.repartition(7), "doc_id", "text")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common zebra common common"),
