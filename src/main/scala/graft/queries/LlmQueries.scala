@@ -234,6 +234,13 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // Blocklist page filter: two terms that occur in the corpus vocabulary,
+    // word-boundary case-insensitive presence.
+    "q_text_blocklist" -> ((s, dir) => {
+      val cols = graft.text.TextStats.blocklistColumns(col("text"), Seq("slow", "window"))
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // URL canonicalization + dedup-by-URL (the crawl-record key web
     // pipelines dedupe on before any content comparison): three synthetic
     // container forms of the same logical URL — uppercase scheme/host +
@@ -1370,6 +1377,13 @@ object LlmQueries {
     "q_dedup_url" -> urlDedupSql,
     "q_text_gopher" -> gopherSql,
     "q_text_c4" -> c4Sql,
+    "q_text_blocklist" -> {
+      val hits = Seq("slow", "window").map(t =>
+        s"CASE WHEN regexp_matches(lower(text), '(^|\\s)$t(\\s|$$)') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT doc_id, ($hits)::BIGINT AS n_blocked_terms, " +
+        s"($hits) = 0 AS blocklist_keep FROM documents"
+    },
     "q_corpus_zipf" -> zipfSql(200),
     "q_graph_pagerank" -> pagerankSql(8, 85),
     "q_text_tfidf" ->

@@ -120,6 +120,26 @@ object TextStats {
       "gopher_keep" -> keep)
   }
 
+  /** Blocklist (bad-words) page filter — the C4 discipline of dropping any
+    * page containing a listed term: per-term word-boundary presence tests
+    * (case-insensitive), summed into the count of DISTINCT blocked terms
+    * present; `keep` when none. Presence via one rlike per term stays
+    * exact under adjacent-term overlaps (a counting regex would consume
+    * the shared separator) and is engine-replicable. Terms are
+    * regex-escaped — a literal list, not patterns. Pure codegen columns.
+    */
+  def blocklistColumns(textCol: Column, terms: Seq[String]): Seq[(String, Column)] = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val lowered = lower(textCol)
+    val hits = terms.map { t =>
+      val q = java.util.regex.Pattern.quote(t.toLowerCase)
+      when(lowered.rlike(s"(^|\\s)$q(\\s|$$)"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    Seq(
+      "n_blocked_terms" -> hits,
+      "blocklist_keep" -> (hits === 0L))
+  }
+
   /** C4-style page-level filter signals (Raffel et al. 2020): lorem-ipsum
     * and curly-brace markers, sentence count, and the kept-line count
     * under the "ends in terminal punctuation AND has >= 5 words" line

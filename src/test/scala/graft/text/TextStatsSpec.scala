@@ -251,6 +251,21 @@ class TextStatsSpec extends SparkSpec {
     assert(brace._5 && !brace._6)
   }
 
+  test("blocklistColumns: word-boundary case-insensitive presence; adjacent terms both count") {
+    val cases = Seq(
+      ("clean words only here", 0L),
+      ("the BAD word", 1L),            // case-insensitive
+      ("bad worse adjacent", 2L),      // shared separator, both present
+      ("embedded badge unharmed", 0L), // word boundary: 'badge' != 'bad'
+      ("bad", 1L),                     // whole-string match
+      ("ends with worse", 1L))
+    val out = cases.map(_._1).toDF("t")
+      .select(col("t") +: TextStats.blocklistColumns(col("t"), Seq("bad", "worse"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    cases.foreach { case (t, n) => assert(out(t) == ((n, n == 0L)), s"for '$t'") }
+  }
+
   test("urlCanonicalize folds case/www/default-port/tracking/fragment; keeps semantics") {
     val cases = Seq(
       // the full fold: scheme+host case, www, :443, utm_* pair, fragment,
