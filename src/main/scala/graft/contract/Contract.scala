@@ -50,6 +50,39 @@ object Contract {
     }.toIndexedSeq: _*)
   }
 
+  /** Per-column data-quality PROFILE — the submission-triage summary a
+    * validation team reads before writing a contract: for every top-level
+    * column, its null count, blank count (empty-after-trim strings),
+    * distinct count, and lexicographic min/max of the stringified values.
+    * ONE aggregation pass computes every column's statistics together
+    * (a per-column loop of jobs would scan the data once per column); the
+    * single wide row then unpivots driver-side into one row per column —
+    * #columns rows, never data rows.
+    *
+    * Distinct counts are exact (two-level hash aggregate); swap in
+    * approx_count_distinct for corpora where even that is too much — the
+    * q_distinct_approx scale path.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toIndexedSeq
+    val aggs = cols.flatMap { c =>
+      val s = col(s"`$c`").cast(StringType)
+      Seq(
+        count(lit(1)) - count(s),
+        count(when(trim(s) === "", 1)),
+        count_distinct(s),
+        min(s), max(s))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 5
+      (c, row.getLong(b), row.getLong(b + 1), row.getLong(b + 2),
+        Option(row.getString(b + 3)).orNull, Option(row.getString(b + 4)).orNull)
+    }.toDF("column", "n_nulls", "n_blank", "n_distinct", "min_value", "max_value")
+  }
+
   // ---------------------------------------------------------------- numeric / format regexes
   private val intRegex = "^[+-]?[0-9]+$"
   private val floatRegex = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"

@@ -288,6 +288,17 @@ object ContractQueries {
       Contract.cast(Readers.readXml(s, tmp, spec, rowTag = "nation"), spec)
     }),
 
+    // Per-column data-quality profile in ONE aggregation pass: null,
+    // blank, distinct counts and lexicographic min/max of the stringified
+    // values — the submission-triage summary before writing a contract.
+    "q_contract_profile" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+        when(col("c_custkey") % 7 === 0, lit("  ")).otherwise(col("c_name")).as("name"))
+      Contract.profile(input)
+    }),
+
     // nhsnumber vs permissivenhsno semantics (ref: domain_types.py:98,
     // 166-174): both enforce the mod-11 checksum, but only nhsnumber emits
     // the sentinel / starts-with-9 / palindrome informational warnings —
@@ -535,6 +546,19 @@ object ContractQueries {
     "q_reader_xml" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey, " +
         "row_number() OVER (ORDER BY n_nationkey) AS __record_index__ FROM nation"),
+    "q_contract_profile" -> {
+      def one(name: String, c: String) =
+        s"SELECT '$name' AS \"column\", count(1) - count($c) AS n_nulls, " +
+          s"count(CASE WHEN trim(CAST($c AS VARCHAR)) = '' THEN 1 END) AS n_blank, " +
+          s"count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct, " +
+          s"min(CAST($c AS VARCHAR)) AS min_value, max(CAST($c AS VARCHAR)) AS max_value FROM i"
+      "WITH i AS (SELECT c_custkey, " +
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS seg, " +
+        "CASE WHEN c_custkey % 7 = 0 THEN '  ' ELSE c_name END AS name FROM customer) " +
+        s"SELECT * FROM (${one("c_custkey", "c_custkey")} UNION ALL " +
+        s"${one("seg", "seg")} UNION ALL ${one("name", "name")}) t"
+    },
+
     "q_contract_nhs_permissive" ->
       ("WITH c AS (SELECT c_custkey % 6 AS b FROM customer) SELECT * FROM (" +
         "SELECT 'strict' AS lane, 'BadValue' AS ErrorCode, 'informational' AS Status, 'record' AS FailureType, " +
