@@ -346,6 +346,14 @@ object LlmQueries {
         "vec_id", "embedding", k = 3, threshold = 0.2)
     }),
 
+    // Binary-quantization retrieval: 16-bit sign codes, Hamming top-20
+    // shortlist, exact cosine rerank to top-5.
+    "q_embed_binary_knn" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.binaryKnn(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", numPlanes = 16, k = 5, overscan = 4)
+    }),
+
     // Semantic benchmark decontamination: max cosine against a broadcast
     // benchmark set (vec_id % 41), contaminated when >= 0.95 — the
     // embedding-space complement of q_text_decontaminate.
@@ -728,6 +736,31 @@ object LlmQueries {
     (0 until numPlanes).map { p =>
       s"(CASE WHEN list_sum(list_transform(range($dim), d -> embedding[d+1]::DOUBLE * ${comp(p)})) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)"
     }.mkString("[", ", ", "]")
+  }
+
+  /** Replica of [[Similarity.binaryKnn]]: same sign bits and MSB-first
+    * packing as [[lshKnnSql]], Hamming top-(k*overscan) shortlist with id
+    * tiebreak, exact-cosine rerank.
+    */
+  private def binaryKnnSql(numPlanes: Int, dim: Int, k: Int, overscan: Int): String = {
+    val bits = lshBitsSqlFragment(numPlanes, dim)
+    val ownCode = (0 until numPlanes).map(p =>
+      s"bits[${p + 1}] * ${1L << (numPlanes - 1 - p)}").mkString(" + ")
+    s"WITH bv AS (SELECT vec_id, $bits AS bits FROM embeddings), " +
+      s"cd AS (SELECT vec_id, $ownCode AS code FROM bv), " +
+      "h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "bit_count(xor(q.code, c.code))::BIGINT AS hamming " +
+      "FROM cd q JOIN cd c ON q.vec_id < 10 AND q.vec_id != c.vec_id), " +
+      "s AS (SELECT query_id, neighbor_id, hamming, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr FROM h), " +
+      "sc AS (SELECT query_id, neighbor_id, " +
+      "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos " +
+      s"FROM s JOIN embeddings a ON a.vec_id = s.query_id " +
+      s"JOIN embeddings b ON b.vec_id = s.neighbor_id WHERE hr <= ${k * overscan}), " +
+      "r AS (SELECT query_id, neighbor_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc) " +
+      s"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, " +
+      s"CAST(round(cos, 6) AS DOUBLE) AS cosine FROM r WHERE rank <= $k"
   }
 
   /** DuckDB replica of [[Similarity.cosineNearDupPairs]]'s bucketed path:
@@ -1606,6 +1639,7 @@ object LlmQueries {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
     "q_embed_semdedup" -> semdedupSql(numPlanes = 12, dim = 64, threshold = 0.45),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
+    "q_embed_binary_knn" -> binaryKnnSql(numPlanes = 16, dim = 64, k = 5, overscan = 4),
     "q_embed_jl" -> jlProjectSql(dim = 64, outDim = 16),
     "q_embed_sq" -> sqEncodeSql(dim = 64, levels = 256),
     "q_embed_sq_knn" -> sqKnnSql(dim = 64, levels = 256, k = 5),

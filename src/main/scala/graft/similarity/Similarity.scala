@@ -426,6 +426,53 @@ object Similarity {
       .withColumn("keep", col("seed_score") >= threshold)
   }
 
+  /** BINARY-quantization retrieval — the "binary embeddings + rescore"
+    * two-stage pattern production vector stores ship as their cheapest
+    * rung: every vector compresses to a `numPlanes`-bit sign code (the
+    * shared deterministic hyperplane table of sign-LSH/JL), stage 1 ranks
+    * the corpus by HAMMING distance to the query's code (one bit_count
+    * per candidate over packed longs — the scan never touches a float
+    * vector), stage 2 reranks the top `k * overscan` shortlist with exact
+    * cosine. Completes the quantization ladder next to SQ8/PQ/IVF-PQ:
+    * coarser than all of them, and the only one whose stage-1 state is
+    * 8 bytes per vector.
+    *
+    * Scale shape: codes are (id, long); the query side broadcasts; the
+    * Hamming stage is a broadcast nested-loop over longs with a per-query
+    * top-(k*overscan) window; only the shortlist (k*overscan rows per
+    * query) joins vectors back for the exact rescore. Ties break by
+    * neighbor id at both stages — deterministic, engine-replicable.
+    */
+  def binaryKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, numPlanes: Int, k: Int,
+                overscan: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numPlanes >= 1 && numPlanes <= 63, s"numPlanes must be 1..63, got $numPlanes")
+    require(overscan >= 1, s"overscan must be >= 1, got $overscan")
+    val cCodes = corpus.select(col(idCol).as("neighbor_id"),
+      lshCode(col(vecCol), numPlanes).as("__cc__"))
+    val qCodes = broadcast(queries.select(col(idCol).as("query_id"),
+      lshCode(col(vecCol), numPlanes).as("__qc__")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val shortlist = qCodes.join(cCodes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        bit_count(col("__qc__").bitwiseXOR(col("__cc__"))).cast("bigint"))
+      .withColumn("__hr__", row_number().over(w1))
+      .where(col("__hr__") <= k * overscan)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv__"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("cosine", cosine(col("__qv__"), col("__nv__")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** SEMANTIC benchmark decontamination — the embedding-space complement
     * of [[graft.text.Dedup.decontaminate]]'s n-gram overlap: a corpus
     * vector is contaminated when its cosine against ANY benchmark/eval

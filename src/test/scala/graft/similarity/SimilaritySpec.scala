@@ -209,6 +209,26 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("binaryKnn: Hamming shortlist + exact rescore; full overscan equals brute force") {
+    val queries = vecs.where("vec_id < 6")
+    val exact = Similarity.bruteForceKnn(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // modest shortlist: high recall on clustered data
+    val approx = Similarity.binaryKnn(vecs, queries, "vec_id", "embedding",
+        numPlanes = 12, k = 5, overscan = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    // overscan covering the whole corpus: the rescore stage sees every
+    // candidate, so the result must EQUAL brute force (ranks included)
+    val full = Similarity.binaryKnn(vecs, queries, "vec_id", "embedding",
+        numPlanes = 12, k = 5, overscan = 12)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val exactRanked = Similarity.bruteForceKnn(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full == exactRanked)
+  }
+
   test("semanticDecontaminate flags benchmark-similar vectors, keeps the rest") {
     // benchmark = three cluster-0 members; every cluster-0 corpus vector
     // is near-identical to one of them (cosine ~1 >= 0.95) and flags;
