@@ -209,6 +209,12 @@ object LlmQueries {
       Importance.dsirWeights(docs(s, dir), "doc_id", "text",
         col("source") === "src0", buckets = 4096)),
 
+    // Corpus drift: PSI between the src0 slice and the rest over
+    // hashed-unigram buckets, integer micro-units.
+    "q_corpus_drift" -> ((s, dir) =>
+      Importance.distributionShift(docs(s, dir), "text",
+        col("source") === "src0", buckets = 4096)),
+
     // Hashed-linear quality-classifier scoring: unigram+bigram features
     // into 4096 buckets, a deterministic (bucket -> weight) table standing
     // in for trained fastText/LR weights, integer micro-unit mean logit.
@@ -1261,6 +1267,29 @@ object LlmQueries {
       "(NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS c4_keep FROM m"
   }
 
+  /** Replica of [[graft.text.Importance.distributionShift]]: same unigram
+    * hash buckets, +1/+B smoothing, per-bucket micro-floored PSI
+    * contributions in the same double op order.
+    */
+  private def driftSql(buckets: Int, left: String): String = {
+    val h = "list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(w, '')]), " +
+      "(a, b) -> (a * 31 + b) % 4294967296)"
+    val m1 = s"(($h * 48271) % 2147483647)"
+    val f = s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % $buckets)"
+    val pa = s"((ca + 1)::DOUBLE / (na + $buckets)::DOUBLE)"
+    val pb = s"((cb + 1)::DOUBLE / (nb + $buckets)::DOUBLE)"
+    s"WITH s AS (SELECT ($left) AS l, " +
+      "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+      "tok AS (SELECT l, unnest(ws) AS w FROM s), " +
+      s"fx AS (SELECT l, $f AS fb FROM tok WHERE w <> ''), " +
+      "cnt AS (SELECT fb, count(1) FILTER (WHERE l)::BIGINT AS ca, " +
+      "count(1) FILTER (WHERE NOT l)::BIGINT AS cb FROM fx GROUP BY fb), " +
+      "t AS (SELECT fb, ca, cb, sum(ca) OVER ()::BIGINT AS na, sum(cb) OVER ()::BIGINT AS nb FROM cnt) " +
+      s"SELECT sum(floor(1000000.0 * (($pa - $pb) * ln($pa / $pb)))::BIGINT)::BIGINT AS psi_micro, " +
+      "count(1)::BIGINT AS n_buckets_used FROM t"
+  }
+
   /** Replica of [[graft.text.Importance.linearQualityScore]] with the
     * deterministic weight table: unigram+bigram hashBucket features,
     * broadcast weight lookup, floored mean logit in micro-units.
@@ -1407,6 +1436,7 @@ object LlmQueries {
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
     "q_dsir_weights" -> dsirSql(4096, "source = 'src0'"),
     "q_text_classifier" -> classifierSql(4096),
+    "q_corpus_drift" -> driftSql(4096, "source = 'src0'"),
     "q_dedup_url" -> urlDedupSql,
     "q_text_gopher" -> gopherSql,
     "q_text_c4" -> c4Sql,

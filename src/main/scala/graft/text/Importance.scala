@@ -83,6 +83,46 @@ object Importance {
         coalesce(col("dsir_micro"), lit(0L)).cast("bigint").as("dsir_micro"))
   }
 
+  /** Distribution-shift (PSI — population stability index) between two
+    * corpus slices over hashed-unigram buckets: the drift metric a
+    * curation team tracks across crawl refreshes (PSI < 0.1 stable,
+    * > 0.25 action). With +1/+B smoothing (B = `buckets`, the
+    * [[dsirWeights]] discipline):
+    *
+    *   p_side(f) = (c_side(f) + 1) / (n_side + B)
+    *   psi       = sum_f (p_a - p_b) * ln(p_a / p_b)
+    *
+    * Per-bucket contributions are floored into integer micro-units before
+    * the sum, so the total is order-independent; like dsir, the `ln`
+    * boundary surface is one value per BUCKET (small, data-independent),
+    * never per row. Output: one row (psi_micro, n_buckets_used).
+    *
+    * Shuffle shape at 100 TB: one partial-aggregated count keyed on the
+    * bucket (<= `buckets` groups survive the map side), totals as a
+    * window over that tiny frame — corpus size never drives the shuffle.
+    */
+  def distributionShift(docs: DataFrame, textCol: String, isLeft: Column,
+                        buckets: Int = 4096): DataFrame = {
+    val toks = docs
+      .select(isLeft.as("__l__"),
+        explode(split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")).as("w"))
+      .where(col("w") =!= "")
+    val counts = toks
+      .groupBy(Sampling.hashBucket(col("w"), buckets).as("__f__"))
+      .agg(sum(when(col("__l__"), 1L).otherwise(0L)).as("__ca__"),
+        sum(when(col("__l__"), 0L).otherwise(1L)).as("__cb__"))
+    val tot = Window.partitionBy()
+    val pa = (col("__ca__") + 1).cast("double") / (col("__na__") + buckets).cast("double")
+    val pb = (col("__cb__") + 1).cast("double") / (col("__nb__") + buckets).cast("double")
+    counts
+      .withColumn("__na__", sum(col("__ca__")).over(tot))
+      .withColumn("__nb__", sum(col("__cb__")).over(tot))
+      .select(floor(lit(1000000.0) * ((pa - pb) * log(pa / pb)))
+        .cast("bigint").as("__c__"))
+      .agg(sum(col("__c__")).as("psi_micro"),
+        count(lit(1)).as("n_buckets_used"))
+  }
+
   /** Hashed-linear quality-classifier SCORING (the serving side of a
     * fastText/DCLM-style quality filter): features are token unigrams AND
     * bigrams hashed into `buckets` ids ([[Sampling.hashBucket]]); a

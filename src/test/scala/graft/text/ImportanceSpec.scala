@@ -62,6 +62,23 @@ class ImportanceSpec extends SparkSpec {
     assert(out == ((1L, 0L, 0L)))
   }
 
+  test("distributionShift: identical slices score exactly zero; disjoint vocab scores high") {
+    // identical token distributions on both sides: pa == pb in every
+    // bucket, each contribution is exactly (0 * ln 1) = 0
+    val same = Seq((true, "alpha beta gamma"), (false, "alpha beta gamma"))
+      .toDF("l", "text")
+    val zero = Importance.distributionShift(same, "text", col("l"))
+      .as[(Long, Long)].head()
+    assert(zero._1 == 0L && zero._2 > 0L)
+    // disjoint vocabularies: strong drift, PSI well above the 0.25
+    // action threshold (250000 micro)
+    val split = (Seq.fill(100)((true, "aa bb cc dd ee")) ++
+      Seq.fill(100)((false, "vv ww xx yy zz"))).toDF("l", "text")
+    val high = Importance.distributionShift(split, "text", col("l"))
+      .as[(Long, Long)].head()
+    assert(high._1 > 250000L, s"psi ${high._1}")
+  }
+
   test("linearQualityScore: floored mean of the matched feature weights, empty docs neutral") {
     val docs = Seq((1L, "a b"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
     // features: doc1 = {uni a, uni b, bi "a b"}; doc3 = {uni a}; doc2 = none.
