@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Dedup, EditDistance, Importance, IncrementalDedup, NormalizeExpression, Sampling, SpanDedup, TextStats}
+import graft.text.{Dedup, EditDistance, Importance, IncrementalDedup, NormalizeExpression, Retrieval, Sampling, SpanDedup, TextStats}
 import graft.similarity.Similarity
 import graft.multimodal.Multimodal
 import graft.graph.Graph
@@ -23,6 +23,9 @@ object LlmQueries {
     * the DuckDB oracle SQL of the IVF/PQ family — one definition, so a
     * literal change cannot silently diverge the pair.
     */
+  /** Fixed BM25 query bag, shared verbatim with the oracle SQL. */
+  private val Bm25QueryTerms = Seq("spark", "stream", "join", "vector")
+
   private val IvfCentroidPred = "vec_id % 50 = 0" // stand-in trained coarse centroids
   private val PqCodebookPred = "vec_id < 16"      // stand-in trained codebook
   private val KnnQueryPred = "vec_id < 10"        // query subset
@@ -281,6 +284,16 @@ object LlmQueries {
     // cross-engine bit-exact, see TextStats.tfidfTopTerms).
     "q_text_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3)),
+
+    // BM25 top-20 lexical retrieval for a fixed query bag (integer
+    // micro-unit scores — see Retrieval.bm25TopK's exactness ledger).
+    "q_text_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", Bm25QueryTerms, 20)),
+
+    // Exact heavy hitters by two-level counting: bucket-sketch prune, then
+    // exact counts inside surviving buckets only.
+    "q_text_heavy_hitters" -> ((s, dir) =>
+      Retrieval.heavyHitters(docs(s, dir), "text", threshold = 500L)),
 
     // Gopher-style within-doc repetition filters: duplicate n-gram
     // occurrence fractions.
@@ -1460,6 +1473,28 @@ object LlmQueries {
         "r AS (SELECT doc_id, term, tfidf, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM scored) " +
         "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf FROM r WHERE rank <= 3"),
+    "q_text_bm25" -> {
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      "WITH t AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM " +
+        "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents)), " +
+        s"p AS (SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl FROM t " +
+        s"WHERE term IN ($terms) GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term), " +
+        "st AS (SELECT count(*)::BIGINT AS n, " +
+        "sum(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS total FROM documents), " +
+        "sc AS (SELECT doc_id, " +
+        "floor(1000.0 * ln(1.0 + (2.0*n - 2.0*df + 1.0) / (2.0*df + 1.0)))::BIGINT * " +
+        "((1000::BIGINT * 44000000::BIGINT * tf) // (20000000::BIGINT * tf + 6000000 + " +
+        "18 * ((dl * 1000000::BIGINT * n) // total))) AS ts " +
+        "FROM p JOIN df USING (term) CROSS JOIN st) " +
+        "SELECT doc_id, sum(ts)::BIGINT AS score_micro FROM sc GROUP BY doc_id " +
+        "ORDER BY score_micro DESC, doc_id LIMIT 20"
+    },
+    // the bucket sketch only PRUNES — the oracle is the plain exact count
+    "q_text_heavy_hitters" ->
+      ("SELECT token, count(1)::BIGINT AS cnt FROM " +
+        "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) t " +
+        "GROUP BY token HAVING count(1) >= 500"),
     "q_text_repetition" -> {
       val ws = "regexp_split_to_array(text, '\\s+')"
       def frac(n: Int): String = {

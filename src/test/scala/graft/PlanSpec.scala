@@ -225,4 +225,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("jl_project"), p)
     assert(!p.contains("aggregate(zip_with"), p)
   }
+
+  test("bm25 filters query terms before any shuffle; stats/df ride broadcasts") {
+    val p = plan("q_text_bm25")
+    // the IN-list term filter must appear below the first Exchange: only
+    // query-term postings leave the scan stage at 100 TB
+    val firstExchange = p.indexOf("Exchange")
+    val termFilter = p.indexOf("term#")
+    assert(firstExchange > 0 && termFilter > 0, p)
+    assert(p.substring(firstExchange).contains("BroadcastExchange"), p)
+    val filterIdx = p.indexOf(" IN (spark,")
+    assert(filterIdx > firstExchange, p) // plan prints top-down: filter BELOW the shuffle
+    // top-k is a merged per-partition heap, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("heavy hitters prunes through a broadcast semi-join on bucket ids") {
+    val p = plan("q_text_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // pass 1 aggregates fixed-cardinality buckets with map-side partials
+    assert(p.contains("partial_count"), p)
+  }
 }
