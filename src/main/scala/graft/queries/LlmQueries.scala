@@ -333,6 +333,14 @@ object LlmQueries {
         TextStats.bpeishTokenCount(col("text")), MixWeights, MixBudget)
         .select(col("doc_id"), col("lang"), col("rate_permille"), col("keep"))),
 
+    // Temperature-flattened (T=2) language rebalancing: per-stratum rates
+    // ∝ sqrt(share) with no hand-written weights — sqrt is the one power
+    // IEEE specifies exactly, so the keep set is cross-engine exact.
+    "q_sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(docs(s, dir), "doc_id", "lang",
+        TextStats.bpeishTokenCount(col("text")), MixBudget)
+        .select(col("doc_id"), col("lang"), col("rate_permille"), col("keep"))),
+
     // Sliding-window document chunking: 32-token windows every 16 tokens —
     // the long-document treatment when the model's sequence budget is
     // shorter than the document.
@@ -1030,6 +1038,26 @@ object LlmQueries {
       "FROM documents d JOIN r USING (lang)"
   }
 
+  /** DuckDB replica of [[Sampling.temperatureMix]] at T=2: floor-micro
+    * sqrt of per-stratum token totals, then pure BIGINT target/rate math
+    * and the ':tmix'-salted polyhash keep decision.
+    */
+  private val temperatureSql: String = {
+    val h = "list_reduce(list_prepend(17::BIGINT, " +
+      "[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR) || ':tmix', '')]), " +
+      "(a, b) -> (a * 31 + b) % 4294967296)"
+    val m1 = s"(($h * 48271) % 2147483647)"
+    val bucket = s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % 1000)"
+    s"WITH tot AS (SELECT lang, sum(len(regexp_extract_all(text, '${TextStats.BpeishPattern}')))::BIGINT AS t " +
+      "FROM documents GROUP BY lang), " +
+      "sq AS (SELECT lang, t, CAST(floor(1000000.0 * sqrt(t)) AS BIGINT) AS sq FROM tot), " +
+      "nrm AS (SELECT sum(sq)::BIGINT AS sqsum FROM sq), " +
+      s"r AS (SELECT lang, least(1000, ((($MixBudget::BIGINT * sq) // sqsum) * 1000) // t) AS rate_permille " +
+      "FROM sq CROSS JOIN nrm) " +
+      s"SELECT d.doc_id, d.lang, r.rate_permille, $bucket < r.rate_permille AS keep " +
+      "FROM documents d JOIN r USING (lang)"
+  }
+
   /** DuckDB replica of [[TextStats.chunkDocs]] (32-token windows, stride
     * 16): same single-space tokenization, same ceil-div window count, same
     * inclusive slice bounds.
@@ -1532,6 +1560,7 @@ object LlmQueries {
     "q_text_line_dedup" -> lineDedupSql,
     "q_shuffle_det" -> shuffleSql,
     "q_mix_budget" -> mixSql,
+    "q_sample_temperature" -> temperatureSql,
     "q_chunk_docs" -> chunkSql,
     "q_chunk_cdc" -> cdcSql,
     "q_dedup_cross" ->

@@ -207,4 +207,49 @@ object Sampling {
     }
     b < rate
   }
+
+  /** TEMPERATURE-flattened mixture sampling at T = 2 (the multilingual-
+    * rebalancing move of large-corpus recipes: sample stratum s with
+    * probability ∝ p_s^(1/T), up-weighting small strata relative to their
+    * natural share without hand-written weights — [[mixToBudget]] is the
+    * explicit-weights variant).
+    *
+    * T is FIXED at 2 because p^(1/2) is `sqrt`, the one power IEEE 754
+    * specifies as correctly rounded — `pow(x, 0.5)` differs in the last
+    * ulp between libms and would break cross-engine keep-set parity.
+    * Exactness ledger: sq_s = floor(1e6 * sqrt(stratum_tokens)) is an
+    * integer (sqrt exact-rounded, the floor absorbs nothing else);
+    * targets and rates are then pure BIGINT arithmetic — target_s =
+    * (budget * sq_s) div Σsq, rate_permille = min(1000, (target_s*1000)
+    * div stratum_tokens) — so an external engine reproduces the exact
+    * keep set. (sqrt(tokens_s) stands in for sqrt(p_s): the 1/sqrt(total)
+    * factor is common to every stratum and cancels in the normalization.)
+    *
+    * Scale shape: identical to [[mixToBudget]] — one #strata-row
+    * aggregation + one 1-row normalizer, both broadcast back; the keep
+    * decision is a pure per-row flag, the corpus itself never shuffles.
+    */
+  def temperatureMix(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     stratumCol: String, tokenCount: Column,
+                     budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    val totals = docs.groupBy(col(stratumCol).as("__stratum__"))
+      .agg(sum(tokenCount.cast("bigint")).as("__t__"))
+      .withColumn("__sq__", floor(lit(1000000.0) * sqrt(col("__t__"))).cast("bigint"))
+    val norm = broadcast(totals.agg(sum(col("__sq__")).as("__sqsum__")))
+    val rates = totals.crossJoin(norm)
+      .withColumn("__target__", expr(s"(${budgetTokens}L * __sq__) div __sqsum__"))
+      .select(col("__stratum__"),
+        least(lit(1000L), expr("(__target__ * 1000L) div __t__"))
+          .cast("bigint").as("rate_permille"))
+    // Null-safe LEFT join: with no explicit weight table every stratum —
+    // including the null "unknown" stratum — is its own group with a sqrt
+    // share (unlike mixToBudget, where absence from the weights map means
+    // rate 0). Rows are never dropped; the coalesce is belt-and-braces.
+    docs.join(broadcast(rates), col(stratumCol) <=> col("__stratum__"), "left")
+      .drop("__stratum__")
+      .withColumn("rate_permille", coalesce(col("rate_permille"), lit(0L)))
+      .withColumn("keep",
+        hashBucket(concat(col(idCol).cast("string"), lit(":tmix")), 1000)
+          < col("rate_permille"))
+  }
 }

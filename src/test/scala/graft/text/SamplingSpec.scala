@@ -64,6 +64,38 @@ class SamplingSpec extends SparkSpec {
     assert(rows(out.select("id", "keep")) == rows(again.select("id", "keep")))
   }
 
+  test("temperatureMix flattens shares: minority stratum oversampled vs its mass") {
+    // en: 900 docs x 10 tokens = 9000; fr: 100 x 10 = 1000 (10% share)
+    val docs = spark.range(0, 1000).toDF("id")
+      .withColumn("lang", when(col("id") < 900, "en").otherwise("fr"))
+      .withColumn("n_tok", lit(10L))
+    val out = Sampling.temperatureMix(docs, "id", "lang", col("n_tok"),
+      budgetTokens = 2000L)
+    val rates = out.select("lang", "rate_permille").distinct()
+      .as[(String, Long)].collect().toMap
+    // sqrt weights: sq(9000):sq(1000) = 3:1 -> integer-floored targets
+    // 1499/499 -> en rate 166‰, fr rate 499‰ — the minority stratum's
+    // KEEP RATE is ~3x the majority's (temperature flattening), where a
+    // proportional sampler would give both 200‰.
+    assert(rates == Map("en" -> 166L, "fr" -> 499L))
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(docs.repartition(7), "id", "lang",
+      col("n_tok"), budgetTokens = 2000L)
+    assert(rows(out.select("id", "keep")) == rows(again.select("id", "keep")))
+  }
+
+  test("temperatureMix treats the null stratum as its own group, dropping no rows") {
+    // equal token mass -> equal sqrt shares: each stratum targets half the
+    // budget; with no weights map, null ("unknown") is a first-class stratum
+    val docs = Seq((1L, "en"), (2L, null)).toDF("id", "lang")
+      .withColumn("n_tok", lit(10L))
+    val out = Sampling.temperatureMix(docs, "id", "lang", col("n_tok"), 10L)
+    assert(out.count() == 2)
+    val r2 = out.where(col("id") === 2).select("rate_permille")
+      .as[Long].collect().toSeq
+    assert(r2 == Seq(500L))
+  }
+
   test("mixToBudget emits null/unweighted strata at rate 0 instead of dropping them") {
     val docs = Seq((1L, "en"), (2L, null), (3L, "xx")).toDF("id", "lang")
       .withColumn("n_tok", lit(10L))
