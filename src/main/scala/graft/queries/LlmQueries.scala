@@ -285,6 +285,22 @@ object LlmQueries {
     "q_text_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3)),
 
+    // HTML → text extraction over deterministic synthetic pages (the
+    // corpus is plain word soup, so the query wraps each doc in markup
+    // with script/style/comment blocks, nav boilerplate, and entities —
+    // the block-before-tag-before-entity ordering is what's under test).
+    "q_text_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p {color: red}</style>" +
+          "<script type=\"text/javascript\">var x = 1<2;</script></head>" +
+          "<body><!-- nav boilerplate --><div class=\"nav\"><a href=\"/\">Home</a></div><p>"),
+        col("text"),
+        lit("</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;&nbsp;.</p></body></html>"))
+      val cols = graft.text.Html.htmlColumns(html)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // BM25 top-20 lexical retrieval for a fixed query bag (integer
     // micro-unit scores — see Retrieval.bm25TopK's exactness ledger).
     "q_text_bm25" -> ((s, dir) =>
@@ -1501,6 +1517,27 @@ object LlmQueries {
         "r AS (SELECT doc_id, term, tfidf, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM scored) " +
         "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf FROM r WHERE rank <= 3"),
+    "q_text_html_extract" -> {
+      val html = "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</title><style>p {color: red}</style>" +
+        "<script type=\"text/javascript\">var x = 1<2;</script></head>" +
+        "<body><!-- nav boilerplate --><div class=\"nav\"><a href=\"/\">Home</a></div><p>' " +
+        "|| text || '</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;&nbsp;.</p></body></html>'"
+      "WITH h AS (SELECT doc_id, " + html + " AS html FROM documents), " +
+        "s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?s)<style\\b[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), " +
+        "'<[^>]+>', ' ', 'g') AS t FROM h), " +
+        "s2 AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(t, " +
+        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), " +
+        "'&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s1), " +
+        "s3 AS (SELECT doc_id, html, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted FROM s2) " +
+        "SELECT doc_id, trim(regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1)) AS title, " +
+        "extracted, len(regexp_extract_all(html, '<[A-Za-z!/][^>]*>'))::BIGINT AS n_tags, " +
+        "floor(length(extracted) * 1000000.0 / length(html))::BIGINT AS text_ratio_micro FROM s3"
+    },
     "q_text_bm25" -> {
       val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
       "WITH t AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM " +
