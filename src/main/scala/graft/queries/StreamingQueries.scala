@@ -214,6 +214,23 @@ object StreamingQueries {
       s.read.parquet(s"$base/out").where(col("event_type") =!= "___sentinel___")
     }),
 
+    // Streaming spike detection: custom-state tumbling window counts with
+    // each emitted window carrying its adjacent predecessor's count and
+    // the cnt/prev ratio. Same sentinel flush; the sentinel's own open
+    // window never emits and its key is filtered on read-back.
+    "q_stream_spikes" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_spikes"
+      val landing = eventsSentinelFixture(s, dir)
+      resetOut(s, base)
+      val spikes = Streaming.windowSpikes(
+        stream(s, landing).select(col("ts"), col("event_type")),
+        "ts", "event_type", windowMs = 3600L * 1000L, watermarkDelay = "1 minute")
+      runToParquet(spikes, base)
+      s.read.parquet(s"$base/out").where(col("key") =!= "___sentinel___")
+        .select(col("key").as("event_type"), col("window_start"),
+          col("cnt"), col("prev_cnt"), col("spike_permille"))
+    }),
+
     // Streaming exact-dedup through the state-store dropDuplicates
     // operator: only the first row per key passes. Output restricted to
     // the key so the result is arrival-order independent — the surviving
@@ -355,6 +372,16 @@ object StreamingQueries {
         "FROM events CROSS JOIN range(4) k GROUP BY 1, 2"),
     "q_stream_dedup" ->
       "SELECT DISTINCT l_orderkey FROM lineitem",
+    // adjacent-window self-join: prev = the count of the window exactly
+    // one hour earlier (0 when that window had no events)
+    "q_stream_spikes" ->
+      ("WITH c AS (SELECT event_type, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start, " +
+        "count(1)::BIGINT AS cnt FROM events GROUP BY 1, 2) " +
+        "SELECT c.event_type, c.window_start, c.cnt, " +
+        "coalesce(p.cnt, 0)::BIGINT AS prev_cnt, " +
+        "((c.cnt * 1000) // greatest(coalesce(p.cnt, 0), 1))::BIGINT AS spike_permille " +
+        "FROM c LEFT JOIN c p ON p.event_type = c.event_type " +
+        "AND p.window_start = c.window_start - INTERVAL 1 HOUR"),
     // identical result contract to the batch operator: same exact
     // cross-pairs oracle (AvailableNow drains all files into the join)
     "q_stream_cross_dedup" -> LlmQueries.oracleSql("q_dedup_cross"),

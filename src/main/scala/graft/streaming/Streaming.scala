@@ -203,6 +203,84 @@ object Streaming {
     * `withWatermark` upstream. Prefer this for plain first-row-wins dedup;
     * [[streamingDedup]] below shows the custom-state escape hatch.
     */
+  /** Per-key state for [[windowSpikes]]: the last CLOSED window (start +
+    * count, for adjacent-window comparison) and the still-open windows'
+    * running counts. Bounded: `open` holds only windows the watermark has
+    * not passed, and the whole entry evicts once even the closed window's
+    * adjacent successor is beyond the watermark (at which point no future
+    * window could ever see it as `prev` — eviction is semantically
+    * lossless, not a trade-off).
+    */
+  case class SpikeState(lastStart: Long, lastCnt: Long, open: Map[Long, Long])
+
+  case class SpikeRow(key: String, window_start: java.sql.Timestamp,
+                      cnt: Long, prev_cnt: Long, spike_permille: Long)
+
+  /** Streaming SPIKE / trend detection: tumbling per-key window counts,
+    * each emitted window carrying the immediately-preceding window's count
+    * and the ratio cnt*1000 div max(prev,1) — the "is this term suddenly
+    * hot" primitive of crawl-frequency and abuse monitoring. A gap window
+    * (no events) makes the next window's prev 0 by construction.
+    *
+    * Built as ONE `flatMapGroupsWithState` operator rather than a windowed
+    * aggregation + self-join: append-mode windowed aggregates cannot be
+    * re-windowed or lag-joined downstream in the same query (chained
+    * stateful restrictions), while custom state holds exactly (last closed
+    * window, open counts) per key — O(keys x open windows), watermark-
+    * evicted. Windows close (emit, in ascending window order) once the
+    * watermark passes their end, on the data path or on event-time
+    * timeout; like the engine's other event-time operators, exactness vs
+    * the batch oracle requires the watermark delay to cover cross-batch
+    * disorder.
+    */
+  def windowSpikes(events: DataFrame, tsCol: String, keyCol: String,
+                   windowMs: Long, watermarkDelay: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = asEventTime(events, tsCol).withWatermark(tsCol, watermarkDelay)
+    val keyIdx = rows.schema.fieldIndex(keyCol)
+    val tsIdx = rows.schema.fieldIndex(tsCol)
+    rows
+      .groupByKey(r => String.valueOf(r.get(keyIdx)))
+      .flatMapGroupsWithState[SpikeState, SpikeRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[Row], state: GroupState[SpikeState]) =>
+          val st = if (state.exists) state.get
+                   else SpikeState(Long.MinValue, 0L, Map.empty)
+          var open = st.open
+          it.foreach { r =>
+            val ts = r.getTimestamp(tsIdx)
+            if (ts != null) {
+              val win = Math.floorDiv(ts.getTime, windowMs) * windowMs
+              open = open.updated(win, open.getOrElse(win, 0L) + 1L)
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val closable = open.keys.filter(_ + windowMs <= wm).toSeq.sorted
+          var (lastStart, lastCnt) = (st.lastStart, st.lastCnt)
+          val out = closable.map { win =>
+            val cnt = open(win)
+            val prev = if (win - windowMs == lastStart) lastCnt else 0L
+            lastStart = win; lastCnt = cnt
+            SpikeRow(key, new java.sql.Timestamp(win), cnt, prev,
+              cnt * 1000L / math.max(prev, 1L))
+          }
+          open = open -- closable
+          if (open.nonEmpty) {
+            state.update(SpikeState(lastStart, lastCnt, open))
+            state.setTimeoutTimestamp(math.max(open.keys.min + windowMs, wm + 1))
+          } else if (lastStart != Long.MinValue && wm <= lastStart + 2 * windowMs) {
+            // adjacent successor still reachable: keep the closed count
+            // around for its prev, timeout at the point that stops being true
+            state.update(SpikeState(lastStart, lastCnt, Map.empty))
+            state.setTimeoutTimestamp(math.max(lastStart + 2 * windowMs, wm + 1))
+          } else if (state.exists) {
+            state.remove()
+          }
+          out.iterator
+      }.toDF()
+  }
+
   def streamingDedupExact(rows: DataFrame, keyCols: String*): DataFrame =
     rows.dropDuplicates(keyCols)
 

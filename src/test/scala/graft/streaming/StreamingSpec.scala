@@ -173,6 +173,57 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 10:02:00.0", 1L)))
   }
 
+  test("windowSpikes emits closed windows with adjacent-prev counts and gap resets") {
+    val stream = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = Streaming.windowSpikes(
+      stream.toDF().toDF("ts", "k"), "ts", "k",
+      windowMs = 10 * 60 * 1000L, watermarkDelay = "5 minutes")
+    val q = df.writeStream.format("memory").queryName("spikes_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // key a: 2 events in w10:00, 1 in w10:10, gap at w10:20, 1 in w10:30
+    stream.addData((t(10, 1), "a"), (t(10, 2), "a"), (t(10, 12), "a"), (t(10, 31), "a"))
+    q.processAllAvailable()
+    stream.addData((t(11, 30), "z")) // watermark -> 11:25, closes a's windows
+    q.processAllAvailable()
+    val got = spark.table("spikes_out").where("key = 'a'").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", 2L, 0L, 2000L), // first window: prev 0
+      ("2024-01-01 10:10:00.0", 1L, 2L, 500L),  // adjacent: ratio vs 2
+      ("2024-01-01 10:30:00.0", 1L, 0L, 1000L))) // after a gap: prev resets to 0
+    // the z window (ends 11:40) is still open — nothing emitted for it
+    assert(spark.table("spikes_out").where("key = 'z'").count() == 0)
+    q.stop()
+  }
+
+  test("windowSpikes keeps a closed window's count for its late-closing successor") {
+    val stream = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = Streaming.windowSpikes(
+      stream.toDF().toDF("ts", "k"), "ts", "k",
+      windowMs = 10 * 60 * 1000L, watermarkDelay = "1 minute")
+    val q = df.writeStream.format("memory").queryName("spikes_adj")
+      .outputMode(OutputMode.Append()).start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData((t(10, 5), "b"))
+    q.processAllAvailable()
+    stream.addData((t(10, 16), "z")) // wm 10:15: b's w10:00 closes (prev 0)
+    q.processAllAvailable()
+    // b's w10:10 data arrives ON TIME (10:17 >= wm) but AFTER its
+    // predecessor already closed: the retained closed count must still
+    // supply prev = 1 when w10:10 eventually closes
+    stream.addData((t(10, 17), "b"))
+    q.processAllAvailable()
+    stream.addData((t(10, 31), "z")) // wm 10:30: b's w10:10 closes via timeout
+    q.processAllAvailable()
+    val got = spark.table("spikes_adj").where("key = 'b'").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", 1L, 0L),
+      ("2024-01-01 10:10:00.0", 1L, 1L)))
+  }
+
   test("committedSink writes each micro-batch through the commit-marker protocol") {
     val base = tmp()
     val in = s"$base/in"; new java.io.File(in).mkdirs()
