@@ -180,6 +180,111 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Hand-written RIFF/WAVE container around 16-bit little-endian mono
+    * PCM. Deliberately NOT javax.sound's writer: the decode lane reads
+    * through `javax.sound.sampled`, so encode and decode are independent
+    * implementations — a shared container bug cannot cancel out.
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)  // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Deterministic WAV payload per id row: doc d is mono 16-bit PCM with
+    * sample_rate = 8000 + (d%3)*4000, n = 640 + (d%5)*160 samples, and
+    * sample(i) = ((d*131 + i*7919) mod 2*amp) - amp where amp = 64 when
+    * d%7 = 0 (a "quiet" recording) else 8192. An oracle recomputes the
+    * audio statistics straight from this formula while Spark round-trips
+    * real RIFF bytes through the JDK's javax.sound decoder — the audio
+    * decode path is pinned end to end, like the BMP/PNG image lanes.
+    */
+  def syntheticWav(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val sr = (8000 + (d % 3) * 4000).toInt
+        val n = (640 + (d % 5) * 160).toInt
+        val amp = if (d % 7 == 0) 64L else 8192L
+        val samples = Array.tabulate(n)(i =>
+          ((d * 131 + i.toLong * 7919) % (2 * amp) - amp).toShort)
+        Row.fromSeq(r.toSeq :+ encodeWavPcm16(sr, samples))
+      }
+    }(encoder)
+  }
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * readers ship in every JRE — no external codec): integer-exact audio
+    * statistics plus frame-level silence detection (160-sample frames —
+    * 20 ms at 8 kHz, the VAD convention — silent when the frame's peak
+    * |sample| < 256). All counts/sums are exact longs, never floats, so
+    * an oracle can pin them without rounding fragility.
+    */
+  def wavStats(payload: Array[Byte], silenceFrame: Int = 160,
+               silenceThreshold: Int = 256): (Long, Long, Long, Long, Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"expected 16-bit LE mono PCM, got $fmt")
+    val bytes = in.readAllBytes()
+    in.close()
+    val n = bytes.length / 2
+    var i = 0
+    var sumAbs = 0L
+    var maxAbs = 0L
+    var silent = 0L
+    var frameMax = 0L
+    while (i < n) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+      val a = math.abs(s)
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      if (a > frameMax) frameMax = a
+      if ((i + 1) % silenceFrame == 0) { // complete frames only
+        if (frameMax < silenceThreshold) silent += 1
+        frameMax = 0L
+      }
+      i += 1
+    }
+    (fmt.getSampleRate.toLong, fmt.getChannels.toLong, n.toLong, sumAbs, maxAbs, silent)
+  }
+
+  /** Batched WAV decode over a binary column (same mapPartitions lane as
+    * [[decodeFeatures]]): adds sample_rate, n_channels, n_samples,
+    * duration_micros, sum_abs, max_abs, silence_frames — all bigint.
+    */
+  def decodeWavStats(df: DataFrame, binCol: String): DataFrame = {
+    val added = Seq("sample_rate", "n_channels", "n_samples",
+      "duration_micros", "sum_abs", "max_abs", "silence_frames")
+    val outSchema = StructType(df.schema.fields ++
+      added.map(StructField(_, LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (sr, ch, n, sumAbs, maxAbs, silent) = wavStats(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq ++ Seq(sr, ch, n, n * 1000000L / sr, sumAbs, maxAbs, silent))
+      }
+    }(encoder)
+  }
+
   /** 64-bit perceptual average-hash (aHash) of a decoded image: sample an
     * 8x8 grid by nearest neighbor (x = i*w/8, y = j*h/8 — integer floor,
     * covering up- and down-sampling), integer grayscale (r+g+b)/3, then

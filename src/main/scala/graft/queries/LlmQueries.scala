@@ -689,6 +689,17 @@ object LlmQueries {
           element_at(col("features"), 4).cast("bigint").as("sum_g"),
           element_at(col("features"), 5).cast("bigint").as("sum_b"),
           size(col("features")).cast("bigint").as("dim"))
+    }),
+
+    // Audio lane: deterministic RIFF/WAV payloads (hand-written container)
+    // decoded back through the JDK's javax.sound reader; integer-exact
+    // stats + 20ms-frame silence detection. The oracle recomputes from the
+    // generative sample formula and never sees the bytes — same end-to-end
+    // pinning as the image decode lanes.
+    "q_multimodal_audio" -> ((s, dir) => {
+      val withBin = Multimodal.syntheticWav(
+        docs(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeWavStats(withBin, "payload").drop("payload")
     })
   )
 
@@ -1830,7 +1841,21 @@ object LlmQueries {
       (s"$phashCte SELECT x.doc_id AS a, y.doc_id AS b, " +
         "(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::BIGINT AS hamming " +
         "FROM ph x JOIN ph y ON x.doc_id < y.doc_id " +
-        "AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3")
+        "AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3"),
+    // formula replica of the WAV sample stream (Multimodal.syntheticWav):
+    // stats recomputed from the generative formula, never from bytes
+    "q_multimodal_audio" ->
+      ("WITH p AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr, " +
+        "640 + (doc_id % 5) * 160 AS n, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 64 ELSE 8192 END AS amp FROM documents), " +
+        "s AS (SELECT doc_id, sr, n, " +
+        "[abs(((doc_id * 131 + i * 7919) % (2 * amp)) - amp) for i in range(n)] AS a FROM p) " +
+        "SELECT doc_id, sr::BIGINT AS sample_rate, 1::BIGINT AS n_channels, " +
+        "n::BIGINT AS n_samples, (n::BIGINT * 1000000 // sr)::BIGINT AS duration_micros, " +
+        "list_sum(a)::BIGINT AS sum_abs, list_max(a)::BIGINT AS max_abs, " +
+        "len(list_filter(range(n // 160), " +
+        "f -> list_max(a[(f * 160 + 1):(f * 160 + 160)]) < 256))::BIGINT AS silence_frames " +
+        "FROM s")
   )
 
   /** Formula replica of the decoded image features (see

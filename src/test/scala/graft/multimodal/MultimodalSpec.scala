@@ -163,6 +163,45 @@ class MultimodalSpec extends SparkSpec {
     Seq(h1, l1, h3, l3).foreach(v => assert(v >= 0 && v <= 0xffffffffL))
   }
 
+  test("encodeWavPcm16 emits RIFF that javax.sound decodes sample-exact") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7, -7)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (sr, ch, n, sumAbs, maxAbs, _) = Multimodal.wavStats(wav)
+    assert((sr, ch, n) == (8000L, 1L, 7L))
+    assert(sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(maxAbs == 32768L)
+  }
+
+  test("wavStats silence frames: quiet frames below the threshold count") {
+    // frame 1: all tiny (silent); frame 2: one loud sample (not silent);
+    // a trailing partial frame is ignored
+    val quiet = Array.fill[Short](160)(50)
+    val loud = Array.fill[Short](160)(50); loud(80) = 1000
+    val tail = Array.fill[Short](80)(0)
+    val wav = Multimodal.encodeWavPcm16(16000, quiet ++ loud ++ tail)
+    val (_, _, n, _, _, silent) = Multimodal.wavStats(wav)
+    assert(n == 400L && silent == 1L)
+  }
+
+  test("syntheticWav quiet docs (d%7=0) are all-silent; loud docs are not") {
+    val ids = spark.range(0, 15).toDF("doc_id")
+    val out = Multimodal.decodeWavStats(
+        Multimodal.syntheticWav(ids, "doc_id", "payload"), "payload")
+      .select("doc_id", "n_samples", "silence_frames").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (d, (n, silent)) =>
+      if (d % 7 == 0) assert(silent == n / 160, s"doc $d should be fully silent")
+      else assert(silent == 0L, s"doc $d should have no silent frame")
+    }
+    // duration: doc 1 -> 12 kHz, 800 samples -> 66666 us
+    val dur = Multimodal.decodeWavStats(
+        Multimodal.syntheticWav(ids.where("doc_id = 1"), "doc_id", "payload"), "payload")
+      .select("duration_micros").as[Long].head()
+    assert(dur == 800L * 1000000L / 12000L)
+  }
+
   test("decodeAHash matches the single-payload function through the batched lane") {
     val ids = spark.range(0, 6).toDF("doc_id")
     val withBin = Multimodal.syntheticBmp(ids, "doc_id", "payload")
