@@ -237,6 +237,36 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // Code-vs-prose signals over synthetic mixed pages (prose + a code
+    // block on the %3 schedule + indented lines on the %4 schedule).
+    "q_text_code_detect" -> ((s, dir) => {
+      val page = concat(
+        substring(col("text"), 1, 100), lit("\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("import foo.bar;\ndef main() {\n    val xValue = computeFast(1);\n    return xValue;\n}\n"))
+          .otherwise(lit("A plain prose line follows here.\n")),
+        when(col("doc_id") % 4 === 0,
+          lit("    indented continuation line\n\tanother tabbed line\n"))
+          .otherwise(lit("final words end the page.\n")))
+      val cols = graft.text.TextStats.codeColumns(page)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // License classification over synthetic footers on the %5 schedule
+    // (+ a dated copyright line on the %2 schedule).
+    "q_text_license" -> ((s, dir) => {
+      val page = concat(
+        substring(col("text"), 1, 80), lit(" "),
+        when(col("doc_id") % 5 === 0, lit("Creative Commons Attribution-ShareAlike 4.0 applies."))
+          .when(col("doc_id") % 5 === 1, lit("Licensed under the Apache License, Version 2.0."))
+          .when(col("doc_id") % 5 === 2, lit("All rights reserved."))
+          .when(col("doc_id") % 5 === 3, lit("Released under the MIT License."))
+          .otherwise(lit("Dedicated to the public domain under CC0.")),
+        when(col("doc_id") % 2 === 0, lit(" Copyright 2019 Acme Corp.")).otherwise(lit("")))
+      val cols = graft.text.TextStats.licenseColumns(page)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // C4 page-level ruleset over the same synthetic pages.
     "q_text_c4" -> ((s, dir) => {
       val cols = graft.text.TextStats.c4Columns(pageText)
@@ -1293,6 +1323,62 @@ object LlmQueries {
       "ELSE 'Another full sentence ends properly here!' END || chr(10) || " +
       "substr(text, 1, 120) || ' end of the text sample.'"
 
+  /** Replica of [[graft.text.TextStats.codeColumns]] over the synthetic
+    * mixed pages of q_text_code_detect. A def (val-init-order hazard).
+    */
+  private def codeDetectSql: String = {
+    val codeBlock = "'import foo.bar;' || chr(10) || 'def main() {' || chr(10) || " +
+      "'    val xValue = computeFast(1);' || chr(10) || '    return xValue;' || chr(10) || '}' || chr(10)"
+    val indentBlock = "'    indented continuation line' || chr(10) || chr(9) || 'another tabbed line' || chr(10)"
+    val micro = (num: String, den: String) =>
+      s"CASE WHEN $den > 0 THEN floor(($num)::DOUBLE * 1000000.0 / ($den)::DOUBLE)::BIGINT ELSE 0 END"
+    "WITH p AS (SELECT doc_id, substr(text, 1, 100) || chr(10) || " +
+      s"CASE WHEN doc_id % 3 = 0 THEN $codeBlock ELSE 'A plain prose line follows here.' || chr(10) END || " +
+      s"CASE WHEN doc_id % 4 = 0 THEN $indentBlock ELSE 'final words end the page.' || chr(10) END AS t " +
+      "FROM documents), " +
+      "m AS (SELECT doc_id, len(string_split(t, chr(10))) AS nl, length(t) AS nc, " +
+      "len(regexp_extract_all(t, '(?m)^(\\t| {4})')) AS ind, " +
+      "len(regexp_extract_all(t, '[{}();=]')) AS br, " +
+      "len(regexp_extract_all(t, '(?m);[ \\t]*$')) AS se, " +
+      "len(regexp_extract_all(t, '\\b[a-z]+[A-Z][A-Za-z]*\\b')) AS cam, " +
+      "len(regexp_extract_all(t, '\\b(def|class|import|return|function|val|var|const|while)\\b')) AS kw FROM p), " +
+      "r AS (SELECT doc_id, " +
+      s"${micro("ind", "nl")} AS indent_frac_micro, " +
+      s"${micro("br", "nc")} AS brace_density_micro, " +
+      s"${micro("se", "nl")} AS semicolon_eol_frac_micro, " +
+      "cam::BIGINT AS camel_count, kw::BIGINT AS keyword_count FROM m) " +
+      "SELECT doc_id, indent_frac_micro, brace_density_micro, semicolon_eol_frac_micro, " +
+      "camel_count, keyword_count, " +
+      "(indent_frac_micro >= 300000 OR (brace_density_micro >= 20000 AND keyword_count >= 2)) AS looks_like_code FROM r"
+  }
+
+  /** Replica of [[graft.text.TextStats.licenseColumns]] over the synthetic
+    * license footers of q_text_license. A def (val-init-order hazard).
+    */
+  private def licenseSql: String = {
+    val footer = "CASE doc_id % 5 " +
+      "WHEN 0 THEN 'Creative Commons Attribution-ShareAlike 4.0 applies.' " +
+      "WHEN 1 THEN 'Licensed under the Apache License, Version 2.0.' " +
+      "WHEN 2 THEN 'All rights reserved.' " +
+      "WHEN 3 THEN 'Released under the MIT License.' " +
+      "ELSE 'Dedicated to the public domain under CC0.' END"
+    val cr = "CASE WHEN doc_id % 2 = 0 THEN ' Copyright 2019 Acme Corp.' ELSE '' END"
+    s"WITH p AS (SELECT doc_id, lower(substr(text, 1, 80) || ' ' || $footer || $cr) AS t FROM documents), " +
+      "r AS (SELECT doc_id, " +
+      "CASE WHEN regexp_matches(t, 'public domain|cc0') THEN 'public-domain' " +
+      "WHEN regexp_matches(t, 'creative commons.*(share-?alike|by-sa)') THEN 'cc-by-sa' " +
+      "WHEN regexp_matches(t, 'creative commons.*(non-?commercial|by-nc)') THEN 'cc-by-nc' " +
+      "WHEN regexp_matches(t, 'creative commons|cc-by|cc by') THEN 'cc-by' " +
+      "WHEN regexp_matches(t, 'mit license') THEN 'mit' " +
+      "WHEN regexp_matches(t, 'apache license') THEN 'apache-2.0' " +
+      "WHEN regexp_matches(t, 'gnu (lesser |affero )?general public license|\\b[la]?gpl\\b') THEN 'gpl' " +
+      "WHEN regexp_matches(t, 'all rights reserved') THEN 'all-rights-reserved' " +
+      "ELSE '' END AS license, " +
+      "regexp_matches(t, '(©|\\(c\\)|copyright)\\s*(19|20)\\d{2}') AS has_copyright_line FROM p) " +
+      "SELECT doc_id, license, has_copyright_line, " +
+      "license IN ('public-domain', 'cc-by-sa', 'cc-by', 'mit', 'apache-2.0') AS license_keep FROM r"
+  }
+
   private def gopherSql: String = {
     def cnt(pat: String) = s"len(regexp_extract_all(t, '$pat'))"
     def micro(num: String, den: String) =
@@ -1508,6 +1594,8 @@ object LlmQueries {
     "q_dedup_url" -> urlDedupSql,
     "q_text_gopher" -> gopherSql,
     "q_text_c4" -> c4Sql,
+    "q_text_code_detect" -> codeDetectSql,
+    "q_text_license" -> licenseSql,
     "q_text_blocklist" -> {
       val hits = Seq("slow", "window").map(t =>
         s"CASE WHEN regexp_matches(lower(text), '(^|\\s)$t(\\s|$$)') THEN 1 ELSE 0 END")

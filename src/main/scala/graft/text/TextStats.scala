@@ -309,6 +309,64 @@ object TextStats {
       "masked_sha256" -> sha2(masked.cast("binary"), 256))
   }
 
+  /** Code-vs-prose signals (the "route to the code pipeline / drop
+    * minified junk" classifier inputs of mixed web corpora): indentation
+    * structure, brace/operator density, camelCase identifiers and keyword
+    * hits — all codegen'd regexp counts in the RE2/Java common subset,
+    * fractions in the integer-micro discipline of [[gopherColumns]].
+    */
+  def codeColumns(textCol: Column): Seq[(String, Column)] = {
+    val nLines = size(split(textCol, "\n"))
+    def microFrac(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") * 1000000.0 / den.cast("double")))
+        .otherwise(lit(0.0)).cast("bigint")
+    val indentFrac = microFrac(
+      regexp_count(textCol, lit("(?m)^(\\t| {4})")), nLines)
+    val braceDensity = microFrac(
+      regexp_count(textCol, lit("[{}();=]")), length(textCol))
+    val semiEolFrac = microFrac(
+      regexp_count(textCol, lit("(?m);[ \\t]*$")), nLines)
+    val camelCount = regexp_count(textCol,
+      lit("\\b[a-z]+[A-Z][A-Za-z]*\\b")).cast("bigint")
+    val keywordCount = regexp_count(textCol,
+      lit("\\b(def|class|import|return|function|val|var|const|while)\\b")).cast("bigint")
+    Seq(
+      "indent_frac_micro" -> indentFrac,
+      "brace_density_micro" -> braceDensity,
+      "semicolon_eol_frac_micro" -> semiEolFrac,
+      "camel_count" -> camelCount,
+      "keyword_count" -> keywordCount,
+      "looks_like_code" ->
+        (indentFrac >= 300000L || (braceDensity >= 20000L && keywordCount >= 2L)))
+  }
+
+  /** License / usage-rights detection (the compliance gate of training-
+    * data pipelines: keep permissive, quarantine restricted): a first-match
+    * classification over the standard license phrases plus a dated
+    * copyright-line detector. The match ORDER is part of the contract —
+    * share-alike must test before plain attribution, public-domain/CC0
+    * before both (its text often also mentions Creative Commons).
+    */
+  def licenseColumns(textCol: Column): Seq[(String, Column)] = {
+    val t = lower(textCol)
+    def has(pat: String): Column = t.rlike(pat)
+    val license =
+      when(has("public domain|cc0"), "public-domain")
+        .when(has("creative commons.*(share-?alike|by-sa)"), "cc-by-sa")
+        .when(has("creative commons.*(non-?commercial|by-nc)"), "cc-by-nc")
+        .when(has("creative commons|cc-by|cc by"), "cc-by")
+        .when(has("mit license"), "mit")
+        .when(has("apache license"), "apache-2.0")
+        .when(has("gnu (lesser |affero )?general public license|\\b[la]?gpl\\b"), "gpl")
+        .when(has("all rights reserved"), "all-rights-reserved")
+        .otherwise("")
+    Seq(
+      "license" -> license,
+      "has_copyright_line" -> has("(©|\\(c\\)|copyright)\\s*(19|20)\\d{2}"),
+      "license_keep" -> license.isin("public-domain", "cc-by-sa", "cc-by",
+        "mit", "apache-2.0"))
+  }
+
   /** URL/domain signals (the domain-filtering step of web-corpus pipelines:
     * blocklists, per-domain caps, provenance stats): URL count and the
     * sorted distinct domain list per document. Regexes stay in the

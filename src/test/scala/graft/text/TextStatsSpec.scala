@@ -306,4 +306,40 @@ class TextStatsSpec extends SparkSpec {
       .as[(String, String)].collect()
     twice.foreach { case (in, out) => assert(out == in, s"not idempotent on $in") }
   }
+
+  test("codeColumns separates code from prose") {
+    val code = "def main() {\n    val xValue = run();\n    return xValue;\n}"
+    val prose = "This is a perfectly ordinary sentence about nothing much."
+    val cols = TextStats.codeColumns(col("t"))
+    val out = Seq((1L, code), (2L, prose)).toDF("id", "t")
+      .select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(5), r.getBoolean(6))).toMap
+    val (codeIndent, codeKw, codeFlag) = out(1L)
+    assert(codeIndent == 500000L) // 2 of 4 lines indented
+    assert(codeKw >= 3L && codeFlag)
+    val (_, _, proseFlag) = out(2L)
+    assert(!proseFlag)
+  }
+
+  test("licenseColumns: match order and copyright-line detection") {
+    val cases = Seq(
+      (1L, "Dedicated to the public domain (CC0); see Creative Commons."),
+      (2L, "Creative Commons Attribution-ShareAlike 4.0"),
+      (3L, "Creative Commons Attribution 4.0 International"),
+      (4L, "Released under the MIT License. Copyright 2021 Acme."),
+      (5L, "All rights reserved."),
+      (6L, "no license text at all"))
+    val cols = TextStats.licenseColumns(col("t"))
+    val out = cases.toDF("id", "t")
+      .select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 == "public-domain") // CC0 wins over the CC mention
+    assert(out(2L)._1 == "cc-by-sa")      // share-alike before plain by
+    assert(out(3L)._1 == "cc-by")
+    assert(out(4L) == (("mit", true, true)))
+    assert(out(5L) == (("all-rights-reserved", false, false)))
+    assert(out(6L) == (("", false, false)))
+  }
 }
