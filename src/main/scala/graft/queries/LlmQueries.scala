@@ -237,6 +237,33 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // Snapshot diff between two derived corpus states: %11 ids absent
+    // from the old snapshot (added), %17 absent from the new (removed),
+    // %13 texts mutated (changed) — bodies never shuffle, only id+sha256.
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.where(col("doc_id") % 11 =!= 0)
+      val newSnap = d.where(col("doc_id") % 17 =!= 0)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 13 === 0, " v2").otherwise("")))
+      graft.text.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+    // PII redaction over pages with planted identifiers (email / IPv4 /
+    // NHS number / long id runs on co-prime schedules): counts on the
+    // original text plus the redacted text itself.
+    "q_text_pii_redact" -> ((s, dir) => {
+      val page = concat(
+        substring(col("text"), 1, 80),
+        when(col("doc_id") % 3 === 0, lit(" contact alice.smith@example.org now"))
+          .otherwise(lit(" no contact here")),
+        when(col("doc_id") % 4 === 0, lit(" server at 192.168.1.17 responded")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" patient nhs 943 476 5919 recorded")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" ref 987654321012345 logged")).otherwise(lit("")))
+      val cols = graft.text.TextStats.piiRedactColumns(page)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // Code-vs-prose signals over synthetic mixed pages (prose + a code
     // block on the %3 schedule + indented lines on the %4 schedule).
     "q_text_code_detect" -> ((s, dir) => {
@@ -1352,6 +1379,31 @@ object LlmQueries {
       "(indent_frac_micro >= 300000 OR (brace_density_micro >= 20000 AND keyword_count >= 2)) AS looks_like_code FROM r"
   }
 
+  /** Replica of [[graft.text.TextStats.piiRedactColumns]] over the
+    * planted-PII pages of q_text_pii_redact: same patterns, same ordered
+    * replace chain. A def (val-init-order hazard).
+    */
+  private def piiRedactSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val nhs = "\\b[0-9]{3} ?[0-9]{3} ?[0-9]{4}\\b"
+    val longid = "[0-9]{11,}"
+    val page = "substr(text, 1, 80) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact alice.smith@example.org now' ELSE ' no contact here' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ' server at 192.168.1.17 responded' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' patient nhs 943 476 5919 recorded' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' ref 987654321012345 logged' ELSE '' END"
+    s"WITH p AS (SELECT doc_id, $page AS t FROM documents) " +
+      "SELECT doc_id, " +
+      s"len(regexp_extract_all(t, '$email'))::BIGINT AS n_emails, " +
+      s"len(regexp_extract_all(t, '$ipv4'))::BIGINT AS n_ipv4, " +
+      s"len(regexp_extract_all(t, '$nhs'))::BIGINT AS n_nhs_numbers, " +
+      s"len(regexp_extract_all(t, '$longid'))::BIGINT AS n_long_ids, " +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, " +
+      s"'$email', '[EMAIL]', 'g'), '$ipv4', '[IP]', 'g'), " +
+      s"'$nhs', '[NHS]', 'g'), '$longid', '[NUMBER]', 'g') AS redacted FROM p"
+  }
+
   /** Replica of [[graft.text.TextStats.licenseColumns]] over the synthetic
     * license footers of q_text_license. A def (val-init-order hazard).
     */
@@ -1596,6 +1648,16 @@ object LlmQueries {
     "q_text_c4" -> c4Sql,
     "q_text_code_detect" -> codeDetectSql,
     "q_text_license" -> licenseSql,
+    "q_text_pii_redact" -> piiRedactSql,
+    // text equality stands in for the engine's sha-256 equality
+    "q_corpus_diff" ->
+      ("WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 0), " +
+        "n AS (SELECT doc_id, text || CASE WHEN doc_id % 13 = 0 THEN ' v2' ELSE '' END AS text " +
+        "FROM documents WHERE doc_id % 17 != 0) " +
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM o FULL JOIN n ON o.doc_id = n.doc_id"),
     "q_text_blocklist" -> {
       val hits = Seq("slow", "window").map(t =>
         s"CASE WHEN regexp_matches(lower(text), '(^|\\s)$t(\\s|$$)') THEN 1 ELSE 0 END")

@@ -367,6 +367,40 @@ object TextStats {
         "mit", "apache-2.0"))
   }
 
+  /** Expanded PII patterns for [[piiRedactColumns]]. The long-number run
+    * is 11+ digits so a 10-digit NHS number is classified (and redacted)
+    * as NHS, never double-claimed; patterns stay in the RE2/Java common
+    * subset. This is the healthcare-corpus scrub set — emails, IPv4
+    * endpoints, NHS numbers (3-3-4 with optional spaces), long id runs.
+    */
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val NhsNumberPattern = "\\b[0-9]{3} ?[0-9]{3} ?[0-9]{4}\\b"
+  val LongIdPattern = "[0-9]{11,}"
+
+  /** PII REDACTION (not just detection — [[piiColumns]] is the detect
+    * variant): per-category counts on the original text plus the redacted
+    * text itself, produced by an ordered chain of codegen'd global
+    * `regexp_replace` passes (email → IPv4 → NHS → long runs; order is
+    * load-bearing — the NHS pass must claim 10-digit runs before the
+    * generic long-number pass could see them). Pure per-row narrow work:
+    * the shape that runs over every byte of a 100 TB corpus.
+    */
+  def piiRedactColumns(textCol: Column): Seq[(String, Column)] = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(textCol, EmailPattern, "[EMAIL]"),
+          Ipv4Pattern, "[IP]"),
+        NhsNumberPattern, "[NHS]"),
+      LongIdPattern, "[NUMBER]")
+    Seq(
+      "n_emails" -> regexp_count(textCol, lit(EmailPattern)).cast("bigint"),
+      "n_ipv4" -> regexp_count(textCol, lit(Ipv4Pattern)).cast("bigint"),
+      "n_nhs_numbers" -> regexp_count(textCol, lit(NhsNumberPattern)).cast("bigint"),
+      "n_long_ids" -> regexp_count(textCol, lit(LongIdPattern)).cast("bigint"),
+      "redacted" -> redacted)
+  }
+
   /** URL/domain signals (the domain-filtering step of web-corpus pipelines:
     * blocklists, per-domain caps, provenance stats): URL count and the
     * sorted distinct domain list per document. Regexes stay in the

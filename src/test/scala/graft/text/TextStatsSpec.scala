@@ -307,6 +307,28 @@ class TextStatsSpec extends SparkSpec {
     twice.foreach { case (in, out) => assert(out == in, s"not idempotent on $in") }
   }
 
+  test("piiRedactColumns: ordered redaction — NHS claims 10-digit runs before long ids") {
+    val t = "mail bob@x.co.uk ip 10.0.0.1 nhs 943 476 5919 id 9434765919 long 123456789012"
+    val cols = TextStats.piiRedactColumns(col("t"))
+    val out = Seq(t).toDF("t")
+      .select(cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(out._1 == 1L && out._2 == 1L)
+    assert(out._3 == 2L) // both the spaced and the contiguous 10-digit form
+    assert(out._4 == 1L) // only the 12-digit run
+    assert(out._5 ==
+      "mail [EMAIL] ip [IP] nhs [NHS] id [NHS] long [NUMBER]")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("codeColumns separates code from prose") {
     val code = "def main() {\n    val xValue = run();\n    return xValue;\n}"
     val prose = "This is a perfectly ordinary sentence about nothing much."
