@@ -83,6 +83,56 @@ object Contract {
     }.toDF("column", "n_nulls", "n_blank", "n_distinct", "min_value", "max_value")
   }
 
+  /** Contract RULE SUGGESTION — [[profile]]'s active sibling: mine a
+    * stringified submission for the validation contract a human would
+    * write for it (the bootstrap step when onboarding a feed with no
+    * dischema yet). Per column: a type whose format EVERY present value
+    * matches (int before float — the float regex accepts ints; then ISO
+    * date; else str), nullability from observed null/blank mass, and an
+    * enum candidacy flag for low-cardinality string columns.
+    *
+    * Same execution shape as [[profile]]: ONE aggregation pass producing a
+    * single wide row (8 exprs per column — counts/regex-match tallies are
+    * map-side combined), then a driver-side unpivot of that bounded row.
+    * No per-column jobs, no collect of data rows.
+    */
+  def suggestRules(df: DataFrame, enumMax: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toIndexedSeq
+    val aggs = cols.flatMap { c =>
+      val s = col(s"`$c`").cast(StringType)
+      val present = when(trim(s) =!= "", s)
+      Seq(
+        count(lit(1)) - count(s),                         // nulls
+        count(when(trim(s) === "", 1)),                   // blanks
+        count(present),                                   // present values
+        count(when(s.rlike("^[+-]?[0-9]+$"), 1)),
+        count(when(s.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"), 1)),
+        count(when(s.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 1)),
+        count_distinct(present),
+        max(length(present)))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 8
+      val (nNulls, nBlank, present) = (row.getLong(b), row.getLong(b + 1), row.getLong(b + 2))
+      val (intOk, floatOk, dateOk) = (row.getLong(b + 3), row.getLong(b + 4), row.getLong(b + 5))
+      val nDistinct = row.getLong(b + 6)
+      val maxLen = if (row.isNullAt(b + 7)) 0L else row.getInt(b + 7).toLong
+      val suggested =
+        if (present == 0L) "str"
+        else if (intOk == present) "long"
+        else if (floatOk == present) "double"
+        else if (dateOk == present) "date"
+        else "str"
+      (c, suggested, nNulls + nBlank > 0L,
+        suggested == "str" && present > 0L && nDistinct <= enumMax,
+        nDistinct, maxLen)
+    }.toDF("column", "suggested_type", "nullable", "enum_candidate",
+      "n_distinct", "max_length")
+  }
+
   // ---------------------------------------------------------------- numeric / format regexes
   private val intRegex = "^[+-]?[0-9]+$"
   private val floatRegex = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"

@@ -299,6 +299,21 @@ object ContractQueries {
       Contract.profile(input)
     }),
 
+    // Contract rule suggestion over a mixed-typed stringified submission:
+    // int / float-string / ISO-date / enum / nullable free-text columns,
+    // each mined back to the dischema a human would write.
+    "q_contract_suggest" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        when(col("c_custkey") % 9 === 0, lit(null)).otherwise(col("c_name")).as("name"),
+        concat(col("c_custkey").cast("string"), lit("."),
+          (col("c_custkey") % 100).cast("string")).as("amount"),
+        concat(lit("2024-"), lpad((col("c_custkey") % 12 + 1).cast("string"), 2, "0"),
+          lit("-15")).as("period"))
+      Contract.suggestRules(input)
+    }),
+
     // nhsnumber vs permissivenhsno semantics (ref: domain_types.py:98,
     // 166-174): both enforce the mod-11 checksum, but only nhsnumber emits
     // the sentinel / starts-with-9 / palindrome informational warnings —
@@ -557,6 +572,34 @@ object ContractQueries {
         "CASE WHEN c_custkey % 7 = 0 THEN '  ' ELSE c_name END AS name FROM customer) " +
         s"SELECT * FROM (${one("c_custkey", "c_custkey")} UNION ALL " +
         s"${one("seg", "seg")} UNION ALL ${one("name", "name")}) t"
+    },
+
+    "q_contract_suggest" -> {
+      val intRe = "^[+-]?[0-9]+$"
+      val floatRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+      val dateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+      def one(name: String, c: String) =
+        s"SELECT '$name' AS \"column\", " +
+          s"count(1) - count($c) AS n_nulls, " +
+          s"count(CASE WHEN trim(CAST($c AS VARCHAR)) = '' THEN 1 END) AS n_blank, " +
+          s"count(CASE WHEN trim(CAST($c AS VARCHAR)) != '' THEN 1 END) AS np, " +
+          s"count(CASE WHEN regexp_matches(CAST($c AS VARCHAR), '$intRe') THEN 1 END) AS i_ok, " +
+          s"count(CASE WHEN regexp_matches(CAST($c AS VARCHAR), '$floatRe') THEN 1 END) AS f_ok, " +
+          s"count(CASE WHEN regexp_matches(CAST($c AS VARCHAR), '$dateRe') THEN 1 END) AS d_ok, " +
+          s"count(DISTINCT CASE WHEN trim(CAST($c AS VARCHAR)) != '' THEN CAST($c AS VARCHAR) END) AS nd, " +
+          s"coalesce(max(CASE WHEN trim(CAST($c AS VARCHAR)) != '' THEN length(CAST($c AS VARCHAR)) END), 0) AS ml FROM i"
+      "WITH i AS (SELECT c_custkey, c_mktsegment AS seg, " +
+        "CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_name END AS name, " +
+        "CAST(c_custkey AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR) AS amount, " +
+        "'2024-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') || '-15' AS period FROM customer), " +
+        s"u AS (${one("c_custkey", "c_custkey")} UNION ALL ${one("seg", "seg")} UNION ALL " +
+        s"${one("name", "name")} UNION ALL ${one("amount", "amount")} UNION ALL ${one("period", "period")}) " +
+        "SELECT \"column\", CASE WHEN np = 0 THEN 'str' WHEN i_ok = np THEN 'long' " +
+        "WHEN f_ok = np THEN 'double' WHEN d_ok = np THEN 'date' ELSE 'str' END AS suggested_type, " +
+        "(n_nulls + n_blank) > 0 AS nullable, " +
+        "(CASE WHEN np = 0 THEN 'str' WHEN i_ok = np THEN 'long' WHEN f_ok = np THEN 'double' " +
+        "WHEN d_ok = np THEN 'date' ELSE 'str' END) = 'str' AND np > 0 AND nd <= 10 AS enum_candidate, " +
+        "nd::BIGINT AS n_distinct, ml::BIGINT AS max_length FROM u"
     },
 
     "q_contract_nhs_permissive" ->

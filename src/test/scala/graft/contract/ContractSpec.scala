@@ -302,4 +302,30 @@ class ContractSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("s", "abcde"), ("v", "50")))
   }
+
+  test("suggestRules mines types, nullability, and enum candidates") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "red", "1.5", "2024-01-01", null.asInstanceOf[String], "free text one"),
+      ("22", "red", "2", "2024-12-31", "x", "completely different"),
+      ("-3", "blue", ".5", "1999-06-15", "  ", "a third value here"))
+      .toDF("id", "color", "ratio", "day", "flaky", "prose")
+    val got = Contract.suggestRules(df, enumMax = 2).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got("id") == (("long", false, false)))    // ints stay long, not double
+    assert(got("color") == (("str", false, true)))   // 2 distinct <= enumMax
+    assert(got("ratio") == (("double", false, false)))
+    assert(got("day") == (("date", false, false)))
+    assert(got("flaky") == (("str", true, true)))    // null + blank -> nullable
+    assert(got("prose")._1 == "str" && !got("prose")._3) // 3 distinct > enumMax
+  }
+
+  test("suggestRules on an all-null column degrades to nullable str") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("k", "empty")
+    val got = Contract.suggestRules(df).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2), r.getLong(5))).toMap
+    assert(got("empty") == (("str", true, 0L)))
+  }
 }
