@@ -620,6 +620,13 @@ object LlmQueries {
         "vec_id", "embedding", iterations = 2)
     }),
 
+    // k-means|| seeding: 2 oversampling rounds with deterministic
+    // hash-threshold draws ∝ distance, then nearest-seed weights — the
+    // scalable k-means++ bootstrap the Lloyd refiner consumes.
+    "q_embed_kmeanspp" -> ((s, dir) =>
+      Similarity.kmeansParallelInit(embs(s, dir), "vec_id", "embedding",
+        oversample = 8, rounds = 2)),
+
     // Product-quantization encode: 64 dims -> 4 subspace code ids against
     // a 16-entry codebook (vec_id < 16 stands in for trained centroids).
     "q_embed_pq" -> ((s, dir) => {
@@ -950,6 +957,41 @@ object LlmQueries {
     * dim 64): the same nearest-cell assignment tiebreak and the same
     * decimal-exact elementwise means, replayed iteration by iteration.
     */
+  /** DuckDB replica of [[Similarity.kmeansParallelInit]] (oversample 8,
+    * 2 rounds): min-id seed, micro-floored cosine distances, exact BIGINT
+    * phi, the same salted polyhash threshold draw, nearest-seed weights.
+    * A def (val-init-order hazard).
+    */
+  private def kmeansppSql: String = {
+    def bucket(salt: String) = {
+      val h = "list_reduce(list_prepend(17::BIGINT, [ascii(c)::BIGINT for c in " +
+        s"string_split(CAST(vec_id AS VARCHAR) || '$salt', '')]), " +
+        "(a, b) -> (a * 31 + b) % 4294967296)"
+      val m1 = s"(($h * 48271) % 2147483647)"
+      s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % 1000000)"
+    }
+    def dround(src: String) =
+      s"d$src AS (SELECT e.vec_id, CAST(floor(round(1.0 - " +
+        s"max(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])), 6) * 1000000.0) AS BIGINT) AS di " +
+        s"FROM embeddings e CROSS JOIN c${src}v c GROUP BY e.vec_id)"
+    "WITH seed AS (SELECT min(vec_id) AS sid FROM embeddings), " +
+      "c1v AS (SELECT e.embedding AS cv FROM embeddings e, seed WHERE e.vec_id = sid), " +
+      s"${dround("1")}, " +
+      "p1 AS (SELECT sum(di)::BIGINT AS phi FROM d1), " +
+      s"s1 AS (SELECT vec_id FROM d1, p1, seed WHERE vec_id != sid AND ${bucket(":kmpp1")} * phi < 8 * di * 1000000), " +
+      "c2 AS (SELECT sid AS cid FROM seed UNION ALL SELECT vec_id FROM s1), " +
+      "c2v AS (SELECT e.embedding AS cv FROM embeddings e JOIN c2 ON e.vec_id = c2.cid), " +
+      s"${dround("2")}, " +
+      "p2 AS (SELECT sum(di)::BIGINT AS phi FROM d2), " +
+      s"s2 AS (SELECT vec_id FROM d2, p2 WHERE vec_id NOT IN (SELECT cid FROM c2) AND ${bucket(":kmpp2")} * phi < 8 * di * 1000000), " +
+      "cf AS (SELECT cid FROM c2 UNION ALL SELECT vec_id AS cid FROM s2), " +
+      "cfv AS (SELECT e.vec_id AS cid, e.embedding AS cv FROM embeddings e JOIN cf ON e.vec_id = cf.cid), " +
+      "asg AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 9) DESC, c.cid) AS rn " +
+      "FROM embeddings e CROSS JOIN cfv c) " +
+      "SELECT cid AS center_id, count(*)::BIGINT AS weight FROM asg WHERE rn = 1 GROUP BY cid"
+  }
+
   private def kmeansSql(dim: Int, iterations: Int): String = {
     require(iterations == 2, "oracle is written for 2 iterations")
     val d = dim
@@ -1938,6 +1980,7 @@ object LlmQueries {
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
     "q_embed_ivfpq" -> ivfPqKnnSql(dim = 64, numSubspaces = 4, k = 5, nProbe = 3),
     "q_embed_kmeans" -> kmeansSql(dim = 64, iterations = 2),
+    "q_embed_kmeanspp" -> kmeansppSql,
     "q_embed_pq" ->
       ("WITH cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id < 16), " +
         "a AS (SELECT e.vec_id, s.range AS sub, cb.code_id, " +

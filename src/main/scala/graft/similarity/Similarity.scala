@@ -301,6 +301,67 @@ object Similarity {
       round(col("cval"), 9).as("val"))
   }
 
+  /** k-means|| SEEDING (Bahmani et al., "Scalable k-means++"): the
+    * distributed replacement for sequential k-means++ when the corpus
+    * cannot be scanned k times. Each of `rounds` passes oversamples
+    * ~`oversample` points with probability ∝ their distance to the
+    * current seed set, then every corpus point votes for its nearest
+    * seed — the returned (center_id, weight) table is exactly what the
+    * final small weighted clustering (a [[kmeansCentroids]] run over
+    * tens of rows) consumes.
+    *
+    * Determinism (the operator's whole point here): the seed is the
+    * minimum id, and the "probability ∝ distance" draw is the replicable
+    * hash-threshold trick — keep x iff
+    * hash(x:salt_r) * Σdi < oversample * di(x) * 10^6, with di the
+    * micro-floored cosine distance and Σdi an exact BIGINT — so re-runs,
+    * repartitions, and an external engine select the identical seed set.
+    *
+    * Scale shape: per round, one broadcast cross-score of the corpus
+    * against the ≤ (1 + r*oversample)-row seed set (narrow, codegen dot),
+    * one exact integer aggregate, and a per-row threshold filter. Driver
+    * materialization is bounded by construction: the selected ids
+    * (expected `oversample` per round — the set a real pipeline ships to
+    * the final clustering anyway), never corpus rows.
+    */
+  def kmeansParallelInit(corpus: DataFrame, idCol: String, vecCol: String,
+                         oversample: Int = 8, rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(oversample > 0 && rounds >= 1)
+    val seedId = corpus.agg(min(col(idCol))).head().get(0)
+    var centerIds: Seq[Any] = Seq(seedId)
+    for (r <- 1 to rounds) {
+      val centers = broadcast(corpus.where(col(idCol).isin(centerIds: _*))
+        .select(col(vecCol).as("__cvec__")))
+      val di = corpus.select(col(idCol), col(vecCol).as("__v__"))
+        .join(centers) // broadcast cross: |centers| rows per corpus row
+        .groupBy(col(idCol))
+        .agg(max(cosine(col("__v__"), col("__cvec__"))).as("__maxcos__"))
+        .select(col(idCol),
+          floor(round(lit(1.0) - col("__maxcos__"), 6) * 1000000.0)
+            .cast("long").as("__di__"))
+      val phi = di.agg(sum(col("__di__"))).head().getLong(0)
+      val sel =
+        if (phi == 0L) Array.empty[org.apache.spark.sql.Row] // all mass on seeds
+        else di
+          .where(!col(idCol).isin(centerIds: _*))
+          .where(graft.text.Sampling.hashBucket(
+            concat(col(idCol).cast("string"), lit(s":kmpp$r")), 1000000) * lit(phi)
+            < lit(oversample.toLong) * col("__di__") * lit(1000000L))
+          .select(col(idCol)).collect()
+      centerIds = centerIds ++ sel.map(_.get(0))
+    }
+    val centers = broadcast(corpus.where(col(idCol).isin(centerIds: _*))
+      .select(col(idCol).as("center_id"), col(vecCol).as("__cvec__")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(col("__cos__"), 9).desc, col("center_id"))
+    corpus.select(col(idCol), col(vecCol).as("__v__"))
+      .join(centers)
+      .select(col(idCol), col("center_id"), cosine(col("__v__"), col("__cvec__")).as("__cos__"))
+      .withColumn("__rn__", row_number().over(w)).where(col("__rn__") === 1)
+      .groupBy(col("center_id")).agg(count(lit(1)).as("weight"))
+  }
+
   /** Product-quantization ENCODE (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search"): split each `dim`-vector into
     * `numSubspaces` contiguous subvectors and replace each with the id of

@@ -555,4 +555,26 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("array<float>"))
   }
+
+  test("kmeansParallelInit selects a deterministic seed set with full-coverage weights") {
+    val a = Similarity.kmeansParallelInit(vecs, "vec_id", "embedding",
+      oversample = 4, rounds = 2).as[(Long, Long)].collect().toMap
+    // weights partition the corpus: every point votes exactly once
+    assert(a.values.sum == 60L)
+    assert(a.values.forall(_ > 0L))
+    assert(a.contains(0L)) // the min-id seed always survives
+    // seed count: 1 + ~oversample per round, never the whole corpus
+    assert(a.size > 1 && a.size < 30, s"degenerate seed count ${a.size}")
+    // deterministic under repartition — the whole point of hash draws
+    val b = Similarity.kmeansParallelInit(vecs.repartition(7), "vec_id",
+      "embedding", oversample = 4, rounds = 2).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("kmeansParallelInit on identical vectors degenerates to the single seed") {
+    val same = (0 until 10).map(i => (i.toLong, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansParallelInit(same, "vec_id", "embedding",
+      oversample = 4, rounds = 2).as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 10L)) // phi = 0 every round: no oversampling
+  }
 }
