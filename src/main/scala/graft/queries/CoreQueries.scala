@@ -409,6 +409,12 @@ object CoreQueries {
         .agg(sum(get_json_object(col("props"), "$.k").cast("int")).cast("bigint").as("sum_k"),
           count(lit(1)).as("cnt"))),
 
+    // Hourly per-type counts with GAP FILLING: every hour between a
+    // type's first and last event exists, empty ones as explicit zeros.
+    "q_events_resample" -> ((s, dir) =>
+      graft.rules.Resample.gapFilledCounts(
+        loadEvents(s, dir), "ts", "event_type", bucketSec = 3600L)),
+
     "q_templating" -> ((s, dir) => {
       val rendered = Templating.render(
         "o_orderdate >= to_timestamp('{{start_date | add_months(2)}}') AND o_totalprice > {{min_price}}",
@@ -679,6 +685,13 @@ object CoreQueries {
         "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT user_id, min(ts) AS session_start, count(1)::BIGINT AS n_events " +
         "FROM s GROUP BY user_id, sid"),
+    "q_events_resample" ->
+      ("WITH e AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS b FROM events), " +
+        "c AS (SELECT event_type, b, count(1)::BIGINT AS cnt FROM e GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM c GROUP BY 1), " +
+        "g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS b FROM r) " +
+        "SELECT g.event_type, (g.b * 3600)::BIGINT AS bucket_start_sec, " +
+        "coalesce(c.cnt, 0)::BIGINT AS cnt FROM g LEFT JOIN c USING (event_type, b)"),
     "q_templating" ->
       ("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1998-03-15' AND o_totalprice > 250000"),
