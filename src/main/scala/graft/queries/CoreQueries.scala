@@ -415,6 +415,22 @@ object CoreQueries {
       graft.rules.Resample.gapFilledCounts(
         loadEvents(s, dir), "ts", "event_type", bucketSec = 3600L)),
 
+    // Batch spike detection: each hour vs its trailing-6-hour baseline,
+    // integer cross-product comparison (no float means).
+    "q_events_spikes" -> ((s, dir) =>
+      graft.rules.Resample.rollingSpikes(
+        loadEvents(s, dir), "ts", "event_type", bucketSec = 3600L)),
+
+    // Ordered funnel signup -> view -> purchase: stage i+1 counts only
+    // strictly after the user's first stage-i completion.
+    "q_events_funnel" -> ((s, dir) =>
+      graft.rules.Resample.funnel(loadEvents(s, dir), "ts", "user_id",
+        "event_type", Seq("signup", "view", "purchase"))),
+
+    // Day-0..7 cohort retention by first-seen day.
+    "q_events_retention" -> ((s, dir) =>
+      graft.rules.Resample.retention(loadEvents(s, dir), "ts", "user_id", 7)),
+
     "q_templating" -> ((s, dir) => {
       val rendered = Templating.render(
         "o_orderdate >= to_timestamp('{{start_date | add_months(2)}}') AND o_totalprice > {{min_price}}",
@@ -692,6 +708,37 @@ object CoreQueries {
         "g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS b FROM r) " +
         "SELECT g.event_type, (g.b * 3600)::BIGINT AS bucket_start_sec, " +
         "coalesce(c.cnt, 0)::BIGINT AS cnt FROM g LEFT JOIN c USING (event_type, b)"),
+    "q_events_spikes" ->
+      ("WITH e AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS b FROM events), " +
+        "c AS (SELECT event_type, b, count(1)::BIGINT AS cnt FROM e GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM c GROUP BY 1), " +
+        "g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS b FROM r), " +
+        "f AS (SELECT g.event_type, (g.b * 3600)::BIGINT AS bucket_start_sec, " +
+        "coalesce(c.cnt, 0)::BIGINT AS cnt FROM g LEFT JOIN c USING (event_type, b)), " +
+        "w AS (SELECT *, coalesce(sum(cnt) OVER tw, 0)::BIGINT AS trailing_sum, " +
+        "count(1) OVER tw AS trailing_n FROM f WINDOW tw AS " +
+        "(PARTITION BY event_type ORDER BY bucket_start_sec ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_type, bucket_start_sec, cnt, trailing_sum, trailing_n::BIGINT AS trailing_n, " +
+        "(trailing_n > 0 AND cnt * trailing_n * 1 > 3 * trailing_sum) AS is_spike FROM w"),
+    "q_events_funnel" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2 FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id AND CAST(e.ts AS TIMESTAMP) > s1.t1 " +
+        "WHERE e.event_type = 'view' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id AND CAST(e.ts AS TIMESTAMP) > s2.t2 " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT u.user_id, (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + " +
+        "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END + " +
+        "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stages_completed " +
+        "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    "q_events_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d FROM events), " +
+        "c AS (SELECT user_id, min(d) AS cd FROM a GROUP BY 1) " +
+        "SELECT (cd * 86400)::BIGINT AS cohort_day_sec, (d - cd)::BIGINT AS day_offset, " +
+        "count(1)::BIGINT AS n_users FROM a JOIN c USING (user_id) " +
+        "WHERE d - cd <= 7 GROUP BY 1, 2"),
     "q_templating" ->
       ("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1998-03-15' AND o_totalprice > 250000"),

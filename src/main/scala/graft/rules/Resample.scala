@@ -32,4 +32,91 @@ object Resample {
       .select(col(keyCol), (col("__b__") * bucketSec).as("bucket_start_sec"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** Batch spike detection over the gap-filled series: each bucket
+    * compared against its trailing `trailing`-bucket baseline, spike when
+    * cnt > (ratioNum/ratioDen) x trailing mean — evaluated as the integer
+    * cross-product cnt*tn*den > num*tsum, so the flag is exact and
+    * engine-replicable (no float mean). Gap filling is what makes the
+    * baseline honest: without explicit zeros a burst after silence would
+    * compare against an inflated mean of only-nonzero buckets.
+    *
+    * Scale shape: [[gapFilledCounts]] + one bounded-frame window per key
+    * ordered by bucket — state is the trailing frame, partitioned by key.
+    */
+  def rollingSpikes(events: DataFrame, tsCol: String, keyCol: String,
+                    bucketSec: Long, trailing: Int = 6,
+                    ratioNum: Int = 3, ratioDen: Int = 1): DataFrame = {
+    require(trailing > 0 && ratioNum > 0 && ratioDen > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_start_sec"))
+      .rowsBetween(-trailing, -1)
+    gapFilledCounts(events, tsCol, keyCol, bucketSec)
+      .withColumn("trailing_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("is_spike",
+        col("trailing_n") > 0 &&
+          col("cnt") * col("trailing_n") * ratioDen > lit(ratioNum.toLong) * col("trailing_sum"))
+  }
+
+  /** Ordered FUNNEL: how far each user progresses through `stages`, where
+    * stage i+1 must occur strictly AFTER the user's first completion of
+    * stage i (a purchase before the first view does not count a view →
+    * purchase conversion). Returns every user seen with the count of
+    * stages completed in order.
+    *
+    * Scale shape: one keyed min-aggregate per stage over rows already
+    * filtered to that stage's type, chained through |stages| broadcast-or-
+    * hash joins on the user key — never a per-user event sort, never a
+    * window over event history. |stages| is a constant (3-5), so this is
+    * a fixed-depth keyed-join plan at any corpus size.
+    */
+  def funnel(events: DataFrame, tsCol: String, userCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val users = events.select(col(userCol)).distinct()
+    var acc = users.withColumn("__prev__", lit(null).cast("timestamp"))
+      .withColumn("stages_completed", lit(0L))
+    stages.zipWithIndex.foreach { case (s, i) =>
+      val stageEvents = events.where(col(typeCol) === s)
+        .select(col(userCol), col(tsCol).as("__ts__"))
+      // candidate = this stage's events, but ONLY for users whose funnel
+      // is exactly at stage i, and only events after their stage-i entry
+      // (the null-prev first stage accepts any). Nullifying instead of
+      // filtering keeps every user in the aggregate.
+      val ordered = if (i == 0) lit(true) else col("__ts__") > col("__prev__")
+      acc = acc.join(stageEvents, Seq(userCol), "left")
+        .withColumn("__cand__",
+          when(col("stages_completed") === i && ordered, col("__ts__")))
+        .groupBy(col(userCol), col("__prev__"), col("stages_completed"))
+        .agg(min(col("__cand__")).as("__next__"))
+        .select(col(userCol),
+          coalesce(col("__next__"), col("__prev__")).as("__prev__"),
+          (col("stages_completed") +
+            when(col("__next__").isNotNull, 1L).otherwise(0L)).as("stages_completed"))
+    }
+    acc.select(col(userCol), col("stages_completed"))
+  }
+
+  /** Cohort RETENTION: users grouped by first-seen day, counted as
+    * retained on each of the following `horizonDays` days they are active
+    * again. Output (cohort_day_sec, day_offset, n_users) — day_offset 0
+    * is the cohort's own size.
+    *
+    * Scale shape: distinct (user, day) activity — a partial-aggregated
+    * projection of the raw events — then a per-user min for cohorts and
+    * one keyed join back; counts are per (cohort, offset), a tiny frame.
+    */
+  def retention(events: DataFrame, tsCol: String, userCol: String,
+                horizonDays: Int = 7): DataFrame = {
+    require(horizonDays >= 0)
+    val day = (col(tsCol).cast("long") / 86400L).cast("long")
+    val active = events.select(col(userCol), day.as("__day__")).distinct()
+    val cohorts = active.groupBy(col(userCol)).agg(min(col("__day__")).as("__cohort__"))
+    active.join(cohorts, Seq(userCol))
+      .where(col("__day__") - col("__cohort__") <= horizonDays)
+      .groupBy((col("__cohort__") * 86400L).as("cohort_day_sec"),
+        (col("__day__") - col("__cohort__")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
