@@ -246,4 +246,30 @@ class PlanSpec extends SparkSpec {
     // pass 1 aggregates fixed-cardinality buckets with map-side partials
     assert(p.contains("partial_count"), p)
   }
+
+  test("temperature mixing broadcasts its rate table; corpus side never sort-merges") {
+    val p = plan("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("snapshot diff prunes both scans to id + text before hashing") {
+    val f = formatted(SparkEntry.queries("q_corpus_diff")(spark, sfDir))
+    val schemas = f.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    // documents has 5 columns; the diff reads only doc_id + text
+    schemas.foreach(s => assert(s.count(_ == ',') <= 1, s))
+  }
+
+  test("funnel is fixed-depth keyed joins: no window, no cartesian") {
+    val p = plan("q_events_funnel")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kmeans|| scoring rides broadcast joins only") {
+    val p = plan("q_embed_kmeanspp")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }

@@ -89,4 +89,40 @@ class PropertySpec extends SparkSpec {
       assert(rows.flatMap(r => Seq(r._1, r._2)).forall(v => v >= 0L && v < (1L << 32)))
     }
   }
+
+  test("heavyHitters equals the naive exact count for ANY corpus and threshold") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.chooseNum(3, 25).flatMap(n => Gen.listOfN(n, doc))
+    samples(corpus.flatMap(c => Gen.chooseNum(1, 8).map((c, _))), 5)
+      .foreach { case (docs, threshold) =>
+        val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("doc_id", "text")
+        // tiny bucket count forces collisions: the prune must stay a superset
+        val got = graft.text.Retrieval.heavyHitters(df, "text", threshold.toLong, buckets = 4)
+          .as[(String, Long)].collect().toMap
+        val naive = docs.flatMap(_.split(" ")).groupBy(identity)
+          .view.mapValues(_.size.toLong).filter(_._2 >= threshold).toMap
+        assert(got == naive, s"threshold=$threshold docs=$docs")
+      }
+  }
+
+  test("funnel stage counts are monotone: extending the stage list never increases completion") {
+    val types = Seq("signup", "view", "purchase")
+    val ev = for {
+      u <- Gen.chooseNum(1, 5); t <- Gen.chooseNum(0, 1000); k <- Gen.oneOf(types)
+    } yield (u.toLong, new java.sql.Timestamp(1700000000000L + t * 1000L), k)
+    val gen = Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n, ev))
+    samples(gen, 5).foreach { events =>
+      val df = events.toDF("user_id", "ts", "event_type")
+      val short = graft.rules.Resample.funnel(df, "ts", "user_id", "event_type",
+        Seq("signup", "view")).as[(Long, Long)].collect().toMap
+      val long = graft.rules.Resample.funnel(df, "ts", "user_id", "event_type",
+        Seq("signup", "view", "purchase")).as[(Long, Long)].collect().toMap
+      assert(short.keySet == long.keySet)
+      // a longer funnel can only ADD stages beyond the shorter one's count
+      short.foreach { case (u, n) =>
+        assert(long(u) >= n && long(u) <= n + 1, s"user $u: $n -> ${long(u)}")
+      }
+    }
+  }
 }
