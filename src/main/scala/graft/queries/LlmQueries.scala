@@ -620,6 +620,15 @@ object LlmQueries {
         "vec_id", "embedding", iterations = 2)
     }),
 
+    // MMR diversified top-10 for query vec 0 over a 50-candidate
+    // shortlist: integer λ=7/10 scoring, greedy engine-replicable order.
+    "q_embed_mmr" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.mmrTopK(e.where(col("vec_id") =!= 0),
+        e.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, shortlist = 50)
+    }),
+
     // k-means|| seeding: 2 oversampling rounds with deterministic
     // hash-threshold draws ∝ distance, then nearest-seed weights — the
     // scalable k-means++ bootstrap the Lloyd refiner consumes.
@@ -957,6 +966,41 @@ object LlmQueries {
     * dim 64): the same nearest-cell assignment tiebreak and the same
     * decimal-exact elementwise means, replayed iteration by iteration.
     */
+  /** DuckDB replica of [[Similarity.mmrTopK]] (k=10, shortlist=50,
+    * λ=7/10): the 10 greedy steps are GENERATED as chained CTEs — each
+    * picks the argmax of 7·rel − 3·maxsim over the not-yet-selected
+    * shortlist with the id tiebreak, all in micro-floored BIGINTs.
+    * A def (val-init-order hazard).
+    */
+  private def mmrSql: String = {
+    val k = 10
+    val steps = new StringBuilder
+    steps.append("p1 AS MATERIALIZED (SELECT vec_id, 7 * rel AS score, " +
+      "row_number() OVER (ORDER BY 7 * rel DESC, vec_id) AS rn FROM sl), " +
+      "c1 AS MATERIALIZED (SELECT vec_id, score FROM p1 WHERE rn = 1), " +
+      "sel1 AS MATERIALIZED (SELECT vec_id FROM c1)")
+    for (i <- 2 to k) {
+      steps.append(s", p$i AS MATERIALIZED (SELECT t.vec_id, 7 * t.rel - 3 * coalesce(" +
+        s"(SELECT max(s) FROM sim WHERE da = t.vec_id AND db IN (SELECT vec_id FROM sel${i - 1})), 0) AS score " +
+        s"FROM sl t WHERE t.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})), " +
+        s"c$i AS MATERIALIZED (SELECT vec_id, score FROM (SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM p$i) WHERE rn = 1), " +
+        s"sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM c$i)")
+    }
+    val out = (1 to k).map(i =>
+      s"SELECT $i::BIGINT AS rank, vec_id, score::BIGINT AS score_micro FROM c$i")
+      .mkString(" UNION ALL ")
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      "sc AS (SELECT e.vec_id, e.embedding, " +
+      "list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS c " +
+      "FROM embeddings e, q WHERE e.vec_id != 0), " +
+      "sl AS MATERIALIZED (SELECT vec_id, embedding, floor(round(c, 6) * 1000000.0)::BIGINT AS rel " +
+      "FROM (SELECT *, row_number() OVER (ORDER BY round(c, 9) DESC, vec_id) AS rn FROM sc) WHERE rn <= 50), " +
+      "sim AS MATERIALIZED (SELECT a.vec_id AS da, b.vec_id AS db, " +
+      "floor(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) * 1000000.0)::BIGINT AS s " +
+      "FROM sl a JOIN sl b ON a.vec_id != b.vec_id), " +
+      steps.toString + " " + out
+  }
+
   /** DuckDB replica of [[Similarity.kmeansParallelInit]] (oversample 8,
     * 2 rounds): min-id seed, micro-floored cosine distances, exact BIGINT
     * phi, the same salted polyhash threshold draw, nearest-seed weights.
@@ -1981,6 +2025,7 @@ object LlmQueries {
     "q_embed_ivfpq" -> ivfPqKnnSql(dim = 64, numSubspaces = 4, k = 5, nProbe = 3),
     "q_embed_kmeans" -> kmeansSql(dim = 64, iterations = 2),
     "q_embed_kmeanspp" -> kmeansppSql,
+    "q_embed_mmr" -> mmrSql,
     "q_embed_pq" ->
       ("WITH cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id < 16), " +
         "a AS (SELECT e.vec_id, s.range AS sub, cb.code_id, " +

@@ -362,6 +362,76 @@ object Similarity {
       .groupBy(col("center_id")).agg(count(lit(1)).as("weight"))
   }
 
+  /** Maximal-marginal-relevance TOP-K (Carbonell & Goldstein): diversified
+    * retrieval — greedily pick the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so the result covers the
+    * query's neighborhood instead of returning k near-duplicates (the
+    * failure mode of plain KNN over a deduplicated-but-clustered corpus).
+    * λ = 7/10 held as integers: score = 7·rel_micro − 3·maxsim_micro,
+    * with both cosines micro-floored — every comparison is BIGINT, so the
+    * selection order is deterministic and engine-replicable (id
+    * tiebreak).
+    *
+    * Scale shape — the standard two-phase MMR: relevance shortlisting is
+    * distributed (one broadcast-query scoring pass + TakeOrdered top-m),
+    * then the greedy runs on the m-row shortlist locally — m (default 50)
+    * bounds BOTH the driver materialization and the O(k·m) pairwise sims;
+    * the corpus-sized work never leaves the cluster.
+    */
+  def mmrTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, shortlist: Int = 50): DataFrame = {
+    require(k > 0 && shortlist >= k)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(query.select(col(vecCol).as("__q__")).limit(1))
+    val short = corpus.select(col(idCol), col(vecCol).as("__v__"))
+      .join(q)
+      .select(col(idCol), col("__v__"), cosine(col("__v__"), col("__q__")).as("__cos__"))
+      .orderBy(round(col("__cos__"), 9).desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), col("__v__"),
+        floor(round(col("__cos__"), 6) * 1000000.0).cast("long").as("__rel__"))
+      .collect() // bounded: `shortlist` rows by construction
+    // Spark's round(col, 6) goes through BigDecimal.valueOf (the canonical
+    // string form of the double), NOT the exact binary expansion — match
+    // it exactly so local sims and the engine's rel column agree
+    def micro6(x: Double): Long =
+      math.floor(java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() * 1000000.0).toLong
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cand = short.map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+    val vecById = cand.map(c => c._1 -> c._2).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (id, score)
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    val simCache = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (_ <- 1 to math.min(k, cand.length)) {
+      val best = cand.iterator.filterNot(c => chosen(c._1)).map { case (id, v, rel) =>
+        // true max over S (can be NEGATIVE — an anti-correlated selection
+        // raises the score, the classic MMR behavior); only the EMPTY set
+        // contributes 0, making step 1 pure relevance
+        val sims = selected.iterator.map { case (sid, _) =>
+          simCache.getOrElseUpdate((id, sid), micro6(cos(v, vecById(sid))))
+        }
+        val maxSim = if (selected.isEmpty) 0L else sims.max
+        (id, 7L * rel - 3L * maxSim)
+      }.minBy { case (id, s) => (-s, id) } // max score, id tiebreak
+      selected += best
+      chosen += best._1
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, s), i) => (i + 1L, id, s) }
+      .toDF("rank", idCol, "score_micro")
+  }
+
   /** Product-quantization ENCODE (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search"): split each `dim`-vector into
     * `numSubspaces` contiguous subvectors and replace each with the id of

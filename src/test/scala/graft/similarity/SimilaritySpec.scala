@@ -571,6 +571,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mmrTopK diversifies: both clusters represented where plain KNN returns one") {
+    // query on the A/B bisector, cluster A tilted slightly toward it:
+    // plain top-5 is all A (A outranks B on relevance), but A members are
+    // near-identical so the marginal A score collapses to (λ-(1-λ))·rel
+    // while B keeps ~λ·rel — the geometry MMR exists for
+    val corpus = ((1 to 10).map(i =>
+      (i.toLong, Seq(1.0f, 0.2f, 0.01f * i, 0.0f))) ++
+      (11 to 20).map(i =>
+        (i.toLong, Seq(0.1f, 1.0f, 0.0f, 0.01f * (i - 10))))).toDF("vec_id", "embedding")
+    val query = Seq((0L, Seq(1.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(corpus, query, "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(knn.forall(_ <= 10), s"KNN control should be all cluster A: $knn")
+    val mmr = Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+      k = 5, shortlist = 20).select("vec_id").as[Long].collect().toSet
+    assert(mmr.exists(_ > 10), s"MMR should reach cluster B: $mmr")
+    assert(mmr.exists(_ <= 10), s"MMR must keep relevant cluster A members: $mmr")
+    // deterministic under repartition
+    val again = Similarity.mmrTopK(corpus.repartition(5), query, "vec_id",
+      "embedding", k = 5, shortlist = 20).select("vec_id").as[Long].collect().toSet
+    assert(again == mmr)
+  }
+
   test("kmeansParallelInit on identical vectors degenerates to the single seed") {
     val same = (0 until 10).map(i => (i.toLong, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
     val out = Similarity.kmeansParallelInit(same, "vec_id", "embedding",
