@@ -237,6 +237,32 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // Unicode script detection over synthetic multilingual pages (ASCII
+    // corpus + scheduled Cyrillic/CJK/Greek/Arabic phrases).
+    "q_text_script" -> ((s, dir) => {
+      val page = concat(
+        substring(col("text"), 1, 60),
+        when(col("doc_id") % 4 === 1, lit(" Привет мир"))
+          .when(col("doc_id") % 4 === 2, lit(" 你好世界"))
+          .when(col("doc_id") % 4 === 3, lit(" γειά σου κόσμε")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" مرحبا بالعالم")).otherwise(lit("")))
+      val cols = graft.text.TextStats.scriptColumns(page)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // Top-30 collocations by PMI over adjacent token pairs (min count 20
+    // — the Church-Hanks hapax guard).
+    "q_text_pmi" -> ((s, dir) =>
+      TextStats.bigramPmi(docs(s, dir), "text", minCount = 20L, k = 30)),
+
+    // GROUP-leakage-safe split: the split key is the source (host), so
+    // every document of a source lands in the same train/val/test split —
+    // near-duplicates within a host can never straddle the boundary.
+    "q_split_group" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("source"),
+        Sampling.hashBucket(col("source"), 1000).as("bucket"),
+        Sampling.split(col("source")).as("split"))),
+
     // Snapshot diff between two derived corpus states: %11 ids absent
     // from the old snapshot (added), %17 absent from the new (removed),
     // %13 texts mutated (changed) — bodies never shuffle, only id+sha256.
@@ -1465,6 +1491,54 @@ object LlmQueries {
       "(indent_frac_micro >= 300000 OR (brace_density_micro >= 20000 AND keyword_count >= 2)) AS looks_like_code FROM r"
   }
 
+  /** Replica of [[graft.text.TextStats.scriptColumns]] over the synthetic
+    * multilingual pages of q_text_script. A def (val-init-order hazard).
+    */
+  private def scriptSql: String = {
+    val page = "substr(text, 1, 60) || " +
+      "CASE WHEN doc_id % 4 = 1 THEN ' Привет мир' " +
+      "WHEN doc_id % 4 = 2 THEN ' 你好世界' " +
+      "WHEN doc_id % 4 = 3 THEN ' γειά σου κόσμε' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' مرحبا بالعالم' ELSE '' END"
+    val ranges = graft.text.TextStats.ScriptRanges
+    val counts = ranges.map { case (n, p) =>
+      s"len(regexp_extract_all(t, '$p')) AS c_$n"
+    }.mkString(", ")
+    val total = ranges.map { case (n, _) => s"c_$n" }.mkString(" + ")
+    val fracs = ranges.map { case (n, _) =>
+      s"CASE WHEN total > 0 THEN floor(c_$n::DOUBLE * 1000000.0 / total::DOUBLE)::BIGINT ELSE 0 END AS ${n}_frac_micro"
+    }.mkString(", ")
+    // first strictly-greater wins, in declaration (precedence) order —
+    // fold the comparison chain exactly as the engine does
+    val dominant = ranges.foldLeft(("''", "0")) { case ((bn, bc), (n, _)) =>
+      (s"CASE WHEN c_$n > $bc THEN '$n' ELSE $bn END",
+        s"CASE WHEN c_$n > $bc THEN c_$n ELSE $bc END")
+    }._1
+    s"WITH p AS (SELECT doc_id, $page AS t FROM documents), " +
+      s"m AS (SELECT doc_id, $counts FROM p), " +
+      s"n AS (SELECT *, ($total) AS total FROM m) " +
+      s"SELECT doc_id, $fracs, total::BIGINT AS n_letters, " +
+      s"CASE WHEN total > 0 THEN $dominant ELSE '' END AS dominant_script FROM n"
+  }
+
+  /** Replica of [[graft.text.TextStats.bigramPmi]] (minCount 20, top 30).
+    * A def (val-init-order hazard).
+    */
+  private def pmiSql: String =
+    "WITH t AS (SELECT string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS ws FROM documents), " +
+      "uc AS (SELECT w, count(1)::BIGINT AS n_w FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w), " +
+      "bc AS (SELECT bigram, count(1)::BIGINT AS n_ab FROM " +
+      "(SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram FROM t) " +
+      "GROUP BY bigram HAVING count(1) >= 20), " +
+      "tu AS (SELECT sum(n_w)::BIGINT AS tu FROM uc), " +
+      "tb AS (SELECT sum(greatest(len(ws) - 1, 0))::BIGINT AS tb FROM t) " +
+      "SELECT bigram, n_ab, " +
+      "floor(1000000.0 * ln((n_ab::DOUBLE * tu * tu) / (tb::DOUBLE * n_a * n_b)))::BIGINT AS pmi_micro " +
+      "FROM (SELECT bc.bigram, bc.n_ab, a.n_w AS n_a, b2.n_w AS n_b FROM bc " +
+      "JOIN uc a ON string_split(bc.bigram, ' ')[1] = a.w " +
+      "JOIN uc b2 ON string_split(bc.bigram, ' ')[2] = b2.w), tu, tb " +
+      "ORDER BY pmi_micro DESC, bigram LIMIT 30"
+
   /** Replica of [[graft.text.TextStats.piiRedactColumns]] over the
     * planted-PII pages of q_text_pii_redact: same patterns, same ordered
     * replace chain. A def (val-init-order hazard).
@@ -1735,6 +1809,18 @@ object LlmQueries {
     "q_text_code_detect" -> codeDetectSql,
     "q_text_license" -> licenseSql,
     "q_text_pii_redact" -> piiRedactSql,
+    "q_text_script" -> scriptSql,
+    "q_text_pmi" -> pmiSql,
+    "q_split_group" -> {
+      val h = "list_reduce(list_prepend(17::BIGINT, " +
+        "[ascii(c)::BIGINT for c in string_split(source, '')]), " +
+        "(a, b) -> (a * 31 + b) % 4294967296)"
+      val m1 = s"(($h * 48271) % 2147483647)"
+      val bucket = s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % 1000)"
+      s"SELECT doc_id, source, $bucket AS bucket, " +
+        s"CASE WHEN $bucket < 800 THEN 'train' WHEN $bucket < 900 THEN 'validation' " +
+        "ELSE 'test' END AS split FROM documents"
+    },
     // text equality stands in for the engine's sha-256 equality
     "q_corpus_diff" ->
       ("WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 0), " +

@@ -367,6 +367,79 @@ object TextStats {
         "mit", "apache-2.0"))
   }
 
+  /** Top-k collocations by pointwise mutual information over ADJACENT
+    * token pairs — the phrase-mining step (learning "new york"-style
+    * units before tokenizer training). PMI = ln(p(ab) / (p(a)·p(b)))
+    * computed as one ln over a ratio of exact integer counts
+    * (floor-micro-ln discipline; the multiply order is part of the
+    * engine contract — both engines evaluate (n_ab·Tu·Tu)/(Tb·n_a·n_b)
+    * left-associated on doubles, so the quotient is bit-identical).
+    * `minCount` guards the classic PMI pathology (hapax pairs score
+    * highest) — the standard Church-Hanks discipline.
+    *
+    * Scale shape: two token-keyed partial-aggregated counts (unigram,
+    * bigram), totals on broadcast one-row aggregates, a bigram→unigram
+    * broadcast-or-hash join keyed on short strings, TakeOrdered top-k.
+    */
+  def bigramPmi(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val ws = split(regexp_replace(col(textCol), "\\s+", " "), " ")
+    val base = docs.select(ws.as("__ws__"))
+    val uni = base.select(explode(col("__ws__")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bi = base.select(explode(expr(
+        "transform(slice(__ws__, 1, size(__ws__) - 1), (w, i) -> " +
+          "concat(w, ' ', element_at(__ws__, i + 2)))")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val totals = broadcast(
+      uni.agg(sum(col("n_w")).as("__tu__"))
+        .crossJoin(base.agg(sum(greatest(size(col("__ws__")) - 1, lit(0)))
+          .cast("bigint").as("__tb__"))))
+    bi
+      .join(uni.select(col("w").as("__a__"), col("n_w").as("n_a")),
+        split(col("bigram"), " ").getItem(0) === col("__a__"))
+      .join(uni.select(col("w").as("__b__"), col("n_w").as("n_b")),
+        split(col("bigram"), " ").getItem(1) === col("__b__"))
+      .crossJoin(totals)
+      .select(col("bigram"), col("n_ab"),
+        floor(lit(1000000.0) * log(
+          (col("n_ab").cast("double") * col("__tu__") * col("__tu__")) /
+            (col("__tb__").cast("double") * col("n_a") * col("n_b"))))
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Unicode SCRIPT detection (the multilingual router ahead of
+    * [[languageId]]: stopword lists only work once you know the text is
+    * even Latin-script): per-script letter counts over literal codepoint
+    * ranges (identical by-codepoint semantics in Java regex and RE2),
+    * micro ratios against total letters, and a dominant-script label with
+    * a fixed precedence tiebreak.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "arabic" -> "[؀-ۿ]",
+    "cjk" -> "[一-鿿]")
+  def scriptColumns(textCol: Column): Seq[(String, Column)] = {
+    val counts = ScriptRanges.map { case (n, p) => n -> regexp_count(textCol, lit(p)) }
+    val total = counts.map(_._2).reduce(_ + _)
+    def microFrac(num: Column): Column =
+      when(total > 0, floor(num.cast("double") * 1000000.0 / total.cast("double")))
+        .otherwise(lit(0.0)).cast("bigint")
+    val dominant = counts.foldLeft((lit(""), lit(0L))) { case ((bestN, bestC), (n, c)) =>
+      // strict > keeps the FIRST (precedence-ordered) script on ties
+      (when(c.cast("long") > bestC, lit(n)).otherwise(bestN),
+        when(c.cast("long") > bestC, c.cast("long")).otherwise(bestC))
+    }._1
+    counts.map { case (n, c) => s"${n}_frac_micro" -> microFrac(c) } ++ Seq(
+      "n_letters" -> total.cast("bigint"),
+      "dominant_script" -> when(total > 0, dominant).otherwise(""))
+  }
+
   /** Expanded PII patterns for [[piiRedactColumns]]. The long-number run
     * is 11+ digits so a 10-digit NHS number is classified (and redacted)
     * as NHS, never double-claimed; patterns stay in the RE2/Java common

@@ -329,6 +329,36 @@ class TextStatsSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("scriptColumns detects dominant scripts and ties keep precedence order") {
+    val cases = Seq(
+      (1L, "hello world"),          // latin
+      (2L, "Привет мир"),           // cyrillic
+      (3L, "你好世界"),              // cjk
+      (4L, "γειά σου"),             // greek
+      (5L, "مرحبا"),                // arabic
+      (6L, "ab Пр"),                // 2 latin vs 2 cyrillic: tie -> latin (precedence)
+      (7L, "123 !!!"))              // no letters at all
+    val cols = TextStats.scriptColumns(col("t"))
+    val out = cases.toDF("id", "t")
+      .select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getString(7), r.getLong(6))).toMap
+    assert(out(1L)._1 == "latin" && out(2L)._1 == "cyrillic")
+    assert(out(3L)._1 == "cjk" && out(4L)._1 == "greek" && out(5L)._1 == "arabic")
+    assert(out(6L)._1 == "latin") // strict > keeps the first on ties
+    assert(out(7L) == (("", 0L)))
+  }
+
+  test("bigramPmi ranks an always-together pair above independent fillers") {
+    // "new york" always adjacent; "the" pairs with everything
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"the w$i of new york and the w${i + 100} to")).toDF("id", "text")
+    val out = TextStats.bigramPmi(docs, "text", minCount = 20L, k = 5)
+      .select("bigram").as[String].collect().toSeq
+    assert(out.contains("new york"))
+    // hapax pairs ("of new" appears 30x too... check "the w$i" excluded by min count)
+    assert(out.head == "new york" || out.take(3).contains("new york"))
+  }
+
   test("codeColumns separates code from prose") {
     val code = "def main() {\n    val xValue = run();\n    return xValue;\n}"
     val prose = "This is a perfectly ordinary sentence about nothing much."
