@@ -250,6 +250,13 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // Character-distribution entropy in micro-nats: one codegen
+    // projection over 29 fixed bins, the gibberish/minified-blob signal.
+    "q_text_entropy" -> ((s, dir) => {
+      val cols = graft.text.TextStats.charEntropyColumns(col("text"))
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // Top-30 collocations by PMI over adjacent token pairs (min count 20
     // — the Church-Hanks hapax guard).
     "q_text_pmi" -> ((s, dir) =>
@@ -1810,6 +1817,21 @@ object LlmQueries {
     "q_text_license" -> licenseSql,
     "q_text_pii_redact" -> piiRedactSql,
     "q_text_script" -> scriptSql,
+    "q_text_entropy" -> {
+      val bins = graft.text.TextStats.charEntropyBins
+      val counts = bins.map { case (n, p) =>
+        s"len(regexp_extract_all(text, '$p')) AS $n"
+      }.mkString(", ")
+      val total = bins.map(_._1).mkString(" + ")
+      // the term ORDER mirrors the engine's fold exactly
+      val h = bins.map { case (n, _) =>
+        s"CASE WHEN $n > 0 THEN -($n::DOUBLE / nd) * ln($n::DOUBLE / nd) ELSE 0.0 END"
+      }.mkString(" + ")
+      s"WITH m AS (SELECT doc_id, $counts FROM documents), " +
+        s"n AS (SELECT *, ($total) AS nt, ($total)::DOUBLE AS nd FROM m) " +
+        s"SELECT doc_id, nt::BIGINT AS n_chars_binned, " +
+        s"CASE WHEN nt > 0 THEN floor(($h) * 1000000.0)::BIGINT ELSE 0 END AS entropy_micro FROM n"
+    },
     "q_text_pmi" -> pmiSql,
     "q_split_group" -> {
       val h = "list_reduce(list_prepend(17::BIGINT, " +

@@ -367,6 +367,35 @@ object TextStats {
         "mit", "apache-2.0"))
   }
 
+  /** Character-distribution ENTROPY — the classic gibberish/minified-blob
+    * detector (natural prose sits ~2.8-4.2 bits nats-equivalent; key-mash
+    * and base64 runs score near the uniform ceiling, repeated-char spam
+    * near 0). Binned over a-z (case-folded), digits, space, other — 29
+    * fixed bins computed as per-row `regexp_count` columns, so the whole
+    * signal is ONE codegen projection: no explode, no (doc, char)
+    * shuffle, nothing but a narrow scan at any corpus size.
+    *
+    * Exactness: H = -Σ (c_i/n)·ln(c_i/n) summed in fixed bin order —
+    * every term is IEEE-exact division and 1-ulp ln on identical doubles,
+    * same order both engines — then one floor to micro-nats.
+    */
+  def charEntropyBins: Seq[(String, String)] =
+    ('a' to 'z').map(c => s"c_$c" -> s"[$c${c.toUpper}]") ++ Seq(
+      "c_digit" -> "[0-9]", "c_space" -> "\\s", "c_other" -> "[^a-zA-Z0-9\\s]")
+  def charEntropyColumns(textCol: Column): Seq[(String, Column)] = {
+    val counts = charEntropyBins.map { case (_, p) => regexp_count(textCol, lit(p)) }
+    val n = counts.reduce(_ + _).cast("double")
+    val h = counts.map { c =>
+      val p = c.cast("double") / n
+      when(c > 0, -p * log(p)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    Seq(
+      "n_chars_binned" -> counts.reduce(_ + _).cast("bigint"),
+      "entropy_micro" ->
+        when(counts.reduce(_ + _) > 0, floor(h * lit(1000000.0))).otherwise(lit(0.0))
+          .cast("bigint"))
+  }
+
   /** Top-k collocations by pointwise mutual information over ADJACENT
     * token pairs — the phrase-mining step (learning "new york"-style
     * units before tokenizer training). PMI = ln(p(ab) / (p(a)·p(b)))

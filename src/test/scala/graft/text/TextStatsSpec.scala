@@ -348,6 +348,24 @@ class TextStatsSpec extends SparkSpec {
     assert(out(7L) == (("", 0L)))
   }
 
+  test("charEntropyColumns: spam scores near zero, varied text higher, empty zero") {
+    val cases = Seq(
+      (1L, "aaaaaaaaaaaa"),                     // single bin: H = 0
+      (2L, "the quick brown fox jumps over it"),// varied prose
+      (3L, ""))                                 // no chars
+    val cols = TextStats.charEntropyColumns(col("t"))
+    val out = cases.toDF("id", "t")
+      .select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((12L, 0L)))
+    assert(out(2L)._2 > 2000000L) // > 2 nats: spread across many bins
+    assert(out(3L) == ((0L, 0L)))
+    // hand check: "aabb" -> H = -2*(0.5 ln 0.5) = ln 2 = 0.693147...
+    val h = Seq((1L, "aabb")).toDF("id", "t")
+      .select(cols(1)._2).as[Long].head()
+    assert(h == 693147L)
+  }
+
   test("bigramPmi ranks an always-together pair above independent fillers") {
     // "new york" always adjacent; "the" pairs with everything
     val docs = (1 to 30).map(i =>
