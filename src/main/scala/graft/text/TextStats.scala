@@ -383,17 +383,14 @@ object TextStats {
     ('a' to 'z').map(c => s"c_$c" -> s"[$c${c.toUpper}]") ++ Seq(
       "c_digit" -> "[0-9]", "c_space" -> "\\s", "c_other" -> "[^a-zA-Z0-9\\s]")
   def charEntropyColumns(textCol: Column): Seq[(String, Column)] = {
-    val counts = charEntropyBins.map { case (_, p) => regexp_count(textCol, lit(p)) }
-    val n = counts.reduce(_ + _).cast("double")
-    val h = counts.map { c =>
-      val p = c.cast("double") / n
-      when(c > 0, -p * log(p)).otherwise(lit(0.0))
-    }.reduce(_ + _)
+    // ONE native single-pass expression, not 29 regexp_count re-scans —
+    // the 20x probe measured the regex formulation at 183 s per 100k docs
+    // vs one scan here; [[CharEntropyExpression]] documents the identical
+    // bin + summation arithmetic (the oracle still uses the regex form)
+    val e = CharEntropyExpression.charEntropyColumn(textCol)
     Seq(
-      "n_chars_binned" -> counts.reduce(_ + _).cast("bigint"),
-      "entropy_micro" ->
-        when(counts.reduce(_ + _) > 0, floor(h * lit(1000000.0))).otherwise(lit(0.0))
-          .cast("bigint"))
+      "n_chars_binned" -> e.getField("n_chars_binned"),
+      "entropy_micro" -> e.getField("entropy_micro"))
   }
 
   /** Top-k collocations by pointwise mutual information over ADJACENT

@@ -105,6 +105,33 @@ object NewOpsProbe {
     println(f"[probe] snapshotDiff over $nDocs docs: $sdSec%.1f s " +
       diffCounts.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString("(", ", ", ")"))
 
+    // PMI + entropy lanes
+    val (pmi, pmiSec) = timed(
+      TextStats.bigramPmi(docs, "text", minCount = 20L * factor, k = 30).collect())
+    println(f"[probe] bigramPmi over $nDocs docs: top-${pmi.length} in $pmiSec%.1f s")
+    val (entAgg, entSec) = timed(
+      docs.select(TextStats.charEntropyColumns(col("text")).last._2.as("h"))
+        .agg(avg(col("h"))).head())
+    println(f"[probe] charEntropy over $nDocs docs: mean ${entAgg.getDouble(0) / 1e6}%.3f nats in $entSec%.1f s")
+
+    // embeddings: kmeans|| + MMR at replicated vector scale
+    val embs0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecs = embs0.crossJoin(reps)
+      .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
+        col("embedding"))
+      .repartition(32).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVecs = vecs.count()
+    val (km, kmSec) = timed(
+      graft.similarity.Similarity.kmeansParallelInit(vecs, "vec_id", "embedding",
+        oversample = 8, rounds = 2).collect())
+    println(f"[probe] kmeans|| over $nVecs vectors: ${km.length} seeds in $kmSec%.1f s")
+    val (mmr, mmrSec) = timed(
+      graft.similarity.Similarity.mmrTopK(vecs.where(col("vec_id") =!= 0),
+        vecs.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, shortlist = 50).collect())
+    println(f"[probe] mmr over $nVecs vectors: top-${mmr.length} in $mmrSec%.1f s")
+    vecs.unpersist()
+
     // WAV decode lane
     val (wavAgg, wavSec) = timed(
       Multimodal.decodeWavStats(

@@ -267,6 +267,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("char entropy is the single-pass native expression, not 29 regex re-scans") {
+    val p = plan("q_text_entropy")
+    assert(p.contains("char_entropy"), p)
+    assert(!p.contains("regexp_count"), p)
+    // single-eval: the struct is computed once, both fields projected from it
+    assert(p.linesIterator.count(_.contains("char_entropy")) <= 2, p)
+  }
+
   test("kmeans|| scoring rides broadcast joins only") {
     val p = plan("q_embed_kmeanspp")
     assert(p.contains("Broadcast"), p)
