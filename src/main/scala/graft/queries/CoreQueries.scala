@@ -431,6 +431,12 @@ object CoreQueries {
     "q_events_retention" -> ((s, dir) =>
       graft.rules.Resample.retention(loadEvents(s, dir), "ts", "user_id", 7)),
 
+    // Attribution-window funnel: each stage must land within 30 minutes
+    // of the previous stage's first completion.
+    "q_events_funnel_window" -> ((s, dir) =>
+      graft.rules.Resample.funnel(loadEvents(s, dir), "ts", "user_id",
+        "event_type", Seq("signup", "view", "purchase"), withinSec = Some(1800L))),
+
     "q_templating" -> ((s, dir) => {
       val rendered = Templating.render(
         "o_orderdate >= to_timestamp('{{start_date | add_months(2)}}') AND o_totalprice > {{min_price}}",
@@ -728,6 +734,21 @@ object CoreQueries {
         "WHERE e.event_type = 'view' GROUP BY 1), " +
         "s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e " +
         "JOIN s2 ON e.user_id = s2.user_id AND CAST(e.ts AS TIMESTAMP) > s2.t2 " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT u.user_id, (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + " +
+        "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END + " +
+        "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stages_completed " +
+        "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    "q_events_funnel_window" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2 FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id AND CAST(e.ts AS TIMESTAMP) > s1.t1 " +
+        "AND floor(epoch(CAST(e.ts AS TIMESTAMP)))::BIGINT <= floor(epoch(s1.t1))::BIGINT + 1800 " +
+        "WHERE e.event_type = 'view' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id AND CAST(e.ts AS TIMESTAMP) > s2.t2 " +
+        "AND floor(epoch(CAST(e.ts AS TIMESTAMP)))::BIGINT <= floor(epoch(s2.t2))::BIGINT + 1800 " +
         "WHERE e.event_type = 'purchase' GROUP BY 1) " +
         "SELECT u.user_id, (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + " +
         "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END + " +

@@ -212,6 +212,14 @@ object LlmQueries {
       Importance.dsirWeights(docs(s, dir), "doc_id", "text",
         col("source") === "src0", buckets = 4096)),
 
+    // DSIR's second half: exact 100-doc importance RESAMPLE ∝ exp(weight)
+    // without replacement via the deterministic Gumbel-max trick.
+    "q_sample_importance" -> ((s, dir) =>
+      Importance.importanceResample(
+        Importance.dsirWeights(docs(s, dir), "doc_id", "text",
+          col("source") === "src0", buckets = 4096),
+        "doc_id", "dsir_micro", n = 100)),
+
     // Corpus drift: PSI between the src0 slice and the rest over
     // hashed-unigram buckets, integer micro-units.
     "q_corpus_drift" -> ((s, dir) =>
@@ -1808,6 +1816,18 @@ object LlmQueries {
         "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) t " +
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
     "q_dsir_weights" -> dsirSql(4096, "source = 'src0'"),
+    "q_sample_importance" -> {
+      val h = "list_reduce(list_prepend(17::BIGINT, " +
+        "[ascii(c)::BIGINT for c in string_split(CAST(doc_id AS VARCHAR) || ':gumbel', '')]), " +
+        "(a, b) -> (a * 31 + b) % 4294967296)"
+      val m1 = s"(($h * 48271) % 2147483647)"
+      val bucket = s"(((xor($m1, $m1 >> 15) * 48271) % 2147483647) % 1000000)"
+      s"WITH d AS (${dsirSql(4096, "source = 'src0'")}), " +
+        s"g AS (SELECT doc_id, dsir_micro, ($bucket::DOUBLE + 0.5) / 1000000.0 AS u FROM d), " +
+        "k AS (SELECT doc_id, dsir_micro, " +
+        "(dsir_micro + floor(1000000.0 * -ln(-ln(u)))::BIGINT)::BIGINT AS key_micro FROM g) " +
+        "SELECT doc_id, dsir_micro, key_micro FROM k ORDER BY key_micro DESC, doc_id LIMIT 100"
+    },
     "q_text_classifier" -> classifierSql(4096),
     "q_corpus_drift" -> driftSql(4096, "source = 'src0'"),
     "q_dedup_url" -> urlDedupSql,

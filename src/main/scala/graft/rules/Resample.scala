@@ -72,8 +72,10 @@ object Resample {
     * a fixed-depth keyed-join plan at any corpus size.
     */
   def funnel(events: DataFrame, tsCol: String, userCol: String,
-             typeCol: String, stages: Seq[String]): DataFrame = {
+             typeCol: String, stages: Seq[String],
+             withinSec: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty)
+    require(withinSec.forall(_ > 0))
     val users = events.select(col(userCol)).distinct()
     var acc = users.withColumn("__prev__", lit(null).cast("timestamp"))
       .withColumn("stages_completed", lit(0L))
@@ -82,9 +84,19 @@ object Resample {
         .select(col(userCol), col(tsCol).as("__ts__"))
       // candidate = this stage's events, but ONLY for users whose funnel
       // is exactly at stage i, and only events after their stage-i entry
-      // (the null-prev first stage accepts any). Nullifying instead of
-      // filtering keeps every user in the aggregate.
-      val ordered = if (i == 0) lit(true) else col("__ts__") > col("__prev__")
+      // (the null-prev first stage accepts any); with an attribution
+      // window, also no later than prev + withinSec — a conversion
+      // outside the window does not count (and, the funnel being
+      // first-completion-anchored, cannot be rescued by a later retry of
+      // the EARLIER stage: the anchor is the first completion).
+      // Nullifying instead of filtering keeps every user in the aggregate.
+      val ordered =
+        if (i == 0) lit(true)
+        else withinSec match {
+          case None => col("__ts__") > col("__prev__")
+          case Some(w) => col("__ts__") > col("__prev__") &&
+            col("__ts__").cast("long") <= col("__prev__").cast("long") + w
+        }
       acc = acc.join(stageEvents, Seq(userCol), "left")
         .withColumn("__cand__",
           when(col("stages_completed") === i && ordered, col("__ts__")))

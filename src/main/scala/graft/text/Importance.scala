@@ -171,4 +171,35 @@ object Importance {
         coalesce(col("logit_micro"), lit(0L)).cast("bigint").as("logit_micro"),
         (coalesce(col("logit_micro"), lit(0L)) >= thresholdMicro).as("keep"))
   }
+
+  /** IMPORTANCE RESAMPLING — the second half of DSIR (the paper draws the
+    * final training set with probability ∝ exp(importance weight); the
+    * weights alone, [[dsirWeights]], are only the scoring half). Exact
+    * n-sample ∝ exp(w) WITHOUT replacement via the Gumbel-max trick: key
+    * = w + Gumbel(0,1), take the top n — mathematically identical to
+    * sequential softmax draws.
+    *
+    * The Gumbel is deterministic and engine-replicable: u derives from
+    * the ':gumbel'-salted polyhash as the exact rational (b + 0.5)/10^6
+    * (never 0 or 1, so -ln(-ln(u)) is finite), and the key is floored to
+    * integer micro-nats — the [[TextStats.zipfFit]] ln discipline. So the
+    * sampled SET is stable under re-runs and repartitions, and an
+    * external engine reproduces it.
+    *
+    * Scale shape: a per-row key projection and a TakeOrdered top-n —
+    * per-partition heaps, never a global sort.
+    */
+  def importanceResample(weights: DataFrame, idCol: String,
+                         weightMicroCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    val u = (Sampling.hashBucket(
+      concat(col(idCol).cast("string"), lit(":gumbel")), 1000000)
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val gumbelMicro = floor(lit(1000000.0) * -log(-log(u))).cast("long")
+    weights
+      .withColumn("key_micro", (col(weightMicroCol) + gumbelMicro).cast("long"))
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col(weightMicroCol), col("key_micro"))
+  }
 }

@@ -48,6 +48,23 @@ class ResampleSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("funnel attribution window: conversions outside withinSec do not count") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val events = Seq(
+      (1L, t(0), "signup"), (1L, t(10), "view"),   // inside 30 min
+      (2L, t(0), "signup"), (2L, t(45), "view")    // outside
+    ).toDF("user_id", "ts", "event_type")
+    val got = Resample.funnel(events, "ts", "user_id", "event_type",
+      Seq("signup", "view"), withinSec = Some(1800L)).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+    // boundary: exactly +1800s counts (<=)
+    val edge = Seq((3L, t(0), "signup"), (3L, t(30), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val gotEdge = Resample.funnel(edge, "ts", "user_id", "event_type",
+      Seq("signup", "view"), withinSec = Some(1800L)).as[(Long, Long)].collect().toMap
+    assert(gotEdge == Map(3L -> 2L))
+  }
+
   test("retention counts cohort users active at each day offset") {
     def d(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
     val events = Seq(

@@ -124,4 +124,27 @@ class ImportanceSpec extends SparkSpec {
     assert(expect < 0L)
     assert(out == ((1L, 7L, expect, false)))
   }
+
+  test("importanceResample: weight-dominant selection, exact n, reshuffle-stable") {
+    import org.apache.spark.sql.functions._
+    // 100 low-weight docs (0) and 10 docs with overwhelming weight (+20
+    // nats): Gumbel noise spans ~[-1.9, 13.8] micro-scaled, so every
+    // high-weight doc MUST be selected before any low-weight one
+    val w = spark.range(0, 110).select(col("id").as("doc_id"),
+      when(col("id") >= 100, 20000000L).otherwise(0L).as("w_micro"))
+    val top = Importance.importanceResample(w, "doc_id", "w_micro", n = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(top.length == 20)
+    val ids = top.map(_._1).toSet
+    assert((100L until 110L).forall(ids.contains), s"high-weight docs missing: $ids")
+    // deterministic under repartition
+    val again = Importance.importanceResample(w.repartition(7), "doc_id", "w_micro", 20)
+      .as[(Long, Long, Long)].collect()
+    assert(top.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // equal weights: selection is the hash order, n exact
+    val eq = Importance.importanceResample(
+      w.withColumn("w_micro", lit(0L)), "doc_id", "w_micro", 5)
+      .as[(Long, Long, Long)].collect()
+    assert(eq.length == 5)
+  }
 }
