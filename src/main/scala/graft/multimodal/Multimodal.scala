@@ -285,6 +285,137 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Multi-frame (animated GIF) encode through the JDK's sequence writer —
+    * the in-container stand-in for VIDEO: a real multi-frame container,
+    * a real independent JDK decoder ([[gifFrameStats]]), frame counts and
+    * per-frame pixel content round-tripped exactly. Colors must stay
+    * within a ≤256-color palette for the GIF round-trip to be lossless —
+    * the synthetic formula quantizes channels to {0, 85, 170, 255}.
+    */
+  def encodeGifFrames(width: Int, height: Int, frames: Int,
+                      rgb: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    // explicit 64-entry palette of exactly the {0,85,170,255}^3 colors the
+    // formula produces: a TYPE_INT_RGB frame would be re-quantized to the
+    // writer's own palette (measured: sums drifted); an indexed image with
+    // this palette round-trips bit-exact
+    val cmap = Array.tabulate(64) { i =>
+      (((i >> 4) & 3) * 85 << 16) | (((i >> 2) & 3) * 85 << 8) | ((i & 3) * 85)
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 64,
+      cmap.map(c => ((c >> 16) & 0xff).toByte),
+      cmap.map(c => ((c >> 8) & 0xff).toByte),
+      cmap.map(c => (c & 0xff).toByte))
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(f, x, y)); x += 1 }
+        y += 1
+      }
+      // explicit per-frame metadata with interlace OFF: the JDK writer
+      // defaults to interlaced row order, which round-trips SCRAMBLED on
+      // small frames (measured: rows permuted + lost) — plain sequential
+      // row order is what the reader handles exactly
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+      val kids = tree.getElementsByTagName("ImageDescriptor")
+      if (kids.getLength > 0)
+        kids.item(0).asInstanceOf[org.w3c.dom.Element]
+          .setAttribute("interlaceFlag", "FALSE")
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Deterministic animated-GIF payload per id row: doc d has
+    * 2 + d%3 frames of (4 + d%3) x (3 + d%2), pixel (f, x, y) channels
+    * R/G/B = ((d*7 + f*19 + x*13 + y*31) % 4) * 85 and the G/B analogues —
+    * palette-quantized so the GIF container is lossless. The oracle
+    * recomputes frame counts and pixel sums straight from this formula.
+    */
+  def syntheticGif(df: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(idIdx)
+        val bytes = encodeGifFrames((4 + d % 3).toInt, (3 + d % 2).toInt,
+          (2 + d % 3).toInt, (f, x, y) => {
+            val rr = (((d * 7 + f * 19 + x * 13 + y * 31) % 4) * 85).toInt
+            val gg = (((d * 11 + f * 23 + x * 17 + y * 5) % 4) * 85).toInt
+            val bb = (((d * 3 + f * 29 + x * 29 + y * 23) % 4) * 85).toInt
+            (rr << 16) | (gg << 8) | bb
+          })
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(encoder)
+  }
+
+  /** Real multi-frame decode via the JDK's GIF ImageReader: frame count
+    * (the "video" length) plus exact channel sums across ALL frames.
+    */
+  def gifFrameStats(payload: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var w = 0L; var h = 0L
+    var f = 0
+    while (f < n) {
+      val img = reader.read(f)
+      w = img.getWidth; h = img.getHeight
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val c = img.getRGB(x, y)
+          sr += (c >> 16) & 0xff; sg += (c >> 8) & 0xff; sb += c & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    reader.dispose(); iis.close()
+    (n.toLong, w, h, sr, sg, sb)
+  }
+
+  /** Batched multi-frame decode over a binary column (same mapPartitions
+    * lane as [[decodeFeatures]]).
+    */
+  def decodeGifStats(df: DataFrame, binCol: String): DataFrame = {
+    val added = Seq("n_frames", "width", "height", "sum_r", "sum_g", "sum_b")
+    val outSchema = StructType(df.schema.fields ++
+      added.map(StructField(_, LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (n, w, h, sr, sg, sb) = gifFrameStats(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq ++ Seq(n, w, h, sr, sg, sb))
+      }
+    }(encoder)
+  }
+
   /** 64-bit perceptual average-hash (aHash) of a decoded image: sample an
     * 8x8 grid by nearest neighbor (x = i*w/8, y = j*h/8 — integer floor,
     * covering up- and down-sampling), integer grayscale (r+g+b)/3, then

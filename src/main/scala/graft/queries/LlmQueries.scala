@@ -805,6 +805,16 @@ object LlmQueries {
           size(col("features")).cast("bigint").as("dim"))
     }),
 
+    // Multi-frame "video" lane: deterministic animated GIFs through the
+    // JDK's sequence writer, decoded back frame by frame through the
+    // independent GIF ImageReader; palette-quantized channels make the
+    // container lossless so the formula oracle pins sums exactly.
+    "q_multimodal_frames" -> ((s, dir) => {
+      val withBin = Multimodal.syntheticGif(
+        docs(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeGifStats(withBin, "payload").drop("payload")
+    }),
+
     // Audio lane: deterministic RIFF/WAV payloads (hand-written container)
     // decoded back through the JDK's javax.sound reader; integer-exact
     // stats + 20ms-frame silence detection. The oracle recomputes from the
@@ -2208,6 +2218,17 @@ object LlmQueries {
         "(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::BIGINT AS hamming " +
         "FROM ph x JOIN ph y ON x.doc_id < y.doc_id " +
         "AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3"),
+    // formula replica of the animated-GIF frames (Multimodal.syntheticGif)
+    "q_multimodal_frames" ->
+      ("WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h FROM documents), " +
+        "px AS (SELECT doc_id, nf, w, h, f.range AS f, x.range AS x, y.range AS y " +
+        "FROM p, range(4) f, range(6) x, range(4) y " +
+        "WHERE f.range < nf AND x.range < w AND y.range < h) " +
+        "SELECT doc_id, min(nf)::BIGINT AS n_frames, min(w)::BIGINT AS width, min(h)::BIGINT AS height, " +
+        "sum(((doc_id * 7 + f * 19 + x * 13 + y * 31) % 4) * 85)::BIGINT AS sum_r, " +
+        "sum(((doc_id * 11 + f * 23 + x * 17 + y * 5) % 4) * 85)::BIGINT AS sum_g, " +
+        "sum(((doc_id * 3 + f * 29 + x * 29 + y * 23) % 4) * 85)::BIGINT AS sum_b " +
+        "FROM px GROUP BY doc_id"),
     // formula replica of the WAV sample stream (Multimodal.syntheticWav):
     // stats recomputed from the generative formula, never from bytes
     "q_multimodal_audio" ->

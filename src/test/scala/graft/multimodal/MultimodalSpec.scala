@@ -163,6 +163,33 @@ class MultimodalSpec extends SparkSpec {
     Seq(h1, l1, h3, l3).foreach(v => assert(v >= 0 && v <= 0xffffffffL))
   }
 
+  test("animated GIF round-trips frame count and pixel sums exactly") {
+    val bytes = Multimodal.encodeGifFrames(4, 3, 3, (f, x, y) => {
+      val v = ((f * 19 + x * 13 + y * 31) % 4) * 85
+      (v << 16) | (v << 8) | v
+    })
+    assert(new String(bytes.slice(0, 6), "US-ASCII").startsWith("GIF8"))
+    val (n, w, h, sr, sg, sb) = Multimodal.gifFrameStats(bytes)
+    val expect = (for (f <- 0 until 3; y <- 0 until 3; x <- 0 until 4)
+      yield ((f * 19 + x * 13 + y * 31) % 4) * 85L).sum
+    assert((n, w, h) == ((3L, 4L, 3L)))
+    assert(sr == expect && sg == expect && sb == expect)
+  }
+
+  test("decodeGifStats matches the per-payload function through the batched lane") {
+    val ids = spark.range(0, 8).toDF("doc_id")
+    val withBin = Multimodal.syntheticGif(ids, "doc_id", "payload")
+    val batched = Multimodal.decodeGifStats(withBin, "payload")
+      .select("doc_id", "n_frames", "sum_r").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val direct = withBin.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .collect().map { case (d, p) =>
+        val (n, _, _, sr, _, _) = Multimodal.gifFrameStats(p); (d, n, sr)
+      }.sortBy(_._1)
+    assert(batched.toSeq == direct.toSeq)
+    // frame count follows the schedule
+    batched.foreach { case (d, n, _) => assert(n == 2 + d % 3) }
+  }
+
   test("encodeWavPcm16 emits RIFF that javax.sound decodes sample-exact") {
     val samples = Array[Short](0, 100, -100, 32767, -32768, 7, -7)
     val wav = Multimodal.encodeWavPcm16(8000, samples)
