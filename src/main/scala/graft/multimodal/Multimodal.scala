@@ -416,6 +416,52 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Per-frame content signatures from a real multi-frame decode: each
+    * frame becomes (frame_idx, canonical pixel string "r.g.b,r.g.b,..."
+    * in raster order) — the key for cross-video DUPLICATE-FRAME detection
+    * (shared intros/outros/logo cards), which is frame-level exact dedup
+    * across documents. The canonical TEXT form (not raw bytes) is what
+    * both engines hash, so the oracle can rebuild it from the generative
+    * formula without touching the container.
+    */
+  def decodeGifFrameSigs(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_sig", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](binIdx)
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n).map { f =>
+          val img = reader.read(f)
+          val sb = new StringBuilder
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val c = img.getRGB(x, y)
+              if (sb.nonEmpty) sb.append(',')
+              sb.append((c >> 16) & 0xff).append('.')
+                .append((c >> 8) & 0xff).append('.').append(c & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.get(idIdx), f.toLong, sb.toString)
+        }
+        reader.dispose(); iis.close()
+        out
+      }
+    }(encoder)
+  }
+
   /** 64-bit perceptual average-hash (aHash) of a decoded image: sample an
     * 8x8 grid by nearest neighbor (x = i*w/8, y = j*h/8 — integer floor,
     * covering up- and down-sampling), integer grayscale (r+g+b)/3, then

@@ -815,6 +815,20 @@ object LlmQueries {
       Multimodal.decodeGifStats(withBin, "payload").drop("payload")
     }),
 
+    // Cross-video duplicate-frame detection (shared intro/outro/logo
+    // cards): canonical per-frame pixel signatures from the REAL decode,
+    // grouped across documents; only groups spanning >= 2 docs emit.
+    "q_multimodal_frame_dedup" -> ((s, dir) => {
+      val withBin = Multimodal.syntheticGif(
+        docs(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeGifFrameSigs(withBin, "doc_id", "payload")
+        .select(col("doc_id"), sha2(col("frame_sig").cast("binary"), 256).as("sig"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_frames"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2)
+    }),
+
     // Audio lane: deterministic RIFF/WAV payloads (hand-written container)
     // decoded back through the JDK's javax.sound reader; integer-exact
     // stats + 20ms-frame silence detection. The oracle recomputes from the
@@ -2229,6 +2243,20 @@ object LlmQueries {
         "sum(((doc_id * 11 + f * 23 + x * 17 + y * 5) % 4) * 85)::BIGINT AS sum_g, " +
         "sum(((doc_id * 3 + f * 29 + x * 29 + y * 23) % 4) * 85)::BIGINT AS sum_b " +
         "FROM px GROUP BY doc_id"),
+    // formula replica of the per-frame canonical signatures: the oracle
+    // rebuilds each frame's "r.g.b,..." raster string from the generative
+    // formula and hashes the same text
+    "q_multimodal_frame_dedup" ->
+      ("WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, f.range AS f FROM p, range(4) f WHERE f.range < nf), " +
+        "sg AS (SELECT doc_id, f, array_to_string([" +
+        "CAST(((doc_id * 7 + f * 19 + (i % w) * 13 + (i // w) * 31) % 4) * 85 AS VARCHAR) || '.' || " +
+        "CAST(((doc_id * 11 + f * 23 + (i % w) * 17 + (i // w) * 5) % 4) * 85 AS VARCHAR) || '.' || " +
+        "CAST(((doc_id * 3 + f * 29 + (i % w) * 29 + (i // w) * 23) % 4) * 85 AS VARCHAR) " +
+        "for i in range(w * h)], ',') AS sig_text FROM fr) " +
+        "SELECT sha256(sig_text) AS sig, count(1)::BIGINT AS n_frames, " +
+        "count(DISTINCT doc_id)::BIGINT AS n_docs FROM sg GROUP BY 1 " +
+        "HAVING count(DISTINCT doc_id) >= 2"),
     // formula replica of the WAV sample stream (Multimodal.syntheticWav):
     // stats recomputed from the generative formula, never from bytes
     "q_multimodal_audio" ->

@@ -190,6 +190,20 @@ class MultimodalSpec extends SparkSpec {
     batched.foreach { case (d, n, _) => assert(n == 2 + d % 3) }
   }
 
+  test("decodeGifFrameSigs: identical frames across docs share a signature") {
+    // two docs with the SAME constant-color 2-frame animation + one distinct
+    def flat(v: Int) = Multimodal.encodeGifFrames(2, 2, 2, (_, _, _) => (v << 16) | (v << 8) | v)
+    val df = Seq((1L, flat(85)), (2L, flat(85)), (3L, flat(170)))
+      .toDF("doc_id", "payload")
+    val sigs = Multimodal.decodeGifFrameSigs(df, "doc_id", "payload")
+      .as[(Long, Long, String)].collect()
+    assert(sigs.length == 6) // 3 docs x 2 frames
+    val byDoc = sigs.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L)) // shared intro detected
+    assert(byDoc(1L) != byDoc(3L))
+    assert(sigs.find(_._1 == 1L).get._3 == "85.85.85,85.85.85,85.85.85,85.85.85")
+  }
+
   test("encodeWavPcm16 emits RIFF that javax.sound decodes sample-exact") {
     val samples = Array[Short](0, 100, -100, 32767, -32768, 7, -7)
     val wav = Multimodal.encodeWavPcm16(8000, samples)
