@@ -285,6 +285,52 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Audio content signature from the REAL decode: the per-20ms-frame
+    * energy profile (sum |sample| per complete 160-sample frame) as a
+    * canonical comma-joined text — the key for cross-recording exact
+    * dedup (same jingle/IVR prompt ingested twice), the audio analogue of
+    * [[decodeGifFrameSigs]]. Energy profiles are container-independent:
+    * the same PCM stream re-wrapped hashes identically.
+    */
+  def wavEnergyProfile(payload: Array[Byte], frame: Int = 160): String = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"expected 16-bit LE mono PCM, got $fmt")
+    val bytes = in.readAllBytes()
+    in.close()
+    val n = bytes.length / 2
+    val sb = new StringBuilder
+    var i = 0
+    var acc = 0L
+    while (i < n) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+      acc += math.abs(s)
+      if ((i + 1) % frame == 0) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(acc)
+        acc = 0L
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Batched energy-profile extraction over a binary audio column. */
+  def decodeWavProfiles(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("energy_profile", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.get(idIdx), wavEnergyProfile(r.getAs[Array[Byte]](binIdx)))
+      }
+    }(encoder)
+  }
+
   /** Multi-frame (animated GIF) encode through the JDK's sequence writer —
     * the in-container stand-in for VIDEO: a real multi-frame container,
     * a real independent JDK decoder ([[gifFrameStats]]), frame counts and

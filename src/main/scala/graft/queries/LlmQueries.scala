@@ -829,6 +829,20 @@ object LlmQueries {
         .where(col("n_docs") >= 2)
     }),
 
+    // Cross-recording audio dedup: 500 ids map onto 50 distinct
+    // recordings (the same jingle ingested under many ids); the decoded
+    // 20ms energy profiles group them back exactly.
+    "q_multimodal_audio_dedup" -> ((s, dir) => {
+      val withBin = Multimodal.syntheticWav(
+        docs(s, dir).select(col("doc_id"), (col("doc_id") % 50).as("rec_key")),
+        "rec_key", "payload")
+      Multimodal.decodeWavProfiles(withBin, "doc_id", "payload")
+        .select(col("doc_id"), sha2(col("energy_profile").cast("binary"), 256).as("sig"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_copies"), count_distinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2)
+    }),
+
     // Audio lane: deterministic RIFF/WAV payloads (hand-written container)
     // decoded back through the JDK's javax.sound reader; integer-exact
     // stats + 20ms-frame silence detection. The oracle recomputes from the
@@ -2256,6 +2270,18 @@ object LlmQueries {
         "for i in range(w * h)], ',') AS sig_text FROM fr) " +
         "SELECT sha256(sig_text) AS sig, count(1)::BIGINT AS n_frames, " +
         "count(DISTINCT doc_id)::BIGINT AS n_docs FROM sg GROUP BY 1 " +
+        "HAVING count(DISTINCT doc_id) >= 2"),
+    // formula replica of the energy profiles over rec_key = doc_id % 50
+    "q_multimodal_audio_dedup" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 50 AS rk FROM documents), " +
+        "q AS (SELECT doc_id, rk, 640 + (rk % 5) * 160 AS n, " +
+        "CASE WHEN rk % 7 = 0 THEN 64 ELSE 8192 END AS amp FROM p), " +
+        "s AS (SELECT doc_id, array_to_string([" +
+        "CAST(list_sum([abs(((rk * 131 + i * 7919) % (2 * amp)) - amp) " +
+        "for i in range(f * 160, f * 160 + 160)]) AS VARCHAR) " +
+        "for f in range(n // 160)], ',') AS profile FROM q) " +
+        "SELECT sha256(profile) AS sig, count(1)::BIGINT AS n_copies, " +
+        "count(DISTINCT doc_id)::BIGINT AS n_docs FROM s GROUP BY 1 " +
         "HAVING count(DISTINCT doc_id) >= 2"),
     // formula replica of the WAV sample stream (Multimodal.syntheticWav):
     // stats recomputed from the generative formula, never from bytes

@@ -204,6 +204,19 @@ class MultimodalSpec extends SparkSpec {
     assert(sigs.find(_._1 == 1L).get._3 == "85.85.85,85.85.85,85.85.85,85.85.85")
   }
 
+  test("wavEnergyProfile: same PCM content shares a profile; trailing partial frame ignored") {
+    val a = Array.tabulate[Short](400)(i => (i % 100).toShort) // 2 frames + 80 tail
+    val wavA = Multimodal.encodeWavPcm16(8000, a)
+    val wavB = Multimodal.encodeWavPcm16(16000, a) // same samples, other rate
+    val pA = Multimodal.wavEnergyProfile(wavA)
+    assert(pA == Multimodal.wavEnergyProfile(wavB)) // container-rate independent
+    assert(pA.split(",").length == 2)
+    val expect0 = (0 until 160).map(i => (i % 100).toLong).sum
+    assert(pA.split(",")(0).toLong == expect0)
+    val quiet = Multimodal.encodeWavPcm16(8000, Array.fill[Short](320)(1))
+    assert(Multimodal.wavEnergyProfile(quiet) != pA)
+  }
+
   test("encodeWavPcm16 emits RIFF that javax.sound decodes sample-exact") {
     val samples = Array[Short](0, 100, -100, 32767, -32768, 7, -7)
     val wav = Multimodal.encodeWavPcm16(8000, samples)
