@@ -132,6 +132,22 @@ object NewOpsProbe {
     println(f"[probe] mmr over $nVecs vectors: top-${mmr.length} in $mmrSec%.1f s")
     vecs.unpersist()
 
+    // multi-frame GIF decode + frame-dedup lanes
+    val gifBin = Multimodal.syntheticGif(docs.select("doc_id"), "doc_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    gifBin.count()
+    val (gifAgg, gifSec) = timed(
+      Multimodal.decodeGifStats(gifBin, "payload")
+        .agg(sum(col("n_frames"))).head())
+    println(f"[probe] gif decode over $nDocs docs: ${gifAgg.getLong(0)} frames in $gifSec%.1f s")
+    val (fd, fdSec) = timed(
+      Multimodal.decodeGifFrameSigs(gifBin, "doc_id", "payload")
+        .select(sha2(col("frame_sig").cast("binary"), 256).as("sig"), col("doc_id"))
+        .groupBy("sig").agg(count_distinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2).count())
+    println(f"[probe] gif frame dedup over $nDocs docs: $fd dup groups in $fdSec%.1f s")
+    gifBin.unpersist()
+
     // WAV decode lane
     val (wavAgg, wavSec) = timed(
       Multimodal.decodeWavStats(
