@@ -236,6 +236,22 @@ object CoreQueries {
           col("view_event_id"), round(col("view_value"), 6).as("view_value"))
     }),
 
+    // FORWARD as-of: the next view at-or-after each purchase (mirror of
+    // q_asof_join's latest-view-before lookup).
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = loadEvents(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.rules.AsofJoin.asofJoinForward(purchases, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "value"), rightTieBreak = "event_id",
+        payloadPrefix = "view_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_event_id"), round(col("view_value"), 6).as("view_value"))
+    }),
+
     // Salted equi-join (explicit skew mitigation): the lineitem side is
     // salted, supplier replicated 8x, join on (key, salt) — result must be
     // identical to the plain join.
@@ -667,6 +683,12 @@ object CoreQueries {
         "SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id, " +
         "CAST(round(v.value, 6) AS DOUBLE) AS view_value " +
         "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+    "q_asof_forward" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') " +
+        "SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id, " +
+        "CAST(round(v.value, 6) AS DOUBLE) AS view_value " +
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts"),
     "q_salted_join" ->
       ("SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, s.s_name " +
         "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey"),

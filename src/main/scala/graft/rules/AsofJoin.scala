@@ -29,7 +29,29 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
                rightPayload: Seq[String], rightTieBreak: String,
-               payloadPrefix: String = "asof_"): DataFrame = {
+               payloadPrefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, keyCols, leftTs, rightTs, rightPayload,
+      rightTieBreak, payloadPrefix, forward = false)
+
+  /** FORWARD as-of: for each left row, the single EARLIEST right row with
+    * `rightTs >= leftTs` in the key group — the "next scheduled slot /
+    * next tick after the event" lookup, the mirror of [[asofJoin]]. Same
+    * union-sort-carry plan traversed in DESCENDING time order (the carry
+    * then holds the smallest right timestamp at-or-after each left row);
+    * inclusive at equal timestamps, greatest tiebreak among equal right
+    * timestamps, null keys and null left timestamps match nothing.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightPayload: Seq[String], rightTieBreak: String,
+                      payloadPrefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, keyCols, leftTs, rightTs, rightPayload,
+      rightTieBreak, payloadPrefix, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTs: String, rightTs: String,
+                       rightPayload: Seq[String], rightTieBreak: String,
+                       payloadPrefix: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val carried = (rightPayload :+ rightTieBreak).distinct
     // ASOF semantics (l.ts >= r.ts) exclude null-ts rights: nulls-first
@@ -49,9 +71,13 @@ object AsofJoin {
       .withColumn("__side__", lit(1))
       .withColumn("__r__", lit(null).cast(rFull.schema("__r__").dataType))
     // side 0 before side 1 at equal ts: a right row AT the left timestamp
-    // is already visible to it
+    // is already visible to it. Forward traverses time DESCENDING with
+    // null-ts lefts explicitly FIRST (desc defaults to nulls-last, which
+    // would hand them the globally-earliest right — null ts must match
+    // nothing, as the ascending traversal gets free from nulls-first).
+    val tsOrder = if (forward) col("__ts__").desc_nulls_first else col("__ts__").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts__"), col("__side__"), col("__r__").getField(rightTieBreak))
+      .orderBy(tsOrder, col("__side__"), col("__r__").getField(rightTieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // SQL equi-join semantics: a NULL key matches nothing. Window
     // partitioning groups nulls together, so the carry must be masked —

@@ -33,6 +33,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L) == ((Some(12L), Some(50.0))))
   }
 
+  test("asofJoinForward picks the earliest right row at-or-after each left row") {
+    val events = Seq(
+      (1L, "A", ts("2024-01-01 10:05:00")),
+      (2L, "A", ts("2024-01-01 10:00:00")), // exactly at a slot: inclusive
+      (3L, "A", ts("2024-01-01 11:00:00")), // after every slot: nulls
+      (4L, "B", ts("2024-01-01 09:00:00"))
+    ).toDF("ev_id", "sym", "t")
+    val slots = Seq(
+      (10L, "A", ts("2024-01-01 10:00:00"), 100.0),
+      (11L, "A", ts("2024-01-01 10:30:00"), 101.0),
+      (12L, "B", ts("2024-01-01 08:00:00"), 50.0), // before the event: invisible
+      (13L, "B", ts("2024-01-01 09:30:00"), 51.0)
+    ).toDF("slot_id", "sym", "t", "px")
+    val out = AsofJoin.asofJoinForward(events, slots, Seq("sym"), "t", "t",
+        rightPayload = Seq("slot_id", "px"), rightTieBreak = "slot_id")
+      .select("ev_id", "asof_slot_id", "asof_px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(11L), Some(101.0)))) // next slot after 10:05
+    assert(out(2L) == ((Some(10L), Some(100.0)))) // inclusive at equal ts
+    assert(out(3L) == ((None, None)))             // nothing after it
+    assert(out(4L) == ((Some(13L), Some(51.0))))
+    // null left ts matches nothing under the descending traversal too
+    val nullTs = Seq((5L, "A", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("ev_id", "sym", "t")
+    val got = AsofJoin.asofJoinForward(nullTs, slots, Seq("sym"), "t", "t",
+        Seq("slot_id"), "slot_id")
+      .select("asof_slot_id").as[Option[Long]].head()
+    assert(got.isEmpty)
+  }
+
   test("a null payload field never splices values from different right rows") {
     val left = Seq((1L, "A", ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
     val right = Seq(
