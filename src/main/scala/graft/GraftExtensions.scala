@@ -88,6 +88,10 @@ object GraftExtensions {
     fd("graft_bpe_merge", "greedy adjacent-pair merge over a symbol array") { args =>
       arity("graft_bpe_merge", args, 3)
       graft.text.BpeMergeExpr(args.head, args(1), args(2))
+    },
+    fd("graft_char_entropy", "character-bin entropy as struct(n_chars_binned, entropy_micro)") { args =>
+      arity("graft_char_entropy", args, 1)
+      graft.text.CharEntropyExpr(args.head)
     })
 
   /** Register the same function set on an already-built session. */

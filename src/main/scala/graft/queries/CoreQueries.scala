@@ -236,6 +236,22 @@ object CoreQueries {
           col("view_event_id"), round(col("view_value"), 6).as("view_value"))
     }),
 
+    // Interval-overlap join: 20-minute viewing windows vs 10-minute
+    // incident windows per user — bucketed equi-join with the canonical-
+    // bucket emit-once trick, never a theta join.
+    "q_overlap_join" -> ((s, dir) => {
+      val ev = loadEvents(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("vs"), (col("ts") + expr("INTERVAL 20 MINUTES")).as("ve"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("es"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("ee"))
+      graft.rules.RangeJoin.overlapJoin(views, errors, Seq("user_id"),
+        "vs", "ve", "es", "ee", grainSeconds = 600L)
+        .select(col("view_id"), col("error_id"), col("user_id"))
+    }),
+
     // FORWARD as-of: the next view at-or-after each purchase (mirror of
     // q_asof_join's latest-view-before lookup).
     "q_asof_forward" -> ((s, dir) => {
@@ -683,6 +699,13 @@ object CoreQueries {
         "SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id, " +
         "CAST(round(v.value, 6) AS DOUBLE) AS view_value " +
         "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"),
+    "q_overlap_join" ->
+      ("WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vs, " +
+        "CAST(ts AS TIMESTAMP) + INTERVAL 20 MINUTE AS ve FROM events WHERE event_type = 'view'), " +
+        "e AS (SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS es, " +
+        "CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS ee FROM events WHERE event_type = 'error') " +
+        "SELECT v.view_id, e.error_id, v.user_id FROM v JOIN e " +
+        "ON v.user_id = e.user_id AND v.vs <= e.ee AND e.es <= v.ve"),
     "q_asof_forward" ->
       ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
         "v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') " +

@@ -36,4 +36,36 @@ object RangeJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket__")
   }
+
+  /** INTERVAL-OVERLAP join: pair each left interval with every right
+    * interval it overlaps per key (inclusive ends — the standard
+    * `l.start <= r.end AND r.start <= l.end`): "sessions concurrent with
+    * incidents", "bookings clashing with maintenance windows" — genomics'
+    * interval-intersection in time.
+    *
+    * Same bucketing discipline as [[rangeJoin]] with the canonical-bucket
+    * trick replacing dedup: both sides explode into their covered grain
+    * buckets, but a pair is EMITTED only in the bucket containing
+    * max(l.start, r.start) — the first bucket where both intervals are
+    * live. Every overlapping pair shares that bucket (both intervals span
+    * it) and passes the condition exactly once, so no distinct pass ever
+    * touches the matched output; non-overlapping same-bucket pairs die in
+    * the exact predicate. Equi-join on (key, bucket), no theta join, no
+    * row-pair amplification beyond bucket co-occupancy.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  lStart: String, lEnd: String, rStart: String, rEnd: String,
+                  grainSeconds: Long): DataFrame = {
+    require(grainSeconds > 0, "grainSeconds must be positive")
+    def bucketOf(c: Column): Column = floor(unix_timestamp(c) / grainSeconds)
+    val lBucketed = left.withColumn("__bucket__",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val rBucketed = right.withColumn("__bucket__",
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    lBucketed.join(rBucketed, keyCols :+ "__bucket__", "inner")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .where(col("__bucket__") ===
+        bucketOf(greatest(col(lStart), col(rStart)))) // canonical: emit once
+      .drop("__bucket__")
+  }
 }

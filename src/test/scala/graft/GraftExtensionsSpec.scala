@@ -61,6 +61,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql == Seq("ab", "ab"))
   }
 
+  test("SQL char_entropy matches the Column API") {
+    val df = Seq(("aabb"), ("aaaa")).toDF("t")
+    df.createOrReplaceTempView("ext_entropy")
+    val sql = spark.sql(
+      "SELECT graft_char_entropy(t).entropy_micro AS h FROM ext_entropy")
+      .as[Long].collect().toSeq
+    assert(sql == Seq(693147L, 0L)) // ln 2 micro-nats; single-bin 0
+  }
+
   test("geometry arguments must be integer literals") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b c', id) FROM range(1)").collect()

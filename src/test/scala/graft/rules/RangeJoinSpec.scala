@@ -39,4 +39,28 @@ class RangeJoinSpec extends SparkSpec {
       "start_t", "end_t", "t", 3600).queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("overlapJoin pairs overlapping intervals exactly once across shared buckets") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    // a long left interval spanning many 10-min grain buckets against
+    // several rights: multi-bucket co-occupancy must still emit ONE row
+    val lefts = Seq((1L, "k", t(0), t(95))).toDF("lid", "k", "ls", "le")
+    val rights = Seq(
+      (10L, "k", t(30), t(40)),   // inside -> overlap (shares 2 buckets)
+      (11L, "k", t(90), t(120)),  // tail overlap
+      (12L, "k", t(96), t(100)),  // starts after L ends -> none
+      (13L, "x", t(30), t(40))    // other key -> none
+    ).toDF("rid", "k", "rs", "re")
+    val got = RangeJoin.overlapJoin(lefts, rights, Seq("k"),
+        "ls", "le", "rs", "re", grainSeconds = 600L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (1L, 11L))) // exactly once each
+    // inclusive boundary: touching endpoints overlap
+    val touch = RangeJoin.overlapJoin(
+        Seq((1L, "k", t(0), t(10))).toDF("lid", "k", "ls", "le"),
+        Seq((20L, "k", t(10), t(20))).toDF("rid", "k", "rs", "re"),
+        Seq("k"), "ls", "le", "rs", "re", 600L)
+      .count()
+    assert(touch == 1L)
+  }
 }
