@@ -258,6 +258,16 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // Flesch-style readability in integer micro-units over pages with a
+    // sentence structure (the %3 schedule adds terminal punctuation).
+    "q_text_readability" -> ((s, dir) => {
+      val page = concat(substring(col("text"), 1, 120),
+        when(col("doc_id") % 3 === 0, lit(". A short tail sentence! Done?"))
+          .otherwise(lit(" and a run-on tail with no stops")))
+      val cols = graft.text.TextStats.readabilityColumns(page)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // Character-distribution entropy in micro-nats: one codegen
     // projection over 29 fixed bins, the gibberish/minified-blob signal.
     "q_text_entropy" -> ((s, dir) => {
@@ -1875,6 +1885,17 @@ object LlmQueries {
     "q_text_license" -> licenseSql,
     "q_text_pii_redact" -> piiRedactSql,
     "q_text_script" -> scriptSql,
+    "q_text_readability" ->
+      ("WITH p AS (SELECT doc_id, substr(text, 1, 120) || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '. A short tail sentence! Done?' " +
+        "ELSE ' and a run-on tail with no stops' END AS t FROM documents), " +
+        "m AS (SELECT doc_id, " +
+        "greatest(len(string_split_regex(t, '\\s+')), 1)::BIGINT AS w, " +
+        "greatest(len(regexp_extract_all(t, '[.!?]+')), 1)::BIGINT AS s, " +
+        "len(regexp_extract_all(t, '[aeiouyAEIOUY]+'))::BIGINT AS y FROM p) " +
+        "SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables, " +
+        "(206835000 - ((1015 * w * 1000000) // (1000 * s)) - " +
+        "((846 * y * 1000000) // (10 * w)))::BIGINT AS flesch_micro FROM m"),
     "q_text_entropy" -> {
       val bins = graft.text.TextStats.charEntropyBins
       val counts = bins.map { case (n, p) =>

@@ -437,6 +437,34 @@ object TextStats {
       .limit(k)
   }
 
+  /** Flesch-style READABILITY scoring — the edu-quality filter signal
+    * (FineWeb-Edu-class pipelines rank pages by readability before any
+    * model scoring). Words are whitespace tokens, sentences terminal-punct
+    * runs (min 1), syllables approximated as vowel-group runs — the
+    * standard heuristic. The score is the classic
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), held
+    * entirely in integer micro-units via floored rationals of exact
+    * counts, so it replicates across engines; clamping is the caller's
+    * business (degenerate texts legitimately score far outside 0-100).
+    */
+  def readabilityColumns(textCol: Column): Seq[(String, Column)] = {
+    // positive-operand integer division as a Column: (a - a mod b) / b —
+    // the double quotient of exact integers below 2^53 is exact, so this
+    // equals `div` / DuckDB `//` for every value this signal produces
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val words = greatest(size(tokens(textCol)), lit(1)).cast("long")
+    val sentences = greatest(regexp_count(textCol, lit("[.!?]+")), lit(1)).cast("long")
+    val syllables = regexp_count(textCol, lit("[aeiouyAEIOUY]+")).cast("long")
+    val score = lit(206835000L) -
+      idiv(lit(1015L) * words * 1000000L, lit(1000L) * sentences) -
+      idiv(lit(846L) * syllables * 1000000L, lit(10L) * words)
+    Seq(
+      "n_words" -> words,
+      "n_sentences" -> sentences,
+      "n_syllables" -> syllables,
+      "flesch_micro" -> score)
+  }
+
   /** Unicode SCRIPT detection (the multilingual router ahead of
     * [[languageId]]: stopword lists only work once you know the text is
     * even Latin-script): per-script letter counts over literal codepoint

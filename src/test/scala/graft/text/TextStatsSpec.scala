@@ -348,6 +348,24 @@ class TextStatsSpec extends SparkSpec {
     assert(out(7L) == (("", 0L)))
   }
 
+  test("readabilityColumns: simple prose outranks dense run-ons; hand-checked score") {
+    val cases = Seq(
+      (1L, "The cat sat. The dog ran. It was fun."),
+      (2L, "Notwithstanding interdepartmental considerations necessitating comprehensive reorganizational methodologies evaluation continues indefinitely"))
+    val cols = TextStats.readabilityColumns(col("t"))
+    val out = cases.toDF("id", "t")
+      .select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val (w, s, y, f) = out(1L)
+    assert(w == 9L && s == 3L)
+    // hand check: 206835000 - (1015*9*1e6)//(1000*3) - (846*y*1e6)//(10*9)
+    val expect = 206835000L - (1015L * 9 * 1000000) / (1000 * 3) -
+      (846L * y * 1000000) / (10 * 9)
+    assert(f == expect)
+    assert(out(1L)._4 > out(2L)._4) // prose scores higher than the run-on
+  }
+
   test("charEntropyColumns: spam scores near zero, varied text higher, empty zero") {
     val cases = Seq(
       (1L, "aaaaaaaaaaaa"),                     // single bin: H = 0
