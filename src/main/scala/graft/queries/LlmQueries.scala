@@ -671,6 +671,12 @@ object LlmQueries {
         "vec_id", "embedding", iterations = 2)
     }),
 
+    // Embedding drift per dimension: PSI over coarse SQ code histograms
+    // between the vec_id%3==0 "incoming batch" slice and the rest.
+    "q_embed_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(embs(s, dir), "vec_id", "embedding",
+        dim = 64, isLeft = col("vec_id") % 3 === 0, levels = 8)),
+
     // MMR diversified top-10 for query vec 0 over a 50-candidate
     // shortlist: integer λ=7/10 scoring, greedy engine-replicable order.
     "q_embed_mmr" -> ((s, dir) => {
@@ -2207,6 +2213,18 @@ object LlmQueries {
     "q_embed_binary_knn" -> binaryKnnSql(numPlanes = 16, dim = 64, k = 5, overscan = 4),
     "q_embed_jl" -> jlProjectSql(dim = 64, outDim = 16),
     "q_embed_sq" -> sqEncodeSql(dim = 64, levels = 256),
+    "q_embed_drift" ->
+      (sqLongFormCte(64, 8) +
+        ", f AS (SELECT vec_id, vec_id % 3 = 0 AS l FROM embeddings), " +
+        "cnt AS (SELECT dim, code, " +
+        "sum(CASE WHEN l THEN 1 ELSE 0 END)::BIGINT AS ca, " +
+        "sum(CASE WHEN l THEN 0 ELSE 1 END)::BIGINT AS cb " +
+        "FROM codes JOIN f USING (vec_id) GROUP BY dim, code), " +
+        "t AS (SELECT *, sum(ca) OVER (PARTITION BY dim) AS na, " +
+        "sum(cb) OVER (PARTITION BY dim) AS nb FROM cnt), " +
+        "c AS (SELECT dim, floor(1000000.0 * (((ca + 1)::DOUBLE / (na + 8)::DOUBLE) - ((cb + 1)::DOUBLE / (nb + 8)::DOUBLE)) * " +
+        "ln(((ca + 1)::DOUBLE / (na + 8)::DOUBLE) / ((cb + 1)::DOUBLE / (nb + 8)::DOUBLE)))::BIGINT AS cc FROM t) " +
+        "SELECT dim::BIGINT AS dim, sum(cc)::BIGINT AS psi_micro FROM c GROUP BY dim"),
     "q_embed_sq_knn" -> sqKnnSql(dim = 64, levels = 256, k = 5),
     "q_embed_ivf" -> ivfKnnSql(k = 5, nProbe = 3),
     "q_embed_ivfpq" -> ivfPqKnnSql(dim = 64, numSubspaces = 4, k = 5, nProbe = 3),

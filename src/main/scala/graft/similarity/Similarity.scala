@@ -794,6 +794,41 @@ object Similarity {
           .otherwise(lit(0.0)).cast("bigint").as("code"))
   }
 
+  /** Embedding-space DRIFT between two corpus slices (the retraining /
+    * re-index trigger: has the incoming batch's embedding distribution
+    * moved?): PSI per dimension over coarse scalar-quantized code
+    * histograms — [[sqEncode]] at a few levels is the shared quantizer
+    * (trained on the WHOLE corpus, so both slices bin identically), then
+    * the same smoothed micro-floored PSI arithmetic as the text-side
+    * [[graft.text.Importance.distributionShift]]. Output is one row per
+    * dimension; drifted dimensions (psi above ~0.2 in conventional PSI
+    * units = 200000 micro) localize WHICH embedding directions moved.
+    *
+    * Scale shape: the quantizer's dim-row stats broadcast; counts are one
+    * (dim, code)-keyed partial aggregation of id-free rows; totals ride a
+    * dim-partitioned window over the <= dim x levels count frame.
+    */
+  def embeddingDrift(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, isLeft: Column, levels: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flags = corpus.select(col(idCol).as("__id__"), isLeft.as("__l__"))
+    val counts = sqEncode(corpus, idCol, vecCol, dim, levels)
+      .join(flags, col(idCol) === col("__id__"))
+      .groupBy(col("dim"), col("code"))
+      .agg(sum(when(col("__l__"), 1L).otherwise(0L)).as("__ca__"),
+        sum(when(col("__l__"), 0L).otherwise(1L)).as("__cb__"))
+    val perDim = Window.partitionBy(col("dim"))
+    val pa = (col("__ca__") + 1).cast("double") / (col("__na__") + levels).cast("double")
+    val pb = (col("__cb__") + 1).cast("double") / (col("__nb__") + levels).cast("double")
+    counts
+      .withColumn("__na__", sum(col("__ca__")).over(perDim))
+      .withColumn("__nb__", sum(col("__cb__")).over(perDim))
+      .select(col("dim"),
+        floor(lit(1000000.0) * ((pa - pb) * log(pa / pb))).cast("long").as("__c__"))
+      .groupBy(col("dim"))
+      .agg(sum(col("__c__")).as("psi_micro"))
+  }
+
   /** KNN over SQ codes: score = dot(q, recon(v)) where
     * `recon_d = mn_d + code_d * step_d`, `step_d = (mx_d - mn_d)/(levels-1)`
     * — search touches (id, dim, code) integers plus the broadcast

@@ -594,6 +594,29 @@ class SimilaritySpec extends SparkSpec {
     assert(again == mmr)
   }
 
+  test("embeddingDrift: identical slices score ~0; a shifted slice lights up the shifted dim") {
+    // 200 vectors; right slice == left distribution -> psi ~ 0 everywhere
+    val base = (0 until 200).map { i =>
+      // value keyed on i/2 so consecutive even/odd ids pair up: the two
+      // parity slices carry literally identical value multisets
+      (i.toLong, Seq.tabulate(4)(d => (((i / 2) * 7 + d * 13) % 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val flat = Similarity.embeddingDrift(base, "vec_id", "embedding",
+      dim = 4, isLeft = col("vec_id") % 2 === 0, levels = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(flat.values.forall(math.abs(_) < 50000L), s"expected ~0 psi: $flat") // < 0.05
+    // shift dim 2 for the left slice only: that dim must dominate
+    val shifted = base.withColumn("embedding",
+      when(col("vec_id") % 2 === 0,
+        expr("transform(embedding, (x, d) -> CAST(x + (CASE WHEN d = 2 THEN 40.0 ELSE 0.0 END) AS FLOAT))"))
+        .otherwise(col("embedding")))
+    val psi = Similarity.embeddingDrift(shifted, "vec_id", "embedding",
+      dim = 4, isLeft = col("vec_id") % 2 === 0, levels = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(psi(2L) > 200000L, s"shifted dim should exceed the 0.2 PSI alarm: $psi")
+    assert(psi(2L) > 4 * math.max(math.abs(psi(0L)), math.abs(psi(1L))), s"$psi")
+  }
+
   test("kmeansParallelInit on identical vectors degenerates to the single seed") {
     val same = (0 until 10).map(i => (i.toLong, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
     val out = Similarity.kmeansParallelInit(same, "vec_id", "embedding",
