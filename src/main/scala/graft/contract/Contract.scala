@@ -133,6 +133,60 @@ object Contract {
       "n_distinct", "max_length")
   }
 
+  /** Schema-drift GUARD — [[suggestRules]] closed into a loop: mine the
+    * contract a reference snapshot implies, then count how a new
+    * snapshot violates it (type-format regressions, new null/blank mass
+    * in previously-complete columns, enum values never seen before).
+    * The alerting primitive for feeds with no hand-written dischema yet:
+    * "yesterday every value parsed as a date; today 312 don't".
+    *
+    * Execution shape: one [[suggestRules]] pass over the reference (a
+    * single wide aggregation), then ONE wide aggregation over the new
+    * snapshot with 3 exprs per column — the per-column rule parameters
+    * are driver-held constants (bounded by column count), never a join.
+    * Enum violation counting only engages for enum-candidate columns,
+    * against the (≤ enumMax) distinct values of the reference.
+    */
+  def validateAgainstSuggested(reference: DataFrame, fresh: DataFrame,
+                               enumMax: Int = 10): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    val rules = suggestRules(reference, enumMax).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+      .filter { case (c, _, _, _) => fresh.columns.contains(c) }
+    val enumValues: Map[String, Seq[String]] = rules.collect {
+      case (c, _, _, true) =>
+        c -> reference.select(trim(col(s"`$c`").cast(StringType)).as("v"))
+          .where(col("v") =!= "").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted // bounded by enumMax
+    }.toMap
+    val typeRegex = Map(
+      "long" -> "^[+-]?[0-9]+$",
+      "double" -> "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$",
+      "date" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    val aggs = rules.flatMap { case (c, tpe, nullable, isEnum) =>
+      val s = col(s"`$c`").cast(StringType)
+      val present = trim(s) =!= ""
+      val typeViol = typeRegex.get(tpe)
+        .map(re => count(when(present && !s.rlike(re), 1)))
+        .getOrElse(count(lit(null))) // str: no format to violate
+      val nullViol =
+        if (nullable) count(lit(null)) // already nullable: nulls are in-contract
+        else count(when(s.isNull || trim(s) === "", 1))
+      val enumViol =
+        if (isEnum) count(when(present && !s.isin(enumValues(c).map(x => x: Any): _*), 1))
+        else count(lit(null))
+      Seq(typeViol, nullViol, enumViol)
+    }
+    val row = fresh.agg(aggs.head, aggs.tail: _*).head()
+    rules.zipWithIndex.map { case ((c, tpe, nullable, isEnum), i) =>
+      val b = i * 3
+      (c, tpe, row.getLong(b), row.getLong(b + 1), row.getLong(b + 2),
+        row.getLong(b) + row.getLong(b + 1) + row.getLong(b + 2) > 0L)
+    }.toSeq.toDF("column", "suggested_type", "n_type_violations",
+      "n_null_violations", "n_enum_violations", "drifted")
+  }
+
   // ---------------------------------------------------------------- numeric / format regexes
   private val intRegex = "^[+-]?[0-9]+$"
   private val floatRegex = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"

@@ -299,6 +299,27 @@ object ContractQueries {
       Contract.profile(input)
     }),
 
+    // Schema-drift guard: rules mined from the even-custkey snapshot,
+    // violations counted on the odd-custkey snapshot with injected drift
+    // (N/A in a double column, nulls in a complete date column, a never-
+    // seen enum value).
+    "q_contract_drift" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        when(col("c_custkey") % 9 === 0, lit(null)).otherwise(col("c_name")).as("name"),
+        concat(col("c_custkey").cast("string"), lit("."),
+          (col("c_custkey") % 100).cast("string")).as("amount"),
+        concat(lit("2024-"), lpad((col("c_custkey") % 12 + 1).cast("string"), 2, "0"),
+          lit("-15")).as("period"))
+      val ref = base.where(col("c_custkey") % 2 === 0)
+      val fresh = base.where(col("c_custkey") % 2 === 1)
+        .withColumn("seg", when(col("c_custkey") % 17 === 0, "NEWSEG").otherwise(col("seg")))
+        .withColumn("amount", when(col("c_custkey") % 31 === 0, "N/A").otherwise(col("amount")))
+        .withColumn("period", when(col("c_custkey") % 13 === 0, lit(null)).otherwise(col("period")))
+      Contract.validateAgainstSuggested(ref, fresh)
+    }),
+
     // Contract rule suggestion over a mixed-typed stringified submission:
     // int / float-string / ISO-date / enum / nullable free-text columns,
     // each mined back to the dischema a human would write.
@@ -572,6 +593,37 @@ object ContractQueries {
         "CASE WHEN c_custkey % 7 = 0 THEN '  ' ELSE c_name END AS name FROM customer) " +
         s"SELECT * FROM (${one("c_custkey", "c_custkey")} UNION ALL " +
         s"${one("seg", "seg")} UNION ALL ${one("name", "name")}) t"
+    },
+
+    // the mined rules are data-stable on this corpus, so the oracle holds
+    // them fixed (long/enum/nullable-str/double/date) and recomputes the
+    // violation counts; a rule change would fail the hash loudly
+    "q_contract_drift" -> {
+      val floatRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+      val dateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+      "WITH i AS (SELECT c_custkey, c_mktsegment AS seg, " +
+        "CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_name END AS name, " +
+        "CAST(c_custkey AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR) AS amount, " +
+        "'2024-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') || '-15' AS period FROM customer), " +
+        "fr AS (SELECT c_custkey, CASE WHEN c_custkey % 17 = 0 THEN 'NEWSEG' ELSE seg END AS seg, name, " +
+        "CASE WHEN c_custkey % 31 = 0 THEN 'N/A' ELSE amount END AS amount, " +
+        "CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE period END AS period FROM i WHERE c_custkey % 2 = 1), " +
+        "refseg AS (SELECT DISTINCT seg FROM i WHERE c_custkey % 2 = 0), " +
+        "u AS (" +
+        "SELECT 'c_custkey' AS col, 'long' AS st, 0::BIGINT AS tv, " +
+        "(SELECT count(CASE WHEN c_custkey IS NULL THEN 1 END) FROM fr)::BIGINT AS nv, 0::BIGINT AS ev " +
+        "UNION ALL SELECT 'seg', 'str', 0, " +
+        "(SELECT count(CASE WHEN seg IS NULL OR trim(seg) = '' THEN 1 END) FROM fr), " +
+        "(SELECT count(CASE WHEN trim(seg) != '' AND seg NOT IN (SELECT seg FROM refseg) THEN 1 END) FROM fr) " +
+        "UNION ALL SELECT 'name', 'str', 0, 0, 0 " +
+        s"UNION ALL SELECT 'amount', 'double', " +
+        s"(SELECT count(CASE WHEN trim(amount) != '' AND NOT regexp_matches(amount, '$floatRe') THEN 1 END) FROM fr), " +
+        "(SELECT count(CASE WHEN amount IS NULL OR trim(amount) = '' THEN 1 END) FROM fr), 0 " +
+        s"UNION ALL SELECT 'period', 'date', " +
+        s"(SELECT count(CASE WHEN period IS NOT NULL AND trim(period) != '' AND NOT regexp_matches(period, '$dateRe') THEN 1 END) FROM fr), " +
+        "(SELECT count(CASE WHEN period IS NULL OR trim(period) = '' THEN 1 END) FROM fr), 0) " +
+        "SELECT col AS \"column\", st AS suggested_type, tv AS n_type_violations, " +
+        "nv AS n_null_violations, ev AS n_enum_violations, (tv + nv + ev) > 0 AS drifted FROM u"
     },
 
     "q_contract_suggest" -> {

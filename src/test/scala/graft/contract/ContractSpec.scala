@@ -320,6 +320,27 @@ class ContractSpec extends SparkSpec {
     assert(got("prose")._1 == "str" && !got("prose")._3) // 3 distinct > enumMax
   }
 
+  test("validateAgainstSuggested counts type/null/enum drift against mined rules") {
+    import spark.implicits._
+    val ref = Seq(
+      ("1", "red", "2024-01-01"), ("2", "blue", "2024-02-02"), ("3", "red", "2024-03-03"))
+      .toDF("id", "color", "day")
+    val fresh = Seq(
+      ("4", "red", "2024-04-04"),       // clean
+      ("x", "green", null),             // type viol + enum viol + null viol
+      ("6", "blue", "not-a-date"))      // type viol on day
+      .toDF("id", "color", "day")
+    val got = Contract.validateAgainstSuggested(ref, fresh, enumMax = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got("id") == ((1L, 0L, 0L, true)))    // "x" breaks the long rule
+    assert(got("color") == ((0L, 0L, 1L, true))) // "green" never seen in ref
+    assert(got("day") == ((1L, 1L, 0L, true)))   // bad format + new null
+    // a clean snapshot drifts nowhere
+    val clean = Contract.validateAgainstSuggested(ref, ref, enumMax = 3).collect()
+    assert(clean.forall(!_.getBoolean(5)))
+  }
+
   test("suggestRules on an all-null column degrades to nullable str") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
