@@ -275,6 +275,14 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // Percentile quality gate: drop the lowest-entropy quartile — the
+    // relative cut that survives score drift between crawls.
+    "q_text_quality_gate" -> ((s, dir) =>
+      Sampling.percentileGate(docs(s, dir), "doc_id",
+        graft.text.TextStats.charEntropyColumns(col("text"))
+          .find(_._1 == "entropy_micro").get._2.cast("double"),
+        quantilePerMille = 250)),
+
     // Top-30 collocations by PMI over adjacent token pairs (min count 20
     // — the Church-Hanks hapax guard).
     "q_text_pmi" -> ((s, dir) =>
@@ -1918,6 +1926,21 @@ object LlmQueries {
         s"CASE WHEN nt > 0 THEN floor(($h) * 1000000.0)::BIGINT ELSE 0 END AS entropy_micro FROM n"
     },
     "q_text_pmi" -> pmiSql,
+    "q_text_quality_gate" -> {
+      val bins = graft.text.TextStats.charEntropyBins
+      val counts = bins.map { case (n, p) =>
+        s"len(regexp_extract_all(text, '$p')) AS $n"
+      }.mkString(", ")
+      val total = bins.map(_._1).mkString(" + ")
+      val h = bins.map { case (n, _) =>
+        s"CASE WHEN $n > 0 THEN -($n::DOUBLE / nd) * ln($n::DOUBLE / nd) ELSE 0.0 END"
+      }.mkString(" + ")
+      s"WITH m AS (SELECT doc_id, $counts FROM documents), " +
+        s"n AS (SELECT *, ($total) AS nt, ($total)::DOUBLE AS nd FROM m), " +
+        s"sc AS (SELECT doc_id, (CASE WHEN nt > 0 THEN floor(($h) * 1000000.0)::BIGINT ELSE 0 END)::DOUBLE AS score FROM n), " +
+        "t AS (SELECT CAST(round(quantile_cont(score, 0.25), 6) AS DOUBLE) AS threshold FROM sc) " +
+        "SELECT doc_id, score, threshold, score >= threshold AS keep FROM sc, t"
+    },
     "q_split_group" -> {
       val h = "list_reduce(list_prepend(17::BIGINT, " +
         "[ascii(c)::BIGINT for c in string_split(source, '')]), " +

@@ -208,6 +208,31 @@ object Sampling {
     b < rate
   }
 
+  /** PERCENTILE quality gate — the relative cut of FineWeb-class
+    * pipelines ("drop the worst quartile by score"), which unlike a fixed
+    * threshold survives score-distribution drift between crawls. Exact
+    * interpolated percentile via one aggregation broadcast back as the
+    * threshold; keep = score >= threshold (kept mass = 1 - quantile).
+    *
+    * Scale note (the q_percentiles discipline): the EXACT percentile
+    * buffers the score column in one aggregation task — correct at
+    * verification scale; the production-scale swap is
+    * `approx_percentile`, a bounded-memory mergeable sketch with the same
+    * call shape (sketches differ per engine, so the exact form is what an
+    * external oracle can replicate).
+    */
+  def percentileGate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     score: Column, quantilePerMille: Int): org.apache.spark.sql.DataFrame = {
+    require(quantilePerMille >= 0 && quantilePerMille <= 1000)
+    val q = quantilePerMille / 1000.0
+    val scored = docs.select(col(idCol), score.as("score"))
+    val threshold = broadcast(scored.agg(
+      round(expr(s"percentile(score, $q)"), 6).as("threshold")))
+    scored.crossJoin(threshold)
+      .select(col(idCol), col("score"), col("threshold"),
+        (col("score") >= col("threshold")).as("keep"))
+  }
+
   /** TEMPERATURE-flattened mixture sampling at T = 2 (the multilingual-
     * rebalancing move of large-corpus recipes: sample stratum s with
     * probability ∝ p_s^(1/T), up-weighting small strata relative to their

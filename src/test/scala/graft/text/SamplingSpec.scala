@@ -64,6 +64,22 @@ class SamplingSpec extends SparkSpec {
     assert(rows(out.select("id", "keep")) == rows(again.select("id", "keep")))
   }
 
+  test("percentileGate keeps exactly the mass above the quantile threshold") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("s", (col("doc_id") % 100).cast("double"))
+    val out = Sampling.percentileGate(docs, "doc_id", col("s"), quantilePerMille = 250)
+    val kept = out.where(col("keep")).count()
+    // scores 0..99 uniform: p25 = 24.75, keep s >= 24.75 -> s in 25..99
+    assert(kept == 750L)
+    val th = out.select("threshold").distinct().as[Double].head()
+    assert(th == 24.75)
+    // boundary: a score exactly AT the threshold keeps (>=)
+    val exact = Sampling.percentileGate(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0)).toDF("doc_id", "s"),
+      "doc_id", col("s"), 500)
+    assert(exact.where(col("keep")).count() == 3L) // 3.0 is p50, kept
+  }
+
   test("temperatureMix flattens shares: minority stratum oversampled vs its mass") {
     // en: 900 docs x 10 tokens = 9000; fr: 100 x 10 = 1000 (10% share)
     val docs = spark.range(0, 1000).toDF("id")
