@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.contract.{Contract, EntitySpec, FieldFunction, FieldSpec}
+import graft.contract.{Contract, EntitySpec, FieldFunction, FieldSpec, Repair}
 import graft.readers.Readers
 
 /** Correctness queries for the contract validate+cast operator and the
@@ -299,6 +299,19 @@ object ContractQueries {
       Contract.profile(input)
     }),
 
+    // Winsorize: clip extended prices into [p1, p99] — the outlier
+    // treatment before aggregates the tails would poison.
+    "q_repair_winsorize" -> ((s, dir) =>
+      Repair.winsorize(s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("lo"), col("hi"),
+          round(col("repaired"), 6).as("repaired"), col("clipped"))),
+
+    // Robust outliers on event values: median/MAD z-score, breakdown-safe.
+    "q_repair_outliers" -> ((s, dir) =>
+      Repair.robustOutliers(CoreQueries.loadEvents(s, dir), "value")
+        .select(col("event_id"), col("med"), col("mad"),
+          col("abs_dev"), col("is_outlier"))),
+
     // Schema-drift guard: rules mined from the even-custkey snapshot,
     // violations counted on the odd-custkey snapshot with injected drift
     // (N/A in a double column, nulls in a complete date column, a never-
@@ -594,6 +607,19 @@ object ContractQueries {
         s"SELECT * FROM (${one("c_custkey", "c_custkey")} UNION ALL " +
         s"${one("seg", "seg")} UNION ALL ${one("name", "name")}) t"
     },
+
+    "q_repair_winsorize" ->
+      ("WITH b AS (SELECT CAST(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01), 6) AS DOUBLE) AS lo, " +
+        "CAST(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6) AS DOUBLE) AS hi FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, lo, hi, " +
+        "CAST(round(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi), 6) AS DOUBLE) AS repaired, " +
+        "(CAST(l_extendedprice AS DOUBLE) < lo OR CAST(l_extendedprice AS DOUBLE) > hi) AS clipped " +
+        "FROM lineitem, b"),
+    "q_repair_outliers" ->
+      ("WITH m AS (SELECT CAST(round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS DOUBLE) AS med FROM events), " +
+        "d AS (SELECT CAST(round(quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5), 6) AS DOUBLE) AS mad FROM events, m) " +
+        "SELECT event_id, med, mad, CAST(round(abs(CAST(value AS DOUBLE) - med), 6) AS DOUBLE) AS abs_dev, " +
+        "round(abs(CAST(value AS DOUBLE) - med), 6) > 3 * mad AS is_outlier FROM events, m, d"),
 
     // the mined rules are data-stable on this corpus, so the oracle holds
     // them fixed (long/enum/nullable-str/double/date) and recomputes the

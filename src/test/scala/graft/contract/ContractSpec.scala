@@ -341,6 +341,22 @@ class ContractSpec extends SparkSpec {
     assert(clean.forall(!_.getBoolean(5)))
   }
 
+  test("winsorize clips only the tails; robustOutliers survives the outliers themselves") {
+    import spark.implicits._
+    // 90 benign values 1..90 plus two wild outliers
+    val df = ((1 to 90).map(_.toDouble) ++ Seq(1e6, -1e6)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val w = Repair.winsorize(df, "v", pLowPerMille = 50, pHighPerMille = 950)
+      .select("id", "repaired", "clipped").as[(Long, Double, Boolean)].collect()
+    assert(w.count(_._3) >= 2) // both wild values clipped
+    val repaired = w.map(_._2)
+    assert(repaired.max < 1000.0 && repaired.min > -1000.0)
+    val o = Repair.robustOutliers(df, "v")
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(o(90L) && o(91L))          // the two wild rows flagged
+    assert((0 to 89).count(i => o(i.toLong)) < 20) // median/MAD not dragged
+  }
+
   test("suggestRules on an all-null column degrades to nullable str") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
