@@ -26,6 +26,12 @@ object LlmQueries {
   /** Fixed BM25 query bag, shared verbatim with the oracle SQL. */
   private val Bm25QueryTerms = Seq("spark", "stream", "join", "vector")
 
+  /** Name-part vocabulary for the entity-resolution fixture (pairwise
+    * edit distance > 1, so distinct names never collide at maxDist 1).
+    */
+  private val EntityWords = Seq("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+
   private val IvfCentroidPred = "vec_id % 50 = 0" // stand-in trained coarse centroids
   private val PqCodebookPred = "vec_id < 16"      // stand-in trained codebook
   private val KnnQueryPred = "vec_id < 10"        // query subset
@@ -295,6 +301,26 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id"), col("source"),
         Sampling.hashBucket(col("source"), 1000).as("bucket"),
         Sampling.split(col("source")).as("split"))),
+
+    // Entity RESOLUTION (record linkage): dirty duplicates of synthetic
+    // person-style names (dropped first/last chars, exact copies) paired
+    // back by blocked edit distance — keyLen 8 keeps the prefix/suffix
+    // pigeonhole complete for 1 edit on short names.
+    "q_entity_resolution" -> ((s, dir) => {
+      val words = EntityWords
+      val wArr = array(words.map(lit): _*)
+      def pick(e: String) = element_at(wArr, (expr(e) % 12 + 1).cast("int"))
+      val clean = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").as("id"),
+        concat_ws(" ", pick("c_custkey"), pick("c_custkey div 12"),
+          pick("c_custkey div 144")).as("name"))
+      val dirty = clean.select((col("id") + 1000000L).as("id"),
+        when(col("id") % 3 === 0, expr("substring(name, 1, length(name) - 1)"))
+          .when(col("id") % 3 === 1, expr("substring(name, 2)"))
+          .otherwise(col("name")).as("name"))
+      EditDistance.editDistancePairs(clean.unionByName(dirty), "id", "name",
+        maxDist = 1, keyLen = 8)
+    }),
 
     // Snapshot diff between two derived corpus states: %11 ids absent
     // from the old snapshot (added), %17 absent from the new (removed),
@@ -1950,6 +1976,20 @@ object LlmQueries {
       s"SELECT doc_id, source, $bucket AS bucket, " +
         s"CASE WHEN $bucket < 800 THEN 'train' WHEN $bucket < 900 THEN 'validation' " +
         "ELSE 'test' END AS split FROM documents"
+    },
+    // exhaustive all-pairs levenshtein <= 1: the blocked plan must emit
+    // exactly this set
+    "q_entity_resolution" -> {
+      val w = EntityWords.map(x => s"'$x'").mkString("[", ", ", "]")
+      s"WITH w AS (SELECT $w AS a), " +
+        "c AS (SELECT c_custkey AS id, " +
+        "a[(c_custkey % 12)::INT + 1] || ' ' || a[((c_custkey // 12) % 12)::INT + 1] || ' ' || " +
+        "a[((c_custkey // 144) % 12)::INT + 1] AS name FROM customer, w), " +
+        "d AS (SELECT id + 1000000 AS id, CASE WHEN id % 3 = 0 THEN substr(name, 1, length(name) - 1) " +
+        "WHEN id % 3 = 1 THEN substr(name, 2) ELSE name END AS name FROM c), " +
+        "u AS (SELECT * FROM c UNION ALL SELECT * FROM d) " +
+        "SELECT x.id AS a, y.id AS b, levenshtein(x.name, y.name)::BIGINT AS edit_distance " +
+        "FROM u x JOIN u y ON x.id < y.id AND levenshtein(x.name, y.name) <= 1"
     },
     // text equality stands in for the engine's sha-256 equality
     "q_corpus_diff" ->

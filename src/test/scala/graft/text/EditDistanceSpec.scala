@@ -54,6 +54,21 @@ class EditDistanceSpec extends SparkSpec {
     assert(naive.contains((7L, 8L)))
   }
 
+  test("short-name record linkage: prefix/suffix blocking complete for 1 edit") {
+    // an edit ANYWHERE in a short name must survive blocking when
+    // keyLen <= len - maxDist: drop-first, drop-last, substitute-middle
+    val recs = Seq(
+      (1L, "alpha bravo kilo"),
+      (2L, "lpha bravo kilo"),   // first char dropped
+      (3L, "alpha bravo kil"),   // last char dropped
+      (4L, "alpha brevo kilo"),  // middle substitution
+      (5L, "delta hotel lima")   // unrelated
+    ).toDF("id", "name")
+    val got = EditDistance.editDistancePairs(recs, "id", "name",
+      maxDist = 1, keyLen = 8).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
+
   test("threshold semantics: distances above maxDist are dropped, zero kept") {
     val dup = Seq((1L, "same text here padded out"), (2L, "same text here padded out"),
       (3L, "same text here padded ouX")).toDF("doc_id", "text")
