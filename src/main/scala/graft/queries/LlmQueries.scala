@@ -32,6 +32,24 @@ object LlmQueries {
   private val EntityWords = Seq("alpha", "bravo", "charlie", "delta", "echo",
     "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
 
+  /** Entity-resolution fixture: synthetic person-style names over the
+    * customer table plus a shifted-id copy with first/last-char drops and
+    * exact clones — shared by the pair and cluster queries.
+    */
+  private def entityRecords(s: SparkSession, dir: String): DataFrame = {
+    val wArr = array(EntityWords.map(lit): _*)
+    def pick(e: String) = element_at(wArr, (expr(e) % 12 + 1).cast("int"))
+    val clean = s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey").as("id"),
+      concat_ws(" ", pick("c_custkey"), pick("c_custkey div 12"),
+        pick("c_custkey div 144")).as("name"))
+    val dirty = clean.select((col("id") + 1000000L).as("id"),
+      when(col("id") % 3 === 0, expr("substring(name, 1, length(name) - 1)"))
+        .when(col("id") % 3 === 1, expr("substring(name, 2)"))
+        .otherwise(col("name")).as("name"))
+    clean.unionByName(dirty)
+  }
+
   private val IvfCentroidPred = "vec_id % 50 = 0" // stand-in trained coarse centroids
   private val PqCodebookPred = "vec_id < 16"      // stand-in trained codebook
   private val KnnQueryPred = "vec_id < 10"        // query subset
@@ -305,22 +323,21 @@ object LlmQueries {
     // Entity RESOLUTION (record linkage): dirty duplicates of synthetic
     // person-style names (dropped first/last chars, exact copies) paired
     // back by blocked edit distance — keyLen 8 keeps the prefix/suffix
-    // pigeonhole complete for 1 edit on short names.
-    "q_entity_resolution" -> ((s, dir) => {
-      val words = EntityWords
-      val wArr = array(words.map(lit): _*)
-      def pick(e: String) = element_at(wArr, (expr(e) % 12 + 1).cast("int"))
-      val clean = s.read.parquet(s"$dir/customer.parquet").select(
-        col("c_custkey").as("id"),
-        concat_ws(" ", pick("c_custkey"), pick("c_custkey div 12"),
-          pick("c_custkey div 144")).as("name"))
-      val dirty = clean.select((col("id") + 1000000L).as("id"),
-        when(col("id") % 3 === 0, expr("substring(name, 1, length(name) - 1)"))
-          .when(col("id") % 3 === 1, expr("substring(name, 2)"))
-          .otherwise(col("name")).as("name"))
-      EditDistance.editDistancePairs(clean.unionByName(dirty), "id", "name",
-        maxDist = 1, keyLen = 8)
-    }),
+    // pigeonhole complete for 1 edit on short names. The name space
+    // saturates at 12^3 distinct values while records grow with SF, so the
+    // clone-safe collapsed path (pairs over DISTINCT names, expanded back
+    // through the name→id mapping) is load-bearing, not optional.
+    "q_entity_resolution" -> ((s, dir) =>
+      graft.text.EntityResolution.collapsedPairs(entityRecords(s, dir),
+        "id", "name", maxDist = 1, keyLen = 8)),
+
+    // Full ER: candidates → connected components over distinct names →
+    // longest-name survivorship (tie: min id). Linear in records — the
+    // quadratic pair expansion above never runs here.
+    "q_entity_clusters" -> ((s, dir) =>
+      graft.text.EntityResolution.resolveClusters(entityRecords(s, dir),
+        "id", "name", length(col("name")).cast("double"),
+        maxDist = 1, keyLen = 8)),
 
     // Snapshot diff between two derived corpus states: %11 ids absent
     // from the old snapshot (added), %17 absent from the new (removed),
@@ -1990,6 +2007,28 @@ object LlmQueries {
         "u AS (SELECT * FROM c UNION ALL SELECT * FROM d) " +
         "SELECT x.id AS a, y.id AS b, levenshtein(x.name, y.name)::BIGINT AS edit_distance " +
         "FROM u x JOIN u y ON x.id < y.id AND levenshtein(x.name, y.name) <= 1"
+    },
+    // record-level transitive closure over the same exhaustive pair set;
+    // the engine's value-collapsed components must agree exactly
+    "q_entity_clusters" -> {
+      val w = EntityWords.map(x => s"'$x'").mkString("[", ", ", "]")
+      s"WITH RECURSIVE w AS (SELECT $w AS a), " +
+        "c AS (SELECT c_custkey AS id, " +
+        "a[(c_custkey % 12)::INT + 1] || ' ' || a[((c_custkey // 12) % 12)::INT + 1] || ' ' || " +
+        "a[((c_custkey // 144) % 12)::INT + 1] AS name FROM customer, w), " +
+        "d AS (SELECT id + 1000000 AS id, CASE WHEN id % 3 = 0 THEN substr(name, 1, length(name) - 1) " +
+        "WHEN id % 3 = 1 THEN substr(name, 2) ELSE name END AS name FROM c), " +
+        "u AS (SELECT * FROM c UNION ALL SELECT * FROM d), " +
+        "p AS (SELECT x.id AS a, y.id AS b FROM u x JOIN u y " +
+        "ON x.id < y.id AND levenshtein(x.name, y.name) <= 1), " +
+        "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
+        "reach(id, lab) AS (SELECT id, id FROM u " +
+        "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b), " +
+        "comp AS (SELECT id, min(lab) AS entity_id FROM reach GROUP BY id) " +
+        "SELECT u.id, u.name, comp.entity_id, " +
+        "row_number() OVER (PARTITION BY comp.entity_id " +
+        "ORDER BY length(u.name) DESC, u.id ASC) = 1 AS keep " +
+        "FROM u JOIN comp ON u.id = comp.id"
     },
     // text equality stands in for the engine's sha-256 equality
     "q_corpus_diff" ->
