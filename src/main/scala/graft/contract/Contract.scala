@@ -110,7 +110,11 @@ object Contract {
         count(when(s.rlike("^[+-]?[0-9]+$"), 1)),
         count(when(s.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"), 1)),
         count(when(s.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 1)),
-        count_distinct(present),
+        // TRIMMED distinct: enum candidacy must count the same value space
+        // [[validateAgainstSuggested]] builds its enum set from (trimmed),
+        // or a column holding both " A" and "A" is judged on one
+        // cardinality and enforced on another
+        count_distinct(when(trim(s) =!= "", trim(s))),
         max(length(present)))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -154,6 +158,10 @@ object Contract {
     val rules = suggestRules(reference, enumMax).collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
       .filter { case (c, _, _, _) => fresh.columns.contains(c) }
+    if (rules.isEmpty) // no shared columns: nothing to validate, not a crash
+      return Seq.empty[(String, String, Long, Long, Long, Boolean)]
+        .toDF("column", "suggested_type", "n_type_violations",
+          "n_null_violations", "n_enum_violations", "drifted")
     val enumValues: Map[String, Seq[String]] = rules.collect {
       case (c, _, _, true) =>
         c -> reference.select(trim(col(s"`$c`").cast(StringType)).as("v"))
@@ -174,7 +182,10 @@ object Contract {
         if (nullable) count(lit(null)) // already nullable: nulls are in-contract
         else count(when(s.isNull || trim(s) === "", 1))
       val enumViol =
-        if (isEnum) count(when(present && !s.isin(enumValues(c).map(x => x: Any): _*), 1))
+        // trim the fresh value before membership: the enum set is built
+        // from TRIMMED reference values, so an untrimmed test would count
+        // a whitespace-padded copy of a known value as drift
+        if (isEnum) count(when(present && !trim(s).isin(enumValues(c).map(x => x: Any): _*), 1))
         else count(lit(null))
       Seq(typeViol, nullViol, enumViol)
     }

@@ -9,24 +9,49 @@ import org.apache.spark.sql.functions._
   * robust outlier flagging by median/MAD z-score (which, unlike the
   * mean/stddev z-score, is not itself dragged by the outliers it hunts).
   *
-  * Both follow the q_percentiles discipline: EXACT interpolated
-  * percentiles (one aggregation, buffered — verification scale), with
-  * `approx_percentile` as the documented same-shape production swap;
-  * thresholds round to 6 decimals and broadcast back, the repair itself
-  * is a per-row projection.
+  * Both follow the q_percentiles discipline: `exact = true` (the default,
+  * what an external oracle can replicate) computes EXACT interpolated
+  * percentiles — one aggregation that buffers the value column, the
+  * verification-scale choice; `exact = false` swaps in
+  * `approx_percentile`, the bounded-memory mergeable sketch with the same
+  * call shape, for production-scale columns where a single-task value
+  * buffer will not survive. Thresholds round to 6 decimals and broadcast
+  * back; the repair itself is a per-row projection either way.
   */
 object Repair {
+
+  /** percentile(`col`, q) or approx_percentile(`col`, q) over a DOUBLE
+    * cast, with the column name backtick-quoted (a space or hyphen in a
+    * user column name must not break the SQL fragment).
+    */
+  private def pct(valueCol: String, q: Double, exact: Boolean): Column = {
+    val quoted = "`" + valueCol.replace("`", "``") + "`"
+    val fn = if (exact) "percentile" else "approx_percentile"
+    round(expr(s"$fn(CAST($quoted AS DOUBLE), $q)"), 6)
+  }
+
+  /** The emitted columns are the operator's OUTPUT contract — fail fast if
+    * the input already carries one rather than silently shadowing it.
+    */
+  private def requireFree(df: DataFrame, names: Seq[String]): Unit = {
+    val clash = df.columns.filter(names.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename them " +
+        s"before repair (these names are the operator's output contract)")
+  }
 
   /** Clip `valueCol` into [pLow, pHigh] percentile bounds; emits the
     * bounds, the repaired value, and whether the row was clipped.
     */
   def winsorize(df: DataFrame, valueCol: String,
-                pLowPerMille: Int = 10, pHighPerMille: Int = 990): DataFrame = {
+                pLowPerMille: Int = 10, pHighPerMille: Int = 990,
+                exact: Boolean = true): DataFrame = {
     require(pLowPerMille >= 0 && pHighPerMille <= 1000 && pLowPerMille < pHighPerMille)
+    requireFree(df, Seq("lo", "hi", "repaired", "clipped"))
     val c = col(valueCol).cast("double")
     val bounds = broadcast(df.agg(
-      round(expr(s"percentile(CAST($valueCol AS DOUBLE), ${pLowPerMille / 1000.0})"), 6).as("lo"),
-      round(expr(s"percentile(CAST($valueCol AS DOUBLE), ${pHighPerMille / 1000.0})"), 6).as("hi")))
+      pct(valueCol, pLowPerMille / 1000.0, exact).as("lo"),
+      pct(valueCol, pHighPerMille / 1000.0, exact).as("hi")))
     df.crossJoin(bounds)
       .withColumn("repaired", least(greatest(c, col("lo")), col("hi")))
       .withColumn("clipped", c < col("lo") || c > col("hi"))
@@ -38,14 +63,17 @@ object Repair {
     * A zero MAD (over half the values identical) flags every deviating
     * row — the honest reading of that distribution.
     */
-  def robustOutliers(df: DataFrame, valueCol: String, k: Int = 3): DataFrame = {
+  def robustOutliers(df: DataFrame, valueCol: String, k: Int = 3,
+                     exact: Boolean = true): DataFrame = {
     require(k > 0)
+    requireFree(df, Seq("med", "mad", "abs_dev", "is_outlier"))
     val c = col(valueCol).cast("double")
-    val med = broadcast(df.agg(
-      round(expr(s"percentile(CAST($valueCol AS DOUBLE), 0.5)"), 6).as("med")))
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val med = broadcast(df.agg(pct(valueCol, 0.5, exact).as("med")))
     val withMed = df.crossJoin(med)
+    val quoted = "`" + valueCol.replace("`", "``") + "`"
     val mad = broadcast(withMed.agg(
-      round(expr(s"percentile(abs(CAST($valueCol AS DOUBLE) - med), 0.5)"), 6).as("mad")))
+      round(expr(s"$fn(abs(CAST($quoted AS DOUBLE) - med), 0.5)"), 6).as("mad")))
     withMed.crossJoin(mad)
       .withColumn("abs_dev", round(abs(c - col("med")), 6))
       .withColumn("is_outlier", col("abs_dev") > lit(k.toDouble) * col("mad"))

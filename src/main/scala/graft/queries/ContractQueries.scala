@@ -634,13 +634,13 @@ object ContractQueries {
         "fr AS (SELECT c_custkey, CASE WHEN c_custkey % 17 = 0 THEN 'NEWSEG' ELSE seg END AS seg, name, " +
         "CASE WHEN c_custkey % 31 = 0 THEN 'N/A' ELSE amount END AS amount, " +
         "CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE period END AS period FROM i WHERE c_custkey % 2 = 1), " +
-        "refseg AS (SELECT DISTINCT seg FROM i WHERE c_custkey % 2 = 0), " +
+        "refseg AS (SELECT DISTINCT trim(seg) AS seg FROM i WHERE c_custkey % 2 = 0), " +
         "u AS (" +
         "SELECT 'c_custkey' AS col, 'long' AS st, 0::BIGINT AS tv, " +
         "(SELECT count(CASE WHEN c_custkey IS NULL THEN 1 END) FROM fr)::BIGINT AS nv, 0::BIGINT AS ev " +
         "UNION ALL SELECT 'seg', 'str', 0, " +
         "(SELECT count(CASE WHEN seg IS NULL OR trim(seg) = '' THEN 1 END) FROM fr), " +
-        "(SELECT count(CASE WHEN trim(seg) != '' AND seg NOT IN (SELECT seg FROM refseg) THEN 1 END) FROM fr) " +
+        "(SELECT count(CASE WHEN trim(seg) != '' AND trim(seg) NOT IN (SELECT seg FROM refseg) THEN 1 END) FROM fr) " +
         "UNION ALL SELECT 'name', 'str', 0, 0, 0 " +
         s"UNION ALL SELECT 'amount', 'double', " +
         s"(SELECT count(CASE WHEN trim(amount) != '' AND NOT regexp_matches(amount, '$floatRe') THEN 1 END) FROM fr), " +
@@ -664,7 +664,7 @@ object ContractQueries {
           s"count(CASE WHEN regexp_matches(CAST($c AS VARCHAR), '$intRe') THEN 1 END) AS i_ok, " +
           s"count(CASE WHEN regexp_matches(CAST($c AS VARCHAR), '$floatRe') THEN 1 END) AS f_ok, " +
           s"count(CASE WHEN regexp_matches(CAST($c AS VARCHAR), '$dateRe') THEN 1 END) AS d_ok, " +
-          s"count(DISTINCT CASE WHEN trim(CAST($c AS VARCHAR)) != '' THEN CAST($c AS VARCHAR) END) AS nd, " +
+          s"count(DISTINCT CASE WHEN trim(CAST($c AS VARCHAR)) != '' THEN trim(CAST($c AS VARCHAR)) END) AS nd, " +
           s"coalesce(max(CASE WHEN trim(CAST($c AS VARCHAR)) != '' THEN length(CAST($c AS VARCHAR)) END), 0) AS ml FROM i"
       "WITH i AS (SELECT c_custkey, c_mktsegment AS seg, " +
         "CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_name END AS name, " +

@@ -58,9 +58,14 @@ object RangeJoin {
                   grainSeconds: Long): DataFrame = {
     require(grainSeconds > 0, "grainSeconds must be positive")
     def bucketOf(c: Column): Column = floor(unix_timestamp(c) / grainSeconds)
-    val lBucketed = left.withColumn("__bucket__",
+    // Inverted intervals (end < start) are dropped up front: `sequence`
+    // generates a DESCENDING bucket list for them, so a malformed row
+    // would still explode and could emit pairs (an inverted left interval
+    // "overlaps" any right interval spanning it) instead of matching
+    // nothing — the empty-interval reading of an inverted range.
+    val lBucketed = left.where(col(lStart) <= col(lEnd)).withColumn("__bucket__",
       explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
-    val rBucketed = right.withColumn("__bucket__",
+    val rBucketed = right.where(col(rStart) <= col(rEnd)).withColumn("__bucket__",
       explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
     lBucketed.join(rBucketed, keyCols :+ "__bucket__", "inner")
       .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))

@@ -21,7 +21,10 @@ object Resample {
   def gapFilledCounts(events: DataFrame, tsCol: String, keyCol: String,
                       bucketSec: Long): DataFrame = {
     require(bucketSec > 0)
-    val b = (col(tsCol).cast("long") / bucketSec).cast("long")
+    // floor, not cast-truncation: `/` is double division and cast("long")
+    // truncates toward zero, which shifts every pre-1970 (negative-epoch)
+    // bucket up by one against the documented floor semantics
+    val b = floor(col(tsCol).cast("long") / bucketSec).cast("long")
     val counts = events
       .select(col(keyCol), b.as("__b__"))
       .groupBy(col(keyCol), col("__b__")).agg(count(lit(1)).as("cnt"))
@@ -122,7 +125,8 @@ object Resample {
   def retention(events: DataFrame, tsCol: String, userCol: String,
                 horizonDays: Int = 7): DataFrame = {
     require(horizonDays >= 0)
-    val day = (col(tsCol).cast("long") / 86400L).cast("long")
+    // floor for the same negative-epoch reason as [[gapFilledCounts]]
+    val day = floor(col(tsCol).cast("long") / 86400L).cast("long")
     val active = events.select(col(userCol), day.as("__day__")).distinct()
     val cohorts = active.groupBy(col(userCol)).agg(min(col("__day__")).as("__cohort__"))
     active.join(cohorts, Seq(userCol))

@@ -345,9 +345,17 @@ object Similarity {
         if (phi == 0L) Array.empty[org.apache.spark.sql.Row] // all mass on seeds
         else di
           .where(!col(idCol).isin(centerIds: _*))
+          // DECIMAL(38,0) comparison: bucket∈[0,1e6) × phi can pass 2^63
+          // around ~5M corpus rows (phi sums micro-floored distances up to
+          // ~2e6/row) and BIGINT would wrap negative, silently selecting
+          // far more than ~oversample ids into the driver collect. Decimal
+          // keeps the inequality EXACT (same selected set wherever 64-bit
+          // didn't overflow, so the oracle is unchanged) at any scale.
           .where(graft.text.Sampling.hashBucket(
-            concat(col(idCol).cast("string"), lit(s":kmpp$r")), 1000000) * lit(phi)
-            < lit(oversample.toLong) * col("__di__") * lit(1000000L))
+            concat(col(idCol).cast("string"), lit(s":kmpp$r")), 1000000)
+              .cast("decimal(38,0)") * lit(phi).cast("decimal(38,0)")
+            < lit(oversample.toLong).cast("decimal(38,0)")
+              * col("__di__").cast("decimal(38,0)") * lit(1000000L).cast("decimal(38,0)"))
           .select(col(idCol)).collect()
       centerIds = centerIds ++ sel.map(_.get(0))
     }

@@ -217,17 +217,19 @@ object Sampling {
     * Scale note (the q_percentiles discipline): the EXACT percentile
     * buffers the score column in one aggregation task — correct at
     * verification scale; the production-scale swap is
-    * `approx_percentile`, a bounded-memory mergeable sketch with the same
-    * call shape (sketches differ per engine, so the exact form is what an
-    * external oracle can replicate).
+    * `approx_percentile` (`exact = false`), a bounded-memory mergeable
+    * sketch with the same call shape (sketches differ per engine, so the
+    * exact form is what an external oracle can replicate).
     */
   def percentileGate(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                     score: Column, quantilePerMille: Int): org.apache.spark.sql.DataFrame = {
+                     score: Column, quantilePerMille: Int,
+                     exact: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(quantilePerMille >= 0 && quantilePerMille <= 1000)
     val q = quantilePerMille / 1000.0
+    val fn = if (exact) "percentile" else "approx_percentile"
     val scored = docs.select(col(idCol), score.as("score"))
     val threshold = broadcast(scored.agg(
-      round(expr(s"percentile(score, $q)"), 6).as("threshold")))
+      round(expr(s"$fn(score, $q)"), 6).as("threshold")))
     scored.crossJoin(threshold)
       .select(col(idCol), col("score"), col("threshold"),
         (col("score") >= col("threshold")).as("keep"))

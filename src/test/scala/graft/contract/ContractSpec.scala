@@ -365,4 +365,48 @@ class ContractSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2), r.getLong(5))).toMap
     assert(got("empty") == (("str", true, 0L)))
   }
+
+  test("drift enum check trims both sides: padded copies of known values are not drift") {
+    import spark.implicits._
+    // reference holds ' A' and 'A' — ONE trimmed value, so still an enum
+    // candidate at enumMax 1; a padded fresh 'A ' is in-contract, 'B' is not
+    val ref = Seq((1L, " A"), (2L, "A"), (3L, "A")).toDF("k", "seg")
+    val fresh = Seq((4L, "A "), (5L, "B")).toDF("k", "seg")
+    val mined = Contract.suggestRules(ref, enumMax = 1).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(mined("seg") == ((true, 1L))) // trimmed cardinality, candidate
+    val got = Contract.validateAgainstSuggested(ref, fresh, enumMax = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got("seg") == 1L) // only 'B' drifts; 'A ' trims into the enum
+  }
+
+  test("validateAgainstSuggested with no shared columns returns empty, not a crash") {
+    import spark.implicits._
+    val ref = Seq((1L, "x")).toDF("a", "b")
+    val fresh = Seq((1L, "x")).toDF("c", "d")
+    val got = Contract.validateAgainstSuggested(ref, fresh)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("column", "suggested_type",
+      "n_type_violations", "n_null_violations", "n_enum_violations", "drifted"))
+  }
+
+  test("repair approx path tracks exact within tolerance; hostile column names parse") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "my value")
+    val exact = Repair.winsorize(df, "my value").agg(max("lo"), max("hi")).head()
+    val approx = Repair.winsorize(df, "my value", exact = false)
+      .agg(max("lo"), max("hi")).head()
+    assert(math.abs(exact.getDouble(0) - approx.getDouble(0)) <= 20.0)
+    assert(math.abs(exact.getDouble(1) - approx.getDouble(1)) <= 20.0)
+    val o = Repair.robustOutliers(df, "my value", exact = false)
+    assert(o.where(col("is_outlier")).count() == 0) // uniform ramp: no outliers
+  }
+
+  test("repair fails fast when the input already carries an output column") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, 0.0)).toDF("id", "v", "lo")
+    intercept[IllegalArgumentException] { Repair.winsorize(df, "v") }
+    val df2 = Seq((1L, 2.0, 0.0)).toDF("id", "v", "mad")
+    intercept[IllegalArgumentException] { Repair.robustOutliers(df2, "v") }
+  }
 }

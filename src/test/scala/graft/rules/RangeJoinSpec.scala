@@ -63,4 +63,18 @@ class RangeJoinSpec extends SparkSpec {
       .count()
     assert(touch == 1L)
   }
+
+  test("overlapJoin drops inverted intervals: an empty range overlaps nothing") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    // inverted left (end < start) inside a wide right: without the guard,
+    // sequence() descends and the pair leaks through the bucket join
+    val lefts = Seq((1L, "k", t(50), t(20)), (2L, "k", t(30), t(40)))
+      .toDF("lid", "k", "ls", "le")
+    val rights = Seq((10L, "k", t(0), t(95)), (11L, "k", t(95), t(20)))
+      .toDF("rid", "k", "rs", "re")
+    val got = RangeJoin.overlapJoin(lefts, rights, Seq("k"),
+        "ls", "le", "rs", "re", grainSeconds = 600L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((2L, 10L))) // only the well-formed pair survives
+  }
 }

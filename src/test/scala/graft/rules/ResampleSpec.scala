@@ -81,6 +81,20 @@ class ResampleSpec extends SparkSpec {
       (c2, 0L, 1L)))                            // user 3's day-10 visit is past horizon
   }
 
+  test("pre-1970 timestamps bucket by floor, not truncation toward zero") {
+    // epoch -1800 s (1969-12-31 23:30 UTC) belongs to hour-bucket -1
+    // ([-3600, 0)); cast-truncation would put it in bucket 0
+    val events = Seq(Tuple2(new java.sql.Timestamp(-1800L * 1000), "a"))
+      .toDF("ts", "k")
+    val out = Resample.gapFilledCounts(events, "ts", "k", 3600L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", -3600L, 1L)))
+    // retention day for the same instant is day -1, not day 0
+    val r = Resample.retention(events.toDF("ts", "user"), "ts", "user", 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((-86400L, 0L, 1L)))
+  }
+
   test("gapFilledCounts totals match the raw event count") {
     val events = spark.range(0, 500).select(
       (col("id") % 5).cast("string").as("k"),

@@ -78,6 +78,13 @@ class SamplingSpec extends SparkSpec {
       Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0)).toDF("doc_id", "s"),
       "doc_id", col("s"), 500)
     assert(exact.where(col("keep")).count() == 3L) // 3.0 is p50, kept
+    // approx production path: same call shape, threshold within sketch
+    // tolerance of exact, kept mass close to the 750 exact keeps
+    val approx = Sampling.percentileGate(docs, "doc_id", col("s"),
+      quantilePerMille = 250, exact = false)
+    val thA = approx.select("threshold").distinct().as[Double].head()
+    assert(math.abs(thA - 24.75) <= 2.0)
+    assert(math.abs(approx.where(col("keep")).count() - 750L) <= 30L)
   }
 
   test("temperatureMix flattens shares: minority stratum oversampled vs its mass") {
