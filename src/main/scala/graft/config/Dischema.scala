@@ -326,10 +326,27 @@ object Dischema {
     val refdata = Option(tf.get("reference_data")).map(rd =>
       rd.properties().asScala.map { e =>
         val kind = opt(e.getValue, "type").getOrElse("filename")
-        val loc = opt(e.getValue, "filename").orElse(opt(e.getValue, "uri"))
-          .orElse(opt(e.getValue, "table")).getOrElse("")
+        val loc = kind match {
+          // database + table_name -> a qualified catalog table (ref:
+          // reference_data.py ReferenceTable; movies.dischema.json uses
+          // {"type": "table", "database": "movies_refdata", "table_name": "sequels"})
+          case "table" =>
+            val t = opt(e.getValue, "table_name").orElse(opt(e.getValue, "table")).getOrElse("")
+            opt(e.getValue, "database").map(db => s"$db.$t").getOrElse(t)
+          case _ => opt(e.getValue, "filename").orElse(opt(e.getValue, "uri"))
+            .orElse(opt(e.getValue, "table")).getOrElse("")
+        }
         e.getKey -> RefDataSource(kind, loc)
       }.toMap).getOrElse(Map.empty)
+
+    // document-level template parameters (ref: configuration/v1/__init__.py
+    // V1TransformationConfig.parameters — movies' {"entity": "movies"} feeds
+    // every stored rule that omits an explicit entity parameter); explicit
+    // caller globals win on key collisions
+    val docParams: Map[String, Any] = Option(tf.get("parameters")).map(p =>
+      p.properties().asScala.map(e => e.getKey -> (e.getValue.asText: Any)).toMap)
+      .getOrElse(Map.empty)
+    val allGlobals = docParams ++ globalParams
 
     // rule stores: name -> spec ({type: filter|complex_rule, rule_config, parameter_defaults})
     val storeRules: Map[String, JsonNode] =
@@ -347,24 +364,28 @@ object Dischema {
     def renderNode(node: JsonNode, params: Map[String, Any]): JsonNode = {
       // lenient: unresolved (per-record) placeholders survive to notify time
       val rendered = Templating.renderLenient(mapper.writeValueAsString(node),
-        globalParams ++ runtimeVars ++ params)
+        allGlobals ++ runtimeVars ++ params)
       mapper.readTree(rendered)
     }
 
     def parseFilterList(node: JsonNode, extraParams: Map[String, Any]): Seq[DeferredFilter] =
       Option(node).toSeq.flatMap(_.elements().asScala).map { f0 =>
-        val f = if (globalParams.nonEmpty || runtimeVars.nonEmpty) renderNode(f0, extraParams) else f0
+        val f = if (allGlobals.nonEmpty || runtimeVars.nonEmpty) renderNode(f0, extraParams) else f0
         if (f.has("rule_name")) { // business filter from a rule store
           val spec = storeRules.getOrElse(f.get("rule_name").asText,
             throw new IllegalArgumentException(s"rule '${f.get("rule_name").asText}' not in any rule store"))
+          // ONLY parameter_defaults + parameters template the stored rule:
+          // the reference's BusinessFilterConfig model carries nothing else,
+          // so outer keys like error_code/reporting_field on a rule_name
+          // filter are silently DROPPED (ref: configuration/v1/filters.py:
+          // 52-58, pydantic ignores extra fields) — planets.feature asserts
+          // HIGH_DENSITY, the template default, even though the dischema
+          // writes error_code DENSITY_OVER_1000 at the filter level
           val params = extraParams ++
             Option(spec.get("parameter_defaults")).map(p =>
               p.properties().asScala.map(e => e.getKey -> (e.getValue.asText: Any)).toMap).getOrElse(Map.empty) ++
             Option(f.get("parameters")).map(p =>
-              p.properties().asScala.map(e => e.getKey -> (e.getValue.asText: Any)).toMap).getOrElse(Map.empty) ++
-            // filter-level overrides participate as template variables
-            Seq("error_code", "reporting_field", "failure_message").flatMap(k =>
-              opt(f, k).map(k -> (_: Any))).map { case (k, v) => k -> v }
+              p.properties().asScala.map(e => e.getKey -> (e.getValue.asText: Any)).toMap).getOrElse(Map.empty)
           parseFilter(renderNode(spec.get("rule_config"), params))
         } else parseFilter(f)
       }
@@ -372,7 +393,7 @@ object Dischema {
     def parseStepList(node: JsonNode): Seq[Step] =
       Option(node).toSeq.flatMap(_.elements().asScala)
         .map(n => parseStep(
-          if (globalParams.nonEmpty || runtimeVars.nonEmpty) renderNode(n, Map.empty) else n))
+          if (allGlobals.nonEmpty || runtimeVars.nonEmpty) renderNode(n, Map.empty) else n))
 
     // complex rules (from stores) first, then the root rule — reference order
     // (ref: configuration/v1/__init__.py:281-306 _load_rules_and_vars)

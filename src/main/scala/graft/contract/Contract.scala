@@ -398,36 +398,44 @@ object Contract {
       .otherwise(lit(null).cast(DateType))
   }
 
-  /** Constraint checks -> Seq of (failCondition, category, message). */
+  /** Constraint checks -> Seq of (failCondition, category, message).
+    *
+    * Every check reports category "Bad value" with message "is invalid" —
+    * the reference DISCARDS the pydantic error's own text and renders the
+    * (field, category) error-detail template, whose "Bad value" default is
+    * literally "is invalid" (ref: message.py:68-69 DEFAULT_ERROR_DETAIL,
+    * :262-276 from_validation_error; tests/test_pipeline/
+    * test_spark_pipeline.py pins ErrorMessage "is invalid" for not_ge,
+    * max_length and bool failures alike). Richer per-check text would
+    * diverge from every golden scenario.
+    */
   private def constraintChecks(c: Column, f: FieldSpec): Seq[(Column, String, String)] = {
     val t = trim(c)
     val asNum = t.try_cast("decimal(38,10)")
+    val inv = "is invalid"
     Seq(
-      f.minLength.map(n => (length(t) < n, "Bad value", s"shorter than ${n} characters")),
-      f.maxLength.map(n => (length(t) > n, "Bad value", s"longer than ${n} characters")),
-      f.regex.map(r => (!t.rlike(r), "Wrong format", s"does not match pattern")),
-      f.ge.map(v => (asNum < v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be >= $v")),
-      f.le.map(v => (asNum > v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be <= $v")),
-      f.gt.map(v => (asNum <= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be > $v")),
-      f.lt.map(v => (asNum >= v.bigDecimal.toPlainString.toDouble, "Bad value", s"must be < $v")),
+      f.minLength.map(n => (length(t) < n, "Bad value", inv)),
+      f.maxLength.map(n => (length(t) > n, "Bad value", inv)),
+      f.regex.map(r => (!t.rlike(r), "Bad value", inv)),
+      f.ge.map(v => (asNum < v.bigDecimal.toPlainString.toDouble, "Bad value", inv)),
+      f.le.map(v => (asNum > v.bigDecimal.toPlainString.toDouble, "Bad value", inv)),
+      f.gt.map(v => (asNum <= v.bigDecimal.toPlainString.toDouble, "Bad value", inv)),
+      f.lt.map(v => (asNum >= v.bigDecimal.toPlainString.toDouble, "Bad value", inv)),
       // timezone policy for flexible datetimes (ref: domain_types.py:420-428)
       (if (f.typeName == "formatteddatetime" && f.format.isEmpty)
         f.timezoneTreatment match {
-          case Some("forbid") =>
-            Some((flexHasTimezone(c), "Bad value", "has timezone, but this is forbidden"))
-          case Some("require") =>
-            Some((!flexHasTimezone(c), "Bad value", "missing timezone, but this is required"))
+          case Some("forbid") => Some((flexHasTimezone(c), "Bad value", inv))
+          case Some("require") => Some((!flexHasTimezone(c), "Bad value", inv))
           case _ => None
         }
       else None),
       // reporting periods must sit on month boundaries (ref: domain_types.py:585-611)
       (if (f.typeName == "reportingperiodstart")
-        Some((dayofmonth(reportingPeriodDate(c, f)) =!= 1, "Bad value",
-          "is not the start of the month"))
+        Some((dayofmonth(reportingPeriodDate(c, f)) =!= 1, "Bad value", inv))
       else None),
       (if (f.typeName == "reportingperiodend")
-        Some((reportingPeriodDate(c, f) =!= last_day(reportingPeriodDate(c, f)), "Bad value",
-          "is not the end of the month"))
+        Some((reportingPeriodDate(c, f) =!= last_day(reportingPeriodDate(c, f)),
+          "Bad value", inv))
       else None)
     ).flatten
   }
@@ -469,8 +477,12 @@ object Contract {
             loc: Column = locCol): Column =
       mkErr(value, category, lit(message), "error", "record", loc)
 
+    // warnings carry category "Wrong format" + their own text — the
+    // reference's warning lane (validation.py:106-150 handle_warnings:
+    // category="Wrong format", code from the detail's "Wrong format" key,
+    // message = str(warning)); errors below never use this category
     def warnErr(value: Column, message: Column): Column =
-      mkErr(value, "Bad value", message, "informational", "record")
+      mkErr(value, "Wrong format", message, "informational", "record")
 
     // indexed element location: <loc>.<i> (0-based, like pydantic)
     def elemLoc(i: Column): Column = concat(locCol, lit("."), i.cast(StringType))
@@ -491,7 +503,7 @@ object Contract {
       val fmtFails = when(isMissing, empty).otherwise(
         filter(transform(raw, (x, i) =>
           when(!elemBlank(x) && !formatOk(effectiveValue(x, f), f),
-            err(x, "Wrong format", "has wrong format", elemLoc(i))).otherwise(nullErr)),
+            err(x, "Bad value", "is invalid", elemLoc(i))).otherwise(nullErr)),
           e => e.isNotNull))
       val constraintFails = constraintChecks(element_at(raw, 1), f).indices.map { ci =>
         // rebuild each check against the element lambda variable
@@ -541,9 +553,15 @@ object Contract {
       val fnFails = functionFailures(base, f)
       val rejected = fnFails.collect { case (cond, _, "error", _) => cond }
         .reduceOption(_ || _).getOrElse(lit(false))
+      // rejecting function failures surface as pydantic errors ("Bad
+      // value"/"is invalid", the wrapper's text discarded like any other
+      // ValueError); warn-only functions ride the warning lane with their
+      // own text (ref: function_wrapper.py:48-181 + validation.py:106-150)
       val fnErrs = fnFails.map { case (cond, msg, status, failure) =>
-        when(cond, array(mkErr(base, "Bad value", lit(msg), status, failure)))
-          .otherwise(empty)
+        val e =
+          if (status == "informational") mkErr(base, "Wrong format", lit(msg), status, failure)
+          else mkErr(base, "Bad value", lit("is invalid"), status, failure)
+        when(cond, array(e)).otherwise(empty)
       }
       val c = effectiveValue(raw, f)
       val isMissing = c.isNull || trim(c.cast(StringType)) === ""
@@ -551,8 +569,11 @@ object Contract {
         when(isMissing && lit(f.mandatory) && !rejected,
           array(err(c, "Blank", "cannot be blank")))
           .otherwise(empty)
+      // parse failure = pydantic type/value error -> "Bad value"/"is
+      // invalid" (ref: message.py:253-256 — "Wrong format" is NEVER an
+      // error category in the contract lane, only the warning default)
       val fmtFail = when(!isMissing && !formatOk(c, f),
-        array(err(c, "Wrong format", "has wrong format"))).otherwise(empty)
+        array(err(c, "Bad value", "is invalid"))).otherwise(empty)
       val constraints = constraintChecks(c, f).map { case (cond, cat, msg) =>
         when(!isMissing && formatOk(c, f) && cond, array(err(c, cat, msg)))
           .otherwise(empty)
@@ -643,7 +664,12 @@ object Contract {
     val statusCol = over(col("e.status"))(d =>
       if (d.isInformational) Some(lit("informational"))
       else Some(when(col("e.status") === "informational", "informational").otherwise("error")))
-    val messageCol = over(concat(col("e.field"), lit(" "), col("e.message")))(d =>
+    // default message = the lane text itself ("cannot be blank" / "is
+    // invalid" / the warning's message), NO field prefix — the reference
+    // reports the detail template verbatim and locates the field via
+    // ErrorLocation/ReportingField (test_spark_pipeline.py pins the plain
+    // "is invalid" for every un-overridden error)
+    val messageCol = over(col("e.message"))(d =>
       d.errorMessage.map(renderTemplate(_, templateVars.toSet)))
     val codeCol = over(
       when(col("e.category") === "Blank", "FieldBlank")
@@ -700,7 +726,7 @@ object Contract {
         val elemBlank = e.isNull || trim(e) === ""
         val okFmt = formatOk(e, f)
         val fmt = when(!elemBlank && !okFmt,
-          array(errStruct(f.name, x, "Wrong format", lit("has wrong format"),
+          array(errStruct(f.name, x, "Bad value", lit("is invalid"),
             loc = elemLoc))).otherwise(empty)
         val constraints = constraintChecks(e, f).map { case (cond, cat, msg) =>
           when(!elemBlank && okFmt && cond,

@@ -115,6 +115,10 @@ object Pipeline {
     * post-hoc contract record rejection and checkpoint.
     */
   def businessRules(spark: SparkSession, cfg: SubmissionConfig): Map[String, Long] = {
+    // rule-stage functions (over_10, ...) are always in scope for rule and
+    // filter expressions, as in the reference's rules engine
+    // (ref: spark/rules.py:80-104); registration is idempotent
+    graft.functions.GraftFunctions.register(spark)
     val typed = cfg.dischema.entities.map { spec =>
       spec.name -> spark.read.parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
     }.toMap
@@ -137,23 +141,26 @@ object Pipeline {
     ruleMessages.foreach(m => ErrorSink.writeFeedbackErrors(m, cfg.workingDir, "business_rules"))
 
     val contractErrors = ErrorSink.readFeedbackErrors(spark, cfg.workingDir, "data_contract")
-    cfg.dischema.entities.map { spec =>
-      val out =
-        if (catalog.contains(spec.name)) {
-          val entity = catalog(spec.name)
-          val rejected =
-            if (entity.columns.contains(Contract.RecordIndexColumn))
-              Contract.filterContractErrors(entity,
-                contractErrors.where(col("Entity") === spec.name))
-            else entity
-          // Row count observed ON the write itself — no second job
-          // re-reading the parquet just to count what was written.
-          val obs = org.apache.spark.sql.Observation()
-          rejected.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
-            .parquet(s"${cfg.workingDir}/business_rules/${spec.name}")
-          obs.get("n").asInstanceOf[Long]
-        } else 0L
-      spec.name -> out
+    // EVERY catalog entity checkpoints — declared, Original copies, and
+    // rule-derived entities (a group_by's new_entity_name) — mirroring the
+    // reference's business-rules write loop (ref: pipeline.py:614-637,
+    // planets' largest_satellites and Originalplanets land as parquet).
+    // Contract record rejection applies to non-Original entities only;
+    // derived entities without a record index pass through untouched.
+    catalog.names.map { name =>
+      val entity = catalog(name)
+      val rejected =
+        if (!name.startsWith("Original") &&
+          entity.columns.contains(Contract.RecordIndexColumn))
+          Contract.filterContractErrors(entity,
+            contractErrors.where(col("Entity") === name))
+        else entity
+      // Row count observed ON the write itself — no second job
+      // re-reading the parquet just to count what was written.
+      val obs = org.apache.spark.sql.Observation()
+      rejected.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
+        .parquet(s"${cfg.workingDir}/business_rules/$name")
+      name -> obs.get("n").asInstanceOf[Long]
     }.toMap
   }
 
@@ -217,7 +224,9 @@ object Pipeline {
       audit.foreach(_.markStatus(cfg.submissionId, "data_contract"))
       val validationFailed = dataContract(spark, cfg)
       audit.foreach(_.markStatus(cfg.submissionId, "business_rules"))
-      val counts = businessRules(spark, cfg)
+      val allCounts = businessRules(spark, cfg)
+      val declared = cfg.dischema.entities.map(_.name)
+      val counts = declared.map(n => n -> allCounts.getOrElse(n, 0L)).toMap
       audit.foreach(_.markStatus(cfg.submissionId, "error_report"))
       val all = ErrorSink.readAllFeedbackErrors(spark, cfg.workingDir).persist()
       errorReportFrom(spark, cfg, all)
@@ -231,8 +240,13 @@ object Pipeline {
           count(when(col("FailureType") === "record"
             && col("Status") =!= "informational", true)).as("rec"),
           count(when(col("Status") === "informational", true)).as("warn")).head()
+        // record_count = the SUBMITTED record count: the Original copies
+        // are the pre-rules, pre-rejection entities, matching the
+        // reference's count of Original<entity> (ref: pipeline.py:639-643)
+        val submitted = declared
+          .map(n => allCounts.getOrElse(s"Original$n", allCounts.getOrElse(n, 0L))).sum
         a.addStatistics(cfg.submissionId,
-          recordCount = counts.values.sum,
+          recordCount = submitted,
           submissionRejections = stats.getLong(0),
           recordRejections = stats.getLong(1),
           warnings = stats.getLong(2))

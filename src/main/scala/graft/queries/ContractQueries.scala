@@ -510,7 +510,9 @@ object ContractQueries {
         "SELECT 'flag' AS ErrorLocation, 'Blank' AS Category, 'FieldBlank' AS ErrorCode, count(1) AS n " +
         "FROM lineitem WHERE l_returnflag = 'R' " +
         "UNION ALL SELECT 'qty', 'Bad value', 'BadValue', count(1) FROM lineitem WHERE l_quantity > 49 " +
-        "UNION ALL SELECT 'weird', 'Wrong format', 'WrongFormat', count(1) FROM lineitem WHERE l_discount > 0.08) t"),
+        // parse failures are 'Bad value' like every non-Blank error
+        // (ref: message.py:253-256)
+        "UNION ALL SELECT 'weird', 'Bad value', 'BadValue', count(1) FROM lineitem WHERE l_discount > 0.08) t"),
     "q_contract_reject" ->
       ("SELECT l_orderkey, l_linenumber FROM lineitem " +
         "WHERE l_quantity <= 49 AND l_returnflag IN ('A', 'N')"),
@@ -536,10 +538,10 @@ object ContractQueries {
         "SELECT * FROM (" +
         "SELECT 'items.' || p || '.ln' AS ErrorLocation, 'Blank' AS Category, " +
         "'FieldBlank' AS ErrorCode, count(1) AS n FROM pos WHERE ln IS NULL GROUP BY 1 " +
-        "UNION ALL SELECT 'items.' || p || '.qty', 'Wrong format', 'WrongFormat', count(1) " +
-        "FROM pos WHERE qty LIKE 'x%' GROUP BY 1 " +
+        // parse and constraint failures share the 'Bad value' lane, so per
+        // location they aggregate into ONE row
         "UNION ALL SELECT 'items.' || p || '.qty', 'Bad value', 'BadValue', count(1) " +
-        "FROM pos WHERE qty NOT LIKE 'x%' AND TRY_CAST(qty AS DOUBLE) > 45 GROUP BY 1) t"),
+        "FROM pos WHERE qty LIKE 'x%' OR TRY_CAST(qty AS DOUBLE) > 45 GROUP BY 1) t"),
     "q_contract_overrides" ->
       ("SELECT * FROM (" +
         "SELECT 'lineitem' AS Entity, 'qty' AS ErrorLocation, 'QTYRANGE' AS ErrorCode, " +
@@ -549,24 +551,24 @@ object ContractQueries {
         "UNION ALL SELECT 'lineitem_flags', 'flag', 'FLAGMISSING', 'record', 'informational', count(1), " +
         "min('flag missing for order ' || CAST(l_orderkey AS VARCHAR)) " +
         "FROM lineitem WHERE l_returnflag = 'R' " +
-        "UNION ALL SELECT 'lineitem', 'weird', 'WrongFormat', 'record', 'error', count(1), " +
-        "min('weird has wrong format') FROM lineitem WHERE l_discount > 0.08) t"),
+        "UNION ALL SELECT 'lineitem', 'weird', 'BadValue', 'record', 'error', count(1), " +
+        "min('is invalid') FROM lineitem WHERE l_discount > 0.08) t"),
     "q_contract_error_types" ->
       ("SELECT * FROM (" +
         "SELECT 'a' AS ErrorLocation, 'error' AS Status, 'record' AS FailureType, " +
         "'FieldBlank' AS ErrorCode, count(1) AS n FROM customer WHERE c_mktsegment = 'BUILDING' " +
         "UNION ALL SELECT 'a', 'error', 'record', 'BadValue', count(1) " +
         "FROM customer WHERE contains(lower(c_mktsegment), 'mobile') " +
-        "UNION ALL SELECT 'b', 'informational', 'record', 'BadValue', count(1) " +
+        // warn-only function failures ride the warning lane: 'Wrong format'
+        // default code (ref: validation.py:131-147)
+        "UNION ALL SELECT 'b', 'informational', 'record', 'WrongFormat', count(1) " +
         "FROM customer WHERE contains(lower(c_mktsegment), 'mobile') " +
         "UNION ALL SELECT 'c', 'error', 'submission', 'BadValue', count(1) " +
         "FROM customer WHERE c_custkey % 5 = 0) t"),
     "q_contract_each_item" ->
       ("SELECT * FROM (" +
         "SELECT 'Bad value' AS Category, 'BadValue' AS ErrorCode, count(1) AS n " +
-        "FROM lineitem WHERE l_discount <= 0.08 AND l_quantity > 45 " +
-        "UNION ALL SELECT 'Wrong format', 'WrongFormat', count(1) " +
-        "FROM lineitem WHERE l_discount > 0.08) t"),
+        "FROM lineitem WHERE (l_discount <= 0.08 AND l_quantity > 45) OR l_discount > 0.08) t"),
     "q_reader_xsd" ->
       ("SELECT * FROM (VALUES " +
         "(3::BIGINT, 39::BIGINT, 'cvc-datatype-valid.1.2.1'), " +
@@ -680,18 +682,21 @@ object ContractQueries {
         "nd::BIGINT AS n_distinct, ml::BIGINT AS max_length FROM u"
     },
 
+    // test-number warnings ride the warning lane (WrongFormat code, the
+    // warning's own text, ref: validation.py:131-147); the checksum failure
+    // is an ordinary pydantic error (BadValue / "is invalid")
     "q_contract_nhs_permissive" ->
       ("WITH c AS (SELECT c_custkey % 6 AS b FROM customer) SELECT * FROM (" +
-        "SELECT 'strict' AS lane, 'BadValue' AS ErrorCode, 'informational' AS Status, 'record' AS FailureType, " +
-        "'nhs NHS number possibly invalid (returned by MPS to indicate multiple matches)' AS ErrorMessage, " +
+        "SELECT 'strict' AS lane, 'WrongFormat' AS ErrorCode, 'informational' AS Status, 'record' AS FailureType, " +
+        "'NHS number possibly invalid (returned by MPS to indicate multiple matches)' AS ErrorMessage, " +
         "'9999999999' AS Value, count(1) AS n FROM c WHERE b = 0 " +
-        "UNION ALL SELECT 'strict', 'BadValue', 'informational', 'record', " +
-        "'nhs NHS number possibly invalid (returned by MPS to indicate no match)', '0000000000', count(1) FROM c WHERE b = 1 " +
-        "UNION ALL SELECT 'strict', 'BadValue', 'informational', 'record', " +
-        "'nhs NHS number possibly invalid (NHS number is a palindrome: this indicates a test number)', '0000110000', count(1) FROM c WHERE b = 2 " +
-        "UNION ALL SELECT 'strict', 'BadValue', 'informational', 'record', " +
-        "'nhs NHS number possibly invalid (NHS number starts with ''9'': this indicates a test number)', '9434765919', count(1) FROM c WHERE b = 3 " +
-        "UNION ALL SELECT 'strict', 'WrongFormat', 'error', 'record', 'nhs has wrong format', '1234567890', count(1) FROM c WHERE b = 5 " +
-        "UNION ALL SELECT 'permissive', 'WrongFormat', 'error', 'record', 'nhs has wrong format', '1234567890', count(1) FROM c WHERE b = 5) t")
+        "UNION ALL SELECT 'strict', 'WrongFormat', 'informational', 'record', " +
+        "'NHS number possibly invalid (returned by MPS to indicate no match)', '0000000000', count(1) FROM c WHERE b = 1 " +
+        "UNION ALL SELECT 'strict', 'WrongFormat', 'informational', 'record', " +
+        "'NHS number possibly invalid (NHS number is a palindrome: this indicates a test number)', '0000110000', count(1) FROM c WHERE b = 2 " +
+        "UNION ALL SELECT 'strict', 'WrongFormat', 'informational', 'record', " +
+        "'NHS number possibly invalid (NHS number starts with ''9'': this indicates a test number)', '9434765919', count(1) FROM c WHERE b = 3 " +
+        "UNION ALL SELECT 'strict', 'BadValue', 'error', 'record', 'is invalid', '1234567890', count(1) FROM c WHERE b = 5 " +
+        "UNION ALL SELECT 'permissive', 'BadValue', 'error', 'record', 'is invalid', '1234567890', count(1) FROM c WHERE b = 5) t")
   )
 }

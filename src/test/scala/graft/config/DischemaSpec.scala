@@ -124,7 +124,10 @@ class DischemaSpec extends AnyFunSuite {
         reportingField = Some("gravity"))))
     val store = fs(1)
     assert(store.expression == "density IS NOT NULL AND density > 1000")
-    assert(store.reporting.code == "DENSITY_OVER_1000") // explicit override wins over default()
+    // the outer error_code on a rule_name filter is DROPPED (reference
+    // parity: BusinessFilterConfig carries only rule_name + parameters, so
+    // planets.feature gets HIGH_DENSITY despite writing DENSITY_OVER_1000)
+    assert(store.reporting.code == "HIGH_DENSITY")
     assert(store.reporting.message == "Field is low") // or-default literal
     assert(store.reporting.reportingField.contains("'density'")) // repr()
   }

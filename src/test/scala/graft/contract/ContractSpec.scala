@@ -28,16 +28,19 @@ class ContractSpec extends SparkSpec {
     assert(msgs.where("ErrorLocation = 'a'").count() == 1)
   }
 
-  test("unparseable numerics and dates are Wrong format; constraints are Bad value") {
+  test("every non-Blank contract error is Bad value / 'is invalid' (reference parity)") {
+    // ref: message.py:253-256 — pydantic parse AND constraint failures all
+    // categorize "Bad value"; "Wrong format" is warning-lane only
     val df = Seq(("12x", "5", "2020-13-40"), ("7", "99", "2020-01-31")).toDF("n", "m", "d")
     val spec = EntitySpec("e", Seq(
       FieldSpec("n", "long"),
       FieldSpec("m", "long", le = Some(BigDecimal(10))),
       FieldSpec("d", "date")))
     val msgs = Contract.validate(df, spec)
-    val got = msgs.select("ErrorLocation", "Category").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got == Set(("n", "Wrong format"), ("m", "Bad value"), ("d", "Wrong format")))
+    val got = msgs.select("ErrorLocation", "Category", "ErrorMessage").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("n", "Bad value", "is invalid"), ("m", "Bad value", "is invalid"),
+      ("d", "Bad value", "is invalid")))
   }
 
   test("formatted date cast parses the declared format and nulls invalid values") {
@@ -135,7 +138,7 @@ class ContractSpec extends SparkSpec {
       FieldSpec("vals", "long", isArray = true, le = Some(BigDecimal(50)))))
     val msgs = Contract.validate(df, spec)
     val got = msgs.select("Value", "Category").collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got == Set(("oops", "Wrong format"), ("nope", "Wrong format"), ("99", "Bad value")))
+    assert(got == Set(("oops", "Bad value"), ("nope", "Bad value"), ("99", "Bad value")))
     // cast: failing elements null out, passing elements type
     val typed = Contract.cast(df, spec).where("id = 2").select("vals")
       .collect().head.getSeq[Any](0)
@@ -173,14 +176,14 @@ class ContractSpec extends SparkSpec {
       ("subs", "Blank"),            // row 3: mandatory array absent
       ("subs.1.sid", "Blank"),      // row 1 elem [1]: mandatory leaf blank
       ("subs.0.v", "Bad value"),    // row 2 elem [0]: 99 > 50
-      ("subs.1.v", "Wrong format")  // row 1 elem [1]: not a number
+      ("subs.1.v", "Bad value")     // row 1 elem [1]: not a number
     ).sorted)
     // struct (non-array) nesting validates leaves in place too
     val one = spark.read.json(Seq("""{"inner": {"a": "oops"}}""").toDS())
     val m2 = Contract.validate(one,
       EntitySpec("e", Seq(FieldSpec("inner", fields = Seq(FieldSpec("a", "long"))))))
     assert(m2.select("ErrorLocation", "Category").collect().map(r =>
-      (r.getString(0), r.getString(1))).toSeq == Seq(("inner.a", "Wrong format")))
+      (r.getString(0), r.getString(1))).toSeq == Seq(("inner.a", "Bad value")))
   }
 
   test("reporting periods enforce month boundaries") {
@@ -197,7 +200,7 @@ class ContractSpec extends SparkSpec {
     assert(got == Set(
       ("ps", "2024-02-02", "Bad value"),
       ("pe", "2024-02-28", "Bad value"),
-      ("ps", "bad", "Wrong format")))
+      ("ps", "bad", "Bad value")))
     val typed = Contract.cast(df, spec)
     assert(typed.schema.forall(_.dataType == org.apache.spark.sql.types.DateType))
   }
@@ -279,17 +282,21 @@ class ContractSpec extends SparkSpec {
           errorMessage = Some("v={{__error_value}} too big (id {{id}}, missing {{nope}})")),
         "Blank" -> ErrorDetail("VBLANK", isInformational = true))))
     val msgs = Contract.validate(df, spec)
-    val byCode = msgs.collect().map(r => r.getAs[String]("ErrorCode") -> r).toMap
-    val range = byCode("VRANGE")
+    val byVal = msgs.collect().map(r => r.getAs[String]("Value") -> r).toMap
+    val range = byVal("60")
+    assert(range.getAs[String]("ErrorCode") == "VRANGE")
     assert(range.getAs[String]("FailureType") == "submission")
     assert(range.getAs[String]("ErrorMessage") == "v=60 too big (id 1, missing )")
-    val blank = byCode("VBLANK")
+    val blank = byVal(null)
+    assert(blank.getAs[String]("ErrorCode") == "VBLANK")
     assert(blank.getAs[String]("Status") == "informational")
     assert(blank.getAs[String]("FailureType") == "record")
-    // Wrong format lane is not overridden: default code + message survive
-    val wf = byCode("WrongFormat")
-    assert(wf.getAs[String]("ErrorMessage") == "v has wrong format")
-    assert(wf.getAs[String]("Entity") == "e")
+    // the parse failure is 'Bad value' too, so the SAME override catches it
+    // (reference parity: one category covers every non-Blank error)
+    val parse = byVal("abc")
+    assert(parse.getAs[String]("ErrorCode") == "VRANGE")
+    assert(parse.getAs[String]("ErrorMessage") == "v=abc too big (id 2, missing )")
+    assert(parse.getAs[String]("Entity") == "e")
   }
 
   test("constraint checks: length and range") {

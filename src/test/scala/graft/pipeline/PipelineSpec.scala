@@ -108,7 +108,10 @@ class PipelineSpec extends SparkSpec {
     val audit = new AuditManager(spark, s"$base/audit")
     assert(audit.statusOf("sub-planets").contains("finished"))
     val stats = spark.read.parquet(s"$base/audit/submission_statistics").collect().head
-    assert(stats.getAs[Long]("record_count") == 3L)
+    // record_count = SUBMITTED records (the Original pre-rules count, ref:
+    // pipeline.py:639-643), not survivors — planets.feature counts all 9
+    // submitted rows while only 1 survives the rules
+    assert(stats.getAs[Long]("record_count") == 6L)
     assert(stats.getAs[Long]("number_record_rejections") == 3L) // 2 contract + 1 filter
     assert(stats.getAs[Long]("number_warnings") == 1L)
   }
