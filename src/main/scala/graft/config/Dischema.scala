@@ -31,6 +31,20 @@ object Dischema {
       entities: Seq[EntitySpec],
       mandatoryByEntity: Map[String, Seq[String]],
       readerByEntity: Map[String, Map[String, String]], // entity -> extension -> reader
+      /** entity -> extension -> reader kwargs (record_tag,
+        * n_records_to_read, xsd_location, ... — ref: _ReaderConfig.kwargs_).
+        */
+      readerKwargs: Map[String, Map[String, Map[String, String]]] = Map.empty,
+      /** Document-level template parameters (transformations.parameters) —
+        * also names the MAIN entity for submission statistics (ref:
+        * pipeline.py:639-643 global_variables.get('entity', dataset_id)).
+        */
+      parameters: Map[String, String] = Map.empty,
+      /** Directory of the dischema document; reader-kwarg paths (an
+        * xsd_location) resolve against it, like the reference's injected
+        * rules_location (ref: configuration/v1/__init__.py:200-210).
+        */
+      baseDir: String = ".",
       referenceData: Map[String, RefDataSource],
       rules: Seq[Rule], // complex rules first, then the root rule (reference order)
       /** `upfront` (default): rules templated once at parse;
@@ -65,7 +79,7 @@ object Dischema {
     val root = mapper.readTree(new java.io.File(path))
     val baseDir = Option(new java.io.File(path).getParent).getOrElse(".")
     parse(root, name => mapper.readTree(new java.io.File(new java.io.File(baseDir, name).getPath)),
-      globalParams)
+      globalParams).copy(baseDir = baseDir)
   }
 
   def parseString(json: String, ruleStoreLoader: String => String = _ => "{}",
@@ -112,7 +126,10 @@ object Dischema {
       case "condecimal"    => FieldSpec(name, "decimal",
         precision = int("max_digits"), scale = int("decimal_places"))
       case "condate"       => FieldSpec(name, "date")
-      case "conformatteddate" => FieldSpec(name, "date", format = str("format"))
+      // the reference's constraint key is date_format (nested_books'
+      // non_iso_date); plain `format` accepted as the legacy spelling
+      case "conformatteddate" => FieldSpec(name, "date",
+        format = str("date_format").orElse(str("format")))
       case "formatteddatetime" => FieldSpec(name, "formatteddatetime", format = str("format"),
         timezoneTreatment = str("timezone_treatment"))
       case "formattedtime" => FieldSpec(name, "time", format = str("format"))
@@ -284,6 +301,17 @@ object Dischema {
     val types = Option(contract.get("types")).map(t =>
       t.properties().asScala.map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
     val datasets = Option(contract.get("datasets")).getOrElse(mapper.createObjectNode())
+    // `model` references resolve against component schemas AND datasets —
+    // the reference declares nested models under contract.schemas (ref:
+    // configuration/v1/__init__.py V1DataContractConfig.schemas; movies'
+    // cast model), while self-referencing datasets also work
+    val modelNodes: ObjectNode = {
+      val merged = mapper.createObjectNode()
+      Option(contract.get("schemas")).foreach(s =>
+        s.properties().asScala.foreach(e => merged.set[JsonNode](e.getKey, e.getValue)))
+      datasets.properties().asScala.foreach(e => merged.set[JsonNode](e.getKey, e.getValue))
+      merged
+    }
 
     // per-(field, category) error-detail overrides: inline object, or a
     // filename resolved by the same loader as rule stores
@@ -307,7 +335,7 @@ object Dischema {
     val entities = datasets.properties().asScala.toSeq.map { e =>
       val aliases = Option(e.getValue.get("aliases")).map(a =>
         a.properties().asScala.map(p => p.getKey -> p.getValue.asText).toMap).getOrElse(Map.empty)
-      EntitySpec(e.getKey, parseEntityFields(e.getValue, types, datasets),
+      EntitySpec(e.getKey, parseEntityFields(e.getValue, types, modelNodes),
         aliases = aliases, keyField = opt(e.getValue, "key_field"),
         errorDetails = errorDetails)
     }
@@ -320,6 +348,14 @@ object Dischema {
         rc.properties().asScala.map(p =>
           p.getKey -> Option(p.getValue.get("reader")).map(_.asText).getOrElse("")).toMap)
         .getOrElse(Map.empty[String, String])
+    }.toMap
+    val readerKwargs = datasets.properties().asScala.map { e =>
+      e.getKey -> Option(e.getValue.get("reader_config")).map(rc =>
+        rc.properties().asScala.map(p =>
+          p.getKey -> Option(p.getValue.get("kwargs")).map(kw =>
+            kw.properties().asScala.map(k => k.getKey -> k.getValue.asText).toMap)
+            .getOrElse(Map.empty[String, String])).toMap)
+        .getOrElse(Map.empty[String, Map[String, String]])
     }.toMap
 
     val tf = Option(root.get("transformations")).getOrElse(mapper.createObjectNode())
@@ -423,7 +459,10 @@ object Dischema {
 
     val strategy = opt(tf, "templating_strategy").getOrElse("upfront")
     val eagerRules = buildRules(Map.empty)
-    Parsed(entities, mandatoryByEntity, readerByEntity, refdata, eagerRules,
+    Parsed(entities, mandatoryByEntity, readerByEntity,
+      readerKwargs = readerKwargs,
+      parameters = docParams.map { case (k, v) => k -> v.toString },
+      referenceData = refdata, rules = eagerRules,
       templatingStrategy = strategy,
       rulesWith = vars => if (vars.isEmpty) eagerRules else buildRules(vars))
   }

@@ -209,11 +209,16 @@ object Contract {
 
   private def nhsCheckExpr(c: Column): Column = {
     val cleaned = regexp_replace(regexp_replace(c, " ", ""), "-", "")
-    val total = (1 to 9).map(i => substring(cleaned, i, 1).cast(IntegerType) * lit(11 - i))
+    // try_cast: And does NOT short-circuit per row, so the digit extraction
+    // must tolerate short/non-numeric values (a 9-digit number makes
+    // substring(_, 10, 1) = "" and an ANSI cast would throw) — the rlike
+    // format gate below decides validity, null arithmetic never passes it
+    val total = (1 to 9).map(i => substring(cleaned, i, 1).try_cast(IntegerType) * lit(11 - i))
       .reduce(_ + _)
     val rem = total % 11
     val check = lit(11) - when(rem === 0, 11).otherwise(rem)
-    cleaned.rlike("^[0-9]{10}$") && check === substring(cleaned, 10, 1).cast(IntegerType)
+    cleaned.rlike("^[0-9]{10}$") &&
+      check === substring(cleaned, 10, 1).try_cast(IntegerType)
   }
 
   /** Normalise as the reference does (ref: domain_types.py:181-191): strip

@@ -75,9 +75,28 @@ object Pipeline {
           Readers.readCsv(spark, cfg.dataFile, spec, cfg.csvOptions)
         case "SparkJSONReader" =>
           Readers.readJson(spark, cfg.dataFile, spec, multiLine = ext == ".json")
-        case "SparkXMLReader" | "BasicXMLFileReader" | "XMLStreamReader" =>
+        case "SparkXMLReader" | "BasicXMLFileReader" | "XMLStreamReader"
+           | "DuckDBXMLStreamReader" =>
+          val kw = cfg.dischema.readerKwargs
+            .getOrElse(spec.name, Map.empty).getOrElse(ext, Map.empty)
+          // configured XSD gate (ref: readers/xml.py xsd_location kwargs):
+          // structural failure aborts the transform phase with the
+          // configured code, before any entity parses
+          kw.get("xsd_location").foreach { xsd =>
+            val xsdPath = if (xsd.startsWith("/")) xsd
+              else s"${cfg.dischema.baseDir}/$xsd"
+            val problems = graft.readers.XmlLinting.validate(
+              cfg.dataFile.stripPrefix("file:"), xsdPath)
+            if (problems.nonEmpty)
+              throw new graft.rules.ConstraintException(
+                kw.getOrElse("xsd_error_message", "the xml failed XSD validation") +
+                  s": ${problems.head}",
+                kw.getOrElse("xsd_error_code", "XSDERROR"))
+          }
           Readers.readXml(spark, cfg.dataFile, spec,
-            rowTag = cfg.xmlRowTags.getOrElse(spec.name, spec.name))
+            rowTag = kw.getOrElse("record_tag",
+              cfg.xmlRowTags.getOrElse(spec.name, spec.name)),
+            limit = kw.get("n_records_to_read").map(_.toInt))
         case other =>
           throw new IllegalArgumentException(s"unknown reader: '$other' for ${spec.name}")
       }
@@ -240,10 +259,15 @@ object Pipeline {
           count(when(col("FailureType") === "record"
             && col("Status") =!= "informational", true)).as("rec"),
           count(when(col("Status") === "informational", true)).as("warn")).head()
-        // record_count = the SUBMITTED record count: the Original copies
-        // are the pre-rules, pre-rejection entities, matching the
-        // reference's count of Original<entity> (ref: pipeline.py:639-643)
-        val submitted = declared
+        // record_count = the SUBMITTED record count of the MAIN entity: the
+        // Original copy is the pre-rules, pre-rejection frame, and the main
+        // entity is the document's 'entity' template parameter (ref:
+        // pipeline.py:639-643 global_variables.get('entity', dataset_id) —
+        // books counts nested_books' 4 authors, not header + authors);
+        // without a parameter, all declared entities count
+        val statEntities = cfg.dischema.parameters.get("entity")
+          .filter(declared.contains).map(Seq(_)).getOrElse(declared)
+        val submitted = statEntities
           .map(n => allCounts.getOrElse(s"Original$n", allCounts.getOrElse(n, 0L))).sum
         a.addStatistics(cfg.submissionId,
           recordCount = submitted,

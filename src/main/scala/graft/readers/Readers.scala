@@ -149,13 +149,17 @@ object Readers {
     * (ref: spark/readers/xml.py:191-195 pads the same way).
     */
   def readXml(spark: SparkSession, path: String, spec: EntitySpec,
-              rowTag: String, ignoreNamespace: Boolean = true): DataFrame = {
+              rowTag: String, ignoreNamespace: Boolean = true,
+              limit: Option[Int] = None): DataFrame = {
     val df = spark.read
       .format("xml")
       .schema(jsonSchema(spec))
       .option("rowTag", rowTag)
       .option("ignoreNamespace", ignoreNamespace)
       .load(path)
-    addRecordIndex(df)
+    // n_records_to_read (ref: readers/xml.py) — a header entity reads only
+    // the first record(s) of its tag; applied before indexing so indexes
+    // stay 1..n over the records actually read
+    addRecordIndex(limit.fold(df)(df.limit))
   }
 }

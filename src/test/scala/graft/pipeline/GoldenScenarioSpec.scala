@@ -81,4 +81,194 @@ class GoldenScenarioSpec extends SparkSpec {
     assert(sats.columns.contains("gm") && sats.columns.contains("radius"))
     assert(spark.read.parquet(s"$base/work/business_rules/Originalplanets").count() == 9L)
   }
+
+  /** movies.feature:10-46 "Validate and filter movies" — nested JSON (cast
+    * model array), per-(field, category) error_details with reporting-entity
+    * override and submission/informational levels, catalog-table refdata,
+    * document-level template parameters, median-sequel complex rule.
+    */
+  test("movies: reference dischema + nested JSON reproduce the feature's golden outcomes") {
+    assume(new java.io.File(s"$testdata/movies").isDirectory)
+    spark.sql("CREATE DATABASE IF NOT EXISTS movies_refdata")
+    spark.sql("DROP TABLE IF EXISTS movies_refdata.sequels")
+    // a fresh in-memory catalog + a leftover on-disk warehouse dir from a
+    // previous JVM would otherwise collide on the managed location
+    val warehouse = new java.io.File("spark-warehouse/movies_refdata.db/sequels")
+    if (warehouse.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(warehouse)
+    }
+    spark.read.parquet(s"$testdata/movies/refdata/movies_sequels.parquet")
+      .write.mode("overwrite").saveAsTable("movies_refdata.sequels")
+    val base = freshDir()
+    val cfg = Pipeline.SubmissionConfig(
+      submissionId = "movies-demo",
+      dataFile = s"$testdata/movies/movies.json",
+      dischema = Dischema.parseFile(s"$testdata/movies/movies.dischema.json"),
+      workingDir = s"$base/work",
+      refdataBaseDir = s"$testdata/movies",
+      auditDir = Some(s"$base/audit"))
+    Pipeline.run(spark, cfg)
+
+    // "1 submission rejection and 3 record rejections from data_contract"
+    // (BLANKYEAR is informational but still FailureType record, so the
+    // feature's record count includes it) + the exact 4-row detail table
+    val contract = ErrorSink.readFeedbackErrors(spark, s"$base/work", "data_contract")
+    assert(contract.where("FailureType = 'submission'").count() == 1L)
+    assert(contract.where("FailureType = 'record'").count() == 3L)
+    val details = contract.select("Entity", "ErrorCode", "ErrorMessage", "RecordIndex")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(details == Set(
+      ("movies", "BLANKYEAR", "year not provided", 2L),
+      ("movies_rename_test", "DODGYYEAR", "year value (NOT_A_NUMBER) is invalid", 1L),
+      ("movies", "DODGYDATE", "date_joined value is not valid: daft_date", 1L),
+      ("movies", "BLANKTITLE", "title should not be blank", 4L)), details)
+
+    // "The rules restrict movies to 3 qualifying records" — record 1 falls
+    // to the DODGYDATE contract rejection, record 4 to LIMITED_RATINGS
+    assert(spark.read.parquet(s"$base/work/business_rules/movies").count() == 3L)
+    val rules = ErrorSink.readFeedbackErrors(spark, s"$base/work", "business_rules")
+    val ruleDetails = rules.select("ErrorCode", "ErrorMessage", "RecordIndex")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(ruleDetails == Set(
+      ("LIMITED_RATINGS", "Movie has too few ratings ([6.5])", 4L),
+      ("RUBBISH_SEQUEL", "The movie The Greatest Movie Ever has a rubbish sequel", 1L)),
+      ruleDetails)
+
+    // statistics: 5 / 1 / 3 / 2 (warnings = BLANKYEAR + RUBBISH_SEQUEL)
+    val stats = spark.read.parquet(s"$base/audit/submission_statistics").collect().head
+    assert(stats.getAs[Long]("record_count") == 5L)
+    assert(stats.getAs[Long]("number_submission_rejections") == 1L)
+    assert(stats.getAs[Long]("number_record_rejections") == 3L)
+    assert(stats.getAs[Long]("number_warnings") == 2L)
+  }
+
+  /** books.feature:52-79 "Validate complex nested XML data (spark)" — two
+    * entities from ONE XML file (record_tag + n_records_to_read kwargs),
+    * XSD gate, nested book-model array, conformatteddate with date_format,
+    * join_header, explode/aggregate/one-to-one-join rule chain.
+    */
+  test("books: reference dischema + nested XML reproduce the feature's golden outcomes") {
+    assume(new java.io.File(s"$testdata/books").isDirectory)
+    val base = freshDir()
+    val cfg = Pipeline.SubmissionConfig(
+      submissionId = "books-demo",
+      dataFile = s"$testdata/books/nested_books.XML",
+      dischema = Dischema.parseFile(s"$testdata/books/nested_books.dischema.json"),
+      workingDir = s"$base/work",
+      refdataBaseDir = s"$testdata/books",
+      auditDir = Some(s"$base/audit"))
+    Pipeline.run(spark, cfg)
+
+    // "there is 1 record rejection from the data_contract phase" —
+    // McBookface's mandatory book array is absent (record 3)
+    val contract = ErrorSink.readFeedbackErrors(spark, s"$base/work", "data_contract")
+      .collect()
+    assert(contract.length == 1, contract.mkString("\n"))
+    assert(contract.head.getAs[String]("FailureType") == "record")
+    assert(contract.head.getAs[String]("Entity") == "nested_books")
+    assert(contract.head.getAs[Long]("RecordIndex") == 3L)
+
+    // "The rules restrict nested_books to 3 qualifying records" and the
+    // Corets sum: 3 books x 5.95 = 17.85
+    val books = spark.read.parquet(s"$base/work/business_rules/nested_books")
+    assert(books.count() == 3L)
+    val corets = books.where(org.apache.spark.sql.functions.col("name")
+        .startsWith("Corets"))
+      .select("total_value_of_books").collect().head.getDecimal(0)
+    assert(corets.toPlainString == "17.85", corets)
+    // join_header landed the bookstore header struct on every author row
+    assert(books.columns.contains("bookstore"))
+
+    // statistics: record_count counts the MAIN entity (nested_books' 4
+    // authors, not header + authors); rejections = 1 contract + 1 from the
+    // code-less author_has_books filter
+    val stats = spark.read.parquet(s"$base/audit/submission_statistics").collect().head
+    assert(stats.getAs[Long]("record_count") == 4L)
+    assert(stats.getAs[Long]("number_record_rejections") == 2L)
+    assert(stats.getAs[Long]("number_warnings") == 0L)
+  }
+
+  private def runScenario(name: String, dataFile: String, dir: String): String = {
+    val base = freshDir()
+    Pipeline.run(spark, Pipeline.SubmissionConfig(
+      submissionId = name,
+      dataFile = s"$dir/$dataFile",
+      dischema = Dischema.parseFile(s"$dir/$name.dischema.json"),
+      workingDir = s"$base/work",
+      refdataBaseDir = dir,
+      auditDir = Some(s"$base/audit")))
+    base
+  }
+
+  /** animals.feature:5-28 + :30-60 — record vs submission vs informational
+    * filter routing: a submission failure notifies without removing its
+    * record, informational warnings never filter.
+    */
+  test("animals: both reference XML fixtures reproduce the feature's golden outcomes") {
+    assume(new java.io.File(s"$testdata/animals").isDirectory)
+    // scenario 1: plain record rejections
+    val b1 = runScenario("animals", "animals.xml", s"$testdata/animals")
+    val r1 = ErrorSink.readFeedbackErrors(spark, s"$b1/work", "business_rules")
+    assert(r1.where("ErrorCode = 'ANE01' AND FailureType = 'record'").count() == 2L)
+    assert(r1.count() == 2L)
+    assert(spark.read.parquet(s"$b1/work/business_rules/animals").count() == 3L)
+    val s1 = spark.read.parquet(s"$b1/audit/submission_statistics").collect().head
+    assert(s1.getAs[Long]("record_count") == 5L)
+    assert(s1.getAs[Long]("number_record_rejections") == 2L)
+    assert(s1.getAs[Long]("number_warnings") == 0L)
+
+    // scenario 2: mixture — the Human SUBMISSION failure notifies but its
+    // record SURVIVES the filter (7 - 2 ANE01 = 5), the negative-weight
+    // warning never removes
+    val b2 = runScenario("animals", "animals_mixture.xml", s"$testdata/animals")
+    val r2 = ErrorSink.readFeedbackErrors(spark, s"$b2/work", "business_rules")
+    val byCode = r2.groupBy("ErrorCode", "FailureType", "Status").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(byCode == Map(
+      ("ANE01", "record", "error") -> 2L,
+      ("ANE02", "submission", "error") -> 1L,
+      ("ANE03", "record", "informational") -> 1L), byCode)
+    assert(spark.read.parquet(s"$b2/work/business_rules/animals").count() == 5L)
+    // per-record message templating fills the offending value
+    val msg = r2.where("ErrorCode = 'ANE03'").select("ErrorMessage").head().getString(0)
+    assert(msg == "Warning - `-6000.0` is below zero.", msg)
+    val s2 = spark.read.parquet(s"$b2/audit/submission_statistics").collect().head
+    assert(s2.getAs[Long]("record_count") == 7L)
+    assert(s2.getAs[Long]("number_submission_rejections") == 1L)
+    assert(s2.getAs[Long]("number_record_rejections") == 2L)
+    assert(s2.getAs[Long]("number_warnings") == 1L)
+  }
+
+  /** demographics.feature:7-32 — domain types (nhsnumber mod-11, postcode
+    * normalization) over the reference's PID fixture: the 12 contract-phase
+    * "record rejections" include the row-12 test-number WARNING (the
+    * feature's step counts FailureType=record regardless of status); the
+    * statistics' 18 exclude it but add the 7 BAD_NHS rule failures.
+    */
+  test("demographics: reference dischema + PID CSV reproduce the feature's golden outcomes") {
+    assume(new java.io.File(s"$testdata/demographics").isDirectory)
+    val base = runScenario("basic_demographics", "basic_demographics.csv",
+      s"$testdata/demographics")
+    val contract = ErrorSink.readFeedbackErrors(spark, s"$base/work", "data_contract")
+    assert(contract.where("FailureType = 'record'").count() == 12L)
+    assert(contract.where("FailureType = 'record' AND Status != 'informational'")
+      .count() == 11L) // 6 bad checksums + 5 bad postcodes
+    // the one warning: 9023104455 is checksum-valid but starts with '9'
+    val warn = contract.where("Status = 'informational'").collect()
+    assert(warn.length == 1 && warn.head.getAs[Long]("RecordIndex") == 12L)
+
+    val demo = spark.read.parquet(s"$base/work/business_rules/demographics")
+    assert(demo.count() == 2L)
+    assert(demo.where("NHS_Number_Valid = 'FALSE'").count() == 0L)
+    val rules = ErrorSink.readFeedbackErrors(spark, s"$base/work", "business_rules")
+    assert(rules.where("ErrorCode = 'BAD_NHS'").count() == 7L)
+
+    val stats = spark.read.parquet(s"$base/audit/submission_statistics").collect().head
+    assert(stats.getAs[Long]("record_count") == 13L)
+    assert(stats.getAs[Long]("number_record_rejections") == 18L)
+    assert(stats.getAs[Long]("number_warnings") == 1L)
+  }
 }
