@@ -79,6 +79,59 @@ class ImportanceSpec extends SparkSpec {
     assert(high._1 > 250000L, s"psi ${high._1}")
   }
 
+  test("distributionShift fixed vector: exact hand-computed micro-units") {
+    // Two token types -> two buckets, counts chosen so the smoothed-PSI
+    // arithmetic is checkable by hand (independent of the DuckDB replica
+    // oracle, which shares the engine's formula):
+    //   left:  alpha x6, beta x1  (na = 7)
+    //   right: alpha x1, beta x2  (nb = 3)
+    //   p_side(f) = (c+1)/(n+4096); per-bucket floor(1e6*(pa-pb)*ln(pa/pb))
+    //   alpha: floor(1e6 * (7/4103 - 2/4099) * ln((7/4103)/(2/4099))) = 1524
+    //   beta:  floor(1e6 * (2/4103 - 3/4099) * ln((2/4103)/(3/4099))) = 99
+    val docs = Seq(
+      (true, "alpha alpha alpha"), (true, "alpha alpha alpha"), (true, "beta"),
+      (false, "alpha beta beta")).toDF("l", "text")
+    val out = Importance.distributionShift(docs, "text", col("l"))
+      .as[(Long, Long)].head()
+    assert(out._2 == 2L, s"alpha/beta collided in one bucket: $out")
+    assert(out._1 == 1623L, s"psi_micro ${out._1} != hand-computed 1524 + 99")
+  }
+
+  test("dsirWeights fixed vector: exact hand-computed LLR micro-nats") {
+    // Single-bigram docs -> two buckets with hand-checkable counts:
+    //   doc 1 (target)  "a a a" -> bigram "a a" x2
+    //   doc 2 (raw)     "a a"   -> bigram "a a" x1
+    //   doc 3 (raw)     "b b"   -> bigram "b b" x1
+    // bucket(a a): r=3, t=2; bucket(b b): r=1, t=0; rtot=4, ttot=2, B=4096
+    //   llr(a a) = floor(1e6*ln((2+1)(4+4096)/((3+1)(2+4096)))) = -287195
+    //   llr(b b) = floor(1e6*ln((0+1)(4+4096)/((1+1)(2+4096)))) = -692660
+    // dsir(doc) = sum over its bigram OCCURRENCES of its bucket's llr
+    val docs = Seq((1L, "a a a"), (2L, "a a"), (3L, "b b")).toDF("doc_id", "text")
+    val out = Importance.dsirWeights(docs, "doc_id", "text", col("doc_id") === 1L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == ((2L, -574390L)), out(1L))
+    assert(out(2L) == ((1L, -287195L)), out(2L))
+    assert(out(3L) == ((1L, -692660L)), out(3L))
+  }
+
+  test("linearQualityScore fixed vector: literal expected logit") {
+    // doc "p q" -> features {uni p, uni q, bi "p q"}; trained weights
+    // p -> 300000, q -> -100001, bigram untrained (0):
+    //   logit = floor((300000 - 100001 + 0) / 3) = floor(66666.33) = 66666
+    val buckets = 4096
+    val ids = Seq("p", "q", "p q").toDF("k")
+      .select(col("k"), Sampling.hashBucket(col("k"), buckets).as("b"))
+      .as[(String, Long)].collect().toMap
+    assert(ids.values.toSet.size == 3, s"feature buckets collided: $ids")
+    val weights = Seq((ids("p"), 300000L), (ids("q"), -100001L))
+      .toDF("bucket", "weight_micro")
+    val out = Importance.linearQualityScore(
+        Seq((1L, "p q")).toDF("doc_id", "text"), "doc_id", "text",
+        weights, buckets, thresholdMicro = 50000L)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(out == ((1L, 3L, 66666L, true)), out)
+  }
+
   test("linearQualityScore: floored mean of the matched feature weights, empty docs neutral") {
     val docs = Seq((1L, "a b"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
     // features: doc1 = {uni a, uni b, bi "a b"}; doc3 = {uni a}; doc2 = none.
