@@ -607,6 +607,35 @@ object LlmQueries {
       TextStats.lineDedup(withLines, "doc_id", "text", maxDocFrac = 0.3)
     }),
 
+    // WITHIN-doc repeated-line removal (Dolma's paragraph dedup at line
+    // grain): a prefix line and a share-bar line repeat inside each doc;
+    // 1/3 of docs repeat the share bar twice.
+    "q_text_intradoc_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("SHARE THIS ARTICLE"),
+          substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, lit("SHARE THIS ARTICLE"))
+            .otherwise(concat(lit("footer "), col("doc_id"))),
+          concat(lit("ref "), col("doc_id"))).as("text"))
+      TextStats.intraDocLineDedup(d, "doc_id", "text")
+    }),
+
+    // C4 line-rule cleaning (the removal counterpart of q_text_c4's
+    // signals): nav line without terminal punctuation and a javascript
+    // notice drop; proper sentences survive and the text reassembles.
+    "q_text_c4_clean" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 60), lit(".")),
+          lit("Home | About | Contact"),
+          lit("Please enable JavaScript to view comments."),
+          concat(lit("Document "), col("doc_id"),
+            lit(" closes with a proper sentence here."))).as("text"))
+      TextStats.c4LineClean(d, "doc_id", "text", minWords = 5)
+    }),
+
     // Deterministic training-order shuffle keys for two epochs; at scale
     // the writer pairs this with repartitionByRange + sortWithinPartitions.
     "q_shuffle_det" -> ((s, dir) =>
@@ -2137,6 +2166,37 @@ object LlmQueries {
     "q_export_manifest" -> exportManifestSql,
     "q_text_rarity" -> raritySql,
     "q_text_line_dedup" -> lineDedupSql,
+    "q_text_intradoc_dedup" -> {
+      val mk = "substr(text, 1, 40) || chr(10) || 'SHARE THIS ARTICLE' || chr(10) || " +
+        "substr(text, 1, 40) || chr(10) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 'SHARE THIS ARTICLE' ELSE 'footer ' || doc_id END) " +
+        "|| chr(10) || 'ref ' || doc_id"
+      s"WITH w AS (SELECT doc_id, $mk AS text FROM documents), " +
+        "s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w), " +
+        "l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS idx FROM s), " +
+        "r AS (SELECT doc_id, line, idx, " +
+        "row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) AS rn FROM l) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_lines, " +
+        "count(CASE WHEN rn > 1 THEN 1 END)::BIGINT AS n_dup_lines, " +
+        "string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY idx) AS dedup_text " +
+        "FROM r GROUP BY doc_id"
+    },
+    "q_text_c4_clean" -> {
+      val mk = "substr(text, 1, 60) || '.' || chr(10) || 'Home | About | Contact' || chr(10) || " +
+        "'Please enable JavaScript to view comments.' || chr(10) || " +
+        "'Document ' || doc_id || ' closes with a proper sentence here.'"
+      s"WITH w AS (SELECT doc_id, $mk AS text FROM documents), " +
+        "s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w), " +
+        "l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS idx FROM s), " +
+        "k AS (SELECT doc_id, idx, line, " +
+        "regexp_matches(trim(line), '[.!?\"'']$') " +
+        "AND len(regexp_split_to_array(trim(line), '[ \t]+')) >= 5 " +
+        "AND NOT contains(lower(line), 'javascript') AS keep FROM l) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_lines, " +
+        "count(CASE WHEN keep THEN 1 END)::BIGINT AS n_kept_lines, " +
+        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '') AS clean_text " +
+        "FROM k GROUP BY doc_id"
+    },
     "q_shuffle_det" -> shuffleSql,
     "q_mix_budget" -> mixSql,
     "q_sample_temperature" -> temperatureSql,

@@ -782,6 +782,72 @@ object TextStats {
         col("line"), col("n_docs"), col("keep"))
   }
 
+  /** WITHIN-document repeated-line removal (the Dolma pipeline's
+    * paragraph-dedup step at line grain): a page that repeats its own
+    * navigation block, share bar, or chorus keeps only the FIRST
+    * occurrence of each distinct line; later copies drop and the document
+    * reassembles in original order. The cross-document complement is
+    * [[lineDedup]] — this one needs no corpus state at all.
+    *
+    * Output: (id, n_lines, n_dup_lines, dedup_text).
+    *
+    * Shuffle shape at 100 TB: lines never leave their document — the
+    * first-occurrence window and the reassembly aggregation both key on
+    * the doc id, so the whole operator is ONE doc-keyed exchange (and
+    * AQE-coalescible); line text is compared only within a doc.
+    */
+  def intraDocLineDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol).as("__id__"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__li__", "__line__")))
+    val w = Window.partitionBy(col("__id__"), col("__line__")).orderBy(col("__li__"))
+    val flagged = lines.withColumn("__rn__", row_number().over(w))
+    flagged.groupBy(col("__id__")).agg(
+      count(lit(1)).as("n_lines"),
+      count(when(col("__rn__") > 1, 1)).as("n_dup_lines"),
+      // collect_list skips the nulls of the dropped copies; sort restores
+      // document order (the SpanDedup reassembly idiom)
+      array_join(sort_array(collect_list(
+        when(col("__rn__") === 1, struct(col("__li__"), col("__line__")))))
+        .getField("__line__"), "\n").as("dedup_text"))
+      .select(col("__id__").as(idCol), col("n_lines").cast("bigint").as("n_lines"),
+        col("n_dup_lines").cast("bigint").as("n_dup_lines"), col("dedup_text"))
+  }
+
+  /** C4 line-RULE cleaning — the removal counterpart of [[c4Columns]]'s
+    * page-level signals (Raffel et al.: keep only lines that end in
+    * terminal punctuation AND have >= `minWords` words; drop any line
+    * containing the word "javascript"). Dropped lines vanish and the
+    * document reassembles in order — the actual text surgery a C4-style
+    * pipeline ships, not just the keep/drop statistics.
+    *
+    * Output: (id, n_lines, n_kept_lines, clean_text).
+    *
+    * Shuffle shape at 100 TB: identical to [[intraDocLineDedup]] — one
+    * doc-keyed aggregation; the line predicate is pure per-row codegen.
+    */
+  def c4LineClean(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minWords: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(minWords >= 1)
+    val lines = docs.select(col(idCol).as("__id__"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__li__", "__line__")))
+    val t = trim(col("__line__"))
+    // same terminal-punct family as c4Columns' keptLine regex
+    val keep = t.rlike("[.!?\"']$") &&
+      size(split(t, "[ \\t]+")) >= minWords &&
+      !lower(col("__line__")).contains("javascript")
+    lines.withColumn("__keep__", keep)
+      .groupBy(col("__id__")).agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__keep__"), 1)).as("n_kept_lines"),
+        array_join(sort_array(collect_list(
+          when(col("__keep__"), struct(col("__li__"), col("__line__")))))
+          .getField("__line__"), "\n").as("clean_text"))
+      .select(col("__id__").as(idCol), col("n_lines").cast("bigint").as("n_lines"),
+        col("n_kept_lines").cast("bigint").as("n_kept_lines"), col("clean_text"))
+  }
+
   /** 32-bit polynomial rolling-hash fingerprint of the whole text
     * (h = h*31 + codepoint mod 2^32, seed 17) — deterministic, ANSI-SQL
     * replicable, order-sensitive (unlike a bag-of-words hash). Computed by

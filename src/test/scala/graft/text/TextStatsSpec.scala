@@ -430,4 +430,29 @@ class TextStatsSpec extends SparkSpec {
     assert(out(5L) == (("all-rights-reserved", false, false)))
     assert(out(6L) == (("", false, false)))
   }
+
+  test("intraDocLineDedup keeps first occurrences only, reassembled in order") {
+    val docs = Seq(
+      (1L, "alpha line\nnav bar\nbeta line\nnav bar\nalpha line\ntail"),
+      (2L, "only\nunique\nlines")).toDF("doc_id", "text")
+    val out = TextStats.intraDocLineDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(out(1L) == ((1L, 6L, 2L, "alpha line\nnav bar\nbeta line\ntail")))
+    assert(out(2L) == ((2L, 3L, 0L, "only\nunique\nlines")))
+  }
+
+  test("c4LineClean drops rule-failing lines and reassembles the rest") {
+    val text = Seq(
+      "This is a proper sentence with enough words.",   // kept
+      "Home | About | Contact",                          // no terminal punct
+      "Too short.",                                      // < 5 words
+      "Please enable JavaScript to continue reading.",   // javascript
+      "Does a question with five words count?",          // kept (?)
+      "").mkString("\n")                                 // blank line dropped
+    val out = TextStats.c4LineClean(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long, Long, String)].head()
+    assert(out == ((1L, 6L, 2L,
+      "This is a proper sentence with enough words.\n" +
+        "Does a question with five words count?")))
+  }
 }
