@@ -201,7 +201,11 @@ object Contract {
   // ---------------------------------------------------------------- numeric / format regexes
   private val intRegex = "^[+-]?[0-9]+$"
   private val floatRegex = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
-  private val boolValues = Seq("true", "false", "0", "1")
+  // the pydantic v1 bool families (bool_validator): planets.csv.csv's
+  // Yes/No booleans must parse with 0 rejections, as its feature asserts
+  private val boolTrue = Seq("true", "t", "yes", "y", "on", "1")
+  private val boolFalse = Seq("false", "f", "no", "n", "off", "0")
+  private val boolValues = boolTrue ++ boolFalse
   // ref: metadata_parser/domain_types.py:32
   private val postcodeRegex = "^[a-zA-Z]{1,2}[0-9]([a-zA-Z]?|[0-9]?) [0-9][a-zA-Z]{2}$"
   private val orgIdRegex = "^[A-Z0-9]{3,5}$" // ref: domain_types.py:239-255
@@ -830,8 +834,8 @@ object Contract {
       parsed.cast(targetType(f))
     case "postcode" => postcodeNormExpr(trim(x))
     case "bool" =>
-      when(lower(trim(x)).isin("true", "1"), lit(true))
-        .when(lower(trim(x)).isin("false", "0"), lit(false))
+      when(lower(trim(x)).isin(boolTrue: _*), lit(true))
+        .when(lower(trim(x)).isin(boolFalse: _*), lit(false))
         .otherwise(lit(null).cast(BooleanType))
     // try_cast everywhere a source value can be malformed: failed casts
     // must become null (messages decide rejection), and Spark 4's ANSI

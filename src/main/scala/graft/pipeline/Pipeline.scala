@@ -63,9 +63,14 @@ object Pipeline {
         .getOrElse(spec.name, Map.empty).getOrElse(ext, defaultReader(ext))
       val raw = readerName match {
         case "SparkCSVReader" | "CSVFileReader" =>
-          // header-vs-schema enforcement (ref: backends/readers/csv.py:202-225):
-          // a headered file must name every declared field
-          if (cfg.csvOptions.header) {
+          // header-vs-schema enforcement is OPT-IN (ref: readers/csv.py:40
+          // `field_check: bool = False`): with it off, a headered file maps
+          // POSITIONALLY onto the declared schema and the header row is
+          // just skipped — planets.csv.csv's snake_case header validates
+          // with 0 rejections exactly because the check never runs
+          val kw = cfg.dischema.readerKwargs
+            .getOrElse(spec.name, Map.empty).getOrElse(ext, Map.empty)
+          if (cfg.csvOptions.header && kw.get("field_check").exists(_.equalsIgnoreCase("true"))) {
             val missing = Readers.checkCsvHeader(spark, cfg.dataFile, spec, cfg.csvOptions.sep)
             if (missing.nonEmpty)
               throw new graft.rules.ConstraintException(

@@ -82,6 +82,39 @@ class GoldenScenarioSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/work/business_rules/Originalplanets").count() == 9L)
   }
 
+  /** planets.feature:40-46 "no extension" + :48-62 "duplicated extension":
+    * an extensionless file has no reader — the pipeline fails and the audit
+    * records it; a `.csv.csv` file reads fine, and its snake_case header
+    * maps POSITIONALLY (field_check is opt-in, so the header row is just
+    * skipped) with 0 contract rejections — Yes/No booleans included.
+    */
+  test("planets: no-extension fails the transform phase; .csv.csv validates cleanly") {
+    assume(new java.io.File(s"$testdata/planets").isDirectory)
+    val b1 = freshDir()
+    val bad = Pipeline.SubmissionConfig(
+      submissionId = "planets-noext",
+      dataFile = s"$testdata/planets/planets_no_extension",
+      dischema = Dischema.parseFile(s"$testdata/planets/planets.dischema.json"),
+      workingDir = s"$b1/work", refdataBaseDir = s"$testdata/planets",
+      auditDir = Some(s"$b1/audit"))
+    intercept[IllegalArgumentException] { Pipeline.run(spark, bad) }
+    assert(new AuditManager(spark, s"$b1/audit").statusOf("planets-noext")
+      .contains("failed"))
+
+    val b2 = freshDir()
+    Pipeline.run(spark, bad.copy(submissionId = "planets-dupext",
+      dataFile = s"$testdata/planets/planets.csv.csv",
+      workingDir = s"$b2/work", auditDir = Some(s"$b2/audit")))
+    val contract = ErrorSink.readFeedbackErrors(spark, s"$b2/work", "data_contract")
+    assert(contract.where("FailureType = 'record'").count() == 0L)
+    val row = spark.read.parquet(s"$b2/work/data_contract/planets").collect().head
+    assert(row.getAs[String]("planet") == "Mercury")
+    assert(row.getAs[Boolean]("hasGlobalMagneticField")) // "Yes" parsed
+    assert(!row.getAs[Boolean]("hasRingSystem"))         // "No" parsed
+    assert(new AuditManager(spark, s"$b2/audit").statusOf("planets-dupext")
+      .contains("finished"))
+  }
+
   /** movies.feature:10-46 "Validate and filter movies" — nested JSON (cast
     * model array), per-(field, category) error_details with reporting-entity
     * override and submission/informational levels, catalog-table refdata,
