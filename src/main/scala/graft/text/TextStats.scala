@@ -791,16 +791,21 @@ object TextStats {
     *
     * Output: (id, n_lines, n_dup_lines, dedup_text).
     *
-    * Shuffle shape at 100 TB: lines never leave their document — the
-    * first-occurrence window and the reassembly aggregation both key on
-    * the doc id, so the whole operator is ONE doc-keyed exchange (and
-    * AQE-coalescible); line text is compared only within a doc.
+    * Shuffle shape at 100 TB: lines never leave their document, and the
+    * whole operator is ONE doc-keyed exchange: the explicit repartition
+    * on the doc id satisfies BOTH the (doc, line) first-occurrence window
+    * (ClusteredDistribution(id, line) is satisfied by HashPartitioning(id))
+    * and the reassembly groupBy — without it Catalyst inserts an
+    * Exchange on (id, line) for the window and a SECOND one on id for the
+    * aggregation, shipping every exploded line twice (PlanSpec pins the
+    * single-exchange shape).
     */
   def intraDocLineDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = docs.select(col(idCol).as("__id__"),
       posexplode(split(col(textCol), "\n")).as(Seq("__li__", "__line__")))
+      .repartition(col("__id__"))
     val w = Window.partitionBy(col("__id__"), col("__line__")).orderBy(col("__li__"))
     val flagged = lines.withColumn("__rn__", row_number().over(w))
     flagged.groupBy(col("__id__")).agg(

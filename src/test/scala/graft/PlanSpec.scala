@@ -16,6 +16,16 @@ class PlanSpec extends SparkSpec {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  test("line-grain cleaners ship exploded lines through ONE exchange") {
+    // intraDocLineDedup: the doc-id repartition must satisfy both the
+    // (doc, line) window and the groupBy — a second Exchange means every
+    // exploded line shuffles twice
+    val p1 = plan("q_text_intradoc_dedup")
+    assert(p1.sliding("Exchange".length).count(_ == "Exchange") <= 1, p1.take(2000))
+    val p2 = plan("q_text_c4_clean")
+    assert(p2.sliding("Exchange".length).count(_ == "Exchange") <= 1, p2.take(2000))
+  }
+
   test("dimension joins broadcast the small side") {
     assert(plan("q_left_join").contains("BroadcastHashJoin"))
     assert(plan("q_refdata").contains("BroadcastHashJoin"))
