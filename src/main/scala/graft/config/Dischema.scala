@@ -208,6 +208,14 @@ object Dischema {
 
   private def multiExpr(node: JsonNode): MultiExpr = node match {
     case null            => MultiExpr.empty
+    case o: ObjectNode if o.properties().asScala.exists(_.getValue.isArray) =>
+      // an array-valued alias fans one generator expression into several
+      // output columns (the reference's multialias select)
+      MultiExpr.MultiAliased(o.properties().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isArray)
+          e.getValue.elements().asScala.map(_.asText).toSeq
+        else Seq(e.getValue.asText))
+      }.toSeq)
     case o: ObjectNode   =>
       MultiExpr.Aliased(o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toSeq)
     case a: ArrayNode    => MultiExpr.Exprs(a.elements().asScala.map(_.asText).toSeq)

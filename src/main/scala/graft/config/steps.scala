@@ -14,11 +14,16 @@ sealed trait MultiExpr {
   def toColumns: Seq[Column] = this match {
     case MultiExpr.Exprs(xs)   => xs.map(expr)
     case MultiExpr.Aliased(xs) => xs.map { case (e, a) => expr(e).alias(a) }
+    case MultiExpr.MultiAliased(xs) => xs.map {
+      case (e, Seq(a)) => expr(e).alias(a)
+      case (e, as)     => expr(e).as(as) // generator fan-out: posexplode -> [idx, val]
+    }
     case MultiExpr.Raw(s)      => MultiExpr.splitTopLevel(s).map(expr)
   }
   def isEmpty: Boolean = this match {
     case MultiExpr.Exprs(xs)   => xs.isEmpty
     case MultiExpr.Aliased(xs) => xs.isEmpty
+    case MultiExpr.MultiAliased(xs) => xs.isEmpty
     case MultiExpr.Raw(s)      => s.trim.isEmpty
   }
 }
@@ -28,6 +33,11 @@ object MultiExpr {
   final case class Exprs(xs: Seq[String]) extends MultiExpr
   /** Mapping form: ordered (expression, alias) pairs. */
   final case class Aliased(xs: Seq[(String, String)]) extends MultiExpr
+  /** Mapping form where an expression may fan into SEVERAL aliases — the
+    * reference accepts {"posexplode(xs)": ["Index", "Value"]}
+    * (ref: tests/.../test_rules.py:174-186 multialias select).
+    */
+  final case class MultiAliased(xs: Seq[(String, Seq[String])]) extends MultiExpr
   /** Single string form, split on top-level commas. */
   final case class Raw(s: String) extends MultiExpr
 

@@ -84,6 +84,30 @@ object CoreQueries {
     "q_select_distinct" -> ((s, dir) => run(catalog(s, dir, "lineitem"),
       Select("lineitem", MultiExpr.Raw("l_returnflag, l_linestatus"), distinct = true))("lineitem")),
 
+    // Multialias select: one generator expression fans into several output
+    // columns (ref: test_rules.py:174-186 {"posexplode(x)": [a, b]}).
+    "q_select_multialias" -> ((s, dir) => {
+      val items = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("nums"))
+      run(EntityCatalog("items" -> items),
+        Select("items", MultiExpr.MultiAliased(Seq(
+          "l_orderkey" -> Seq("l_orderkey"),
+          "posexplode(nums)" -> Seq("idx", "num")))))("items")
+    }),
+
+    // Star new_columns: the join takes EVERY target column; a same-named
+    // source column is overwritten last-wins (ref: test_rules.py:408-450).
+    "q_join_star" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), lit("tbd").as("c_name"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      run(EntityCatalog("orders" -> orders, "customer" -> cust),
+        LeftJoin("orders", "customer", "orders.o_custkey = customer.c_custkey",
+          MultiExpr.Raw("customer.*")))("orders")
+    }),
+
     "q_group_by" -> ((s, dir) => run(catalog(s, dir, "lineitem"),
       GroupBy("lineitem",
         groupBy = MultiExpr.Raw("l_returnflag, l_linestatus"),
@@ -607,6 +631,15 @@ object CoreQueries {
       "SELECT p_partkey AS pk, upper(p_name) AS name_up, concat(p_brand, '-', p_type) AS brand_type, CAST(floor(p_retailprice) AS BIGINT) AS rp FROM part",
     "q_select_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    // posexplode's index is 0-based; ordinality is 1-based
+    "q_select_multialias" ->
+      ("WITH g AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS nums " +
+        "FROM lineitem GROUP BY l_orderkey) " +
+        "SELECT l_orderkey, generate_subscripts(nums, 1) - 1 AS idx, " +
+        "unnest(nums) AS num FROM g"),
+    "q_join_star" ->
+      ("SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_name, c.c_mktsegment " +
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),
     "q_group_by" ->
       ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty, " +
         "CAST(count(1) AS BIGINT) AS cnt, min(l_shipdate) AS min_ship, " +

@@ -42,6 +42,35 @@ class StepInterpreterSpec extends SparkSpec {
     assert(c("planets").where("NAME = 'JUPITER' AND heavy").count() == 1)
   }
 
+  test("select multialias fans a generator into several columns") {
+    // ref: test_rules.py:174-186 — {"posexplode(intlist)": ["Index", "Value"]}
+    import spark.implicits._
+    val c = cat("intlist" -> Seq(Tuple1(Seq(1, 2, 3))).toDF("intlist"))
+    StepInterpreter.evaluate(c, Select("intlist",
+      MultiExpr.MultiAliased(Seq("posexplode(intlist)" -> Seq("Index", "Value")))))
+    assert(c("intlist").columns.toSet == Set("Index", "Value"))
+    assert(c("intlist").count() == 3)
+  }
+
+  test("join new_columns star takes every target column, conflicts last-wins") {
+    // ref: test_rules.py:408-450 — new_columns "*" / "satellites.*"
+    import org.apache.spark.sql.functions.{col, lit}
+    val sats = satellites.select(col("sat_name").as("satellite_name"),
+      col("planet").as("satellite_planet"))
+    for (spec <- Seq("*", "sats.*")) {
+      val c = cat(
+        "planets" -> planets.withColumn("satellite_planet", lit("a satellite")),
+        "sats" -> sats)
+      StepInterpreter.evaluate(c, LeftJoin("planets", "sats",
+        "planets.name = sats.satellite_planet", MultiExpr.Raw(spec)))
+      val out = c("planets")
+      assert(out.columns.contains("satellite_name"))
+      // the target's satellite_planet overwrites the source's literal
+      assert(out.where("name = 'Earth' AND satellite_planet = 'Earth'").count() == 1)
+      assert(out.where("name = 'Venus' AND satellite_planet IS NULL").count() == 1)
+    }
+  }
+
   test("select distinct deduplicates") {
     val c = cat("sats" -> satellites)
     StepInterpreter.evaluate(c, Select("sats", MultiExpr.Raw("planet"), distinct = true))
