@@ -82,7 +82,13 @@ object Bench {
           try {
             SparkEntry.queries(name)(spark, sfDir).count()
             samples += (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => () } // already reported in errors
+          } catch {
+            // a query that succeeded in-suite but fails ONLY here would
+            // otherwise be indistinguishable from "not selected" — record
+            // it so the missing isolated entry is explained
+            case e: Throwable => errors.getOrElseUpdate(name,
+              "isolated rerun: " + Option(e.getMessage).getOrElse(e.getClass.getName).take(180))
+          }
           finally spark.catalog.clearCache()
           rep += 1
         }

@@ -24,11 +24,20 @@ object Repair {
     * cast, with the column name backtick-quoted (a space or hyphen in a
     * user column name must not break the SQL fragment).
     */
-  private def pct(valueCol: String, q: Double, exact: Boolean): Column = {
-    val quoted = "`" + valueCol.replace("`", "``") + "`"
+  private def quote(valueCol: String): String =
+    "`" + valueCol.replace("`", "``") + "`"
+
+  /** percentile(expr, q) or approx_percentile(expr, q) over an arbitrary
+    * SQL fragment — the ONE place the exact/approx function name and the
+    * 6-decimal rounding live, so the winsorize and MAD lanes cannot drift.
+    */
+  private def pctExpr(sqlExpr: String, q: Double, exact: Boolean): Column = {
     val fn = if (exact) "percentile" else "approx_percentile"
-    round(expr(s"$fn(CAST($quoted AS DOUBLE), $q)"), 6)
+    round(expr(s"$fn($sqlExpr, $q)"), 6)
   }
+
+  private def pct(valueCol: String, q: Double, exact: Boolean): Column =
+    pctExpr(s"CAST(${quote(valueCol)} AS DOUBLE)", q, exact)
 
   /** The emitted columns are the operator's OUTPUT contract — fail fast if
     * the input already carries one rather than silently shadowing it.
@@ -68,12 +77,10 @@ object Repair {
     require(k > 0)
     requireFree(df, Seq("med", "mad", "abs_dev", "is_outlier"))
     val c = col(valueCol).cast("double")
-    val fn = if (exact) "percentile" else "approx_percentile"
     val med = broadcast(df.agg(pct(valueCol, 0.5, exact).as("med")))
     val withMed = df.crossJoin(med)
-    val quoted = "`" + valueCol.replace("`", "``") + "`"
     val mad = broadcast(withMed.agg(
-      round(expr(s"$fn(abs(CAST($quoted AS DOUBLE) - med), 0.5)"), 6).as("mad")))
+      pctExpr(s"abs(CAST(${quote(valueCol)} AS DOUBLE) - med)", 0.5, exact).as("mad")))
     withMed.crossJoin(mad)
       .withColumn("abs_dev", round(abs(c - col("med")), 6))
       .withColumn("is_outlier", col("abs_dev") > lit(k.toDouble) * col("mad"))

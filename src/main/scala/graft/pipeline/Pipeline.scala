@@ -58,6 +58,28 @@ object Pipeline {
     */
   def fileTransformation(spark: SparkSession, cfg: SubmissionConfig): Unit = {
     val ext = fileExtension(cfg.dataFile)
+    // Configured XSD gates run ONCE per distinct schema, BEFORE any entity
+    // parses (ref: readers/xml.py xsd_location kwargs): a structural
+    // failure must abort the whole transform phase — validating inside the
+    // per-entity loop would re-parse the file per entity and let earlier
+    // entities checkpoint before the gate fires. The configured error code
+    // leads the exception message so the processing-error record carries it.
+    cfg.dischema.entities
+      .flatMap(spec => cfg.dischema.readerKwargs
+        .getOrElse(spec.name, Map.empty).getOrElse(ext, Map.empty).get("xsd_location")
+        .map(_ -> cfg.dischema.readerKwargs(spec.name)(ext)))
+      .distinctBy(_._1)
+      .foreach { case (xsd, kw) =>
+        val xsdPath = if (xsd.startsWith("/")) xsd else s"${cfg.dischema.baseDir}/$xsd"
+        val problems = graft.readers.XmlLinting.validate(
+          cfg.dataFile.stripPrefix("file:"), xsdPath)
+        if (problems.nonEmpty)
+          throw new graft.rules.ConstraintException(
+            s"[${kw.getOrElse("xsd_error_code", "XSDERROR")}] " +
+              kw.getOrElse("xsd_error_message", "the xml failed XSD validation") +
+              s": ${problems.head}",
+            kw.getOrElse("xsd_error_code", "XSDERROR"))
+      }
     cfg.dischema.entities.foreach { spec =>
       val readerName = cfg.dischema.readerByEntity
         .getOrElse(spec.name, Map.empty).getOrElse(ext, defaultReader(ext))
@@ -84,20 +106,6 @@ object Pipeline {
            | "DuckDBXMLStreamReader" =>
           val kw = cfg.dischema.readerKwargs
             .getOrElse(spec.name, Map.empty).getOrElse(ext, Map.empty)
-          // configured XSD gate (ref: readers/xml.py xsd_location kwargs):
-          // structural failure aborts the transform phase with the
-          // configured code, before any entity parses
-          kw.get("xsd_location").foreach { xsd =>
-            val xsdPath = if (xsd.startsWith("/")) xsd
-              else s"${cfg.dischema.baseDir}/$xsd"
-            val problems = graft.readers.XmlLinting.validate(
-              cfg.dataFile.stripPrefix("file:"), xsdPath)
-            if (problems.nonEmpty)
-              throw new graft.rules.ConstraintException(
-                kw.getOrElse("xsd_error_message", "the xml failed XSD validation") +
-                  s": ${problems.head}",
-                kw.getOrElse("xsd_error_code", "XSDERROR"))
-          }
           Readers.readXml(spark, cfg.dataFile, spec,
             rowTag = kw.getOrElse("record_tag",
               cfg.xmlRowTags.getOrElse(spec.name, spec.name)),
@@ -143,6 +151,14 @@ object Pipeline {
     // filter expressions, as in the reference's rules engine
     // (ref: spark/rules.py:80-104); registration is idempotent
     graft.functions.GraftFunctions.register(spark)
+    // "Original" is a RESERVED prefix: the pre-rules snapshots live at
+    // Original<entity> (reference layout, pipeline.py:581-586), so a
+    // declared entity named Original* would be silently shadowed by a
+    // snapshot and would skip contract rejection — fail fast instead.
+    val reserved = cfg.dischema.entities.map(_.name).filter(_.startsWith("Original"))
+    require(reserved.isEmpty,
+      s"entity name(s) ${reserved.mkString(", ")} use the reserved 'Original' " +
+        "prefix (pre-rules snapshot namespace) — rename the entity")
     val typed = cfg.dischema.entities.map { spec =>
       spec.name -> spark.read.parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
     }.toMap
@@ -270,8 +286,13 @@ object Pipeline {
         // pipeline.py:639-643 global_variables.get('entity', dataset_id) —
         // books counts nested_books' 4 authors, not header + authors);
         // without a parameter, all declared entities count
+        // resolve against what actually ran (allCounts) — the parameter may
+        // name a rule-DERIVED entity (valid in the reference, which uses
+        // global_variables['entity'] as-is); only an entity that produced
+        // no counts at all falls back to the sum of declared entities
         val statEntities = cfg.dischema.parameters.get("entity")
-          .filter(declared.contains).map(Seq(_)).getOrElse(declared)
+          .filter(e => allCounts.contains(e) || allCounts.contains(s"Original$e"))
+          .map(Seq(_)).getOrElse(declared)
         val submitted = statEntities
           .map(n => allCounts.getOrElse(s"Original$n", allCounts.getOrElse(n, 0L))).sum
         a.addStatistics(cfg.submissionId,

@@ -92,7 +92,16 @@ object EntityResolution {
     // (the cluster's lexicographic-minimum value — an opaque cluster key).
     val valueComp = Dedup.connectedComponents(
       distinctVals.select(col("__vid__")), valuePairs, "__vid__")
-    val labeled = ids.join(
+    // A record with a NULL value links to nothing (null generates no
+    // blocking key and no exact match), but must still appear in the
+    // output: it is its OWN singleton entity. Handled as a separate lane --
+    // an inner join would silently drop null rows, a shared null component
+    // key would glue every null-valued record into one bogus cluster, and
+    // a synthetic string key could collide with a real value label.
+    val nullLane = ids.where(col("__val__").isNull)
+      .select(col("__eid__").as(idCol), col("__val__").as(valueCol),
+        col("__eid__").as("entity_id"), lit(true).as("keep"))
+    val labeled = ids.where(col("__val__").isNotNull).join(
       valueComp.select(col("__vid__").as("__val__"), col("component").as("__vcomp__")),
       Seq("__val__"))
     // Entity id = minimum RECORD id in the cluster (stable under the value
@@ -104,5 +113,6 @@ object EntityResolution {
       .withColumn("keep", col("__best__") === min(col("__best__")).over(w))
       .select(col("__eid__").as(idCol), col("__val__").as(valueCol),
         col("entity_id"), col("keep"))
+      .unionByName(nullLane)
   }
 }

@@ -85,4 +85,20 @@ class EntityResolutionSpec extends SparkSpec {
       .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"))
     assert(perCluster.where(col("keepers") =!= 1).count() == 0)
   }
+
+  test("null values survive as singleton entities, never glued together") {
+    val withNulls = records.unionByName(
+      Seq((90L, null.asInstanceOf[String]), (91L, null.asInstanceOf[String]))
+        .toDF("id", "name"))
+    val out = EntityResolution.resolveClusters(withNulls, "id", "name",
+      length(col("name")).cast("double"), 1, 8)
+      .select("id", "entity_id", "keep").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 10)                 // no record dropped
+    assert(out(90L) == ((90L, true)))      // each null its OWN entity...
+    assert(out(91L) == ((91L, true)))      // ...never one shared cluster
+    // null pairs also generate no edges in the pair lane
+    val pairs = EntityResolution.collapsedPairs(withNulls, "id", "name", 1, 8)
+    assert(pairs.where(col("a") >= 90L || col("b") >= 90L).count() == 0)
+  }
 }
