@@ -266,4 +266,66 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
   def statusOf(submissionId: String): Option[String] =
     latestProcessingStatus().where(col("submission_id") === submissionId)
       .select("processing_status").collect().headOption.map(_.getString(0))
+
+  /** Submissions whose LATEST status equals `status` within the recency
+    * window, joined to their (latest) submission info — the error-report
+    * scheduler's work list (ref: base/auditing.py:586-603
+    * `get_all_error_report_submissions` at status "error_report"; rows with
+    * missing info columns come back null-padded, the frame analog of the
+    * reference's "dodgy" lane).
+    */
+  def submissionsAtStatus(status: String, maxDaysOld: Int = 3): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.now().minusDays(maxDaysOld).atStartOfDay())
+    val atStatus = Auditing.latestRecords(
+      readTable(path("processing_status")).where(col("updated_at") > lit(cutoff)),
+      Seq(col("submission_id")), Seq(col("updated_at"), col("audit_seq")))
+      .where(col("processing_status") === status)
+      .select("submission_id")
+    val info = Auditing.latestRecords(readTable(path("submission_info")),
+      Seq(col("submission_id")), Seq(col("updated_at"), col("audit_seq")))
+      .drop("updated_at", "audit_seq")
+    atStatus.join(info, Seq("submission_id"), "left")
+  }
+
+  /** Pipeline stage order for [[downstreamPending]]'s "at or before"
+    * reading (ref: base/auditing.py:430-447).
+    */
+  private val StageOrder = Seq("received", "file_transformation", "data_contract",
+    "business_rules", "error_report")
+
+  /** The scheduler's work-queue poll (ref: base/auditing.py:430-474
+    * `downstream_pending`): is any recent submission's LATEST status at or
+    * before `status` — i.e. still heading toward this stage — within this
+    * job's shard? Sharding mirrors the reference: hex submission id mod
+    * `maxConcurrency` equals `runNumber` (non-hex ids fall back to a
+    * non-negative deterministic string hash — the reference assumes uuid
+    * hex and would throw). `maxDaysOld` bounds the scan to recent rows.
+    *
+    * Execution shape: one latest-record window over the status table
+    * pre-filtered by date, a bounded IN-list on the downstream stages, and
+    * a LIMIT 1 existence check — no driver-side row iteration.
+    */
+  def downstreamPending(status: String, maxConcurrency: Int = 1, runNumber: Int = 0,
+                        maxDaysOld: Int = 3,
+                        statusesToInclude: Seq[String] = Nil): Boolean = {
+    require(maxConcurrency >= 1 && runNumber >= 0 && runNumber < maxConcurrency)
+    val downstream: Seq[String] =
+      if (statusesToInclude.nonEmpty) (statusesToInclude :+ status).distinct
+      else StageOrder.take(StageOrder.indexOf(status) + 1)
+    require(downstream.nonEmpty, s"unknown processing status '$status'")
+    val cutoff = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.now().minusDays(maxDaysOld).atStartOfDay())
+    val recent = readTable(path("processing_status")).where(col("updated_at") > lit(cutoff))
+    val latest = Auditing.latestRecords(recent,
+      Seq(col("submission_id")), Seq(col("updated_at"), col("audit_seq")))
+      .where(col("processing_status").isin(downstream: _*))
+    val shardOf = udf { (id: String) =>
+      val n = try BigInt(id, 16) catch {
+        case _: NumberFormatException => BigInt(id.hashCode.toLong.abs)
+      }
+      (n.mod(BigInt(maxConcurrency))).toInt
+    }
+    !latest.where(shardOf(col("submission_id")) === runNumber).limit(1).isEmpty
+  }
 }

@@ -270,4 +270,45 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getAs[String]("submission_id") -> r.getAs[String]("processing_status")).toMap
     assert(latest == Map("s1" -> "finished", "s2" -> "received"))
   }
+
+  test("downstreamPending: at-or-before stages pend, later stages do not, shards split") {
+    // ref: test_audit_spark.py:220-305 — same stage pends, an EARLIER
+    // stage pends for a downstream poll, a LATER stage does not
+    val base = freshDir()
+    val audit = new AuditManager(spark, s"$base/a")
+    audit.markStatus("0a", "data_contract") // hex id -> shard 0 of 2
+    assert(audit.downstreamPending("data_contract"))       // same stage
+    assert(audit.downstreamPending("business_rules"))      // earlier stage pends
+    assert(!audit.downstreamPending("file_transformation")) // later stage: no
+    // sharding: 0a = 10 -> 10 % 2 = 0 — only run 0 of 2 sees the work
+    assert(audit.downstreamPending("data_contract", maxConcurrency = 2, runNumber = 0))
+    assert(!audit.downstreamPending("data_contract", maxConcurrency = 2, runNumber = 1))
+    // a submission whose LATEST status moved past the poll no longer pends
+    audit.markStatus("0a", "error_report")
+    assert(!audit.downstreamPending("data_contract"))
+    assert(audit.downstreamPending("error_report"))
+    // explicit statuses_to_include override the stage-prefix reading
+    assert(audit.downstreamPending("data_contract",
+      statusesToInclude = Seq("error_report")))
+  }
+
+  test("submissionsAtStatus lists the latest-at-stage work items with their info") {
+    // ref: test_audit_spark.py:307-371 — subs 1 and 3 sit at error_report,
+    // sub 2 at data_contract; the work list is exactly {1, 3} with info
+    val base = freshDir()
+    val audit = new AuditManager(spark, s"$base/a")
+    Seq("1" -> "TEST1", "2" -> "TEST2", "3" -> "TEST3").foreach { case (id, org) =>
+      audit.addSubmissionInfo(id, s"DS$id", s"file$id", "xml", submittingOrg = Some(org))
+    }
+    audit.markStatus("1", "error_report")
+    audit.markStatus("3", "error_report")
+    audit.markStatus("2", "data_contract")
+    val got = audit.submissionsAtStatus("error_report")
+      .select("submission_id", "submitting_org").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("1" -> "TEST1", "3" -> "TEST3"))
+    // a submission that moved on disappears from the work list
+    audit.markStatus("1", "finished")
+    assert(audit.submissionsAtStatus("error_report").count() == 1L)
+  }
 }
