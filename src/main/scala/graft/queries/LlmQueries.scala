@@ -607,6 +607,33 @@ object LlmQueries {
       TextStats.lineDedup(withLines, "doc_id", "text", maxDocFrac = 0.3)
     }),
 
+    // SFT chat-format validation: conversations synthesized from document
+    // words with a corruption ladder — assistant-first (%7), double-user
+    // (%11), blank turn (%13), user-final (%5), optional system lead (%3),
+    // clean 4-turn otherwise. Every rule lane exercises at sf0.01.
+    "q_chat_validate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def wd(k: Int) = coalesce(element_at(split(col("text"), "\\s+"), k), lit("x"))
+      def t(role: String, c: org.apache.spark.sql.Column) =
+        struct(lit(role).as("role"), c.as("content"))
+      val turns =
+        when(col("doc_id") % 7 === 0,
+          array(t("assistant", wd(1)), t("user", wd(2))))
+        .when(col("doc_id") % 11 === 0,
+          array(t("user", wd(1)), t("user", wd(2)), t("assistant", wd(3))))
+        .when(col("doc_id") % 13 === 0,
+          array(t("user", lit("")), t("assistant", wd(2))))
+        .when(col("doc_id") % 5 === 0,
+          array(t("user", wd(1)), t("assistant", wd(2)), t("user", wd(3))))
+        .when(col("doc_id") % 3 === 0,
+          array(t("system", lit("You are helpful.")), t("user", wd(1)),
+            t("assistant", wd(2))))
+        .otherwise(array(t("user", wd(1)), t("assistant", wd(2)),
+          t("user", wd(3)), t("assistant", wd(4))))
+      graft.text.Conversations.validate(
+        d.select(col("doc_id"), turns.as("turns")), "doc_id", "turns")
+    }),
+
     // WITHIN-doc repeated-line removal (Dolma's paragraph dedup at line
     // grain): a prefix line and a share-bar line repeat inside each doc;
     // 1/3 of docs repeat the share bar twice.
@@ -2166,6 +2193,38 @@ object LlmQueries {
     "q_export_manifest" -> exportManifestSql,
     "q_text_rarity" -> raritySql,
     "q_text_line_dedup" -> lineDedupSql,
+    "q_chat_validate" -> {
+      def st(role: String, c: String) = s"{'role': '$role', 'content': $c}"
+      def wd(k: Int) = s"coalesce(w[$k], 'x')"
+      val mk = "CASE " +
+        s"WHEN doc_id % 7 = 0 THEN [${st("assistant", wd(1))}, ${st("user", wd(2))}] " +
+        s"WHEN doc_id % 11 = 0 THEN [${st("user", wd(1))}, ${st("user", wd(2))}, ${st("assistant", wd(3))}] " +
+        s"WHEN doc_id % 13 = 0 THEN [${st("user", "''")}, ${st("assistant", wd(2))}] " +
+        s"WHEN doc_id % 5 = 0 THEN [${st("user", wd(1))}, ${st("assistant", wd(2))}, ${st("user", wd(3))}] " +
+        s"WHEN doc_id % 3 = 0 THEN [${st("system", "'You are helpful.'")}, ${st("user", wd(1))}, ${st("assistant", wd(2))}] " +
+        s"ELSE [${st("user", wd(1))}, ${st("assistant", wd(2))}, ${st("user", wd(3))}, ${st("assistant", wd(4))}] END"
+      "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), " +
+        s"c AS (SELECT doc_id, $mk AS turns FROM d), " +
+        "t AS (SELECT doc_id, unnest(turns) AS turn, generate_subscripts(turns, 1) AS pos FROM c), " +
+        "f AS (SELECT doc_id, pos, turn.role AS role, turn.content AS content, " +
+        "first_value(turn.role) OVER (PARTITION BY doc_id ORDER BY pos) AS fr FROM t), " +
+        "e AS (SELECT *, pos - 1 - (CASE WHEN fr = 'system' THEN 1 ELSE 0 END) AS off FROM f), " +
+        "x AS (SELECT *, CASE WHEN off < 0 THEN 'system' WHEN off % 2 = 0 THEN 'user' " +
+        "ELSE 'assistant' END AS expected FROM e) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_turns, " +
+        "coalesce(sum(length(content)), 0)::BIGINT AS n_chars, " +
+        "count(CASE WHEN pos = 1 AND role IN ('system', 'user') THEN 1 END) > 0 AS starts_ok, " +
+        "count(CASE WHEN role != expected THEN 1 END) = 0 AS alternates_ok, " +
+        "arg_max(role, pos) = 'assistant' AS ends_ok, " +
+        "count(CASE WHEN content IS NULL OR trim(content) = '' THEN 1 END) > 0 AS has_empty_turn, " +
+        "arg_max(role, pos) AS last_role, " +
+        "(count(CASE WHEN pos = 1 AND role IN ('system', 'user') THEN 1 END) > 0 " +
+        "AND count(CASE WHEN role != expected THEN 1 END) = 0 " +
+        "AND arg_max(role, pos) = 'assistant' " +
+        "AND count(CASE WHEN content IS NULL OR trim(content) = '' THEN 1 END) = 0 " +
+        "AND count(*) BETWEEN 2 AND 64) AS chat_ok " +
+        "FROM x GROUP BY doc_id"
+    },
     "q_text_intradoc_dedup" -> {
       val mk = "substr(text, 1, 40) || chr(10) || 'SHARE THIS ARTICLE' || chr(10) || " +
         "substr(text, 1, 40) || chr(10) || " +

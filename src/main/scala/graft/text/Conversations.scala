@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chat-format (SFT/RLHF) training-record validation: multi-turn
+  * conversations arrive as `array<struct<role, content>>` columns, and the
+  * curation questions are structural — does the record start with a system
+  * or user turn, do user/assistant strictly alternate, does it end on an
+  * assistant turn, is any turn blank, how many turns/characters. Records
+  * failing the shape rules are the chat-corpus analog of contract
+  * rejections; the stats feed per-source mixing budgets.
+  *
+  * Execution shape (the line-cleaner discipline): turns posexplode, ONE
+  * doc-keyed exchange serves both the alternation window and the summary
+  * aggregation (turns never leave their conversation), every per-turn
+  * check is plain codegen — no interpreted array-HOF lambdas.
+  */
+object Conversations {
+
+  /** Per-conversation shape report over `turnsCol: array<struct<role:string,
+    * content:string>>`. Output: (id, n_turns, n_chars, starts_ok,
+    * alternates_ok, ends_ok, has_empty_turn, last_role, chat_ok).
+    *
+    * Rules (the common chat-template contract):
+    *  - starts_ok: first role is `system` or `user`;
+    *  - alternates_ok: ignoring one optional leading `system`, roles
+    *    strictly alternate `user`/`assistant` starting with `user` (an
+    *    unknown role, a repeat, or a mid-conversation `system` fails);
+    *  - ends_ok: last role is `assistant`;
+    *  - has_empty_turn: any null/blank content;
+    *  - chat_ok: all of the above and n_turns in [2, maxTurns].
+    */
+  def validate(df: DataFrame, idCol: String, turnsCol: String,
+               maxTurns: Int = 64): DataFrame = {
+    val turns = df.select(col(idCol).as("__id__"),
+      posexplode(col(turnsCol)).as(Seq("__pos__", "__t__")))
+      .select(col("__id__"), col("__pos__"),
+        col("__t__.role").as("__role__"), col("__t__.content").as("__content__"))
+      .repartition(col("__id__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id__")).orderBy(col("__pos__"))
+    // expected parity: after dropping an optional leading system turn,
+    // even offsets are user, odd are assistant
+    val flagged = turns
+      .withColumn("__first_role__", first(col("__role__")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__off__",
+        col("__pos__") - when(col("__first_role__") === "system", 1).otherwise(0))
+      .withColumn("__expected__",
+        when(col("__off__") < 0, lit("system"))
+          .when(pmod(col("__off__"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("assistant")))
+      .withColumn("__blank__",
+        col("__content__").isNull || trim(col("__content__")) === "")
+    val agg = flagged.groupBy(col("__id__")).agg(
+      count(lit(1)).as("n_turns"),
+      coalesce(sum(length(col("__content__"))), lit(0L)).cast("bigint").as("n_chars"),
+      (count(when(col("__pos__") === 0 &&
+        col("__role__").isin("system", "user"), 1)) > 0).as("starts_ok"),
+      (count(when(col("__role__") =!= col("__expected__"), 1)) === 0).as("alternates_ok"),
+      (max(struct(col("__pos__"), col("__role__"))).getField("__role__") === "assistant")
+        .as("ends_ok"),
+      (count(when(col("__blank__"), 1)) > 0).as("has_empty_turn"),
+      max(struct(col("__pos__"), col("__role__"))).getField("__role__").as("last_role"))
+      .withColumn("chat_ok",
+        col("starts_ok") && col("alternates_ok") && col("ends_ok") &&
+          !col("has_empty_turn") &&
+          col("n_turns") >= 2 && col("n_turns") <= maxTurns)
+    // drive from the full input: a null/empty turn array would otherwise
+    // vanish through the posexplode — it must surface as a 0-turn record
+    // with chat_ok = false (the EntityResolution null-lane lesson)
+    df.select(col(idCol).as("__id__")).join(agg, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("n_turns"), lit(0L)).cast("bigint").as("n_turns"),
+        coalesce(col("n_chars"), lit(0L)).cast("bigint").as("n_chars"),
+        coalesce(col("starts_ok"), lit(false)).as("starts_ok"),
+        coalesce(col("alternates_ok"), lit(false)).as("alternates_ok"),
+        coalesce(col("ends_ok"), lit(false)).as("ends_ok"),
+        coalesce(col("has_empty_turn"), lit(false)).as("has_empty_turn"),
+        col("last_role"),
+        coalesce(col("chat_ok"), lit(false)).as("chat_ok"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ConversationsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def conv(id: Long, turns: (String, String)*) =
+    (id, turns.map { case (r, c) => (r, c) })
+
+  private def df(rows: (Long, Seq[(String, String)])*) =
+    rows.toDF("id", "raw").select(col("id"),
+      expr("transform(raw, t -> struct(t._1 AS role, t._2 AS content))").as("turns"))
+
+  test("clean conversations pass; each corruption trips exactly its rule") {
+    val out = Conversations.validate(df(
+      conv(1L, "user" -> "hi", "assistant" -> "hello"),
+      conv(2L, "system" -> "be nice", "user" -> "hi", "assistant" -> "hello"),
+      conv(3L, "assistant" -> "hi", "user" -> "??"),          // starts + order + end
+      conv(4L, "user" -> "a", "user" -> "b", "assistant" -> "c"), // double user
+      conv(5L, "user" -> "a", "assistant" -> " ", "user" -> "b"), // blank + user-final
+      conv(6L, "user" -> "a", "assistant" -> "b", "system" -> "late", "user" -> "c")
+    ), "id", "turns").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    def flags(id: Long) = {
+      val r = out(id)
+      (r.getAs[Boolean]("starts_ok"), r.getAs[Boolean]("alternates_ok"),
+        r.getAs[Boolean]("ends_ok"), r.getAs[Boolean]("has_empty_turn"),
+        r.getAs[Boolean]("chat_ok"))
+    }
+    assert(flags(1L) == ((true, true, true, false, true)))
+    assert(flags(2L) == ((true, true, true, false, true))) // optional system lead
+    assert(flags(3L) == ((false, false, false, false, false)))
+    assert(flags(4L) == ((true, false, true, false, false)))
+    assert(flags(5L) == ((true, true, false, true, false)))
+    assert(flags(6L) == ((true, false, false, false, false))) // mid-conv system
+    assert(out(1L).getAs[Long]("n_chars") == 7L)
+    assert(out(2L).getAs[String]("last_role") == "assistant")
+  }
+
+  test("degenerate shapes: empty array, null array, single turn") {
+    val withNull = Seq((7L, Seq.empty[(String, String)]), (9L, Seq(("user", "only")))).toDF("id", "raw")
+      .select(col("id"),
+        expr("transform(raw, t -> struct(t._1 AS role, t._2 AS content))").as("turns"))
+      .unionByName(Seq(Tuple1(8L)).toDF("id").select(col("id"),
+        lit(null).cast("array<struct<role:string,content:string>>").as("turns")))
+    val out = Conversations.validate(withNull, "id", "turns").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3) // nothing vanishes through the explode
+    assert(out(7L).getAs[Long]("n_turns") == 0L && !out(7L).getAs[Boolean]("chat_ok"))
+    assert(out(8L).getAs[Long]("n_turns") == 0L && !out(8L).getAs[Boolean]("chat_ok"))
+    // single user turn: well-formed start but too short and user-final
+    assert(out(9L).getAs[Long]("n_turns") == 1L && !out(9L).getAs[Boolean]("chat_ok"))
+    assert(out(9L).getAs[Boolean]("starts_ok"))
+  }
+
+  test("maxTurns budget: an over-long conversation fails chat_ok only on length") {
+    val long = (1 to 5).flatMap(i => Seq("user" -> s"q$i", "assistant" -> s"a$i"))
+    val out = Conversations.validate(df(conv(1L, long: _*)), "id", "turns", maxTurns = 8)
+      .collect().head
+    assert(out.getAs[Long]("n_turns") == 10L)
+    assert(out.getAs[Boolean]("alternates_ok") && out.getAs[Boolean]("ends_ok"))
+    assert(!out.getAs[Boolean]("chat_ok"))
+  }
+}
