@@ -36,6 +36,36 @@ object LlmQueries {
     * customer table plus a shifted-id copy with first/last-char drops and
     * exact clones — shared by the pair and cluster queries.
     */
+  /** Chat fixture: conversations synthesized from document words with a
+    * corruption ladder (first match wins): %17 duplicate-prompt clean pair,
+    * %7 assistant-first, %11 double-user, %13 blank turn, %5 user-final,
+    * %3 system lead, clean 4-turn otherwise. Shared by the q_chat_* trio;
+    * the oracle CASE must mirror this branch order exactly.
+    */
+  private def chatFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def wd(k: Int) = coalesce(element_at(split(col("text"), "\\s+"), k), lit("x"))
+    def t(role: String, c: org.apache.spark.sql.Column) =
+      struct(lit(role).as("role"), c.as("content"))
+    val turns =
+      when(col("doc_id") % 17 === 0,
+        array(t("user", lit("common question")), t("assistant", wd(2))))
+      .when(col("doc_id") % 7 === 0,
+        array(t("assistant", wd(1)), t("user", wd(2))))
+      .when(col("doc_id") % 11 === 0,
+        array(t("user", wd(1)), t("user", wd(2)), t("assistant", wd(3))))
+      .when(col("doc_id") % 13 === 0,
+        array(t("user", lit("")), t("assistant", wd(2))))
+      .when(col("doc_id") % 5 === 0,
+        array(t("user", wd(1)), t("assistant", wd(2)), t("user", wd(3))))
+      .when(col("doc_id") % 3 === 0,
+        array(t("system", lit("You are helpful.")), t("user", wd(1)),
+          t("assistant", wd(2))))
+      .otherwise(array(t("user", wd(1)), t("assistant", wd(2)),
+        t("user", wd(3)), t("assistant", wd(4))))
+    d.select(col("doc_id"), turns.as("turns"))
+  }
+
   private def entityRecords(s: SparkSession, dir: String): DataFrame = {
     val wArr = array(EntityWords.map(lit): _*)
     def pick(e: String) = element_at(wArr, (expr(e) % 12 + 1).cast("int"))
@@ -611,28 +641,21 @@ object LlmQueries {
     // words with a corruption ladder — assistant-first (%7), double-user
     // (%11), blank turn (%13), user-final (%5), optional system lead (%3),
     // clean 4-turn otherwise. Every rule lane exercises at sf0.01.
-    "q_chat_validate" -> ((s, dir) => {
-      val d = docs(s, dir)
-      def wd(k: Int) = coalesce(element_at(split(col("text"), "\\s+"), k), lit("x"))
-      def t(role: String, c: org.apache.spark.sql.Column) =
-        struct(lit(role).as("role"), c.as("content"))
-      val turns =
-        when(col("doc_id") % 7 === 0,
-          array(t("assistant", wd(1)), t("user", wd(2))))
-        .when(col("doc_id") % 11 === 0,
-          array(t("user", wd(1)), t("user", wd(2)), t("assistant", wd(3))))
-        .when(col("doc_id") % 13 === 0,
-          array(t("user", lit("")), t("assistant", wd(2))))
-        .when(col("doc_id") % 5 === 0,
-          array(t("user", wd(1)), t("assistant", wd(2)), t("user", wd(3))))
-        .when(col("doc_id") % 3 === 0,
-          array(t("system", lit("You are helpful.")), t("user", wd(1)),
-            t("assistant", wd(2))))
-        .otherwise(array(t("user", wd(1)), t("assistant", wd(2)),
-          t("user", wd(3)), t("assistant", wd(4))))
-      graft.text.Conversations.validate(
-        d.select(col("doc_id"), turns.as("turns")), "doc_id", "turns")
-    }),
+    "q_chat_validate" -> ((s, dir) =>
+      graft.text.Conversations.validate(chatFixture(s, dir), "doc_id", "turns")),
+
+    // Chat-template rendering: conversation -> one training string with
+    // role sentinels + EOS per turn, plus the turn/char accounting the
+    // packer consumes.
+    "q_chat_render" -> ((s, dir) =>
+      graft.text.Conversations.render(chatFixture(s, dir), "doc_id", "turns")),
+
+    // Prompt-level dedup: conversations sharing a normalized FIRST USER
+    // turn form a group; the longest conversation survives (tie: min id).
+    // The %17 fixture branch plants cross-doc duplicate prompts.
+    "q_chat_dedup_prompt" -> ((s, dir) =>
+      graft.text.Conversations.dedupByPrompt(chatFixture(s, dir), "doc_id", "turns",
+        size(col("turns")).cast("double"))),
 
     // WITHIN-doc repeated-line removal (Dolma's paragraph dedup at line
     // grain): a prefix line and a share-bar line repeat inside each doc;
@@ -1545,6 +1568,22 @@ object LlmQueries {
       "(d.n_docs / n.total) <= 0.3 AS keep FROM l JOIN d USING (line) CROSS JOIN n"
   }
 
+  /** DuckDB replica of [[chatFixture]]'s corruption-ladder CASE (branch
+    * order must mirror the Scala `when` chain exactly).
+    */
+  private val chatTurnsSql: String = {
+    def st(role: String, c: String) = s"{'role': '$role', 'content': $c}"
+    def wd(k: Int) = s"coalesce(w[$k], 'x')"
+    "CASE " +
+      s"WHEN doc_id % 17 = 0 THEN [${st("user", "'common question'")}, ${st("assistant", wd(2))}] " +
+      s"WHEN doc_id % 7 = 0 THEN [${st("assistant", wd(1))}, ${st("user", wd(2))}] " +
+      s"WHEN doc_id % 11 = 0 THEN [${st("user", wd(1))}, ${st("user", wd(2))}, ${st("assistant", wd(3))}] " +
+      s"WHEN doc_id % 13 = 0 THEN [${st("user", "''")}, ${st("assistant", wd(2))}] " +
+      s"WHEN doc_id % 5 = 0 THEN [${st("user", wd(1))}, ${st("assistant", wd(2))}, ${st("user", wd(3))}] " +
+      s"WHEN doc_id % 3 = 0 THEN [${st("system", "'You are helpful.'")}, ${st("user", wd(1))}, ${st("assistant", wd(2))}] " +
+      s"ELSE [${st("user", wd(1))}, ${st("assistant", wd(2))}, ${st("user", wd(3))}, ${st("assistant", wd(4))}] END"
+  }
+
   /** DuckDB replica of [[Sampling.shuffleKey]] with the given salt. */
   private def shuffleKeySql(salt: String): String = {
     val h = "list_reduce(list_prepend(17::BIGINT, " +
@@ -2194,17 +2233,8 @@ object LlmQueries {
     "q_text_rarity" -> raritySql,
     "q_text_line_dedup" -> lineDedupSql,
     "q_chat_validate" -> {
-      def st(role: String, c: String) = s"{'role': '$role', 'content': $c}"
-      def wd(k: Int) = s"coalesce(w[$k], 'x')"
-      val mk = "CASE " +
-        s"WHEN doc_id % 7 = 0 THEN [${st("assistant", wd(1))}, ${st("user", wd(2))}] " +
-        s"WHEN doc_id % 11 = 0 THEN [${st("user", wd(1))}, ${st("user", wd(2))}, ${st("assistant", wd(3))}] " +
-        s"WHEN doc_id % 13 = 0 THEN [${st("user", "''")}, ${st("assistant", wd(2))}] " +
-        s"WHEN doc_id % 5 = 0 THEN [${st("user", wd(1))}, ${st("assistant", wd(2))}, ${st("user", wd(3))}] " +
-        s"WHEN doc_id % 3 = 0 THEN [${st("system", "'You are helpful.'")}, ${st("user", wd(1))}, ${st("assistant", wd(2))}] " +
-        s"ELSE [${st("user", wd(1))}, ${st("assistant", wd(2))}, ${st("user", wd(3))}, ${st("assistant", wd(4))}] END"
       "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), " +
-        s"c AS (SELECT doc_id, $mk AS turns FROM d), " +
+        s"c AS (SELECT doc_id, $chatTurnsSql AS turns FROM d), " +
         "t AS (SELECT doc_id, unnest(turns) AS turn, generate_subscripts(turns, 1) AS pos FROM c), " +
         "f AS (SELECT doc_id, pos, turn.role AS role, turn.content AS content, " +
         "first_value(turn.role) OVER (PARTITION BY doc_id ORDER BY pos) AS fr FROM t), " +
@@ -2224,6 +2254,31 @@ object LlmQueries {
         "AND count(CASE WHEN content IS NULL OR trim(content) = '' THEN 1 END) = 0 " +
         "AND count(*) BETWEEN 2 AND 64) AS chat_ok " +
         "FROM x GROUP BY doc_id"
+    },
+    "q_chat_render" -> {
+      "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), " +
+        s"c AS (SELECT doc_id, $chatTurnsSql AS turns FROM d), " +
+        "t AS (SELECT doc_id, unnest(turns) AS turn, generate_subscripts(turns, 1) AS pos FROM c), " +
+        "r AS (SELECT doc_id, pos, '<|' || turn.role || '|>' || chr(10) || " +
+        "coalesce(turn.content, '') || '</s>' AS piece FROM t) " +
+        "SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS text, " +
+        "count(*)::BIGINT AS n_turns, " +
+        "length(string_agg(piece, '' ORDER BY pos))::BIGINT AS n_chars " +
+        "FROM r GROUP BY doc_id"
+    },
+    "q_chat_dedup_prompt" -> {
+      "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), " +
+        s"c AS (SELECT doc_id, $chatTurnsSql AS turns FROM d), " +
+        "t AS (SELECT doc_id, unnest(turns) AS turn, generate_subscripts(turns, 1) AS pos FROM c), " +
+        "p AS (SELECT doc_id, lower(trim(arg_min(turn.content, pos))) AS prompt_norm " +
+        "FROM t WHERE turn.role = 'user' GROUP BY doc_id), " +
+        "j AS (SELECT c.doc_id, len(c.turns) AS sz, p.prompt_norm FROM c " +
+        "LEFT JOIN p ON c.doc_id = p.doc_id) " +
+        "SELECT doc_id, prompt_norm, " +
+        "CASE WHEN prompt_norm IS NULL THEN 1 ELSE count(*) OVER (PARTITION BY prompt_norm) END::BIGINT AS group_size, " +
+        "CASE WHEN prompt_norm IS NULL THEN true ELSE " +
+        "row_number() OVER (PARTITION BY prompt_norm ORDER BY sz DESC, doc_id ASC) = 1 END AS keep " +
+        "FROM j"
     },
     "q_text_intradoc_dedup" -> {
       val mk = "substr(text, 1, 40) || chr(10) || 'SHARE THIS ARTICLE' || chr(10) || " +

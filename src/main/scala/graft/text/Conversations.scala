@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Chat-format (SFT/RLHF) training-record validation: multi-turn
@@ -80,5 +80,62 @@ object Conversations {
         coalesce(col("has_empty_turn"), lit(false)).as("has_empty_turn"),
         col("last_role"),
         coalesce(col("chat_ok"), lit(false)).as("chat_ok"))
+  }
+
+  /** Render each conversation to ONE training string — `<|role|>\n` +
+    * content + `eos` per turn, concatenated in order (the public
+    * zephyr-style chat template) — plus the turn/char accounting a packer
+    * consumes. A null/empty conversation renders as the empty string.
+    * Same single doc-keyed exchange as [[validate]].
+    */
+  def render(df: DataFrame, idCol: String, turnsCol: String,
+             eos: String = "</s>"): DataFrame = {
+    val turns = df.select(col(idCol).as("__id__"),
+      posexplode(col(turnsCol)).as(Seq("__pos__", "__t__")))
+      .select(col("__id__"), col("__pos__"),
+        concat(lit("<|"), col("__t__.role"), lit("|>\n"),
+          coalesce(col("__t__.content"), lit("")), lit(eos)).as("__r__"))
+      .repartition(col("__id__"))
+    val agg = turns.groupBy(col("__id__")).agg(
+      count(lit(1)).as("n_turns"),
+      concat_ws("", sort_array(collect_list(struct(col("__pos__"), col("__r__"))))
+        .getField("__r__")).as("text"))
+    df.select(col(idCol).as("__id__")).join(agg, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_turns"), lit(0L)).cast("bigint").as("n_turns"),
+        length(coalesce(col("text"), lit(""))).cast("bigint").as("n_chars"))
+  }
+
+  /** PROMPT-level dedup (SFT curation: many sampled answers to the same
+    * instruction — keep the best): conversations group on the normalized
+    * (lower + trim) content of their FIRST user turn; `keep` marks the
+    * group's `score` argmax (tie: minimum id). Conversations with no user
+    * turn are their own singleton groups (never glued through a shared
+    * null key). Output: (id, prompt_norm, group_size, keep).
+    */
+  def dedupByPrompt(df: DataFrame, idCol: String, turnsCol: String,
+                    score: Column): DataFrame = {
+    val base = df.select(col(idCol).as("__id__"), col(turnsCol).as("__turns__"),
+      score.as("__score__"))
+    val firstUser = base
+      .select(col("__id__"), posexplode(col("__turns__")).as(Seq("__pos__", "__t__")))
+      .where(col("__t__.role") === "user")
+      .groupBy(col("__id__"))
+      .agg(min(struct(col("__pos__"), col("__t__.content").as("__c__")))
+        .getField("__c__").as("__prompt__"))
+      .select(col("__id__"), lower(trim(col("__prompt__"))).as("prompt_norm"))
+    val joined = base.join(firstUser, Seq("__id__"), "left")
+    val promptless = joined.where(col("prompt_norm").isNull)
+      .select(col("__id__").as(idCol), col("prompt_norm"),
+        lit(1L).as("group_size"), lit(true).as("keep"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prompt_norm"))
+    joined.where(col("prompt_norm").isNotNull)
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("__best__", struct(negate(col("__score__")), col("__id__")))
+      .withColumn("keep", col("__best__") === min(col("__best__")).over(w))
+      .select(col("__id__").as(idCol), col("prompt_norm"),
+        col("group_size").cast("bigint").as("group_size"), col("keep"))
+      .unionByName(promptless)
   }
 }

@@ -57,6 +57,34 @@ class ConversationsSpec extends SparkSpec {
     assert(out(9L).getAs[Boolean]("starts_ok"))
   }
 
+  test("render: template pieces concatenate in turn order; empty renders empty") {
+    val out = Conversations.render(df(
+      conv(1L, "system" -> "s", "user" -> "q", "assistant" -> "a"),
+      conv(2L)), "id", "turns").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("text") ==
+      "<|system|>\ns</s><|user|>\nq</s><|assistant|>\na</s>")
+    assert(out(1L).getAs[Long]("n_turns") == 3L)
+    assert(out(1L).getAs[Long]("n_chars") == out(1L).getAs[String]("text").length.toLong)
+    assert(out(2L).getAs[String]("text") == "" && out(2L).getAs[Long]("n_turns") == 0L)
+  }
+
+  test("dedupByPrompt: normalized first-user-turn groups, best-score keeper, promptless singletons") {
+    val out = Conversations.dedupByPrompt(df(
+      conv(1L, "user" -> "What is Spark?", "assistant" -> "a"),
+      conv(2L, "user" -> "  what is spark? ", "assistant" -> "b", "user" -> "more", "assistant" -> "c"),
+      conv(3L, "system" -> "s", "user" -> "What is Spark?", "assistant" -> "d"),
+      conv(4L, "user" -> "Different prompt", "assistant" -> "e"),
+      conv(5L, "system" -> "no user turn at all")
+    ), "id", "turns", size(col("turns")).cast("double"))
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // 1, 2, 3 share the normalized prompt; 2 has the most turns -> keeper
+    assert(out(1L) == ((1L, "what is spark?", 3L, false)))
+    assert(out(2L) == ((2L, "what is spark?", 3L, true)))
+    assert(out(3L) == ((3L, "what is spark?", 3L, false)))
+    assert(out(4L) == ((4L, "different prompt", 1L, true)))
+    assert(out(5L) == ((5L, null, 1L, true))) // no user turn: own group
+  }
+
   test("maxTurns budget: an over-long conversation fails chat_ok only on length") {
     val long = (1 to 5).flatMap(i => Seq("user" -> s"q$i", "assistant" -> s"a$i"))
     val out = Conversations.validate(df(conv(1L, long: _*)), "id", "turns", maxTurns = 8)
