@@ -125,4 +125,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("intraDocLineDedup conserves lines; output is the first-occurrence subsequence") {
+    val line = Gen.oneOf("aa", "bb", "cc", "dd", "ee bb", "")
+    val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, line))
+    val gen = Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, doc))
+    samples(gen, 5).foreach { docsLines =>
+      val df = docsLines.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }.toDF("id", "text")
+      val out = graft.text.TextStats.intraDocLineDedup(df, "id", "text")
+        .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+      docsLines.zipWithIndex.foreach { case (ls, i) =>
+        val (_, nLines, nDups, dedup) = out(i.toLong)
+        assert(nLines == ls.length)
+        assert(nDups == ls.length - ls.distinct.length)
+        // expected: first occurrences in original order
+        assert(dedup == ls.distinct.mkString("\n"), s"doc $i: $ls")
+      }
+    }
+  }
+
+  test("dedupByPrompt: exactly one keeper per group for ANY conversation mix") {
+    val prompt = Gen.oneOf("p1", "P1 ", "p2", " p2", "p3")
+    val conv = for {
+      p <- prompt; extra <- Gen.chooseNum(0, 3)
+    } yield Seq(("user", p)) ++ (0 until extra).flatMap(k =>
+      Seq(("assistant", s"a$k"), ("user", s"q$k"))) :+ ("assistant", "fin")
+    val gen = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, conv))
+    samples(gen, 5).foreach { convs =>
+      val df = convs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("id", "raw")
+        .select(col("id"),
+          expr("transform(raw, t -> struct(t._1 AS role, t._2 AS content))").as("turns"))
+      val out = graft.text.Conversations.dedupByPrompt(df, "id", "turns",
+        size(col("turns")).cast("double"))
+        .as[(Long, String, Long, Boolean)].collect()
+      assert(out.length == convs.length) // nothing dropped
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        assert(rows.count(_._4) == 1, s"group with != 1 keeper: $rows")
+        assert(rows.forall(_._3 == rows.length))
+      }
+    }
+  }
 }
