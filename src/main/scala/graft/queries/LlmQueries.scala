@@ -657,6 +657,27 @@ object LlmQueries {
       graft.text.Conversations.dedupByPrompt(chatFixture(s, dir), "doc_id", "turns",
         size(col("turns")).cast("double"))),
 
+    // Loss-mask accounting: trainable (assistant) character mass per
+    // conversation, micro-unit fraction.
+    "q_chat_mask" -> ((s, dir) =>
+      graft.text.Conversations.lossMaskStats(chatFixture(s, dir), "doc_id", "turns")),
+
+    // DPO preference-pair validation: %23 identical responses, %29 blank
+    // rejected, %31 blank prompt — the zero-gradient records a trainer
+    // must drop.
+    "q_chat_pref_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def wd(k: Int) = coalesce(element_at(split(col("text"), "\\s+"), k), lit("x"))
+      val pairs = d.select(col("doc_id"),
+        when(col("doc_id") % 31 === 0, lit(" ")).otherwise(wd(1)).as("prompt"),
+        wd(2).as("chosen"),
+        when(col("doc_id") % 23 === 0, wd(2))
+          .when(col("doc_id") % 29 === 0, lit(""))
+          .otherwise(wd(3)).as("rejected"))
+      graft.text.Conversations.validatePreferencePairs(
+        pairs, "doc_id", "prompt", "chosen", "rejected")
+    }),
+
     // WITHIN-doc repeated-line removal (Dolma's paragraph dedup at line
     // grain): a prefix line and a share-bar line repeat inside each doc;
     // 1/3 of docs repeat the share bar twice.
@@ -2279,6 +2300,38 @@ object LlmQueries {
         "CASE WHEN prompt_norm IS NULL THEN true ELSE " +
         "row_number() OVER (PARTITION BY prompt_norm ORDER BY sz DESC, doc_id ASC) = 1 END AS keep " +
         "FROM j"
+    },
+    "q_chat_mask" -> {
+      "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), " +
+        s"c AS (SELECT doc_id, $chatTurnsSql AS turns FROM d), " +
+        "t AS (SELECT doc_id, unnest(turns) AS turn FROM c) " +
+        "SELECT doc_id, " +
+        "count(CASE WHEN turn.role = 'assistant' THEN 1 END)::BIGINT AS n_assistant_turns, " +
+        "coalesce(sum(CASE WHEN turn.role = 'assistant' THEN length(turn.content) END), 0)::BIGINT AS assistant_chars, " +
+        "coalesce(sum(length(turn.content)), 0)::BIGINT AS total_chars, " +
+        "(CASE WHEN coalesce(sum(length(turn.content)), 0) = 0 THEN 0 " +
+        "ELSE floor(coalesce(sum(CASE WHEN turn.role = 'assistant' THEN length(turn.content) END), 0)::DOUBLE " +
+        "* 1000000.0 / sum(length(turn.content))::DOUBLE) END)::BIGINT AS assistant_frac_micro " +
+        "FROM t GROUP BY doc_id"
+    },
+    "q_chat_pref_pairs" -> {
+      def wd(k: Int) = s"coalesce(w[$k], 'x')"
+      "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), " +
+        "p AS (SELECT doc_id, " +
+        s"CASE WHEN doc_id % 31 = 0 THEN ' ' ELSE ${wd(1)} END AS prompt, " +
+        s"${wd(2)} AS chosen, " +
+        s"CASE WHEN doc_id % 23 = 0 THEN ${wd(2)} WHEN doc_id % 29 = 0 THEN '' " +
+        s"ELSE ${wd(3)} END AS rejected FROM d), " +
+        "f AS (SELECT doc_id, prompt, chosen, rejected, " +
+        "(prompt IS NULL OR trim(prompt) = '') AS pb, " +
+        "(chosen IS NULL OR trim(chosen) = '') AS cb, " +
+        "(rejected IS NULL OR trim(rejected) = '') AS rb FROM p) " +
+        "SELECT doc_id, pb AS prompt_blank, cb AS chosen_blank, rb AS rejected_blank, " +
+        "(NOT cb AND NOT rb AND trim(chosen) = trim(rejected)) AS responses_identical, " +
+        "coalesce(length(chosen), 0)::BIGINT AS chosen_chars, " +
+        "coalesce(length(rejected), 0)::BIGINT AS rejected_chars, " +
+        "(NOT pb AND NOT cb AND NOT rb AND trim(chosen) != trim(rejected)) AS pair_ok " +
+        "FROM f"
     },
     "q_text_intradoc_dedup" -> {
       val mk = "substr(text, 1, 40) || chr(10) || 'SHARE THIS ARTICLE' || chr(10) || " +

@@ -107,6 +107,56 @@ object Conversations {
         length(coalesce(col("text"), lit(""))).cast("bigint").as("n_chars"))
   }
 
+  /** Loss-mask accounting: SFT training masks the loss to ASSISTANT tokens,
+    * so the per-record trainable fraction — assistant characters over all
+    * content characters — is the budget number a mixing step weighs
+    * (a conversation that is 95% user paste trains almost nothing).
+    * Fractions in floored integer micro-units. Pure per-turn codegen + one
+    * doc-keyed aggregation; drives from the full input like [[validate]].
+    */
+  def lossMaskStats(df: DataFrame, idCol: String, turnsCol: String): DataFrame = {
+    val turns = df.select(col(idCol).as("__id__"),
+      explode(col(turnsCol)).as("__t__"))
+      .select(col("__id__"), col("__t__.role").as("__role__"),
+        coalesce(length(col("__t__.content")), lit(0)).as("__len__"))
+    val agg = turns.groupBy(col("__id__")).agg(
+      count(when(col("__role__") === "assistant", 1)).as("n_assistant_turns"),
+      coalesce(sum(when(col("__role__") === "assistant", col("__len__"))), lit(0L))
+        .as("assistant_chars"),
+      sum(col("__len__")).as("total_chars"))
+    df.select(col(idCol).as("__id__")).join(agg, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("n_assistant_turns"), lit(0L)).cast("bigint").as("n_assistant_turns"),
+        coalesce(col("assistant_chars"), lit(0L)).cast("bigint").as("assistant_chars"),
+        coalesce(col("total_chars"), lit(0L)).cast("bigint").as("total_chars"),
+        when(coalesce(col("total_chars"), lit(0L)) === 0, 0L)
+          .otherwise(floor(coalesce(col("assistant_chars"), lit(0L)).cast("double")
+            * 1000000.0 / col("total_chars").cast("double")).cast("bigint"))
+          .as("assistant_frac_micro"))
+  }
+
+  /** Preference-pair (DPO/RLHF) record validation: a pair is trainable only
+    * if both responses are non-blank AND differ — identical or blank sides
+    * give a zero-gradient comparison. Emits the per-side lengths the
+    * length-bias audits consume. Pure per-row codegen, no shuffle.
+    */
+  def validatePreferencePairs(df: DataFrame, idCol: String, promptCol: String,
+                              chosenCol: String, rejectedCol: String): DataFrame = {
+    val blank = (c: Column) => c.isNull || trim(c) === ""
+    val chosen = col(chosenCol)
+    val rejected = col(rejectedCol)
+    df.select(col(idCol),
+      blank(col(promptCol)).as("prompt_blank"),
+      blank(chosen).as("chosen_blank"),
+      blank(rejected).as("rejected_blank"),
+      (!blank(chosen) && !blank(rejected) && trim(chosen) === trim(rejected))
+        .as("responses_identical"),
+      coalesce(length(chosen), lit(0)).cast("bigint").as("chosen_chars"),
+      coalesce(length(rejected), lit(0)).cast("bigint").as("rejected_chars"),
+      (!blank(col(promptCol)) && !blank(chosen) && !blank(rejected) &&
+        trim(chosen) =!= trim(rejected)).as("pair_ok"))
+  }
+
   /** PROMPT-level dedup (SFT curation: many sampled answers to the same
     * instruction — keep the best): conversations group on the normalized
     * (lower + trim) content of their FIRST user turn; `keep` marks the

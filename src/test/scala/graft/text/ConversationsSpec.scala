@@ -85,6 +85,33 @@ class ConversationsSpec extends SparkSpec {
     assert(out(5L) == ((5L, null, 1L, true))) // no user turn: own group
   }
 
+  test("lossMaskStats: assistant char mass and floored micro fraction") {
+    val out = Conversations.lossMaskStats(df(
+      conv(1L, "user" -> "aaaa", "assistant" -> "bb"),   // 2/6 trainable
+      conv(2L, "user" -> "only user")), "id", "turns")    // nothing trainable
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 2L, 6L, 333333L)))
+    assert(out(2L) == ((2L, 0L, 0L, 9L, 0L)))
+  }
+
+  test("validatePreferencePairs: identical/blank sides are zero-gradient rejects") {
+    val out = Conversations.validatePreferencePairs(Seq(
+      (1L, "p", "good answer", "bad answer"),
+      (2L, "p", "same", "same"),
+      (3L, "p", "same", " same "),   // identical after trim
+      (4L, " ", "a", "b"),           // blank prompt
+      (5L, "p", "", "b")             // blank chosen
+    ).toDF("id", "prompt", "chosen", "rejected"),
+      "id", "prompt", "chosen", "rejected")
+      .select("id", "responses_identical", "pair_ok")
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((false, true)))
+    assert(out(2L) == ((true, false)))
+    assert(out(3L) == ((true, false)))
+    assert(out(4L) == ((false, false)))
+    assert(out(5L) == ((false, false)))
+  }
+
   test("maxTurns budget: an over-long conversation fails chat_ok only on length") {
     val long = (1 to 5).flatMap(i => Seq("user" -> s"q$i", "assistant" -> s"a$i"))
     val out = Conversations.validate(df(conv(1L, long: _*)), "id", "turns", maxTurns = 8)
