@@ -126,6 +126,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("collapsedPairs equals the direct pair set for ANY corpus and parameters") {
+    // the clone-collapse must be row-for-row invisible: same pairs, same
+    // distances, for random clone-heavy short-string corpora at several
+    // (maxDist, keyLen) settings
+    val word = Gen.oneOf("abcd", "abce", "bcde", "abc", "abcde", "zzzz")
+    val text = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.chooseNum(4, 18).flatMap(n => Gen.listOfN(n, text))
+    samples(corpus, 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      for ((maxDist, keyLen) <- Seq((0, 4), (1, 3), (2, 2))) {
+        val collapsed = graft.text.EntityResolution
+          .collapsedPairs(df, "id", "t", maxDist, keyLen)
+          .as[(Long, Long, Long)].collect().toSet
+        val direct = graft.text.EditDistance
+          .editDistancePairs(df, "id", "t", maxDist, keyLen)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(collapsed == direct,
+          s"maxDist=$maxDist keyLen=$keyLen corpus=$texts")
+      }
+    }
+  }
+
   test("intraDocLineDedup conserves lines; output is the first-occurrence subsequence") {
     val line = Gen.oneOf("aa", "bb", "cc", "dd", "ee bb", "")
     val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, line))
