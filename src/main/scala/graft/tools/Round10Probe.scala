@@ -75,6 +75,32 @@ object Round10Probe {
         .agg(sum(col("n_kept_lines"))).head()
     }
     docs.unpersist()
+
+    // --- chat family at factor x conversations --------------------------
+    val convs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .crossJoin(spark.range(0, factor).toDF("r"))
+      .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          array(struct(lit("user").as("role"), lit("common question").as("content")),
+            struct(lit("assistant").as("role"), substring(col("text"), 1, 50).as("content"))))
+          .otherwise(array(
+            struct(lit("user").as("role"), substring(col("text"), 1, 40).as("content")),
+            struct(lit("assistant").as("role"), substring(col("text"), 41, 80).as("content")),
+            struct(lit("user").as("role"), substring(col("text"), 121, 40).as("content")),
+            struct(lit("assistant").as("role"), substring(col("text"), 161, 80).as("content"))))
+          .as("turns"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] conversations = ${convs.count()}")
+    timed(s"chat validate ${factor}x") {
+      graft.text.Conversations.validate(convs, "doc_id", "turns")
+        .agg(count(when(col("chat_ok"), 1))).head()
+    }
+    timed(s"chat dedupByPrompt ${factor}x") {
+      graft.text.Conversations.dedupByPrompt(convs, "doc_id", "turns",
+        size(col("turns")).cast("double"))
+        .agg(count(when(col("keep"), 1))).head()
+    }
+    convs.unpersist()
     spark.stop()
   }
 }
