@@ -218,7 +218,16 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
 
   def path(table: String): String = s"$auditDir/$table"
 
-  /** received -> transform -> data_contract -> business_rules ->
+  /** A poll primitive must answer "no work" on a FRESH audit dir — reading
+    * a table no append has created yet would otherwise throw
+    * PATH_NOT_FOUND on a scheduler's first poll.
+    */
+  private def tableExists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** received -> file_transformation -> data_contract -> business_rules ->
     * error_report -> finished | failed (ref: ProcessingStatus states).
     */
   def markStatus(submissionId: String, status: String,
@@ -275,6 +284,12 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
     * reference's "dodgy" lane).
     */
   def submissionsAtStatus(status: String, maxDaysOld: Int = 3): DataFrame = {
+    if (!tableExists("processing_status"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("submission_id",
+            org.apache.spark.sql.types.StringType))))
     val cutoff = java.sql.Timestamp.valueOf(
       java.time.LocalDate.now().minusDays(maxDaysOld).atStartOfDay())
     val atStatus = Auditing.latestRecords(
@@ -282,6 +297,7 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
       Seq(col("submission_id")), Seq(col("updated_at"), col("audit_seq")))
       .where(col("processing_status") === status)
       .select("submission_id")
+    if (!tableExists("submission_info")) return atStatus
     val info = Auditing.latestRecords(readTable(path("submission_info")),
       Seq(col("submission_id")), Seq(col("updated_at"), col("audit_seq")))
       .drop("updated_at", "audit_seq")
@@ -314,6 +330,7 @@ final class AuditManager(private val spark: org.apache.spark.sql.SparkSession, a
       if (statusesToInclude.nonEmpty) (statusesToInclude :+ status).distinct
       else StageOrder.take(StageOrder.indexOf(status) + 1)
     require(downstream.nonEmpty, s"unknown processing status '$status'")
+    if (!tableExists("processing_status")) return false // fresh dir: no work
     val cutoff = java.sql.Timestamp.valueOf(
       java.time.LocalDate.now().minusDays(maxDaysOld).atStartOfDay())
     val recent = readTable(path("processing_status")).where(col("updated_at") > lit(cutoff))

@@ -259,7 +259,9 @@ object Pipeline {
       a.markStatus(cfg.submissionId, "received")
     }
     try {
-      audit.foreach(_.markStatus(cfg.submissionId, "transform"))
+      // "file_transformation" is the reference's stage name (the feature
+      // files assert it verbatim, and Auditing.StageOrder keys on it)
+      audit.foreach(_.markStatus(cfg.submissionId, "file_transformation"))
       fileTransformation(spark, cfg)
       audit.foreach(_.markStatus(cfg.submissionId, "data_contract"))
       val validationFailed = dataContract(spark, cfg)

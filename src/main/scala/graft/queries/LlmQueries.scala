@@ -29,13 +29,9 @@ object LlmQueries {
   /** Name-part vocabulary for the entity-resolution fixture (pairwise
     * edit distance > 1, so distinct names never collide at maxDist 1).
     */
-  private val EntityWords = Seq("alpha", "bravo", "charlie", "delta", "echo",
+  private[graft] val EntityWords = Seq("alpha", "bravo", "charlie", "delta", "echo",
     "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
 
-  /** Entity-resolution fixture: synthetic person-style names over the
-    * customer table plus a shifted-id copy with first/last-char drops and
-    * exact clones — shared by the pair and cluster queries.
-    */
   /** Chat fixture: conversations synthesized from document words with a
     * corruption ladder (first match wins): %17 duplicate-prompt clean pair,
     * %7 assistant-first, %11 double-user, %13 blank turn, %5 user-final,
@@ -66,6 +62,10 @@ object LlmQueries {
     d.select(col("doc_id"), turns.as("turns"))
   }
 
+  /** Entity-resolution fixture: synthetic person-style names over the
+    * customer table plus a shifted-id copy with first/last-char drops and
+    * exact clones — shared by the pair and cluster queries.
+    */
   private def entityRecords(s: SparkSession, dir: String): DataFrame = {
     val wArr = array(EntityWords.map(lit): _*)
     def pick(e: String) = element_at(wArr, (expr(e) % 12 + 1).cast("int"))
@@ -2265,12 +2265,12 @@ object LlmQueries {
         "SELECT doc_id, count(*)::BIGINT AS n_turns, " +
         "coalesce(sum(length(content)), 0)::BIGINT AS n_chars, " +
         "count(CASE WHEN pos = 1 AND role IN ('system', 'user') THEN 1 END) > 0 AS starts_ok, " +
-        "count(CASE WHEN role != expected THEN 1 END) = 0 AS alternates_ok, " +
+        "count(CASE WHEN role IS DISTINCT FROM expected THEN 1 END) = 0 AS alternates_ok, " +
         "arg_max(role, pos) = 'assistant' AS ends_ok, " +
         "count(CASE WHEN content IS NULL OR trim(content) = '' THEN 1 END) > 0 AS has_empty_turn, " +
         "arg_max(role, pos) AS last_role, " +
         "(count(CASE WHEN pos = 1 AND role IN ('system', 'user') THEN 1 END) > 0 " +
-        "AND count(CASE WHEN role != expected THEN 1 END) = 0 " +
+        "AND count(CASE WHEN role IS DISTINCT FROM expected THEN 1 END) = 0 " +
         "AND arg_max(role, pos) = 'assistant' " +
         "AND count(CASE WHEN content IS NULL OR trim(content) = '' THEN 1 END) = 0 " +
         "AND count(*) BETWEEN 2 AND 64) AS chat_ok " +

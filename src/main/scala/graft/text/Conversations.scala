@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Conversations {
 
+  /** Drive an aggregated per-conversation lane from the FULL input: a
+    * null/empty turn array produces no exploded rows, so without this
+    * left-join-back such conversations would VANISH from the output
+    * instead of surfacing as degenerate records. Every family member
+    * routes its final projection through here so none can forget the
+    * lesson independently.
+    */
+  private def driveFromFull(df: DataFrame, idCol: String, agg: DataFrame,
+                            outCols: Seq[(String, Column)]): DataFrame =
+    df.select(col(idCol).as("__id__")).join(agg, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol) +: outCols.map { case (n, c) => c.as(n) }: _*)
+
   /** Per-conversation shape report over `turnsCol: array<struct<role:string,
     * content:string>>`. Output: (id, n_turns, n_chars, starts_ok,
     * alternates_ok, ends_ok, has_empty_turn, last_role, chat_ok).
@@ -58,7 +70,9 @@ object Conversations {
       coalesce(sum(length(col("__content__"))), lit(0L)).cast("bigint").as("n_chars"),
       (count(when(col("__pos__") === 0 &&
         col("__role__").isin("system", "user"), 1)) > 0).as("starts_ok"),
-      (count(when(col("__role__") =!= col("__expected__"), 1)) === 0).as("alternates_ok"),
+      // null-safe <=>: a NULL role must count as a mismatch, not vanish
+      // through three-valued logic and leave alternates_ok true
+      (count(when(!(col("__role__") <=> col("__expected__")), 1)) === 0).as("alternates_ok"),
       (max(struct(col("__pos__"), col("__role__"))).getField("__role__") === "assistant")
         .as("ends_ok"),
       (count(when(col("__blank__"), 1)) > 0).as("has_empty_turn"),
@@ -67,19 +81,15 @@ object Conversations {
         col("starts_ok") && col("alternates_ok") && col("ends_ok") &&
           !col("has_empty_turn") &&
           col("n_turns") >= 2 && col("n_turns") <= maxTurns)
-    // drive from the full input: a null/empty turn array would otherwise
-    // vanish through the posexplode — it must surface as a 0-turn record
-    // with chat_ok = false (the EntityResolution null-lane lesson)
-    df.select(col(idCol).as("__id__")).join(agg, Seq("__id__"), "left")
-      .select(col("__id__").as(idCol),
-        coalesce(col("n_turns"), lit(0L)).cast("bigint").as("n_turns"),
-        coalesce(col("n_chars"), lit(0L)).cast("bigint").as("n_chars"),
-        coalesce(col("starts_ok"), lit(false)).as("starts_ok"),
-        coalesce(col("alternates_ok"), lit(false)).as("alternates_ok"),
-        coalesce(col("ends_ok"), lit(false)).as("ends_ok"),
-        coalesce(col("has_empty_turn"), lit(false)).as("has_empty_turn"),
-        col("last_role"),
-        coalesce(col("chat_ok"), lit(false)).as("chat_ok"))
+    driveFromFull(df, idCol, agg, Seq(
+      "n_turns" -> coalesce(col("n_turns"), lit(0L)).cast("bigint"),
+      "n_chars" -> coalesce(col("n_chars"), lit(0L)).cast("bigint"),
+      "starts_ok" -> coalesce(col("starts_ok"), lit(false)),
+      "alternates_ok" -> coalesce(col("alternates_ok"), lit(false)),
+      "ends_ok" -> coalesce(col("ends_ok"), lit(false)),
+      "has_empty_turn" -> coalesce(col("has_empty_turn"), lit(false)),
+      "last_role" -> col("last_role"),
+      "chat_ok" -> coalesce(col("chat_ok"), lit(false))))
   }
 
   /** Render each conversation to ONE training string — `<|role|>\n` +
@@ -100,11 +110,10 @@ object Conversations {
       count(lit(1)).as("n_turns"),
       concat_ws("", sort_array(collect_list(struct(col("__pos__"), col("__r__"))))
         .getField("__r__")).as("text"))
-    df.select(col(idCol).as("__id__")).join(agg, Seq("__id__"), "left")
-      .select(col("__id__").as(idCol),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("n_turns"), lit(0L)).cast("bigint").as("n_turns"),
-        length(coalesce(col("text"), lit(""))).cast("bigint").as("n_chars"))
+    driveFromFull(df, idCol, agg, Seq(
+      "text" -> coalesce(col("text"), lit("")),
+      "n_turns" -> coalesce(col("n_turns"), lit(0L)).cast("bigint"),
+      "n_chars" -> length(coalesce(col("text"), lit(""))).cast("bigint")))
   }
 
   /** Loss-mask accounting: SFT training masks the loss to ASSISTANT tokens,
@@ -124,15 +133,13 @@ object Conversations {
       coalesce(sum(when(col("__role__") === "assistant", col("__len__"))), lit(0L))
         .as("assistant_chars"),
       sum(col("__len__")).as("total_chars"))
-    df.select(col(idCol).as("__id__")).join(agg, Seq("__id__"), "left")
-      .select(col("__id__").as(idCol),
-        coalesce(col("n_assistant_turns"), lit(0L)).cast("bigint").as("n_assistant_turns"),
-        coalesce(col("assistant_chars"), lit(0L)).cast("bigint").as("assistant_chars"),
-        coalesce(col("total_chars"), lit(0L)).cast("bigint").as("total_chars"),
-        when(coalesce(col("total_chars"), lit(0L)) === 0, 0L)
-          .otherwise(floor(coalesce(col("assistant_chars"), lit(0L)).cast("double")
-            * 1000000.0 / col("total_chars").cast("double")).cast("bigint"))
-          .as("assistant_frac_micro"))
+    driveFromFull(df, idCol, agg, Seq(
+      "n_assistant_turns" -> coalesce(col("n_assistant_turns"), lit(0L)).cast("bigint"),
+      "assistant_chars" -> coalesce(col("assistant_chars"), lit(0L)).cast("bigint"),
+      "total_chars" -> coalesce(col("total_chars"), lit(0L)).cast("bigint"),
+      "assistant_frac_micro" -> when(coalesce(col("total_chars"), lit(0L)) === 0, 0L)
+        .otherwise(floor(coalesce(col("assistant_chars"), lit(0L)).cast("double")
+          * 1000000.0 / col("total_chars").cast("double")).cast("bigint"))))
   }
 
   /** Preference-pair (DPO/RLHF) record validation: a pair is trainable only
@@ -176,16 +183,22 @@ object Conversations {
         .getField("__c__").as("__prompt__"))
       .select(col("__id__"), lower(trim(col("__prompt__"))).as("prompt_norm"))
     val joined = base.join(firstUser, Seq("__id__"), "left")
-    val promptless = joined.where(col("prompt_norm").isNull)
-      .select(col("__id__").as(idCol), col("prompt_norm"),
-        lit(1L).as("group_size"), lit(true).as("keep"))
+    // ONE pass, no filter/union split (a union of two filters of `joined`
+    // would plan the explode + aggregation + join subtree twice): the
+    // promptless (null-key) rows share a single window partition, but
+    // their outputs are overridden per row, so correctness never depends
+    // on that partition's contents — only its size matters, and records
+    // with no user turn are rare by construction.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prompt_norm"))
-    joined.where(col("prompt_norm").isNotNull)
-      .withColumn("group_size", count(lit(1)).over(w))
+    joined
+      .withColumn("group_size",
+        when(col("prompt_norm").isNull, lit(1L))
+          .otherwise(count(lit(1)).over(w)))
       .withColumn("__best__", struct(negate(col("__score__")), col("__id__")))
-      .withColumn("keep", col("__best__") === min(col("__best__")).over(w))
+      .withColumn("keep",
+        when(col("prompt_norm").isNull, lit(true))
+          .otherwise(col("__best__") === min(col("__best__")).over(w)))
       .select(col("__id__").as(idCol), col("prompt_norm"),
         col("group_size").cast("bigint").as("group_size"), col("keep"))
-      .unionByName(promptless)
   }
 }

@@ -25,10 +25,10 @@ object Round10Probe {
 
     // --- entity resolution at factor x rows, SATURATED name space --------
     // The name space stays 12^3 = 1728 while records grow with the factor:
-    // exactly the clone-cluster regime the pre-collapse exists for.
-    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
-      "golf", "hotel", "india", "juliet", "kilo", "lima")
-    val wArr = array(words.map(lit): _*)
+    // exactly the clone-cluster regime the pre-collapse exists for. The
+    // vocabulary IS the query fixture's (shared, so the probe's distance
+    // properties cannot drift from what the oracle verifies).
+    val wArr = array(graft.queries.LlmQueries.EntityWords.map(lit): _*)
     def pick(e: String) = element_at(wArr, (expr(e) % 12 + 1).cast("int"))
     val base = spark.read.parquet(s"$sfDir/customer.parquet")
       .crossJoin(spark.range(0, factor).toDF("r"))

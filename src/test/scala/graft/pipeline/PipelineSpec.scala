@@ -263,7 +263,7 @@ class PipelineSpec extends SparkSpec {
   test("audit status transitions are ordered and latest wins") {
     val base = freshDir()
     val audit = new AuditManager(spark, s"$base/a")
-    Seq("received", "transform", "data_contract", "finished")
+    Seq("received", "file_transformation", "data_contract", "finished")
       .foreach(audit.markStatus("s1", _))
     audit.markStatus("s2", "received")
     val latest = audit.latestProcessingStatus().collect()
