@@ -38,7 +38,7 @@ object LlmQueries {
     * %3 system lead, clean 4-turn otherwise. Shared by the q_chat_* trio;
     * the oracle CASE must mirror this branch order exactly.
     */
-  private def chatFixture(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def chatFixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     def wd(k: Int) = coalesce(element_at(split(col("text"), "\\s+"), k), lit("x"))
     def t(role: String, c: org.apache.spark.sql.Column) =

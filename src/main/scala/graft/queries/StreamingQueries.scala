@@ -142,6 +142,15 @@ object StreamingQueries {
     landing
   }
 
+  private def chatStreamFixture(s: SparkSession, dir: String): String = {
+    val landing = "/tmp/graft_q_stream_chat_validate/landing"
+    Fixtures.ensure(landing, dir) {
+      LlmQueries.chatFixture(s, dir)
+        .coalesce(2).write.mode("overwrite").parquet(landing)
+    }
+    landing
+  }
+
   private def crossDedupFixture(s: SparkSession, dir: String): String = {
     val landing = "/tmp/graft_q_stream_cross_dedup/landing"
     Fixtures.ensure(landing, dir) {
@@ -164,7 +173,8 @@ object StreamingQueries {
     (s, dir) => { enrichFixture(s, dir); () },
     (s, dir) => { joinFixture(s, dir); () },
     (s, dir) => { joinOuterFixture(s, dir); () },
-    (s, dir) => { crossDedupFixture(s, dir); () })
+    (s, dir) => { crossDedupFixture(s, dir); () },
+    (s, dir) => { chatStreamFixture(s, dir); () })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -320,6 +330,19 @@ object StreamingQueries {
     // cross join between sides only). With AvailableNow draining every
     // file, the appended pair set equals the batch cross-dedup exactly —
     // the oracle is the same exact cross-pairs SQL as q_dedup_cross.
+    // Per-micro-batch chat validation: a streaming SFT feed's records are
+    // self-contained rows, so the batch validator runs per batch with no
+    // stream state; result equals the batch q_chat_validate exactly.
+    "q_stream_chat_validate" -> ((s, dir) => {
+      val base = "/tmp/graft_q_stream_chat_validate"
+      val landing = chatStreamFixture(s, dir)
+      resetOut(s, base)
+      val q = Streaming.chatValidateSink(stream(s, landing), "doc_id", "turns",
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").drop("batch_id")
+    }),
+
     "q_stream_cross_dedup" -> ((s, dir) => {
       val base = "/tmp/graft_q_stream_cross_dedup"
       val landing = crossDedupFixture(s, dir)
@@ -385,6 +408,8 @@ object StreamingQueries {
     // identical result contract to the batch operator: same exact
     // cross-pairs oracle (AvailableNow drains all files into the join)
     "q_stream_cross_dedup" -> LlmQueries.oracleSql("q_dedup_cross"),
+    // the stream is the batch validator per micro-batch: identical oracle
+    "q_stream_chat_validate" -> LlmQueries.oracleSql("q_chat_validate"),
     // delay spans the dataset: nothing expires, survivors = DISTINCT keys
     // (sentinel user filtered on read-back)
     "q_stream_dedup_watermark" ->

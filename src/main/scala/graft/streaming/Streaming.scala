@@ -179,6 +179,28 @@ object Streaming {
     * composes a bounded batch frame with a static frame per trigger —
     * the persistent state is the reference, not stream state.
     */
+  /** SFT-feed front door: per-micro-batch chat-format validation. Each
+    * conversation is ONE stream row (the turn array is a column), so the
+    * batch [[graft.text.Conversations.validate]] applies unchanged inside
+    * `foreachBatch` — its windows run within the bounded batch frame, and
+    * there is NO cross-batch state (each record's validity is
+    * self-contained). The per-conversation report appends with a batch_id
+    * stamp for exactly-once consumers.
+    */
+  def chatValidateSink(stream: DataFrame, idCol: String, turnsCol: String,
+                       outPath: String, checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.text.Conversations.validate(batch, idCol, turnsCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def crossDedupSink(stream: DataFrame, reference: DataFrame,
                      idCol: String, textCol: String,
                      outPath: String, checkpointDir: String,
