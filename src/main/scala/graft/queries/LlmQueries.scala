@@ -657,6 +657,26 @@ object LlmQueries {
       graft.text.Conversations.dedupByPrompt(chatFixture(s, dir), "doc_id", "turns",
         size(col("turns")).cast("double"))),
 
+    // Per-turn PII redaction composed with template rendering: planted
+    // email/IP PII scrubs inside the turn structure, then the clean
+    // conversation renders to its training string — with the audit hit
+    // count joined on. The composition IS the point: redact's output array
+    // feeds render unchanged.
+    "q_chat_redact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def t(role: String, c: org.apache.spark.sql.Column) =
+        struct(lit(role).as("role"), c.as("content"))
+      val fix = d.select(col("doc_id"), array(
+        t("user", concat(substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, lit(" mail bob.j@x.org")).otherwise(lit("")))),
+        t("assistant", concat(substring(col("text"), 41, 40),
+          when(col("doc_id") % 4 === 0, lit(" from 10.0.0.3")).otherwise(lit("")))))
+        .as("turns"))
+      val red = graft.text.Conversations.redact(fix, "doc_id", "turns")
+      graft.text.Conversations.render(red, "doc_id", "turns")
+        .join(red.select(col("doc_id"), col("n_pii_hits")), Seq("doc_id"))
+    }),
+
     // Loss-mask accounting: trainable (assistant) character mass per
     // conversation, micro-unit fraction.
     "q_chat_mask" -> ((s, dir) =>
@@ -2300,6 +2320,29 @@ object LlmQueries {
         "CASE WHEN prompt_norm IS NULL THEN true ELSE " +
         "row_number() OVER (PARTITION BY prompt_norm ORDER BY sz DESC, doc_id ASC) = 1 END AS keep " +
         "FROM j"
+    },
+    "q_chat_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val nhs = "\\b[0-9]{3} ?[0-9]{3} ?[0-9]{4}\\b"
+      val longid = "[0-9]{11,}"
+      def red(c: String) =
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" + c + ", " +
+          s"'$email', '[EMAIL]', 'g'), '$ipv4', '[IP]', 'g'), " +
+          s"'$nhs', '[NHS]', 'g'), '$longid', '[NUMBER]', 'g')"
+      def hits(c: String) =
+        s"len(regexp_extract_all($c, '$email')) + len(regexp_extract_all($c, '$ipv4')) + " +
+          s"len(regexp_extract_all($c, '$nhs')) + len(regexp_extract_all($c, '$longid'))"
+      val u = "substr(text, 1, 40) || (CASE WHEN doc_id % 3 = 0 THEN ' mail bob.j@x.org' ELSE '' END)"
+      val a = "substr(text, 41, 40) || (CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.0.3' ELSE '' END)"
+      s"WITH p AS (SELECT doc_id, $u AS uc, $a AS ac FROM documents) " +
+        "SELECT doc_id, " +
+        s"'<|user|>' || chr(10) || ${red("uc")} || '</s>' || " +
+        s"'<|assistant|>' || chr(10) || ${red("ac")} || '</s>' AS text, " +
+        "2::BIGINT AS n_turns, " +
+        s"length('<|user|>' || chr(10) || ${red("uc")} || '</s>' || " +
+        s"'<|assistant|>' || chr(10) || ${red("ac")} || '</s>')::BIGINT AS n_chars, " +
+        s"(${hits("uc")} + ${hits("ac")})::BIGINT AS n_pii_hits FROM p"
     },
     "q_chat_mask" -> {
       "WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), " +

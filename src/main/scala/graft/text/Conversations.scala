@@ -164,6 +164,40 @@ object Conversations {
         trim(chosen) =!= trim(rejected)).as("pair_ok"))
   }
 
+  /** Per-turn PII redaction: every turn's content passes through the
+    * [[TextStats.piiRedactColumns]] ordered replace chain (email / IPv4 /
+    * NHS number / long-id runs), and the conversation reassembles with
+    * roles and order intact — chat corpora carry pasted user PII more
+    * often than web text does, and redaction must not disturb the turn
+    * structure the trainer consumes. `n_pii_hits` totals the per-category
+    * matches for the audit trail. The rebuilt array comes from
+    * `arrays_zip` over the sorted collection (no interpreted HOF lambdas).
+    */
+  def redact(df: DataFrame, idCol: String, turnsCol: String): DataFrame = {
+    val turns = df.select(col(idCol).as("__id__"),
+      posexplode(col(turnsCol)).as(Seq("__pos__", "__t__")))
+      .select(col("__id__"), col("__pos__"),
+        col("__t__.role").as("__role__"), col("__t__.content").as("__content__"))
+      .repartition(col("__id__"))
+    val pii = TextStats.piiRedactColumns(col("__content__")).toMap
+    val flagged = turns.select(col("__id__"), col("__pos__"), col("__role__"),
+      pii("redacted").as("__red__"),
+      (pii("n_emails") + pii("n_ipv4") + pii("n_nhs_numbers") + pii("n_long_ids"))
+        .as("__hits__"))
+    val agg = flagged.groupBy(col("__id__")).agg(
+      sort_array(collect_list(struct(col("__pos__"), col("__role__"), col("__red__"))))
+        .as("__sorted__"),
+      sum(col("__hits__")).as("n_pii_hits"))
+      .select(col("__id__"),
+        arrays_zip(col("__sorted__").getField("__role__").as("role"),
+          col("__sorted__").getField("__red__").as("content")).as("turns"),
+        col("n_pii_hits"))
+    driveFromFull(df, idCol, agg, Seq(
+      "turns" -> coalesce(col("turns"),
+        array().cast("array<struct<role:string,content:string>>")),
+      "n_pii_hits" -> coalesce(col("n_pii_hits"), lit(0L)).cast("bigint")))
+  }
+
   /** PROMPT-level dedup (SFT curation: many sampled answers to the same
     * instruction — keep the best): conversations group on the normalized
     * (lower + trim) content of their FIRST user turn; `keep` marks the

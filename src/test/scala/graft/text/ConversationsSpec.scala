@@ -112,6 +112,23 @@ class ConversationsSpec extends SparkSpec {
     assert(out(5L) == ((false, false)))
   }
 
+  test("redact scrubs PII per turn, preserving roles and order") {
+    val out = Conversations.redact(df(
+      conv(1L, "user" -> "mail me at bob.j@example.org please",
+        "assistant" -> "noted, also 10.0.0.3 pinged",
+        "user" -> "clean turn"),
+      conv(2L)), "id", "turns").collect().map(r => r.getLong(0) -> r).toMap
+    val turns = out(1L).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("turns")
+      .map(t => (t.getString(0), t.getString(1))).toSeq
+    assert(turns == Seq(
+      ("user", "mail me at [EMAIL] please"),
+      ("assistant", "noted, also [IP] pinged"),
+      ("user", "clean turn")))
+    assert(out(1L).getAs[Long]("n_pii_hits") == 2L)
+    assert(out(2L).getAs[scala.collection.Seq[Any]]("turns").isEmpty)
+    assert(out(2L).getAs[Long]("n_pii_hits") == 0L)
+  }
+
   test("maxTurns budget: an over-long conversation fails chat_ok only on length") {
     val long = (1 to 5).flatMap(i => Seq("user" -> s"q$i", "assistant" -> s"a$i"))
     val out = Conversations.validate(df(conv(1L, long: _*)), "id", "turns", maxTurns = 8)
