@@ -114,7 +114,11 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    // Suite order is pinned (name-ascending, the sortBy above) and recorded
+    // here so cross-round in-suite comparisons are reproducible — two rounds
+    // with the same "order" value interleave queries identically, so their
+    // in-suite numbers are comparable; the isolated pass adjudicates the rest.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -61,16 +61,14 @@ object ContractQueries {
 
     // Record index + validate + anti-join rejection protocol end-to-end.
     "q_contract_reject" -> ((s, dir) => {
-      // Persist the indexed stringified frame: zipWithIndex materializes the
-      // RDD, and both the typed-cast and the message lineages read it — the
-      // reference checkpoints this to parquet between stages for the same
-      // reason (pipeline/pipeline.py:198-246).
+      // Parquet source → the record index comes from `_metadata.row_index`
+      // in-scan (ParquetRecordIndex): a pure function of (file, position),
+      // so the two consumer lineages (typed + messages) can each re-scan the
+      // column-pruned parquet with identical indices — no persist+count
+      // barrier needed (the zipWithIndex era required one because the two
+      // lineages raced to populate shared cache blocks, ~50x stall measured
+      // at sf0.1).
       val indexed = Readers.addRecordIndex(Contract.stringify(lineitemSubset(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Materialize BEFORE handing to the two consumers (typed + messages):
-      // letting both lineages race to populate the same cache blocks stalls
-      // the whole job (~50x measured at sf0.1). One count() = one pass.
-      indexed.count()
       val spec = EntitySpec("lineitem", Seq(
         FieldSpec("l_orderkey", "long", mandatory = true),
         FieldSpec("l_linenumber", "long", mandatory = true),

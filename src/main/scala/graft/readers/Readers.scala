@@ -26,7 +26,10 @@ object Readers {
     */
   def addRecordIndex(df: DataFrame): DataFrame = {
     if (df.columns.contains(RecordIndexColumn)) return df
-    org.apache.spark.sql.graft.RecordIndexBridge.zipWithRecordIndex(df, RecordIndexColumn)
+    // Parquet scans get the index from `_metadata.row_index` in a single
+    // pass (see [[ParquetRecordIndex]]); everything else pays zipWithIndex.
+    ParquetRecordIndex.tryAddIndex(df, RecordIndexColumn).getOrElse(
+      org.apache.spark.sql.graft.RecordIndexBridge.zipWithRecordIndex(df, RecordIndexColumn))
   }
 
   def dropRecordIndex(df: DataFrame): DataFrame = df.drop(RecordIndexColumn)
