@@ -529,6 +529,19 @@ object LlmQueries {
       Sampling.packSequences(docs(s, dir), "doc_id",
         TextStats.bpeishTokenCount(col("text")), budget = 512L, nBuckets = 32)),
 
+    // Sequence packing against a FIXED released vocabulary (merges.txt
+    // format, vendored fixture): training pipelines budget sequences with
+    // the tokenizer they ship, not one learned per corpus — per-doc token
+    // counts come from the fixed merge chain (distinct-word encode + join
+    // back), then the same bucketed packing as q_pack_sequences.
+    "q_pack_sequences_bpe" -> ((s, dir) => {
+      val counts = graft.text.Bpe.encodeCorpus(docs(s, dir), "doc_id", "text",
+        graft.text.Bpe.loadMergesResource("/graft/fixed_merges.txt"))
+        .select(col("doc_id"), col("n_tokens"))
+      Sampling.packSequences(counts, "doc_id", col("n_tokens"),
+        budget = 512L, nBuckets = 32)
+    }),
+
     // Corpus MIXING to a token budget: per-language keep rates derived
     // in-plan from measured token mass vs target mixture weights ("40% en,
     // 20% de, ..." of a 20k-token budget); the keep decision is salted so
@@ -2262,6 +2275,7 @@ object LlmQueries {
         "((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512)::BIGINT AS seq " +
         "FROM t"),
+    "q_pack_sequences_bpe" -> packBpeSql,
     "q_sample_stratified" ->
       (s"WITH hb AS (SELECT doc_id, lang, $splitBucketSql AS bucket FROM documents) " +
         "SELECT doc_id, lang, bucket < " +
@@ -2761,6 +2775,37 @@ object LlmQueries {
     * A missing rank (fewer candidates than `batch`) folds with a chr(30)
     * sentinel pair that matches nothing.
     */
+  /** Fixed-vocabulary packing oracle: replay the vendored merges.txt chain
+    * (same resource the Spark side loads) as literal list_reduce fold CTEs
+    * — one per merge, the [[bpeRoundsCte]] fold with (l, r) known
+    * statically — then count per-doc tokens and pack like q_pack_sequences.
+    */
+  private def packBpeSql: String = {
+    val merges = graft.text.Bpe.loadMergesResource("/graft/fixed_merges.txt")
+    val sb = new StringBuilder(
+      "WITH w AS (SELECT DISTINCT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents), " +
+        "t0 AS (SELECT word, string_split(word, '') AS s FROM w WHERE word <> '')")
+    merges.foreach { m =>
+      val (l, r) = (m.left.replace("'", "''"), m.right.replace("'", "''"))
+      sb.append(
+        s", t${m.round} AS (SELECT word, string_split(substr(fold, 2), chr(31)) AS s FROM " +
+          s"(SELECT word, list_reduce(list_prepend('', s), (acc, x) -> " +
+          s"CASE WHEN right(acc, ${m.left.length + 1}) = chr(31) || '$l' AND x = '$r' " +
+          s"THEN left(acc, length(acc)-${m.left.length}-1) || chr(31) || '$l' || '$r' " +
+          s"ELSE acc || chr(31) || x END) AS fold FROM t${m.round - 1}))")
+    }
+    sb.append(
+      s", enc AS (SELECT word, len(s)::BIGINT AS nt FROM t${merges.size}), " +
+        "tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents), " +
+        "cnt AS (SELECT doc_id, sum(nt)::BIGINT AS n_tokens FROM tok JOIN enc USING (word) " +
+        "WHERE word <> '' GROUP BY doc_id), " +
+        s"b AS (SELECT doc_id, n_tokens, ${bucketSql(32)} AS bucket FROM cnt) " +
+        "SELECT doc_id, n_tokens, bucket, " +
+        "((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512)::BIGINT AS seq FROM b")
+    sb.toString
+  }
+
   private def bpeRoundsCte(numMerges: Int, batch: Int): String = {
     val sb = new StringBuilder(
       "WITH wt AS (SELECT word, count(*)::BIGINT AS wc FROM " +

@@ -172,6 +172,32 @@ object Bpe {
       mergeTable.select("round", "left", "right", "pair_count").collect().toSeq
         .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3))))
 
+  /** Parse a FIXED public-format merge table (the `merges.txt` layout GPT-2
+    * family tokenizers publish: optional `#`-comment header, one
+    * space-separated `left right` pair per line, rank = line order).
+    * Training pipelines pack against a fixed released vocabulary, not one
+    * learned per corpus — this is the load side of that contract; the
+    * returned list drops into the same [[encodeCorpus]] merge chain as a
+    * [[trainBpe]] result. Pair counts are 0: a released vocabulary ships
+    * ranks, not corpus statistics.
+    */
+  def loadMerges(lines: Iterator[String]): Seq[Merge] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.map { case (l, i) =>
+        val parts = l.split(" ", 2)
+        require(parts.length == 2, s"merges line ${i + 1} is not 'left right': '$l'")
+        Merge(i + 1, parts(0), parts(1), 0L)
+      }.toSeq
+
+  /** [[loadMerges]] from a classpath resource (vendored vocabulary fixture). */
+  def loadMergesResource(resource: String): Seq[Merge] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"merge table resource not found: $resource")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try loadMerges(src.getLines()) finally src.close()
+  }
+
   /** The merge list as a frame (driver-built: it IS driver metadata, like
     * k-means centroids — `numMerges` rows, not data).
     */
