@@ -101,9 +101,12 @@ object GenScale {
 
     // embeddings: small deterministic per-copy offset keeps copies apart in
     // cosine space without moving the overall geometry
+    // float/float arithmetic promotes to double in Spark SQL — cast the
+    // whole array back so the sf1 schema stays FLOAT[] like the source
     val perturbedVec = when(c === 0, col("embedding")).otherwise(
       transform(col("embedding"), (x, j) =>
-        x + (pmod(c * 37 + j * 13, lit(11)) - 5).cast("float") / lit(500.0f)))
+        x + (pmod(c * 37 + j * 13, lit(11)) - 5).cast("float") / lit(500.0f))
+        .cast("array<float>"))
     replicate(embeddings, "embeddings", Map(
       "vec_id" -> shifted("vec_id", vS),
       "embedding" -> perturbedVec.as("embedding")), 4)
