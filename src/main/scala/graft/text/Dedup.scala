@@ -480,7 +480,9 @@ object Dedup {
     var owned: Option[DataFrame] = Some(labels)
     var round = 0
     var changed = 1L
+    val ccDebug = sys.props.get("graft.cc.debug").nonEmpty
     while (changed > 0 && round < maxRounds) {
+      val roundT0 = System.nanoTime()
       val neighborMin = sym
         .join(labels.select(col("id").as("b"), col("label").as("nlabel")), "b")
         .groupBy(col("a")).agg(min(col("nlabel")).as("nmin"))
@@ -504,8 +506,14 @@ object Dedup {
         labels = next.drop("__chg__")
       }
       round += 1
+      if (ccDebug) System.err.println(
+        f"[components] round $round: ${(System.nanoTime() - roundT0) / 1e9}%.1f s changed=$changed")
     }
     sym.unpersist(blocking = false)
+    // probe hook: -Dgraft.cc.debug=1 prints the round count (scale probes
+    // verify "same rounds at 10x data" claims against this)
+    if (sys.props.get("graft.cc.debug").nonEmpty)
+      System.err.println(s"[components] converged=${changed == 0L} rounds=$round")
     val converged = changed == 0L
     if (!converged)
       System.err.println(s"[components] label propagation did NOT converge in " +
