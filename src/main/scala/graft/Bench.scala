@@ -25,6 +25,10 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Rounds taken by iterative queries (label propagation): reported
+    // alongside seconds so a cross-round reader can separate "more rounds"
+    // (data shape) from "slower rounds" (plan regression) without re-running.
+    val rounds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // Local-iteration escape hatch: run only a comma-separated subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // A typo'd name would otherwise silently bench nothing and print a
@@ -42,10 +46,13 @@ object Bench {
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var rep = 0
       while (rep < reps && !errors.contains(name)) {
+        graft.text.Dedup.lastRounds.set(-1)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           samples += (System.nanoTime() - t0) / 1e9
+          if (graft.text.Dedup.lastRounds.get() >= 0)
+            rounds(name) = graft.text.Dedup.lastRounds.get()
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -113,12 +120,13 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    val rnds = rounds.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = timings.values.sum
     // Suite order is pinned (name-ascending, the sortBy above) and recorded
     // here so cross-round in-suite comparisons are reproducible — two rounds
     // with the same "order" value interleave queries identically, so their
     // in-suite numbers are comparable; the isolated pass adjudicates the rest.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"rounds":$rnds,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

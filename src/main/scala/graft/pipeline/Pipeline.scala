@@ -53,7 +53,14 @@ object Pipeline {
         * sequential (cross-entity semantics); shared JSONL appends are
         * serialized internally. 1 = the old sequential loop.
         */
-      entityParallelism: Int = 8)
+      entityParallelism: Int = 8,
+      /** Operational bound on ONE parallel entity-stage fan-out: a hung
+        * entity job (stuck storage RPC, deadlocked source) fails the
+        * submission after this many seconds instead of blocking forever on
+        * an unbounded Await. Generous by default — a stage legitimately
+        * takes minutes at scale; this is a circuit breaker, not a budget.
+        */
+      entityStageTimeoutSec: Long = 4 * 3600)
 
   final case class PipelineResult(
       validationFailed: Boolean,
@@ -70,15 +77,30 @@ object Pipeline {
     * aborts the submission (remaining in-flight futures finish but their
     * results are discarded with the pool).
     */
-  private def parEntities[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+  private def parEntities[A, B](items: Seq[A], parallelism: Int,
+                                timeoutSec: Long = Long.MaxValue)(f: A => B): Seq[B] =
     if (parallelism <= 1 || items.size <= 1) items.map(f)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
+      // Daemon threads: a timed-out (abandoned) entity job must not pin the
+      // JVM open after the submission has already failed and moved on.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parallelism, items.size))
+        math.min(parallelism, items.size),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-entity-stage")
+          t.setDaemon(true); t
+        })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(items.map(i => Future(f(i)))), Duration.Inf)
+      val timeout =
+        if (timeoutSec >= Long.MaxValue / 1000) Duration.Inf else timeoutSec.seconds
+      try Await.result(Future.sequence(items.map(i => Future(f(i)))), timeout)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new RuntimeException(
+            s"entity-stage fan-out exceeded ${timeoutSec}s " +
+              s"(entityStageTimeoutSec) — a per-entity job is hung; submission aborted")
+      }
       finally pool.shutdown()
     }
 
@@ -109,7 +131,7 @@ object Pipeline {
               s": ${problems.head}",
             kw.getOrElse("xsd_error_code", "XSDERROR"))
       }
-    parEntities(cfg.dischema.entities, cfg.entityParallelism) { spec =>
+    parEntities(cfg.dischema.entities, cfg.entityParallelism, cfg.entityStageTimeoutSec) { spec =>
       val readerName = cfg.dischema.readerByEntity
         .getOrElse(spec.name, Map.empty).getOrElse(ext, defaultReader(ext))
       val raw = readerName match {
@@ -165,7 +187,7 @@ object Pipeline {
     // under the submission's lock — the messages are materialized (persist +
     // count) BEFORE taking it, so the expensive compute still overlaps.
     val appendLock = new Object
-    val flags = parEntities(cfg.dischema.entities, cfg.entityParallelism) { spec =>
+    val flags = parEntities(cfg.dischema.entities, cfg.entityParallelism, cfg.entityStageTimeoutSec) { spec =>
       val raw = spark.read.parquet(s"${cfg.workingDir}/transform/${spec.name}")
       val (typed, messages) = Contract(raw, spec)
       typed.write.mode("overwrite").parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
@@ -229,7 +251,7 @@ object Pipeline {
     // The final checkpoint writes are independent per entity dir — they
     // parallelize like the other stage loops (the catalog itself is frozen
     // by this point; rules above ran sequentially).
-    parEntities(catalog.names, cfg.entityParallelism) { name =>
+    parEntities(catalog.names, cfg.entityParallelism, cfg.entityStageTimeoutSec) { name =>
       val entity = catalog(name)
       val rejected =
         if (!name.startsWith("Original") &&

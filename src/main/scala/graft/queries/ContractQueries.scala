@@ -67,8 +67,13 @@ object ContractQueries {
       // column-pruned parquet with identical indices — no persist+count
       // barrier needed (the zipWithIndex era required one because the two
       // lineages raced to populate shared cache blocks, ~50x stall measured
-      // at sf0.1).
-      val indexed = Readers.addRecordIndex(Contract.stringify(lineitemSubset(s, dir)))
+      // at sf0.1). Dropping the barrier is ONLY safe on that path — if a
+      // future edit to lineitemSubset adds a filter/limit and silently
+      // reverts to zipWithIndex, the conditional persist below restores the
+      // barrier instead of re-measuring the stall.
+      val (indexed0, fastPath) =
+        Readers.addRecordIndexWithPath(Contract.stringify(lineitemSubset(s, dir)))
+      val indexed = if (fastPath) indexed0 else { indexed0.persist(); indexed0.count(); indexed0 }
       val spec = EntitySpec("lineitem", Seq(
         FieldSpec("l_orderkey", "long", mandatory = true),
         FieldSpec("l_linenumber", "long", mandatory = true),

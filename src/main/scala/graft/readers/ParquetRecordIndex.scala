@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   * retry and under any partition/split layout — strictly stronger than
   * zipWithIndex, whose order follows Spark's size-desc split packing.
   *
+  * DELIBERATE DEVIATION (multi-file inputs only): rows are numbered in
+  * LEXICAL file-path order, while the zipWithIndex fallback (and the
+  * reference, which numbers whatever order the engine scans) follows
+  * Spark's size-desc split packing. A submission is ONE file — there the
+  * two paths agree byte-for-byte — and on multi-file tables a
+  * content-independent, layout-stable order is the property worth keeping
+  * (identical indices across repartitions and retries). Documented in
+  * COVERAGE.md; see ParquetRecordIndexSpec for the agreement matrix.
+  *
   * Applies only when the frame is deterministic per-row projections over ONE
   * parquet scan (no filter/limit/join/aggregate — those change which rows
   * exist, and the reference semantics (ref: spark_helpers.py:489-499) number
@@ -61,14 +70,7 @@ object ParquetRecordIndex {
             val files = fs.location.inputFiles
               .map(f => new Path(new java.net.URI(f)).toString).sorted
             if (files.isEmpty) return None
-            val conf = spark.sparkContext.hadoopConfiguration
-            // Footer-only row counts — metadata reads, no data pages touched.
-            // Driver-side loop over #files; parallelized because at scale a
-            // table is thousands of files of footer RPCs, not one.
-            val counts = files.toIndexedSeq.par.map { f =>
-              val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-              try f -> rdr.getRecordCount finally rdr.close()
-            }.toMap
+            val counts = footerCounts(spark, files)
             val offsets = files.zip(files.scanLeft(0L)((acc, f) => acc + counts(f))).toMap
             val withIdx =
               if (files.length == 1)
@@ -79,12 +81,29 @@ object ParquetRecordIndex {
                 // the file list. Both metadata subfields must be projected
                 // to plain columns BEFORE the join — `_metadata` is only
                 // resolvable against the file-source relation itself.
+                // LEFT join + raise_error on a miss: the map key is our
+                // NORMALIZED inputFiles path and the probe is what the
+                // reader reports as `_metadata.file_path` — if those two
+                // renderings ever diverge (URL-encoding, scheme shorthand on
+                // some filesystem), an inner join would silently DROP the
+                // rows of the mismatched file and downstream record counts
+                // would be quietly wrong. Failing loudly names the defect
+                // and the remedy instead.
                 import spark.implicits._
                 val offsetsDf = broadcast(
                   offsets.toSeq.toDF("__graft_file__", "__graft_off__"))
                 df.withColumn("__graft_file__", col("_metadata.file_path"))
                   .withColumn("__graft_ri__", col("_metadata.row_index"))
-                  .join(offsetsDf, "__graft_file__")
+                  .join(offsetsDf, Seq("__graft_file__"), "left")
+                  .withColumn("__graft_off__", coalesce(
+                    col("__graft_off__"),
+                    raise_error(concat(
+                      lit("graft record index: _metadata.file_path '"),
+                      col("__graft_file__"),
+                      lit("' is not in the footer offset map — path normalization " +
+                        "mismatch between inputFiles and the parquet reader; " +
+                        "use Readers.addRecordIndex's zipWithIndex fallback")))
+                      .cast("long")))
                   .withColumn(colName, col("__graft_ri__") + col("__graft_off__") + 1L)
                   .drop("__graft_file__", "__graft_off__", "__graft_ri__")
               }
@@ -92,6 +111,38 @@ object ParquetRecordIndex {
           case _ => None
         }
       case _ => None
+    }
+  }
+
+  /** Per-file footer row counts. Footer reads are metadata-only (no data
+    * pages touched), but each is one filesystem RPC: a driver-side loop is
+    * fine at 10³ files and a driver RPC fan-out bottleneck at a 100 TB
+    * table's 10⁵. Above `spark.graft.recordIndex.driverFooterMaxFiles`
+    * (default 1000) the FILE LIST itself becomes a tiny Spark job — each
+    * task opens its own slice of footers and ships back (path, rowCount)
+    * pairs, which is #files tuples of metadata, not data. Below it the
+    * driver's parallel loop avoids a job launch entirely.
+    */
+  private[readers] def footerCounts(
+      spark: org.apache.spark.sql.SparkSession, files: Seq[String]): Map[String, Long] = {
+    val threshold = spark.conf.getOption("spark.graft.recordIndex.driverFooterMaxFiles")
+      .map(_.toInt).getOrElse(1000)
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (files.length <= threshold)
+      files.toIndexedSeq.par.map { f =>
+        val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try f -> rdr.getRecordCount finally rdr.close()
+      }.seq.toMap
+    else {
+      // Hadoop Configuration is a Writable, not Serializable — ship it the
+      // way Spark's own datasources do.
+      val serConf = new org.apache.spark.SerializableWritable(conf)
+      val slices = math.min(files.length, spark.sparkContext.defaultParallelism * 4)
+      spark.sparkContext.parallelize(files, slices).map { f =>
+        val rdr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), serConf.value))
+        try f -> rdr.getRecordCount finally rdr.close()
+      }.collect().toMap
     }
   }
 }

@@ -24,12 +24,26 @@ object Readers {
     * InternalRow level (no external-Row decode/encode round trip — see
     * [[org.apache.spark.sql.graft.RecordIndexBridge]]).
     */
-  def addRecordIndex(df: DataFrame): DataFrame = {
-    if (df.columns.contains(RecordIndexColumn)) return df
+  def addRecordIndex(df: DataFrame): DataFrame =
+    addRecordIndexWithPath(df)._1
+
+  /** [[addRecordIndex]] plus which path engaged (true = single-pass parquet
+    * metadata index). Callers that fan the indexed frame into MULTIPLE
+    * lineages care: the metadata index is a pure function of (file,
+    * position) so re-scans agree for free, while zipWithIndex re-executed
+    * by two consumers is two full double-pass scans racing shared cache
+    * blocks — those callers persist IF AND ONLY IF the fallback engaged.
+    */
+  def addRecordIndexWithPath(df: DataFrame): (DataFrame, Boolean) = {
+    if (df.columns.contains(RecordIndexColumn)) return (df, true)
     // Parquet scans get the index from `_metadata.row_index` in a single
     // pass (see [[ParquetRecordIndex]]); everything else pays zipWithIndex.
-    ParquetRecordIndex.tryAddIndex(df, RecordIndexColumn).getOrElse(
-      org.apache.spark.sql.graft.RecordIndexBridge.zipWithRecordIndex(df, RecordIndexColumn))
+    ParquetRecordIndex.tryAddIndex(df, RecordIndexColumn) match {
+      case Some(fast) => (fast, true)
+      case None =>
+        (org.apache.spark.sql.graft.RecordIndexBridge.zipWithRecordIndex(df, RecordIndexColumn),
+          false)
+    }
   }
 
   def dropRecordIndex(df: DataFrame): DataFrame = df.drop(RecordIndexColumn)

@@ -225,13 +225,13 @@ object Similarity {
   def semanticDedupWith[T](corpus: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, numPlanes: Int = 8)
                           (use: DataFrame => T): T = {
-    val (result, owned) = semanticDedupImpl(corpus, idCol, vecCol, threshold, numPlanes)
-    try use(result) finally owned.foreach(_.unpersist(blocking = false))
+    val (result, release) = semanticDedupImpl(corpus, idCol, vecCol, threshold, numPlanes)
+    try use(result) finally release()
   }
 
   private def semanticDedupImpl(corpus: DataFrame, idCol: String, vecCol: String,
                                 threshold: Double, numPlanes: Int
-                               ): (DataFrame, Seq[DataFrame]) = {
+                               ): (DataFrame, () => Unit) = {
     // pairs fan out to node extraction + both edge directions — persist or
     // the LSH pipeline re-runs per consumer (the nearDupComponents lesson)
     val pairs = cosineNearDupPairs(corpus, idCol, vecCol, threshold, numPlanes)
@@ -239,7 +239,7 @@ object Similarity {
     pairs.count()
     val pairNodes = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
-    val (comp, owned, _) = graft.text.Dedup.connectedComponentsImpl(
+    val (comp, ccRelease, _) = graft.text.Dedup.connectedComponentsImpl(
       pairNodes, pairs.select("a", "b"), idCol, maxRounds = 50)
     // every propagation round ends in an action, so the labels are
     // materialized and the pair cache can be dropped here
@@ -247,7 +247,7 @@ object Similarity {
     val result = corpus.select(col(idCol)).join(comp, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("keep", col(idCol) === col("component"))
-    (result, owned.toSeq)
+    (result, ccRelease)
   }
 
   /** IVF-style coarse quantization. `centroids` are any deterministic

@@ -185,7 +185,9 @@ object Bpe {
     lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .zipWithIndex.map { case (l, i) =>
-        val parts = l.split(" ", 2)
+        // No split limit: 'a b c' must FAIL (3 parts), not silently parse
+        // as right-token "b c" — a malformed table is a config error.
+        val parts = l.split(" ")
         require(parts.length == 2, s"merges line ${i + 1} is not 'left right': '$l'")
         Merge(i + 1, parts(0), parts(1), 0L)
       }.toSeq

@@ -450,25 +450,40 @@ object Dedup {
                           idCol: String, maxRounds: Int = 50): DataFrame =
     connectedComponentsImpl(nodes, edges, idCol, maxRounds)._1
 
-  /** [[connectedComponents]] internals: returns (result, the final persisted
-    * label cache if one is live, converged?). Label propagation needs
+  /** Rounds taken by the most recent [[connectedComponents]] call in this
+    * JVM (-1 = never ran). The bench artifact reports rounds alongside
+    * seconds for the iterative dedup queries, so cross-round comparisons
+    * can separate "more rounds" from "slower rounds" without a re-run.
+    * Bench executes queries sequentially; last-write-wins is the intended
+    * read.
+    */
+  val lastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** [[connectedComponents]] internals: returns (result, a release thunk
+    * freeing the final label cache AND the final localCheckpoint blocks,
+    * converged?). Label propagation needs
     * O(max component diameter) rounds; when `maxRounds` cuts it short the
     * labels are PARTIAL (one real cluster can carry several labels), so
     * non-convergence is loudly logged — callers needing a hard guarantee
-    * check the flag. Every 5 rounds the labels are `localCheckpoint`ed:
+    * check the flag. Every 2 rounds the labels are `localCheckpoint`ed:
     * persist cuts recomputation but not the LOGICAL plan, and `labels`
     * feeds BOTH join inputs each round, so the plan tree doubles per round
-    * — tree-walking consumers (AQE's per-stage explainString, treeString)
-    * cost O(2^rounds-since-checkpoint) because shared subtrees print once
-    * per PATH. Checkpointing every 5 bounds that at 2^5 while keeping the
-    * checkpoint copies rare. Checkpoint blocks are freed when the frame is
-    * GC'd.
+    * — tree-walking consumers (AQE's per-stage explainString, treeString,
+    * cache lookup) cost O(2^rounds-since-checkpoint) because shared
+    * subtrees print once per PATH. CcProbe measured the blow-up directly
+    * at the old every-5 cadence (sf1, 4 rounds on a 5.5k-edge graph:
+    * 1.6 s, 2.4 s, 14.8 s, 32.6 s — rounds 3-4 are pure plan overhead,
+    * the frames SHRINK as labels converge); every-2 bounds the tree at
+    * 2^2 and holds the per-round cost flat. The checkpoint itself is ~free:
+    * the labels frame is already materialized each round by the
+    * convergence count. Checkpoint blocks are freed when the frame is
+    * GC'd. Cadence overridable via -Dgraft.cc.checkpointEvery for probes.
     */
   private[graft] def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
                                              idCol: String, maxRounds: Int
-                                            ): (DataFrame, Option[DataFrame], Boolean) = {
+                                            ): (DataFrame, () => Unit, Boolean) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val checkpointEvery = 5
+    val checkpointEvery = sys.props.get("graft.cc.checkpointEvery").map(_.toInt).getOrElse(2)
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(lvl)
@@ -478,6 +493,18 @@ object Dedup {
     var labels = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
     var owned: Option[DataFrame] = Some(labels)
+    // The live localCheckpoint's blocks: a checkpoint RDD is NOT in the
+    // CacheManager, so DataFrame.unpersist can't free it — each checkpoint
+    // supersedes the previous one (the new blocks are self-contained), so
+    // the superseded RDD's blocks are dropped eagerly and the LAST one is
+    // released by the returned thunk once the caller has consumed the
+    // labels. (Unpersisting a localCheckpointed RDD that will never be
+    // recomputed is safe; recomputing one is not — hence thunk-on-consume.)
+    var lastCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    def cpRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     var round = 0
     var changed = 1L
     val ccDebug = sys.props.get("graft.cc.debug").nonEmpty
@@ -499,6 +526,8 @@ object Dedup {
         // and truncates the accumulated join lineage to a LogicalRDD
         val cp = next.localCheckpoint()
         next.unpersist(blocking = false)
+        lastCp.foreach(_.unpersist(blocking = false)) // superseded checkpoint
+        lastCp = cpRdd(cp)
         owned = None
         labels = cp.drop("__chg__")
       } else {
@@ -510,6 +539,7 @@ object Dedup {
         f"[components] round $round: ${(System.nanoTime() - roundT0) / 1e9}%.1f s changed=$changed")
     }
     sym.unpersist(blocking = false)
+    lastRounds.set(round)
     // probe hook: -Dgraft.cc.debug=1 prints the round count (scale probes
     // verify "same rounds at 10x data" claims against this)
     if (sys.props.get("graft.cc.debug").nonEmpty)
@@ -519,8 +549,14 @@ object Dedup {
       System.err.println(s"[components] label propagation did NOT converge in " +
         s"$maxRounds rounds ($changed labels still changing) — a component with " +
         s"diameter > $maxRounds carries PARTIAL labels; raise maxRounds")
+    val finalOwned = owned
+    val finalCp = lastCp
+    val release = () => {
+      finalOwned.foreach(_.unpersist(blocking = false))
+      finalCp.foreach(_.unpersist(blocking = false))
+    }
     (labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component"),
-      owned, converged)
+      release, converged)
   }
 
   /** Near-duplicate cluster resolution: exact PPJoin pairs at `threshold`
@@ -541,13 +577,13 @@ object Dedup {
   def nearDupComponentsWith[T](docs: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int = 3, threshold: Double = 0.5)
                               (use: DataFrame => T): T = {
-    val (result, owned) = nearDupComponentsImpl(docs, idCol, textCol, shingleSize, threshold)
-    try use(result) finally owned.foreach(_.unpersist(blocking = false))
+    val (result, release) = nearDupComponentsImpl(docs, idCol, textCol, shingleSize, threshold)
+    try use(result) finally release()
   }
 
   private def nearDupComponentsImpl(docs: DataFrame, idCol: String, textCol: String,
                                     shingleSize: Int, threshold: Double
-                                   ): (DataFrame, Seq[DataFrame]) = {
+                                   ): (DataFrame, () => Unit) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Exact duplicates collapse FIRST: identical texts are near-dups at any
     // threshold, and a clone cluster of k docs otherwise costs O(k^2) in
@@ -580,18 +616,17 @@ object Dedup {
     // frames hold a few percent of the corpus instead of all of it.
     val pairNodes = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
-    val (comp, owned, _) =
+    val (comp, ccRelease, _) =
       connectedComponentsImpl(pairNodes, pairs.select("a", "b"), idCol, maxRounds = 50)
     // the component labels are materialized (every round ends in an action),
-    // so the pair cache can go too; the final label cache (if the last
-    // round was not a checkpoint round) + membership cache remain with the
-    // returned frame
+    // so the pair cache can go too; the final label cache/checkpoint +
+    // membership cache remain with the returned frame
     pairs.unpersist(blocking = false)
     val result = memb
       .join(comp.withColumnRenamed(idCol, "__rep__"), Seq("__rep__"), "left")
       .select(col(idCol), coalesce(col("component"), col("__rep__")).as("component"))
       .withColumn("keep", col(idCol) === col("component"))
-    (result, owned.toSeq :+ memb)
+    (result, () => { ccRelease(); memb.unpersist(blocking = false) })
   }
 
   /** [[nearDupComponents]] with a QUALITY-aware keeper: within each dup
@@ -610,16 +645,16 @@ object Dedup {
                              scoreCol: Column,
                              shingleSize: Int = 3, threshold: Double = 0.5)
                             (use: DataFrame => T): T = {
-    val (result, owned) =
+    val (result, release) =
       nearDupKeepBestImpl(docs, idCol, textCol, scoreCol, shingleSize, threshold)
-    try use(result) finally owned.foreach(_.unpersist(blocking = false))
+    try use(result) finally release()
   }
 
   private def nearDupKeepBestImpl(docs: DataFrame, idCol: String, textCol: String,
                                   scoreCol: Column, shingleSize: Int, threshold: Double
-                                 ): (DataFrame, Seq[DataFrame]) = {
+                                 ): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
-    val (compFull, owned) =
+    val (compFull, release) =
       nearDupComponentsImpl(docs, idCol, textCol, shingleSize, threshold)
     val comp = compFull.select(col(idCol), col("component"))
     val scored = docs.select(col(idCol), scoreCol.as("__score__")).join(comp, idCol)
@@ -628,7 +663,7 @@ object Dedup {
     val result = scored
       .withColumn("keep", row_number().over(w) === 1)
       .select(col(idCol), col("component"), col("keep"))
-    (result, owned)
+    (result, release)
   }
 
   /** Benchmark decontamination: flag documents sharing ANY word n-gram

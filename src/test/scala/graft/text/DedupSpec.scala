@@ -201,24 +201,24 @@ class DedupSpec extends SparkSpec {
     val n = 36
     val nodes = (0L until n.toLong).toDF("id")
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
-    val (result, owned, converged) =
+    val (result, release, converged) =
       Dedup.connectedComponentsImpl(nodes, edges, "id", maxRounds = 50)
     assert(converged)
     val out = result.as[(Long, Long)].collect().toMap
     assert(out.values.toSet == Set(0L))
     // bounded plan depth: at most ~5 post-checkpoint rounds of lineage
     assert(result.queryExecution.analyzed.toString().linesIterator.size < 5000)
-    owned.foreach(_.unpersist(blocking = false))
+    release()
   }
 
   test("connectedComponents reports non-convergence when maxRounds cuts propagation short") {
     val nodes = (0L to 6L).toDF("id")
     val edges = (0L to 5L).map(i => (i, i + 1)).toDF("a", "b")
-    val (result, owned, converged) =
+    val (result, release, converged) =
       Dedup.connectedComponentsImpl(nodes, edges, "id", maxRounds = 2)
     assert(!converged) // diameter 6 > 2 rounds: labels are partial
     assert(result.as[(Long, Long)].collect().toMap.values.toSet != Set(0L))
-    owned.foreach(_.unpersist(blocking = false))
+    release()
   }
 
   test("simHashNearDup collapses identical texts: clone clusters survive any cap") {
