@@ -60,7 +60,17 @@ object Pipeline {
         * an unbounded Await. Generous by default — a stage legitimately
         * takes minutes at scale; this is a circuit breaker, not a budget.
         */
-      entityStageTimeoutSec: Long = 4 * 3600)
+      entityStageTimeoutSec: Long = 4 * 3600,
+      /** Opt-in many-small-entities layout: each stage checkpoints ONE
+        * entity-partitioned parquet table ([[StageIO]]) instead of one
+        * directory per entity, collapsing the N per-entity write jobs into
+        * one union write — the per-entity job overhead (EntityProbe:
+        * ~0.28 s/entity even at parallelism 8) stops scaling with the
+        * entity count. The per-entity-dir layout stays the default: it is
+        * the reference's on-disk contract and the right shape for bulk
+        * data, where the single-table payload codec would cost per row.
+        */
+      singleTableLayout: Boolean = false)
 
   final case class PipelineResult(
       validationFailed: Boolean,
@@ -131,7 +141,7 @@ object Pipeline {
               s": ${problems.head}",
             kw.getOrElse("xsd_error_code", "XSDERROR"))
       }
-    parEntities(cfg.dischema.entities, cfg.entityParallelism, cfg.entityStageTimeoutSec) { spec =>
+    def ingest(spec: graft.contract.EntitySpec): DataFrame = {
       val readerName = cfg.dischema.readerByEntity
         .getOrElse(spec.name, Map.empty).getOrElse(ext, defaultReader(ext))
       val raw = readerName match {
@@ -165,8 +175,19 @@ object Pipeline {
           throw new IllegalArgumentException(s"unknown reader: '$other' for ${spec.name}")
       }
       Contract.stringify(raw)
-        .write.mode("overwrite").parquet(s"${cfg.workingDir}/transform/${spec.name}")
     }
+    if (cfg.singleTableLayout) {
+      // Frame CONSTRUCTION still fans per entity (a CSV/XML/JSON ingest pays
+      // its zipWithIndex count pass eagerly at construction), so it keeps
+      // the bounded-parallel loop; the N write jobs collapse into one
+      // union write.
+      val frames = parEntities(cfg.dischema.entities, cfg.entityParallelism,
+        cfg.entityStageTimeoutSec)(spec => spec.name -> ingest(spec))
+      StageIO.writeEntities(spark, s"${cfg.workingDir}/transform", frames)
+    } else
+      parEntities(cfg.dischema.entities, cfg.entityParallelism, cfg.entityStageTimeoutSec) { spec =>
+        ingest(spec).write.mode("overwrite").parquet(s"${cfg.workingDir}/transform/${spec.name}")
+      }
     ()
   }
 
@@ -187,20 +208,38 @@ object Pipeline {
     // under the submission's lock — the messages are materialized (persist +
     // count) BEFORE taking it, so the expensive compute still overlaps.
     val appendLock = new Object
-    val flags = parEntities(cfg.dischema.entities, cfg.entityParallelism, cfg.entityStageTimeoutSec) { spec =>
-      val raw = spark.read.parquet(s"${cfg.workingDir}/transform/${spec.name}")
-      val (typed, messages) = Contract(raw, spec)
-      typed.write.mode("overwrite").parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
-      val persisted = messages.persist()
-      persisted.count()
-      appendLock.synchronized {
-        ErrorSink.writeFeedbackErrors(persisted, cfg.workingDir, "data_contract")
+    if (cfg.singleTableLayout) {
+      // One union write for the typed frames, ONE message
+      // persist+count+append+flag instead of four jobs per entity.
+      val perEntity = cfg.dischema.entities.map { spec =>
+        val raw = StageIO.readEntity(spark, s"${cfg.workingDir}/transform", spec.name)
+        val (typed, messages) = Contract(raw, spec)
+        (spec.name, typed, messages)
       }
+      StageIO.writeEntities(spark, s"${cfg.workingDir}/data_contract",
+        perEntity.map(e => e._1 -> e._2))
+      val persisted = perEntity.map(_._3).reduce(_ unionByName _).persist()
+      persisted.count()
+      ErrorSink.writeFeedbackErrors(persisted, cfg.workingDir, "data_contract")
       val failed = !persisted.where(col("Status") =!= "informational").isEmpty
       persisted.unpersist()
       failed
+    } else {
+      val flags = parEntities(cfg.dischema.entities, cfg.entityParallelism, cfg.entityStageTimeoutSec) { spec =>
+        val raw = spark.read.parquet(s"${cfg.workingDir}/transform/${spec.name}")
+        val (typed, messages) = Contract(raw, spec)
+        typed.write.mode("overwrite").parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
+        val persisted = messages.persist()
+        persisted.count()
+        appendLock.synchronized {
+          ErrorSink.writeFeedbackErrors(persisted, cfg.workingDir, "data_contract")
+        }
+        val failed = !persisted.where(col("Status") =!= "informational").isEmpty
+        persisted.unpersist()
+        failed
+      }
+      flags.exists(identity)
     }
-    flags.exists(identity)
   }
 
   /** Stage 3: business rules over the typed entities (+ Original<entity>
@@ -221,7 +260,10 @@ object Pipeline {
       s"entity name(s) ${reserved.mkString(", ")} use the reserved 'Original' " +
         "prefix (pre-rules snapshot namespace) — rename the entity")
     val typed = cfg.dischema.entities.map { spec =>
-      spec.name -> spark.read.parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
+      spec.name -> (
+        if (cfg.singleTableLayout)
+          StageIO.readEntity(spark, s"${cfg.workingDir}/data_contract", spec.name)
+        else spark.read.parquet(s"${cfg.workingDir}/data_contract/${spec.name}"))
     }.toMap
     val originals = typed.map { case (n, df) => s"Original$n" -> df }
     val loader = new RefDataLoader(spark, cfg.dischema.referenceData, cfg.refdataBaseDir)
@@ -251,21 +293,30 @@ object Pipeline {
     // The final checkpoint writes are independent per entity dir — they
     // parallelize like the other stage loops (the catalog itself is frozen
     // by this point; rules above ran sequentially).
-    parEntities(catalog.names, cfg.entityParallelism, cfg.entityStageTimeoutSec) { name =>
+    def rejected(name: String): DataFrame = {
       val entity = catalog(name)
-      val rejected =
-        if (!name.startsWith("Original") &&
-          entity.columns.contains(Contract.RecordIndexColumn))
-          Contract.filterContractErrors(entity,
-            contractErrors.where(col("Entity") === name))
-        else entity
-      // Row count observed ON the write itself — no second job
-      // re-reading the parquet just to count what was written.
-      val obs = org.apache.spark.sql.Observation()
-      rejected.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
-        .parquet(s"${cfg.workingDir}/business_rules/$name")
-      name -> obs.get("n").asInstanceOf[Long]
-    }.toMap
+      if (!name.startsWith("Original") &&
+        entity.columns.contains(Contract.RecordIndexColumn))
+        Contract.filterContractErrors(entity,
+          contractErrors.where(col("Entity") === name))
+      else entity
+    }
+    if (cfg.singleTableLayout) {
+      // One union write + one count job over the written table: the per-
+      // entity Observation trick is pointless when the write is one job.
+      val stageDir = s"${cfg.workingDir}/business_rules"
+      StageIO.writeEntities(spark, stageDir, catalog.names.map(n => n -> rejected(n)))
+      val counts = StageIO.entityCounts(spark, stageDir)
+      catalog.names.map(n => n -> counts.getOrElse(n, 0L)).toMap
+    } else
+      parEntities(catalog.names, cfg.entityParallelism, cfg.entityStageTimeoutSec) { name =>
+        // Row count observed ON the write itself — no second job
+        // re-reading the parquet just to count what was written.
+        val obs = org.apache.spark.sql.Observation()
+        rejected(name).observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
+          .parquet(s"${cfg.workingDir}/business_rules/$name")
+        name -> obs.get("n").asInstanceOf[Long]
+      }.toMap
   }
 
   /** Stage 4: aggregate + detail + summary report tables from every stage's

@@ -105,6 +105,26 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Exact Jaccard for arrays KNOWN element-distinct (shingle sets are, by
+    * [[ShinglesExpr]] construction): one native intersection-count pass —
+    * `|a ∪ b| = |a| + |b| - i` — instead of materializing both the
+    * intersection and union arrays. Same arithmetic, same value as
+    * [[jaccard]] on distinct inputs; ~the whole verify stage at sf1 was the
+    * two array materializations.
+    */
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val i = IntersectCountExpr.intersectCount(a, b).cast("double")
+    i / (size(a).cast("double") + size(b).cast("double") - i)
+  }
+
+  /** [[jaccardDistinct]] over arrays PRE-SORTED in Spark string order:
+    * allocation-free merge-count kernel — see [[SortedIntersectCountExpr]].
+    */
+  def jaccardSortedDistinct(a: Column, b: Column): Column = {
+    val i = SortedIntersectCountExpr.sortedIntersectCount(a, b).cast("double")
+    i / (size(a).cast("double") + size(b).cast("double") - i)
+  }
+
   /** Verify candidate pairs with exact Jaccard over the shingle sets; keeps
     * pairs with jaccard >= threshold. Joins candidates back to the (small
     * relative to pairs) per-doc shingle table twice — shuffle joins on the
@@ -112,8 +132,14 @@ object Dedup {
     */
   def verifyPairs(candidates: DataFrame, docShingles: DataFrame,
                   idCol: String, shingleCol: String, threshold: Double): DataFrame = {
-    val left = docShingles.select(col(idCol).as("a"), col(shingleCol).as("sh_a"))
-    val right = docShingles.select(col(idCol).as("b"), col(shingleCol).as("sh_b"))
+    // Sort once per DOC row (before the join fans each array out to its
+    // candidates), merge-count once per PAIR: the sorted kernel does no
+    // hashing and no per-pair allocation — the PPJoin probe measured the
+    // hash-set formulation as the dominant stage at sf1.
+    val left = docShingles.select(col(idCol).as("a"),
+      sort_array(col(shingleCol)).as("sh_a"))
+    val right = docShingles.select(col(idCol).as("b"),
+      sort_array(col(shingleCol)).as("sh_b"))
     // Pin the candidate partitioning (REPARTITION_BY_NUM is exempt from AQE
     // coalescing): the verify is CPU-bound set intersection over byte-small
     // rows, and size-based coalescing would otherwise collapse it onto one
@@ -123,7 +149,7 @@ object Dedup {
     candidates.repartition(n, col("a"))
       .join(left, "a")
       .join(right, "b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSortedDistinct(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -267,9 +293,9 @@ object Dedup {
     // exact verify; candidate partitioning pinned as in verifyPairs
     val n = cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val result = cand.repartition(n, col("a"))
-      .join(shNew.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
-      .join(shRef.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(shNew.select(col(idCol).as("a"), sort_array(col("sh")).as("sh_a")), "a")
+      .join(shRef.select(col(idCol).as("b"), sort_array(col("sh")).as("sh_b")), "b")
+      .withColumn("jaccard", jaccardSortedDistinct(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
     (result, Seq(shNew, shRef))
@@ -418,15 +444,15 @@ object Dedup {
           && col("b_sz") >= ceil(lit(threshold) * col("a_sz")))
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-    val left = withShingles.select(col(idCol).as("a"), col("sh").as("sh_a"))
-    val right = withShingles.select(col(idCol).as("b"), col("sh").as("sh_b"))
+    val left = withShingles.select(col(idCol).as("a"), sort_array(col("sh")).as("sh_a"))
+    val right = withShingles.select(col(idCol).as("b"), sort_array(col("sh")).as("sh_b"))
     val spark = candidates.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val verified = candidates.repartition(n, col("a"))
       .join(left, "a")
       .join(right, "b")
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        SortedIntersectCountExpr.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
           / size(col("sh_a")).cast("double"))
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
