@@ -209,19 +209,30 @@ object Pipeline {
     // count) BEFORE taking it, so the expensive compute still overlaps.
     val appendLock = new Object
     if (cfg.singleTableLayout) {
+      def sub[T](name: String)(f: => T): T =
+        if (sys.props.get("graft.pipeline.debug").isEmpty) f
+        else {
+          val t0 = System.nanoTime(); val r = f
+          System.err.println(f"[pipeline]   dc/$name%-14s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+          r
+        }
       // One union write for the typed frames, ONE message
       // persist+count+append+flag instead of four jobs per entity.
-      val perEntity = cfg.dischema.entities.map { spec =>
-        val raw = StageIO.readEntity(spark, s"${cfg.workingDir}/transform", spec.name)
+      val (table, schemas) = StageIO.readTable(spark, s"${cfg.workingDir}/transform")
+      val perEntity = sub("plan-build")(cfg.dischema.entities.map { spec =>
+        val raw = StageIO.decodeEntity(table, schemas(spec.name), spec.name)
         val (typed, messages) = Contract(raw, spec)
         (spec.name, typed, messages)
-      }
-      StageIO.writeEntities(spark, s"${cfg.workingDir}/data_contract",
-        perEntity.map(e => e._1 -> e._2))
-      val persisted = perEntity.map(_._3).reduce(_ unionByName _).persist()
-      persisted.count()
-      ErrorSink.writeFeedbackErrors(persisted, cfg.workingDir, "data_contract")
-      val failed = !persisted.where(col("Status") =!= "informational").isEmpty
+      })
+      sub("typed-write")(StageIO.writeEntities(spark, s"${cfg.workingDir}/data_contract",
+        perEntity.map(e => e._1 -> e._2)))
+      val persisted = org.apache.spark.sql.graft.ExpressionBridge
+        .flatUnion(perEntity.map(_._3)).persist()
+      // materialize + failure flag in ONE aggregation job
+      val failed = sub("messages")(
+        persisted.agg(count(when(col("Status") =!= "informational", true)))
+          .head().getLong(0) > 0)
+      sub("msg-append")(ErrorSink.writeFeedbackErrors(persisted, cfg.workingDir, "data_contract"))
       persisted.unpersist()
       failed
     } else {
@@ -259,12 +270,18 @@ object Pipeline {
     require(reserved.isEmpty,
       s"entity name(s) ${reserved.mkString(", ")} use the reserved 'Original' " +
         "prefix (pre-rules snapshot namespace) — rename the entity")
-    val typed = cfg.dischema.entities.map { spec =>
-      spec.name -> (
-        if (cfg.singleTableLayout)
-          StageIO.readEntity(spark, s"${cfg.workingDir}/data_contract", spec.name)
-        else spark.read.parquet(s"${cfg.workingDir}/data_contract/${spec.name}"))
-    }.toMap
+    val dcSingle: Option[(DataFrame, Map[String, org.apache.spark.sql.types.StructType])] =
+      if (cfg.singleTableLayout)
+        Some(StageIO.readTable(spark, s"${cfg.workingDir}/data_contract"))
+      else None
+    val typed = dcSingle match {
+      case Some((table, schemas)) =>
+        cfg.dischema.entities.map(spec =>
+          spec.name -> StageIO.decodeEntity(table, schemas(spec.name), spec.name)).toMap
+      case None => cfg.dischema.entities.map { spec =>
+        spec.name -> spark.read.parquet(s"${cfg.workingDir}/data_contract/${spec.name}")
+      }.toMap
+    }
     val originals = typed.map { case (n, df) => s"Original$n" -> df }
     val loader = new RefDataLoader(spark, cfg.dischema.referenceData, cfg.refdataBaseDir)
     val catalog = new EntityCatalog(
@@ -278,10 +295,23 @@ object Pipeline {
       if (cfg.dischema.templatingStrategy == "runtime")
         cfg.dischema.renderRules(cfg.runtimeParams)
       else cfg.dischema.rules
-    val ruleMessages = rules.flatMap { r =>
+    def sub[T](name: String)(f: => T): T =
+      if (sys.props.get("graft.pipeline.debug").isEmpty) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[pipeline]   br/$name%-14s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        r
+      }
+    val ruleMessages = sub("rules")(rules.flatMap { r =>
       SyncFilters.applyRules(catalog, r.preSync, r.filters, r.postSync)
-    }
-    ruleMessages.foreach(m => ErrorSink.writeFeedbackErrors(m, cfg.workingDir, "business_rules"))
+    })
+    // ONE append job for all rules' messages, not one per message frame —
+    // same rows either way (shared Messages schema), but a many-rules
+    // dischema otherwise pays a sequential write job per rule.
+    if (ruleMessages.nonEmpty)
+      sub("rule-msg-write")(ErrorSink.writeFeedbackErrors(
+        org.apache.spark.sql.graft.ExpressionBridge.flatUnion(ruleMessages),
+        cfg.workingDir, "business_rules"))
 
     val contractErrors = ErrorSink.readFeedbackErrors(spark, cfg.workingDir, "data_contract")
     // EVERY catalog entity checkpoints — declared, Original copies, and
@@ -302,11 +332,49 @@ object Pipeline {
       else entity
     }
     if (cfg.singleTableLayout) {
-      // One union write + one count job over the written table: the per-
-      // entity Observation trick is pointless when the write is one job.
+      // One union write + one count job over the written table — and ONE
+      // GLOBAL rejection anti-join on (entity, record index) instead of a
+      // per-entity anti-join plan (200 catalog entities was 200 error-file
+      // scans and 200 join branches in the union plan; the probe measured
+      // plan construction dominating). Rows without a record index (Original
+      // snapshots, derived entities) carry a null key, which an anti-join
+      // never matches — exactly the pass-through the per-entity path gives
+      // them.
       val stageDir = s"${cfg.workingDir}/business_rules"
-      StageIO.writeEntities(spark, stageDir, catalog.names.map(n => n -> rejected(n)))
-      val counts = StageIO.entityCounts(spark, stageDir)
+      val ri = Contract.RecordIndexColumn
+      val riKey = "__graft_ri__"
+      val (dcTable, _) = dcSingle.get
+      val encoded = catalog.names.map { name =>
+        val df = catalog(name)
+        val base = name.stripPrefix("Original")
+        // Original* snapshots are the PRE-RULES typed frames — byte-identical
+        // to the data_contract payloads — so they copy payload rows straight
+        // from the previous stage table, skipping a decode+re-encode branch
+        // per entity (half the catalog). Guarded by frame identity: a rule
+        // that (ab)used an Original name would replace the catalog entry.
+        val snapshotCopy = name.startsWith("Original") &&
+          originals.get(name).exists(_ eq df)
+        if (snapshotCopy)
+          dcTable.where(col(StageIO.EntityCol) === base)
+            .select(col(StageIO.PayloadCol), lit(name).as(StageIO.EntityCol),
+              lit(null).cast("long").as(riKey))
+        else {
+          val keyCol =
+            if (!name.startsWith("Original") && df.columns.contains(ri))
+              col(s"`$ri`").cast("long")
+            else lit(null).cast("long")
+          StageIO.encodeEntity(name, df, Seq(keyCol.as(riKey)))
+        }
+      }
+      val encodedU = org.apache.spark.sql.graft.ExpressionBridge.flatUnion(encoded)
+      val bad = contractErrors
+        .where(col("FailureType") === "record" && col("Status") =!= "informational")
+        .select(col("Entity").as(StageIO.EntityCol), col("RecordIndex").as(riKey))
+        .distinct()
+      val kept = encodedU.join(bad, Seq(StageIO.EntityCol, riKey), "left_anti").drop(riKey)
+      sub("table-write")(StageIO.writeEncoded(spark, stageDir, kept,
+        catalog.names.map(n => n -> catalog(n).schema)))
+      val counts = sub("counts")(StageIO.entityCounts(StageIO.readTable(spark, stageDir)._1))
       catalog.names.map(n => n -> counts.getOrElse(n, 0L)).toMap
     } else
       parEntities(catalog.names, cfg.entityParallelism, cfg.entityStageTimeoutSec) { name =>
@@ -366,22 +434,46 @@ object Pipeline {
   }
 
   /** Full run with audit status transitions and submission statistics. */
-  def run(spark: SparkSession, cfg: SubmissionConfig): PipelineResult = {
+  def run(spark0: SparkSession, cfg: SubmissionConfig): PipelineResult = {
+    // The single-table layout targets MANY SMALL entities, where each stage
+    // is one query with a distinct plan branch per entity: whole-stage
+    // codegen pays a Janino compile per branch for rows too few to repay it
+    // (EntityProbe: interpreted mode ~1.6x faster end-to-end at 100
+    // entities). Session-LOCAL via newSession — concurrent submissions on
+    // the shared session keep their own confs; extensions and the context
+    // are inherited.
+    val spark =
+      if (!cfg.singleTableLayout) spark0
+      else {
+        val s = spark0.newSession()
+        s.conf.set("spark.sql.codegen.wholeStage", "false")
+        s
+      }
     val audit = cfg.auditDir.map(new AuditManager(spark, _))
     audit.foreach { a =>
       a.addSubmissionInfo(cfg.submissionId, cfg.dischema.entities.map(_.name).mkString(","),
         cfg.dataFile, fileExtension(cfg.dataFile))
       a.markStatus(cfg.submissionId, "received")
     }
+    // probe hook: -Dgraft.pipeline.debug prints per-service walls (stage
+    // attribution for EntityProbe/SubmissionProbe runs)
+    def staged[T](name: String)(f: => T): T =
+      if (sys.props.get("graft.pipeline.debug").isEmpty) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[pipeline] ${cfg.submissionId} $name%-18s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        r
+      }
     try {
       // "file_transformation" is the reference's stage name (the feature
       // files assert it verbatim, and Auditing.StageOrder keys on it)
       audit.foreach(_.markStatus(cfg.submissionId, "file_transformation"))
-      fileTransformation(spark, cfg)
+      staged("transform")(fileTransformation(spark, cfg))
       audit.foreach(_.markStatus(cfg.submissionId, "data_contract"))
-      val validationFailed = dataContract(spark, cfg)
+      val validationFailed = staged("data_contract")(dataContract(spark, cfg))
       audit.foreach(_.markStatus(cfg.submissionId, "business_rules"))
-      val allCounts = businessRules(spark, cfg)
+      val allCounts = staged("business_rules")(businessRules(spark, cfg))
       val declared = cfg.dischema.entities.map(_.name)
       val counts = declared.map(n => n -> allCounts.getOrElse(n, 0L)).toMap
       audit.foreach(_.markStatus(cfg.submissionId, "error_report"))

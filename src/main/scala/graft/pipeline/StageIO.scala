@@ -55,28 +55,57 @@ object StageIO {
   def writeEntities(spark: SparkSession, stageDir: String,
                     frames: Seq[(String, DataFrame)]): Unit = {
     require(frames.nonEmpty, "writeEntities needs at least one entity frame")
-    val encoded = frames.map { case (name, df) =>
-      df.select(
-        to_json(struct(df.columns.map(c => col(s"`$c`")): _*), jsonOpts).as(PayloadCol),
-        lit(name).as(EntityCol))
-    }.reduce(_ union _)
-    encoded.write.mode("overwrite").partitionBy(EntityCol).parquet(stageDir)
-    writeManifest(spark, stageDir,
+    val encoded = org.apache.spark.sql.graft.ExpressionBridge.flatUnion(
+      frames.map { case (name, df) => encodeEntity(name, df) })
+    writeEncoded(spark, stageDir, encoded,
       frames.map { case (name, df) => name -> df.schema })
   }
 
-  /** One entity back out of the stage table: partition-pruned scan +
-    * payload decode against the manifest schema. Lazy — composing N of
-    * these into downstream plans costs no jobs here.
+  /** One entity's rows in table form: (payload, entity [, extras...]).
+    * Extras ride BESIDE the payload so a caller can run a cross-entity
+    * operation (e.g. the contract-rejection anti-join on record index) on
+    * the union in one pass, then drop them before [[writeEncoded]].
     */
-  def readEntity(spark: SparkSession, stageDir: String, entity: String): DataFrame = {
-    val schema = readManifest(spark, stageDir).getOrElse(entity,
-      throw new IllegalArgumentException(
-        s"entity '$entity' not in stage manifest at $stageDir"))
-    spark.read.schema(tableSchema).parquet(stageDir)
-      .where(col(EntityCol) === entity)
+  def encodeEntity(name: String, df: DataFrame,
+                   extras: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    df.select(Seq(
+      to_json(struct(df.columns.map(c => col(s"`$c`")): _*), jsonOpts).as(PayloadCol),
+      lit(name).as(EntityCol)) ++ extras: _*)
+
+  /** Write an already-encoded (payload, entity) union: ONE job. */
+  def writeEncoded(spark: SparkSession, stageDir: String, encoded: DataFrame,
+                   schemas: Seq[(String, StructType)]): Unit = {
+    encoded.write.mode("overwrite").partitionBy(EntityCol).parquet(stageDir)
+    writeManifest(spark, stageDir, schemas)
+  }
+
+  /** The stage table + its manifest, ONE file-index construction. A table
+    * with >32 partition directories makes every fresh `spark.read` launch a
+    * DISTRIBUTED listing job (parallelPartitionDiscovery); EntityProbe
+    * measured 100 per-entity reads paying 100 listing jobs per stage —
+    * callers list once here and [[decodeEntity]] per entity off the shared
+    * frame.
+    */
+  def readTable(spark: SparkSession,
+                stageDir: String): (DataFrame, Map[String, StructType]) =
+    (spark.read.schema(tableSchema).parquet(stageDir), readManifest(spark, stageDir))
+
+  /** One entity out of a shared [[readTable]] frame: partition-pruned scan
+    * + payload decode against its manifest schema. Lazy.
+    */
+  def decodeEntity(table: DataFrame, schema: StructType, entity: String): DataFrame =
+    table.where(col(EntityCol) === entity)
       .select(from_json(col(PayloadCol), schema, jsonOpts).as("__r__"))
       .select(col("__r__.*"))
+
+  /** [[decodeEntity]] with its own listing — convenience for one-off reads
+    * (tests, external consumers); stage loops use [[readTable]] once.
+    */
+  def readEntity(spark: SparkSession, stageDir: String, entity: String): DataFrame = {
+    val (table, schemas) = readTable(spark, stageDir)
+    decodeEntity(table, schemas.getOrElse(entity,
+      throw new IllegalArgumentException(
+        s"entity '$entity' not in stage manifest at $stageDir")), entity)
   }
 
   /** Entity names recorded in the stage manifest (write order preserved). */
@@ -92,6 +121,13 @@ object StageIO {
     import spark.implicits._
     spark.read.schema(tableSchema).parquet(stageDir)
       .groupBy(col(EntityCol)).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** [[entityCounts]] over an already-listed [[readTable]] frame. */
+  def entityCounts(table: DataFrame): Map[String, Long] = {
+    import table.sparkSession.implicits._
+    table.groupBy(col(EntityCol)).agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
   }
 

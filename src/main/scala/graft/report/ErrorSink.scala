@@ -32,11 +32,27 @@ object ErrorSink {
 
   /** Read a stage's feedback messages back with the canonical schema. */
   def readFeedbackErrors(spark: SparkSession, workingDir: String, stage: String): DataFrame =
-    spark.read.schema(Messages.schema).json(feedbackErrorsPath(workingDir, stage))
+    readJsonOrEmpty(spark, feedbackErrorsPath(workingDir, stage))
 
   /** Read every stage's messages under the working dir. */
   def readAllFeedbackErrors(spark: SparkSession, workingDir: String): DataFrame =
-    spark.read.schema(Messages.schema).json(s"$workingDir/errors/*_errors.jsonl")
+    readJsonOrEmpty(spark, s"$workingDir/errors/*_errors.jsonl")
+
+  /** A submission with ZERO messages may legitimately have no errors dir at
+    * all: writing an EMPTY message frame can plan to zero write tasks (the
+    * single-table layout's unioned message frame does), so not even the
+    * directory lands. Missing path = empty message set with the canonical
+    * schema — never a read error.
+    */
+  private def readJsonOrEmpty(spark: SparkSession, glob: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(glob)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.globStatus(path)
+    if (any == null || any.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Messages.schema)
+    else spark.read.schema(Messages.schema).json(glob)
+  }
 
   /** Engine-internal (processing) errors, reference layout
     * (ref: error_utils.py:68-96).

@@ -33,7 +33,7 @@ object EntityProbe {
   }
 
   def run(spark: SparkSession, base: String, rows: Int, n: Int,
-          entityParallelism: Int = 8): Double = {
+          entityParallelism: Int = 8, singleTable: Boolean = false): Double = {
     val dataFile = s"$base/tiny_$n.csv"
     val sb = new StringBuilder("k,a,b\n")
     (1 to rows).foreach(i => sb.append(s"$i,alpha_$i,beta_$i\n"))
@@ -46,7 +46,8 @@ object EntityProbe {
       workingDir = s"$base/work-$n",
       auditDir = Some(s"$base/audit-$n"),
       csvOptions = Readers.CsvOptions(),
-      entityParallelism = entityParallelism)
+      entityParallelism = entityParallelism,
+      singleTableLayout = singleTable)
     val t0 = System.nanoTime()
     val result = Pipeline.run(spark, cfg)
     val wall = (System.nanoTime() - t0) / 1e9
@@ -59,6 +60,7 @@ object EntityProbe {
     val rows = args.headOption.map(_.toInt).getOrElse(50)
     val ns = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq else Seq(10, 50, 100)
     val par = if (args.length > 2) args(2).toInt else 8
+    val singleTable = args.length > 3 && args(3).equalsIgnoreCase("single")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -70,11 +72,12 @@ object EntityProbe {
     org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(base), true)
     // warmup (session/codegen init off the measurement)
-    run(spark, base, rows, 2, par)
+    run(spark, base, rows, 2, par, singleTable)
     println(s"# Entity-overhead probe: $rows rows/entity, entityParallelism=$par, " +
+      s"layout=${if (singleTable) "single-table" else "per-entity-dir"}, " +
       s"local[${spark.sparkContext.defaultParallelism}]")
     val walls = ns.map { n =>
-      val w = run(spark, base, rows, n, par)
+      val w = run(spark, base, rows, n, par, singleTable)
       println(f"entities=$n%4d wall=$w%7.1f s  per-entity=${w / n}%6.3f s")
       w
     }

@@ -25,4 +25,22 @@ object ExpressionBridge {
                        info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** N-ary union as ONE flat logical Union node. `frames.reduce(_ union _)`
+    * nests N-1 BINARY Unions, and the analyzer's set-op reconciliation
+    * (WidenSetOperationTypes and friends) re-walks every nesting level — at
+    * a 100-entity fan-in that superlinear analyzer pass dominated the
+    * single-table pipeline stages. All frames must be position-compatible
+    * (same column count, coercible types), exactly as `union` requires.
+    */
+  def flatUnion(frames: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(frames.nonEmpty, "flatUnion of zero frames")
+    if (frames.size == 1) frames.head
+    else {
+      val classic = frames.map(_.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]])
+      org.apache.spark.sql.classic.Dataset.ofRows(
+        classic.head.sparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.Union(classic.map(_.logicalPlan)))
+    }
+  }
 }
