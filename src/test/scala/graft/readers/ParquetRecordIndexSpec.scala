@@ -120,4 +120,60 @@ class ParquetRecordIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
     assert(p1 == p2)
   }
+
+  test("footer counting above the driver threshold runs as a Spark job with identical indices") {
+    // a ~1.2k-file table: one footer RPC per file is where the driver-side
+    // loop stops scaling (a 100 TB table is 10^5 files) — above
+    // spark.graft.recordIndex.driverFooterMaxFiles the file list becomes a
+    // small Spark job. Indices must be bit-identical on both paths.
+    val d = tmpDir()
+    import spark.implicits._
+    val nFiles = 1200
+    // maxRecordsPerFile=1 guarantees exactly nFiles one-row files
+    // (repartition(n) leaves empty partitions, which write no file)
+    (1 to nFiles).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(4).write.option("maxRecordsPerFile", 1).parquet(s"$d/t")
+    val files = new java.io.File(s"$d/t").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files > 1000, s"fixture must exceed the threshold, got $files files")
+    val src = spark.read.parquet(s"$d/t")
+    // distributed path (default threshold 1000 < 1200 files)
+    val viaJob = ParquetRecordIndex.tryAddIndex(src, Idx)
+    assert(viaJob.isDefined)
+    val distributed = indexMap(viaJob.get.select("k", "v", Idx))
+    assert(distributed.size == nFiles && distributed.keySet == (1L to nFiles.toLong).toSet)
+    // force the driver path on the SAME table and compare
+    val driverSide = try {
+      spark.conf.set("spark.graft.recordIndex.driverFooterMaxFiles", "100000")
+      indexMap(ParquetRecordIndex.tryAddIndex(spark.read.parquet(s"$d/t"), Idx)
+        .get.select("k", "v", Idx))
+    } finally spark.conf.unset("spark.graft.recordIndex.driverFooterMaxFiles")
+    assert(distributed == driverSide,
+      "distributed footer counting must produce identical indices to the driver loop")
+  }
+
+  test("the multi-file index plan carries the loud normalization guard, not a silent inner join") {
+    // the multi-file index joins `_metadata.file_path` against normalized
+    // inputFiles paths; the failure mode being guarded is a normalization
+    // mismatch SILENTLY dropping rows through an inner join. A real
+    // mismatch cannot be staged through the public surface (both sides
+    // normalize consistently on every local filesystem — which is the
+    // point), so this pins the guard structurally: the join is LEFT outer
+    // and a raise_error names the offset map on the null branch.
+    val d = tmpDir()
+    import spark.implicits._
+    Seq(1, 2).foreach { i =>
+      (1 to 10).map(j => (i.toLong, j.toLong)).toDF("f", "p")
+        .coalesce(1).write.parquet(s"$d/t/part_$i")
+    }
+    val src = spark.read.parquet(s"$d/t/part_1", s"$d/t/part_2")
+    val planned = ParquetRecordIndex.tryAddIndex(src, Idx).get
+    val analyzed = planned.queryExecution.analyzed.toString
+    assert(analyzed.contains("raise_error"),
+      s"multi-file plan must carry the raise_error guard:\n$analyzed")
+    assert(analyzed.contains("LeftOuter"),
+      s"multi-file plan must left-join the offset map (inner drops rows silently):\n$analyzed")
+    // and the guarded plan still computes the right indices
+    val out = planned.collect().sortBy(_.getAs[Long](Idx))
+    assert(out.map(_.getAs[Long](Idx)).toSeq == (1L to 20L))
+  }
 }
