@@ -93,15 +93,31 @@ object LlmQueries {
       "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) " +
       "ELSE [array_to_string(ws, ' ')] END AS sh FROM t)"
 
-  /** Exact all-pairs Jaccard join — the oracle for both the prefix-filter
+  /** Exact Jaccard pair join — the oracle for both the prefix-filter
     * exact join and the MinHash-LSH pipeline (whose recall at the chosen
     * band geometry is 1 up to ~1e-35 miss probability).
+    *
+    * Exact WITHOUT enumerating all pairs: any pair with jaccard >= 0.5 > 0
+    * shares at least one shingle, so the token equi-join (intersection
+    * count per colliding pair) reaches every qualifying pair; the shingle
+    * lists are element-distinct, so |union| = |a| + |b| - |intersection| —
+    * the same integers the list_intersect/list_concat form divides, hence
+    * bit-identical jaccard values. This replaced an `a JOIN b ON
+    * a.doc_id < b.doc_id` all-pairs form that blew the 120 s per-oracle
+    * budget at sf0.1 (verified equal output at sf0.01; 7.1 s -> 0.1 s
+    * there, > 120 s -> 1.3 s at sf0.1).
     */
   private def allPairsSql(selectCols: String): String =
-    s"$shingleCte SELECT $selectCols FROM (" +
-      "SELECT a.doc_id AS a, b.doc_id AS b, " +
-      "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard " +
-      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p WHERE jaccard >= 0.5"
+    s"$shingleCte, " +
+      "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), " +
+      "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), " +
+      "inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i " +
+      "FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+      s"SELECT $selectCols FROM (" +
+      "SELECT ia AS a, ib AS b, " +
+      "i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard " +
+      "FROM inter JOIN szs sa ON sa.doc_id = ia JOIN szs sb ON sb.doc_id = ib) p " +
+      "WHERE jaccard >= 0.5"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
@@ -2035,14 +2051,20 @@ object LlmQueries {
     "q_dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS dup_count FROM documents GROUP BY 1",
     "q_dedup_ngram" -> allPairsSql("a, b, jaccard"),
-    // exact all-ORDERED-pairs containment reference (candidates in the
+    // exact ORDERED-pairs containment reference (candidates in the
     // Spark plan come from the one-sided prefix filter, which is
-    // completeness-preserving, so the sets must match exactly)
+    // completeness-preserving, so the sets must match exactly); token
+    // equi-join instead of all ordered pairs: C(a->b) >= 0.8 > 0 needs a
+    // shared shingle, and the denominator is |sh(a)| alone
     "q_dedup_containment" ->
-      (s"$shingleCte SELECT a, b, round(c, 6)::DOUBLE AS containment FROM (" +
-        "SELECT x.doc_id AS a, y.doc_id AS b, " +
-        "len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh)::DOUBLE AS c " +
-        "FROM sh x JOIN sh y ON x.doc_id != y.doc_id) p WHERE c >= 0.8"),
+      (s"$shingleCte, " +
+        "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), " +
+        "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), " +
+        "inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i " +
+        "FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id != y.doc_id GROUP BY 1, 2) " +
+        "SELECT a, b, round(c, 6)::DOUBLE AS containment FROM (" +
+        "SELECT ia AS a, ib AS b, i::DOUBLE / sa.sz::DOUBLE AS c " +
+        "FROM inter JOIN szs sa ON sa.doc_id = ia) p WHERE c >= 0.8"),
     "q_dedup_minhash" -> allPairsSql("a, b"),
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_simhash_pairs" ->
@@ -2143,8 +2165,16 @@ object LlmQueries {
         s"CASE WHEN $bucket < 800 THEN 'train' WHEN $bucket < 900 THEN 'validation' " +
         "ELSE 'test' END AS split FROM documents"
     },
-    // exhaustive all-pairs levenshtein <= 1: the blocked plan must emit
-    // exactly this set
+    // exact pairs at levenshtein <= 1: the blocked plan must emit exactly
+    // this set. Candidates via deletion neighborhoods (FastSS/SymSpell):
+    // with D(s) = {s} + all single-char deletions of s, ed(x,y) <= 1
+    // implies D(x) and D(y) intersect (equal: s itself; insert/delete: one
+    // side IS a deletion of the other; substitute: deleting the differing
+    // char from both meets in the middle) — complete, then an exact
+    // levenshtein verify. Replaced the all-pairs `x.id < y.id AND
+    // levenshtein <= 1` form that blew the 120 s oracle budget at sf0.1
+    // (verified equal output at sf0.01; 3.6 s -> 0.1 s there, 1.2 s at
+    // sf0.1).
     "q_entity_resolution" -> {
       val w = EntityWords.map(x => s"'$x'").mkString("[", ", ", "]")
       s"WITH w AS (SELECT $w AS a), " +
@@ -2153,9 +2183,13 @@ object LlmQueries {
         "a[((c_custkey // 144) % 12)::INT + 1] AS name FROM customer, w), " +
         "d AS (SELECT id + 1000000 AS id, CASE WHEN id % 3 = 0 THEN substr(name, 1, length(name) - 1) " +
         "WHEN id % 3 = 1 THEN substr(name, 2) ELSE name END AS name FROM c), " +
-        "u AS (SELECT * FROM c UNION ALL SELECT * FROM d) " +
-        "SELECT x.id AS a, y.id AS b, levenshtein(x.name, y.name)::BIGINT AS edit_distance " +
-        "FROM u x JOIN u y ON x.id < y.id AND levenshtein(x.name, y.name) <= 1"
+        "u AS (SELECT * FROM c UNION ALL SELECT * FROM d), " +
+        "v AS (SELECT id, unnest(list_append(" +
+        "[substr(name, 1, i - 1) || substr(name, i + 1) for i in range(1, length(name) + 1)], name)) AS var FROM u), " +
+        "cand AS (SELECT DISTINCT x.id AS ca, y.id AS cb FROM v x JOIN v y ON x.var = y.var AND x.id < y.id) " +
+        "SELECT ca AS a, cb AS b, levenshtein(x.name, y.name)::BIGINT AS edit_distance " +
+        "FROM cand JOIN u x ON x.id = ca JOIN u y ON y.id = cb " +
+        "WHERE levenshtein(x.name, y.name) <= 1"
     },
     // record-level transitive closure over the same exhaustive pair set;
     // the engine's value-collapsed components must agree exactly
@@ -2168,8 +2202,13 @@ object LlmQueries {
         "d AS (SELECT id + 1000000 AS id, CASE WHEN id % 3 = 0 THEN substr(name, 1, length(name) - 1) " +
         "WHEN id % 3 = 1 THEN substr(name, 2) ELSE name END AS name FROM c), " +
         "u AS (SELECT * FROM c UNION ALL SELECT * FROM d), " +
-        "p AS (SELECT x.id AS a, y.id AS b FROM u x JOIN u y " +
-        "ON x.id < y.id AND levenshtein(x.name, y.name) <= 1), " +
+        // same deletion-neighborhood candidate generation + levenshtein
+        // verify as q_entity_resolution (complete for ed <= 1)
+        "v AS (SELECT id, unnest(list_append(" +
+        "[substr(name, 1, i - 1) || substr(name, i + 1) for i in range(1, length(name) + 1)], name)) AS var FROM u), " +
+        "cand AS (SELECT DISTINCT x.id AS ca, y.id AS cb FROM v x JOIN v y ON x.var = y.var AND x.id < y.id), " +
+        "p AS (SELECT ca AS a, cb AS b FROM cand JOIN u x ON x.id = ca JOIN u y ON y.id = cb " +
+        "WHERE levenshtein(x.name, y.name) <= 1), " +
         "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
         "reach(id, lab) AS (SELECT id, id FROM u " +
         "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b), " +
@@ -2426,11 +2465,20 @@ object LlmQueries {
     "q_sample_temperature" -> temperatureSql,
     "q_chunk_docs" -> chunkSql,
     "q_chunk_cdc" -> cdcSql,
+    // cross-corpus (new x reference) exact jaccard via the same token
+    // equi-join as allPairsSql, restricted to the two corpus partitions
     "q_dedup_cross" ->
-      (s"$shingleCte SELECT a, b, jaccard FROM (" +
-        "SELECT n.doc_id AS a, r.doc_id AS b, " +
-        "len(list_intersect(n.sh, r.sh))::DOUBLE / len(list_distinct(list_concat(n.sh, r.sh)))::DOUBLE AS jaccard " +
-        "FROM sh n JOIN sh r ON n.doc_id % 3 != 0 AND r.doc_id % 3 = 0) p WHERE jaccard >= 0.5"),
+      (s"$shingleCte, " +
+        "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), " +
+        "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), " +
+        "inter AS (SELECT n.doc_id AS ia, r.doc_id AS ib, count(*) AS i " +
+        "FROM toks n JOIN toks r ON n.tok = r.tok " +
+        "AND n.doc_id % 3 != 0 AND r.doc_id % 3 = 0 GROUP BY 1, 2) " +
+        "SELECT a, b, jaccard FROM (" +
+        "SELECT ia AS a, ib AS b, " +
+        "i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard " +
+        "FROM inter JOIN szs sa ON sa.doc_id = ia JOIN szs sb ON sb.doc_id = ib) p " +
+        "WHERE jaccard >= 0.5"),
     "q_embed_quality" -> seedQualitySql,
     "q_embed_decontaminate" ->
       ("WITH b AS (SELECT vec_id AS bench_id, embedding AS b_vec FROM embeddings WHERE vec_id % 41 = 0), " +
@@ -2439,10 +2487,7 @@ object LlmQueries {
         "SELECT e.vec_id, coalesce(mbc, 0.0) AS max_bench_cosine, " +
         "coalesce(mbc, 0.0) < 0.95 AS keep FROM embeddings e LEFT JOIN p USING (vec_id)"),
     "q_dedup_components" ->
-      (s"WITH RECURSIVE p AS ($shingleCte SELECT a, b FROM (" +
-        "SELECT a.doc_id AS a, b.doc_id AS b, " +
-        "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q WHERE jaccard >= 0.5), " +
+      (s"WITH RECURSIVE p AS (${allPairsSql("a, b")}), " +
         "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
         "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b) " +
@@ -2456,10 +2501,7 @@ object LlmQueries {
           s" + (CASE WHEN len($ws) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) " +
           s" + (CASE WHEN list_sum(list_transform($ws, w -> length(w)))::DOUBLE / len($ws)::DOUBLE BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)" +
           ") / 4, 6) AS DOUBLE)"
-      s"WITH RECURSIVE p AS ($shingleCte SELECT a, b FROM (" +
-        "SELECT a.doc_id AS a, b.doc_id AS b, " +
-        "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q WHERE jaccard >= 0.5), " +
+      s"WITH RECURSIVE p AS (${allPairsSql("a, b")}), " +
         "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
         "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b), " +
