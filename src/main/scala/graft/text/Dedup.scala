@@ -125,6 +125,29 @@ object Dedup {
     i / (size(a).cast("double") + size(b).cast("double") - i)
   }
 
+  /** Adds an exact `jaccard` column over pre-sorted shingle columns
+    * `sh_a`/`sh_b` and keeps rows with jaccard >= threshold — via the
+    * early-exit kernel: jaccard >= t needs an intersection of at least
+    * ceil(t/(1+t) * (|a|+|b|)) (same identity as the PPJoin alpha, same
+    * 1e-9 ceil guard), so the merge bails as soon as the remaining tail
+    * cannot reach it. ~99.9% of candidates fail verify at sf1; the bail
+    * converts most of their merges from O(|a|+|b|) to the prefix that
+    * proves failure. Kept rows always run to completion — their count and
+    * jaccard are exact; the final threshold filter stays authoritative.
+    */
+  private def keepJaccardAtLeast(pairs: DataFrame, threshold: Double): DataFrame = {
+    val needed = ceil(lit(threshold / (1 + threshold)) *
+      (size(col("sh_a")) + size(col("sh_b"))).cast("double") - lit(1e-9)).cast("int")
+    val i = col("__graft_i__").cast("double")
+    pairs
+      .withColumn("__graft_i__",
+        SortedIntersectCountExpr.sortedIntersectAtLeast(col("sh_a"), col("sh_b"), needed))
+      .where(col("__graft_i__") >= 0)
+      .withColumn("jaccard",
+        i / (size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - i))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Verify candidate pairs with exact Jaccard over the shingle sets; keeps
     * pairs with jaccard >= threshold. Joins candidates back to the (small
     * relative to pairs) per-doc shingle table twice — shuffle joins on the
@@ -146,11 +169,11 @@ object Dedup {
     // task — measured serial at sf0.1.
     val spark = candidates.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    candidates.repartition(n, col("a"))
-      .join(left, "a")
-      .join(right, "b")
-      .withColumn("jaccard", jaccardSortedDistinct(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
+    keepJaccardAtLeast(
+        candidates.repartition(n, col("a"))
+          .join(left, "a")
+          .join(right, "b"),
+        threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
@@ -292,11 +315,11 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
     // exact verify; candidate partitioning pinned as in verifyPairs
     val n = cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val result = cand.repartition(n, col("a"))
-      .join(shNew.select(col(idCol).as("a"), sort_array(col("sh")).as("sh_a")), "a")
-      .join(shRef.select(col(idCol).as("b"), sort_array(col("sh")).as("sh_b")), "b")
-      .withColumn("jaccard", jaccardSortedDistinct(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
+    val result = keepJaccardAtLeast(
+        cand.repartition(n, col("a"))
+          .join(shNew.select(col(idCol).as("a"), sort_array(col("sh")).as("sh_a")), "a")
+          .join(shRef.select(col(idCol).as("b"), sort_array(col("sh")).as("sh_b")), "b"),
+        threshold)
       .select(col("a"), col("b"), col("jaccard"))
     (result, Seq(shNew, shRef))
   }
@@ -448,12 +471,17 @@ object Dedup {
     val right = withShingles.select(col(idCol).as("b"), sort_array(col("sh")).as("sh_b"))
     val spark = candidates.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // early-exit verify: C(a->b) >= t needs an intersection of at least
+    // ceil(t * |a|) (one-sided denominator; same ceil guard as alpha)
+    val neededC = ceil(lit(threshold) * size(col("sh_a")).cast("double") - lit(1e-9)).cast("int")
     val verified = candidates.repartition(n, col("a"))
       .join(left, "a")
       .join(right, "b")
+      .withColumn("__graft_i__",
+        SortedIntersectCountExpr.sortedIntersectAtLeast(col("sh_a"), col("sh_b"), neededC))
+      .where(col("__graft_i__") >= 0)
       .withColumn("containment",
-        SortedIntersectCountExpr.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
-          / size(col("sh_a")).cast("double"))
+        col("__graft_i__").cast("double") / size(col("sh_a")).cast("double"))
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
       .dropDuplicates("a", "b")

@@ -171,7 +171,65 @@ final case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedIntersectCountExpr]] with a per-pair REQUIRED count and early
+  * exit: returns the exact intersection count when it is >= `needed`, and
+  * -1 as soon as the remaining elements cannot reach `needed`
+  * (`c + min(remaining_a, remaining_b) < needed`). Verify stages drop
+  * sub-threshold pairs anyway — at sf1 ~99.9% of PPJoin candidates fail
+  * verify, and most share only their one colliding prefix token, so the
+  * bound trips well before the merge finishes. The result is deterministic:
+  * exact count iff count >= needed, else -1 (the early exit never fires
+  * when the true count reaches `needed`, because the bound it checks is an
+  * upper bound on the final count).
+  */
+final case class SortedIntersectAtLeastExpr(first: Expression, second: Expression,
+                                            third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_at_least"
+
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    SortedIntersectCountExpr.computeAtLeast(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, n) =>
+      s"graft.text.SortedIntersectCountExpr.computeAtLeast($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SortedIntersectAtLeastExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object SortedIntersectCountExpr {
+
+  def computeAtLeast(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                     b: org.apache.spark.sql.catalyst.util.ArrayData,
+                     needed: Int): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      // remaining matches are bounded by the shorter tail; once even a
+      // perfect tail cannot reach `needed`, the pair cannot qualify
+      if (c + math.min(n - i, m - j) < needed) return -1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    if (c >= needed) c else -1
+  }
 
   def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
               b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
@@ -198,4 +256,11 @@ object SortedIntersectCountExpr {
       SortedIntersectCountExpr(
         org.apache.spark.sql.graft.ExpressionBridge.expression(a),
         org.apache.spark.sql.graft.ExpressionBridge.expression(b)))
+
+  def sortedIntersectAtLeast(a: Column, b: Column, needed: Column): Column =
+    org.apache.spark.sql.graft.ExpressionBridge.column(
+      SortedIntersectAtLeastExpr(
+        org.apache.spark.sql.graft.ExpressionBridge.expression(a),
+        org.apache.spark.sql.graft.ExpressionBridge.expression(b),
+        org.apache.spark.sql.graft.ExpressionBridge.expression(needed)))
 }

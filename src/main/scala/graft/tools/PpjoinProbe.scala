@@ -62,9 +62,24 @@ object PpjoinProbe {
     println(s"candidates=$nc")
     val nd = timeIt("cand-distinct")(candidates.distinct().count())
     println(s"distinct_candidates=$nd")
-    val verified = timeIt("verify") {
-      Dedup.verifyPairs(candidates, withShingles, idCol, "sh", threshold)
-        .dropDuplicates("a", "b").count()
+    // interleaved A/B on the same JVM/minute: the shipped early-exit
+    // at-least kernel (verifyPairs) vs the round-12-era full sorted merge
+    def fullMerge(): Long = {
+      val left = withShingles.select(col(idCol).as("a"), sort_array(col("sh")).as("sh_a"))
+      val right = withShingles.select(col(idCol).as("b"), sort_array(col("sh")).as("sh_b"))
+      candidates.repartition(32, col("a")).join(left, "a").join(right, "b")
+        .withColumn("jaccard", Dedup.jaccardSortedDistinct(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= threshold)
+        .select(col("a"), col("b")).dropDuplicates("a", "b").count()
+    }
+    var verified = 0L
+    for (round <- 1 to 2) {
+      verified = timeIt(s"verify-r$round") {
+        Dedup.verifyPairs(candidates, withShingles, idCol, "sh", threshold)
+          .dropDuplicates("a", "b").count()
+      }
+      val vf = timeIt(s"fullmerge-r$round")(fullMerge())
+      require(vf == verified, s"early-exit kernel diverged: $vf vs $verified")
     }
     println(s"pairs=$verified")
     val verified2 = timeIt("verify-dedup") {

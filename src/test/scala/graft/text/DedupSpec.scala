@@ -254,4 +254,23 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.lshCandidates(withSig, "doc_id", "sig", 4, 4, maxBucketSize = 100)
     assert(uncapped.count() == 190) // 20 choose 2
   }
+
+  test("computeAtLeast: exact count iff it reaches needed, else -1 (property)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    def arr() = {
+      val elems = Seq.fill(rnd.nextInt(30))(s"t${rnd.nextInt(40)}").distinct.sorted
+      new GenericArrayData(elems.map(UTF8String.fromString).toArray[Any])
+    }
+    for (_ <- 1 to 2000) {
+      val (a, b) = (arr(), arr())
+      val exact = SortedIntersectCountExpr.compute(a, b)
+      for (needed <- 0 to 12) {
+        val got = SortedIntersectCountExpr.computeAtLeast(a, b, needed)
+        assert(got == (if (exact >= needed) exact else -1),
+          s"needed=$needed exact=$exact got=$got")
+      }
+    }
+  }
 }
