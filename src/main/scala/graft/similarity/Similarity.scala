@@ -168,10 +168,28 @@ object Similarity {
     * pairs land in the same bucket with probability (1 - theta/pi)^planes —
     * near 1 for near-duplicates; brute force over a.id < b.id is the exact
     * baseline for recall tests.
+    *
+    * `numPlanes` is the SCALE dial, same as MinHash banding geometry: 2^p
+    * buckets must keep occupancy bounded or in-bucket pair enumeration
+    * dominates — size p ≈ log2(n) - log2(target occupancy) as the corpus
+    * grows. Measured at sf3 (60k vectors, NeardupGeomProbe): planes
+    * 8 → 12 → 16 = 180 s → 14 s → 3.4 s wall at 96.1% / 94.8% of the
+    * planes=8 pairs (saturated 256-bucket geometry vs scaled).
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, numPlanes: Int = 8,
-                         bruteForce: Boolean = false): DataFrame = {
+                         bruteForce: Boolean = false): DataFrame =
+    cosineNearDupPairsOwned(corpus, idCol, vecCol, threshold, numPlanes, bruteForce)._1
+
+  /** [[cosineNearDupPairs]] returning the candidate cache it creates (empty
+    * for the brute-force branch) so composed owners (semanticDedup) can
+    * release it once the pair frame is materialized.
+    */
+  private[graft] def cosineNearDupPairsOwned(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8,
+      bruteForce: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+    var owned = Seq.empty[DataFrame]
     val scored =
       if (bruteForce) {
         val a = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
@@ -191,16 +209,37 @@ object Similarity {
           col("bucket"))
         val x = coded.select(col(idCol).as("a"), col("bucket"))
         val y = coded.select(col(idCol).as("b"), col("bucket"))
-        val cand = x.join(y, Seq("bucket")).where(col("a") < col("b"))
+        // Persisted so the bucket self-join executes exactly once: the
+        // count below sizes the verify exchanges AND materializes the cache
+        // the verify then reads (Bench/Verify clear the session cache per
+        // query; long-lived callers use the With wrappers of the composed
+        // operators, e.g. semanticDedupWith).
+        val cand0 = x.join(y, Seq("bucket")).where(col("a") < col("b"))
           .select(col("a"), col("b")).dropDuplicates("a", "b")
-        cand
-          .join(corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec")), "a")
-          .join(corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec")), "b")
+        val vecA = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
+        val vecB = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"))
+        if (graft.text.Dedup.verifyScaled) {
+          // Demand-scaled verify parallelism, both vector-join exchanges
+          // pinned (see Dedup.verifyPartitions): the exchanges below carry
+          // a vector PER PAIR, and a fixed session partition count turns
+          // into spill thrash once bucket occupancy makes candidates
+          // outgrow it (the sf3 probe measured the cliff on the shingle
+          // verify).
+          val cand = cand0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          owned = Seq(cand)
+          val n = graft.text.Dedup.verifyPartitions(corpus.sparkSession, cand.count())
+          cand.repartition(n, col("a"))
+            .join(vecA, "a")
+            .repartition(n, col("b"))
+            .join(vecB, "b")
+        } else cand0.join(vecA, "a").join(vecB, "b")
       }
-    scored
+    (scored
       .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
       .where(col("cosine") >= threshold)
-      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine")),
+      owned)
   }
 
   /** SEMANTIC dedup (SemDeDup-style: Abbas et al. 2023 — duplicates by
@@ -234,9 +273,13 @@ object Similarity {
                                ): (DataFrame, () => Unit) = {
     // pairs fan out to node extraction + both edge directions — persist or
     // the LSH pipeline re-runs per consumer (the nearDupComponents lesson)
-    val pairs = cosineNearDupPairs(corpus, idCol, vecCol, threshold, numPlanes)
+    val (rawPairs, candCaches) =
+      cosineNearDupPairsOwned(corpus, idCol, vecCol, threshold, numPlanes)
+    val pairs = rawPairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
+    // the bucket-join candidate cache served its purpose materializing pairs
+    candCaches.foreach(_.unpersist(blocking = false))
     val pairNodes = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
     val (comp, ccRelease, _) = graft.text.Dedup.connectedComponentsImpl(

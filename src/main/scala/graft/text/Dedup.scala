@@ -74,6 +74,27 @@ object Dedup {
     df.repartition(n, keys: _*)
   }
 
+  /** Partition count for a verify stage that fans per-doc payloads (shingle
+    * arrays, embedding vectors) out to `candRows` candidate pairs: the
+    * session's shuffle parallelism sizes the byte-small stages, but the
+    * verify exchanges carry kilobytes PER PAIR, and a fixed count turns
+    * into per-task spill thrash once candidates outgrow it — the sf3 probe
+    * measured containment verify at 98 s on 37M candidates over 32
+    * partitions vs 21 s over 256 (same values). AQE's byte-based sizing
+    * under-provisions here too (39 s): shuffle bytes are lz4-compressed and
+    * the stage is CPU-bound, so rows — not bytes — are the right unit.
+    * Costs one extra count of the candidate frame (narrow ids; bounded by
+    * candidate-gen itself, ~3 s at sf3 vs the ~80 s it saves; at sf0.01 it
+    * is milliseconds). `graft.verify.rowsPerPartition` overrides the
+    * per-partition target; the cap bounds task-launch overhead.
+    */
+  private[graft] def verifyPartitions(spark: org.apache.spark.sql.SparkSession,
+                                      candRows: Long): Int = {
+    val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val perPart = sys.props.getOrElse("graft.verify.rowsPerPartition", "150000").toLong
+    math.max(base, math.min(4096L, (candRows + perPart - 1) / perPart).toInt)
+  }
+
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
                     numBands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 10000): DataFrame = {
@@ -154,7 +175,22 @@ object Dedup {
     * id keys, no broadcast assumption.
     */
   def verifyPairs(candidates: DataFrame, docShingles: DataFrame,
-                  idCol: String, shingleCol: String, threshold: Double): DataFrame = {
+                  idCol: String, shingleCol: String, threshold: Double): DataFrame =
+    verifyPairsOwned(candidates, docShingles, idCol, shingleCol, threshold)._1
+
+  /** [[verifyPairs]] returning the candidate cache it creates, so `With`
+    * owners can release it. The candidate frame is persisted and COUNTED
+    * before the verify plan is built: the count sizes the verify exchanges
+    * ([[verifyPartitions]] — a fixed partition count turns into spill
+    * thrash once candidates outgrow it, measured 98 s → 21 s at sf3), and
+    * the cache means candidate generation still executes exactly once (an
+    * unpersisted count would re-run the whole candidate chain per action —
+    * measured as a 3x regression on the PPJoin family at sf3, plus shuffle
+    * files for both executions held on disk until JVM exit).
+    */
+  private[graft] def verifyPairsOwned(candidates: DataFrame, docShingles: DataFrame,
+                                      idCol: String, shingleCol: String,
+                                      threshold: Double): (DataFrame, DataFrame) = {
     // Sort once per DOC row (before the join fans each array out to its
     // candidates), merge-count once per PAIR: the sorted kernel does no
     // hashing and no per-pair allocation — the PPJoin probe measured the
@@ -163,19 +199,43 @@ object Dedup {
       sort_array(col(shingleCol)).as("sh_a"))
     val right = docShingles.select(col(idCol).as("b"),
       sort_array(col(shingleCol)).as("sh_b"))
-    // Pin the candidate partitioning (REPARTITION_BY_NUM is exempt from AQE
-    // coalescing): the verify is CPU-bound set intersection over byte-small
-    // rows, and size-based coalescing would otherwise collapse it onto one
-    // task — measured serial at sf0.1.
-    val spark = candidates.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    keepJaccardAtLeast(
-        candidates.repartition(n, col("a"))
+    // Pin BOTH verify exchanges by number (REPARTITION_BY_NUM is exempt
+    // from AQE coalescing), scaled to the measured candidate count: the
+    // verify is CPU-bound set intersection, size-based coalescing would
+    // collapse it onto one task (measured serial at sf0.1). The second pin
+    // matters as much as the first: without it the exchange that hauls
+    // sh_a to the b-side join falls back to the session partition count.
+    // `graft.verify.scaled=false` reverts to the fixed-count plan (A/B
+    // adjudication on a noisy box + operational escape hatch).
+    if (!verifyScaled) {
+      val n = candidates.sparkSession
+        .conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val result = keepJaccardAtLeast(
+          candidates.repartition(n, col("a"))
+            .join(left, "a")
+            .join(right, "b"),
+          threshold)
+        .select(col("a"), col("b"), col("jaccard"))
+      return (result, candidates.limit(0))
+    }
+    val cand = candidates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = verifyPartitions(candidates.sparkSession, cand.count())
+    val result = keepJaccardAtLeast(
+        cand.repartition(n, col("a"))
           .join(left, "a")
+          .repartition(n, col("b"))
           .join(right, "b"),
         threshold)
       .select(col("a"), col("b"), col("jaccard"))
+    (result, cand)
   }
+
+  /** Demand-scaled verify parallelism on/off (default on) — see
+    * [[verifyPairsOwned]]/[[verifyPartitions]].
+    */
+  private[graft] def verifyScaled: Boolean =
+    sys.props.getOrElse("graft.verify.scaled", "true").toBoolean
 
   /** Widen degenerate input partitioning before CPU-heavy per-row work: a
     * single small parquet file arrives as ONE partition, serializing the
@@ -218,13 +278,13 @@ object Dedup {
                           seed: Long = 42L)(use: DataFrame => T): T = {
     val (result, owned) = minHashDedupImpl(docs, idCol, textCol, shingleSize,
       numHashes, numBands, threshold, seed)
-    try use(result) finally owned.unpersist(blocking = false)
+    try use(result) finally owned.foreach(_.unpersist(blocking = false))
   }
 
   private def minHashDedupImpl(docs: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int, numHashes: Int,
                                numBands: Int, threshold: Double,
-                               seed: Long): (DataFrame, DataFrame) = {
+                               seed: Long): (DataFrame, Seq[DataFrame]) = {
     val rowsPerBand = numHashes / numBands
     // persisted: the shingle table feeds candidate generation AND both sides
     // of the verify join — recomputing the shingling per consumer triples
@@ -237,12 +297,10 @@ object Dedup {
     // persist stall each other — measured 50x on the contract plane)
     withShingles.count()
     val withSig = withShingles.withColumn("sig", minHashSignature(col("sh"), numHashes, seed))
-    // Candidates flow straight into the verify: the verify joins the
-    // candidate frame exactly once, so a defensive persist+count here only
-    // added a materialization job (the bucket self-join reads the PERSISTED
-    // shingle table, so nothing upstream recomputes).
     val candidates = lshCandidates(withSig, idCol, "sig", numBands, rowsPerBand)
-    (verifyPairs(candidates, withShingles, idCol, "sh", threshold), withShingles)
+    val (verified, candCache) =
+      verifyPairsOwned(candidates, withShingles, idCol, "sh", threshold)
+    (verified, Seq(withShingles, candCache))
   }
 
   /** CROSS-corpus near-duplicate join: (new, ref) pairs with Jaccard >=
@@ -346,11 +404,11 @@ object Dedup {
                               shingleSize: Int = 3, threshold: Double = 0.5)
                              (use: DataFrame => T): T = {
     val (result, owned) = prefixFilterJoinImpl(docs, idCol, textCol, shingleSize, threshold)
-    try use(result) finally owned.unpersist(blocking = false)
+    try use(result) finally owned.foreach(_.unpersist(blocking = false))
   }
 
   private def prefixFilterJoinImpl(docs: DataFrame, idCol: String, textCol: String,
-                                   shingleSize: Int, threshold: Double): (DataFrame, DataFrame) = {
+                                   shingleSize: Int, threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val withShingles = widen(docs).select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withShingles.count() // materialize before concurrent consumers (see minHashDedup)
@@ -399,9 +457,10 @@ object Dedup {
     // A pair sharing k prefix tokens appears k times — but the position
     // filter leaves only ~5% duplicates (measured at sf0.1), so verifying
     // dups and deduplicating the (tiny) verified output is cheaper than a
-    // full-shuffle distinct + persist + count over the candidate set.
-    (verifyPairs(candidates, withShingles, idCol, "sh", threshold)
-      .dropDuplicates("a", "b"), withShingles)
+    // full-shuffle distinct over the candidate set.
+    val (verified, candCache) =
+      verifyPairsOwned(candidates, withShingles, idCol, "sh", threshold)
+    (verified.dropDuplicates("a", "b"), Seq(withShingles, candCache))
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: ordered pairs (a, b) with
@@ -432,11 +491,11 @@ object Dedup {
                               shingleSize: Int = 3, threshold: Double = 0.8)
                              (use: DataFrame => T): T = {
     val (result, owned) = containmentPairsImpl(docs, idCol, textCol, shingleSize, threshold)
-    try use(result) finally owned.unpersist(blocking = false)
+    try use(result) finally owned.foreach(_.unpersist(blocking = false))
   }
 
   private def containmentPairsImpl(docs: DataFrame, idCol: String, textCol: String,
-                                   shingleSize: Int, threshold: Double): (DataFrame, DataFrame) = {
+                                   shingleSize: Int, threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val withShingles = widen(docs).select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withShingles.count()
@@ -462,20 +521,29 @@ object Dedup {
     // — dedupe the id-only candidates BEFORE hauling both shingle arrays
     // through the verify joins; unlike prefixFilterJoin's ~5%-dup position
     // filter, duplication here scales with the overlap itself.
-    val candidates = prefixes.join(full,
+    val candidates0 = prefixes.join(full,
         prefixes("tok") === full("tok") && col("a") =!= col("b")
           && col("b_sz") >= ceil(lit(threshold) * col("a_sz")))
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+    val candidates =
+      if (verifyScaled)
+        candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else candidates0
     val left = withShingles.select(col(idCol).as("a"), sort_array(col("sh")).as("sh_a"))
     val right = withShingles.select(col(idCol).as("b"), sort_array(col("sh")).as("sh_b"))
-    val spark = candidates.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val spark = withShingles.sparkSession
+    // demand-scaled verify parallelism, both exchanges pinned — see
+    // [[verifyPairsOwned]] (the sf3 spill cliff was measured HERE: 98 s →
+    // 21 s; the persist keeps candidate generation at one execution)
+    val n =
+      if (verifyScaled) verifyPartitions(spark, candidates.count())
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // early-exit verify: C(a->b) >= t needs an intersection of at least
     // ceil(t * |a|) (one-sided denominator; same ceil guard as alpha)
     val neededC = ceil(lit(threshold) * size(col("sh_a")).cast("double") - lit(1e-9)).cast("int")
-    val verified = candidates.repartition(n, col("a"))
-      .join(left, "a")
+    val afterLeft = candidates.repartition(n, col("a")).join(left, "a")
+    val verified = (if (verifyScaled) afterLeft.repartition(n, col("b")) else afterLeft)
       .join(right, "b")
       .withColumn("__graft_i__",
         SortedIntersectCountExpr.sortedIntersectAtLeast(col("sh_a"), col("sh_b"), neededC))
@@ -485,7 +553,7 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
       .dropDuplicates("a", "b")
-    (verified, withShingles)
+    (verified, Seq(withShingles, candidates))
   }
 
   /** Connected components of an undirected pair graph (near-dup pairs →
@@ -658,12 +726,13 @@ object Dedup {
     // Materialized once: the pair frame fans out to the node extraction and
     // both directions of the edge symmetrization — without the persist the
     // whole PPJoin re-runs per consumer (measured 4-5x).
-    val (rawPairs, shingleCache) =
+    val (rawPairs, ppjoinCaches) =
       prefixFilterJoinImpl(repDocs, idCol, textCol, shingleSize, threshold)
     val pairs = rawPairs.persist(lvl)
     pairs.count()
-    // the PPJoin's shingle cache served its purpose materializing `pairs`
-    shingleCache.unpersist(blocking = false)
+    // the PPJoin's shingle + candidate caches served their purpose
+    // materializing `pairs`
+    ppjoinCaches.foreach(_.unpersist(blocking = false))
     // Propagate labels only over representatives that HAVE a near-dup pair:
     // singletons (the overwhelming majority at corpus scale) are their own
     // component by construction and join back afterwards — the iterative
