@@ -224,12 +224,31 @@ object Similarity {
           // a vector PER PAIR, and a fixed session partition count turns
           // into spill thrash once bucket occupancy makes candidates
           // outgrow it (the sf3 probe measured the cliff on the shingle
-          // verify).
-          val cand = cand0
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          owned = Seq(cand)
-          val n = graft.text.Dedup.verifyPartitions(corpus.sparkSession, cand.count())
-          cand.repartition(n, col("a"))
+          // verify). Unlike the shingle paths, the demand signal here is
+          // an UPPER BOUND computed from bucket occupancies — one narrow
+          // aggregation over the coded rows (Σ n·(n-1)/2) instead of
+          // materializing + counting the candidate frame itself, which
+          // cost ~10 s at sf1 for no spill protection the bound doesn't
+          // already give (over-provisioning partitions is cheap).
+          val rawMass = coded.groupBy(col("bucket"))
+            .agg(count(lit(1)).as("__n__"))
+            .agg(coalesce(sum(col("__n__") * (col("__n__") - 1) / 2), lit(0)).cast("long"))
+            .head.getLong(0)
+          // each distinct pair is counted once PER shared probe bucket
+          // (multiprobe emits numPlanes+1 codes per vector) — divide the
+          // mass down to a distinct-pair estimate; this is a provisioning
+          // signal, not a correctness bound, and the slack only moves the
+          // partition count
+          val pairMass = rawMass / (numPlanes + 1)
+          val spark = corpus.sparkSession
+          // 500k rows/partition: a verify row carries two ~64-dim vectors
+          // (~0.5 KB) vs the shingle paths' 2-4 KB arrays
+          val n = graft.text.Dedup.verifyPartitions(spark, pairMass, 500000L)
+          val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+          // below the session baseline the pinned exchanges are pure
+          // overhead (~3 s measured at sf1) — keep the streaming plan there
+          if (n <= base) cand0.join(vecA, "a").join(vecB, "b")
+          else cand0.repartition(n, col("a"))
             .join(vecA, "a")
             .repartition(n, col("b"))
             .join(vecB, "b")

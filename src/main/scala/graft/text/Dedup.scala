@@ -88,10 +88,17 @@ object Dedup {
     * is milliseconds). `graft.verify.rowsPerPartition` overrides the
     * per-partition target; the cap bounds task-launch overhead.
     */
+  /** `rowsPerPartition <= 0` uses the `graft.verify.rowsPerPartition`
+    * default (150k — sized for shingle-array rows of 2-4 KB); payload-light
+    * verifies (embedding vectors, ~0.5 KB/row) pass a larger target.
+    */
   private[graft] def verifyPartitions(spark: org.apache.spark.sql.SparkSession,
-                                      candRows: Long): Int = {
+                                      candRows: Long,
+                                      rowsPerPartition: Long = 0L): Int = {
     val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val perPart = sys.props.getOrElse("graft.verify.rowsPerPartition", "150000").toLong
+    val perPart =
+      if (rowsPerPartition > 0) rowsPerPartition
+      else sys.props.getOrElse("graft.verify.rowsPerPartition", "150000").toLong
     math.max(base, math.min(4096L, (candRows + perPart - 1) / perPart).toInt)
   }
 
