@@ -446,6 +446,14 @@ object Pipeline {
       if (!cfg.singleTableLayout) spark0
       else {
         val s = spark0.newSession()
+        // newSession starts from the builder defaults, NOT the caller's
+        // runtime confs (session timezone, shuffle partitions, ...) — copy
+        // them over so the two layouts differ only in layout + the codegen
+        // override below, not in silently-reset SQL behavior
+        spark0.conf.getAll.foreach { case (k, v) =>
+          if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v))
+            s.conf.set(k, v)
+        }
         s.conf.set("spark.sql.codegen.wholeStage", "false")
         s
       }

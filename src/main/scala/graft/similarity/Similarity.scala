@@ -178,18 +178,7 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, numPlanes: Int = 8,
-                         bruteForce: Boolean = false): DataFrame =
-    cosineNearDupPairsOwned(corpus, idCol, vecCol, threshold, numPlanes, bruteForce)._1
-
-  /** [[cosineNearDupPairs]] returning the candidate cache it creates (empty
-    * for the brute-force branch) so composed owners (semanticDedup) can
-    * release it once the pair frame is materialized.
-    */
-  private[graft] def cosineNearDupPairsOwned(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 8,
-      bruteForce: Boolean = false): (DataFrame, Seq[DataFrame]) = {
-    var owned = Seq.empty[DataFrame]
+                         bruteForce: Boolean = false): DataFrame = {
     val scored =
       if (bruteForce) {
         val a = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
@@ -209,11 +198,11 @@ object Similarity {
           col("bucket"))
         val x = coded.select(col(idCol).as("a"), col("bucket"))
         val y = coded.select(col(idCol).as("b"), col("bucket"))
-        // Persisted so the bucket self-join executes exactly once: the
-        // count below sizes the verify exchanges AND materializes the cache
-        // the verify then reads (Bench/Verify clear the session cache per
-        // query; long-lived callers use the With wrappers of the composed
-        // operators, e.g. semanticDedupWith).
+        // NOT persisted: the verify-sizing signal below is a bucket-mass
+        // aggregation over `coded`, so the candidate chain executes once
+        // inside the single streaming verify plan — no second action ever
+        // touches it (the shingle paths persist+count instead because their
+        // candidates have no cheap occupancy bound; see verifyPairsOwned).
         val cand0 = x.join(y, Seq("bucket")).where(col("a") < col("b"))
           .select(col("a"), col("b")).dropDuplicates("a", "b")
         val vecA = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
@@ -254,11 +243,10 @@ object Similarity {
             .join(vecB, "b")
         } else cand0.join(vecA, "a").join(vecB, "b")
       }
-    (scored
+    scored
       .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
       .where(col("cosine") >= threshold)
-      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine")),
-      owned)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** SEMANTIC dedup (SemDeDup-style: Abbas et al. 2023 — duplicates by
@@ -292,13 +280,10 @@ object Similarity {
                                ): (DataFrame, () => Unit) = {
     // pairs fan out to node extraction + both edge directions — persist or
     // the LSH pipeline re-runs per consumer (the nearDupComponents lesson)
-    val (rawPairs, candCaches) =
-      cosineNearDupPairsOwned(corpus, idCol, vecCol, threshold, numPlanes)
-    val pairs = rawPairs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs =
+      cosineNearDupPairs(corpus, idCol, vecCol, threshold, numPlanes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
-    // the bucket-join candidate cache served its purpose materializing pairs
-    candCaches.foreach(_.unpersist(blocking = false))
     val pairNodes = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
     val (comp, ccRelease, _) = graft.text.Dedup.connectedComponentsImpl(

@@ -185,6 +185,20 @@ object Dedup {
                   idCol: String, shingleCol: String, threshold: Double): DataFrame =
     verifyPairsOwned(candidates, docShingles, idCol, shingleCol, threshold)._1
 
+  /** [[verifyPairs]] with cache ownership: under the scaled path the verify
+    * persists the candidate frame (see [[verifyPairsOwned]]); this form
+    * releases that cache when `use` returns. Callers without a per-query
+    * `spark.catalog.clearCache()` discipline use this, or the cache lives
+    * until session cache clear.
+    */
+  private[graft] def verifyPairsWith[T](candidates: DataFrame, docShingles: DataFrame,
+                                        idCol: String, shingleCol: String,
+                                        threshold: Double)(use: DataFrame => T): T = {
+    val (result, cache) =
+      verifyPairsOwned(candidates, docShingles, idCol, shingleCol, threshold)
+    try use(result) finally cache.unpersist(blocking = false)
+  }
+
   /** [[verifyPairs]] returning the candidate cache it creates, so `With`
     * owners can release it. The candidate frame is persisted and COUNTED
     * before the verify plan is built: the count sizes the verify exchanges

@@ -75,15 +75,16 @@ object PpjoinProbe {
     var verified = 0L
     for (round <- 1 to 2) {
       verified = timeIt(s"verify-r$round") {
-        Dedup.verifyPairs(candidates, withShingles, idCol, "sh", threshold)
-          .dropDuplicates("a", "b").count()
+        Dedup.verifyPairsWith(candidates, withShingles, idCol, "sh", threshold)(
+          _.dropDuplicates("a", "b").count())
       }
       val vf = timeIt(s"fullmerge-r$round")(fullMerge())
       require(vf == verified, s"early-exit kernel diverged: $vf vs $verified")
     }
     println(s"pairs=$verified")
     val verified2 = timeIt("verify-dedup") {
-      Dedup.verifyPairs(candidates.distinct(), withShingles, idCol, "sh", threshold).count()
+      Dedup.verifyPairsWith(candidates.distinct(), withShingles, idCol, "sh", threshold)(
+        _.count())
     }
     println(s"pairs2=$verified2")
     val verified3 = timeIt("verify-arrexpr") {

@@ -41,8 +41,8 @@ object Probe {
     val candidates = Dedup.lshCandidates(withSig, "doc_id", "sig", 64, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("lsh candidates count")(candidates.count())
-    val verified = Dedup.verifyPairs(candidates, withShingles, "doc_id", "sh", 0.5)
-    t("verify count")(verified.count())
+    t("verify count")(Dedup.verifyPairsWith(
+      candidates, withShingles, "doc_id", "sh", 0.5)(_.count()))
     t("minhash end-to-end again") {
       Dedup.minHashDedup(docs, "doc_id", "text", 3, 192, 64, 0.5).count()
     }

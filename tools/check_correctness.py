@@ -39,11 +39,16 @@ def frame_signature(rel):
     return sorted(cols), len(rows), h.hexdigest()
 
 
-def main(sf_dir, out_dir, timeout_s=None):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
@@ -54,21 +59,41 @@ def main(sf_dir, out_dir, timeout_s=None):
         except Exception as e:  # noqa: BLE001
             results[name] = {"ok": False, "error": f"result read: {e}"}
             continue
+        fired = False
         try:
             if timeout_s:
                 # budget the ORACLE side: a handful of oracle SQLs are
                 # deliberately quadratic comparators (exact all-pairs) whose
-                # DuckDB cost explodes with sf — at sf0.1 they are excluded
-                # BY MEASUREMENT (interrupt past the budget), with the
-                # exclusion recorded instead of silently skipped
+                # DuckDB cost explodes with sf — above sf0.01 they are
+                # excluded BY MEASUREMENT (interrupt past the budget), with
+                # the exclusion recorded instead of silently skipped.
+                # The interrupt is identity-guarded: fire only while THIS
+                # query is still running (timer vs completion is a race —
+                # an unguarded con.interrupt() can land after the query
+                # finishes and poison the NEXT query's execution), and any
+                # fired interrupt discards the connection afterwards so no
+                # latent flag leaks forward.
                 import threading
-                timer = threading.Timer(timeout_s, con.interrupt)
+                lock = threading.Lock()
+                state = {"done": False, "fired": False}
+
+                def fire():
+                    with lock:
+                        if not state["done"]:
+                            state["fired"] = True
+                            con.interrupt()
+                timer = threading.Timer(timeout_s, fire)
                 timer.start()
                 try:
                     ref = con.sql(sql)
                     rc, rn, rh = frame_signature(ref)
                 finally:
+                    with lock:
+                        state["done"] = True
+                        fired = state["fired"]
                     timer.cancel()
+                    if fired:
+                        con = connect(sf_dir)
             else:
                 ref = con.sql(sql)
                 rc, rn, rh = frame_signature(ref)
@@ -77,7 +102,7 @@ def main(sf_dir, out_dir, timeout_s=None):
                              f"oracle exceeded {timeout_s}s budget"}
             continue
         except Exception as e:  # noqa: BLE001
-            if "INTERRUPT" in str(e).upper():
+            if fired or "INTERRUPT" in str(e).upper():
                 results[name] = {"ok": None, "excluded":
                                  f"oracle exceeded {timeout_s}s budget"}
                 continue
@@ -92,16 +117,27 @@ def main(sf_dir, out_dir, timeout_s=None):
             results[name]["cols"] = mc
             results[name]["oracle_cols"] = rc
     n_ok = sum(1 for r in results.values() if r.get("ok"))
-    n_exc = sum(1 for r in results.values() if r.get("ok") is None)
+    excluded = sorted(k for k, r in results.items() if r.get("ok") is None)
+    # exclusions pass the gate only when expected BY NAME: a query that
+    # times out unexpectedly (e.g. a regressed oracle, or the interrupt
+    # race this tool used to have) must fail loudly, not vanish into the
+    # exclusion count
+    unexpected = [k for k in excluded if k not in (allowed_exclusions or [])]
     print(json.dumps(results, indent=1))
-    if n_exc:
-        print(f"\n{n_ok}/{len(results) - n_exc} included queries match "
-              f"({n_exc} oracle-budget exclusions)", file=sys.stderr)
+    if excluded:
+        print(f"\n{n_ok}/{len(results) - len(excluded)} included queries "
+              f"match ({len(excluded)} oracle-budget exclusions: "
+              f"{','.join(excluded)})", file=sys.stderr)
     else:
         print(f"\n{n_ok}/{len(results)} queries match", file=sys.stderr)
-    return 0 if n_ok == len(results) - n_exc else 1
+    if unexpected:
+        print(f"UNEXPECTED exclusions (not in allowlist): "
+              f"{','.join(unexpected)}", file=sys.stderr)
+    return 0 if (n_ok == len(results) - len(excluded)
+                 and not unexpected) else 1
 
 
 if __name__ == "__main__":
     t = float(sys.argv[3]) if len(sys.argv) > 3 else None
-    sys.exit(main(sys.argv[1], sys.argv[2], t))
+    allow = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], t, allow))
