@@ -433,6 +433,31 @@ object Pipeline {
     } finally pool.shutdown()
   }
 
+  /** Session for one submission. The single-table layout gets a
+    * submission-local clone (newSession — concurrent submissions on the
+    * shared session keep their own confs; extensions and the context are
+    * inherited) with whole-stage codegen off: that layout targets MANY
+    * SMALL entities, where each stage is one query with a distinct plan
+    * branch per entity and codegen pays a Janino compile per branch for
+    * rows too few to repay it (EntityProbe: interpreted mode ~1.6x faster
+    * end-to-end at 100 entities). newSession starts from the builder
+    * defaults, NOT the caller's runtime confs (session timezone, shuffle
+    * partitions, ...) — copy them over so the two layouts differ only in
+    * layout + the codegen override, not in silently-reset SQL behavior.
+    */
+  private[pipeline] def sessionFor(spark0: SparkSession,
+                                   singleTableLayout: Boolean): SparkSession =
+    if (!singleTableLayout) spark0
+    else {
+      val s = spark0.newSession()
+      spark0.conf.getAll.foreach { case (k, v) =>
+        if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v))
+          s.conf.set(k, v)
+      }
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s
+    }
+
   /** Full run with audit status transitions and submission statistics. */
   def run(spark0: SparkSession, cfg: SubmissionConfig): PipelineResult = {
     // The single-table layout targets MANY SMALL entities, where each stage
@@ -442,21 +467,7 @@ object Pipeline {
     // entities). Session-LOCAL via newSession — concurrent submissions on
     // the shared session keep their own confs; extensions and the context
     // are inherited.
-    val spark =
-      if (!cfg.singleTableLayout) spark0
-      else {
-        val s = spark0.newSession()
-        // newSession starts from the builder defaults, NOT the caller's
-        // runtime confs (session timezone, shuffle partitions, ...) — copy
-        // them over so the two layouts differ only in layout + the codegen
-        // override below, not in silently-reset SQL behavior
-        spark0.conf.getAll.foreach { case (k, v) =>
-          if (s.conf.isModifiable(k) && s.conf.getOption(k) != Some(v))
-            s.conf.set(k, v)
-        }
-        s.conf.set("spark.sql.codegen.wholeStage", "false")
-        s
-      }
+    val spark = sessionFor(spark0, cfg.singleTableLayout)
     val audit = cfg.auditDir.map(new AuditManager(spark, _))
     audit.foreach { a =>
       a.addSubmissionInfo(cfg.submissionId, cfg.dischema.entities.map(_.name).mkString(","),

@@ -311,4 +311,28 @@ class PipelineSpec extends SparkSpec {
     audit.markStatus("1", "finished")
     assert(audit.submissionsAtStatus("error_report").count() == 1L)
   }
+
+  test("single-table session clone inherits caller runtime confs") {
+    // newSession() resets runtime SQL confs to builder defaults — the
+    // layout clone must copy them or the two layouts silently diverge in
+    // SQL behavior (timezone-sensitive casts, shuffle sizing, ...)
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    val spBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val clone = Pipeline.sessionFor(spark, singleTableLayout = true)
+      assert(clone ne spark)
+      assert(clone.conf.get("spark.sql.session.timeZone") == "America/New_York")
+      assert(clone.conf.get("spark.sql.shuffle.partitions") == "7")
+      // the one intended divergence: interpreted mode for many-tiny-branch plans
+      assert(clone.conf.get("spark.sql.codegen.wholeStage") == "false")
+      assert(spark.conf.get("spark.sql.codegen.wholeStage", "true") == "true")
+      // default layout keeps the caller's session untouched
+      assert(Pipeline.sessionFor(spark, singleTableLayout = false) eq spark)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", tzBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", spBefore)
+    }
+  }
 }
