@@ -40,10 +40,16 @@ def frame_signature(rel):
 
 
 def connect(sf_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; GenScale fixtures (sf1/sf3) are
+        # Spark-written directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

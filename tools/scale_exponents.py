@@ -1,27 +1,40 @@
 #!/usr/bin/env python3
-"""Compare two graft.Bench JSON lines (sf0.1 vs sf1) and print per-query
-scaling factors + log10 exponents, flagging wall growth > FLAG x for 10x data.
-Usage: scale_exponents.py bench_sf0.1.json bench_sf1.json [override_sf1.json]
+"""Compare two graft.Bench JSON lines (small sf vs big sf) and print
+per-query scaling factors + log-base-FACTOR exponents, flagging wall growth
+beyond FACTOR * 1.2 (super-linear by more than 20% per decade-equivalent).
+Usage: scale_exponents.py small.json big.json [override_big.json] [factor]
 An optional third file's query timings override the second's (re-runs on
-fixed data)."""
+fixed data); factor is the data-size ratio between the two (default 10)."""
 import json
 import math
 import sys
 
-FLAG = 12.0
 
 
 def load(path):
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith('{"metric"'):
-                return json.loads(line)
+    text = open(path).read()
+    # accept either a raw graft.Bench line or the driver's BENCH_rN.json
+    # wrapper whose "tail" captures the bench stdout
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "metric" in doc:
+            return doc
+        if isinstance(doc, dict) and "tail" in doc:
+            text = doc["tail"]
+    except ValueError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        idx = line.find('{"metric"')
+        if idx >= 0:
+            return json.loads(line[idx:])
     raise SystemExit(f"no bench JSON line in {path}")
 
 
 def main():
     base, big = load(sys.argv[1]), load(sys.argv[2])
+    factor = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
+    flag = factor * 1.2
     bq, gq = dict(base["queries"]), dict(big["queries"])
     giso = dict(big.get("isolated", {}))
     biso = dict(base.get("isolated", {}))
@@ -40,15 +53,15 @@ def main():
         ratio = g / b
         rows.append((ratio, q, b, g))
     rows.sort(reverse=True)
-    print(f"{'query':34s} {'sf0.1':>8s} {'sf1':>8s} {'x':>7s} {'exp':>5s} flag")
+    print(f"{'query':34s} {'small':>8s} {'big':>8s} {'x':>7s} {'exp':>5s} flag")
     for ratio, q, b, g in rows:
-        exp = math.log10(ratio) if ratio > 0 else float("nan")
-        flag = "  <<< AUDIT" if ratio > FLAG else ""
-        print(f"{q:34s} {b:8.3f} {g:8.3f} {ratio:7.2f} {exp:5.2f}{flag}")
+        exp = (math.log(ratio) / math.log(factor)) if ratio > 0 else float("nan")
+        mark = "  <<< AUDIT" if ratio > flag else ""
+        print(f"{q:34s} {b:8.3f} {g:8.3f} {ratio:7.2f} {exp:5.2f}{mark}")
     tot_b = sum(bq[q] for q in set(bq) & set(gq))
     tot_g = sum(gq[q] for q in set(bq) & set(gq))
-    print(f"\ncommon-query totals: sf0.1 {tot_b:.1f}s  sf1 {tot_g:.1f}s  "
-          f"ratio {tot_g / tot_b:.2f}x for 10x data")
+    print(f"\ncommon-query totals: small {tot_b:.1f}s  big {tot_g:.1f}s  "
+          f"ratio {tot_g / tot_b:.2f}x for {factor:g}x data")
 
 
 if __name__ == "__main__":
