@@ -38,7 +38,7 @@ def main():
     bq, gq = dict(base["queries"]), dict(big["queries"])
     giso = dict(big.get("isolated", {}))
     biso = dict(base.get("isolated", {}))
-    if len(sys.argv) > 3:
+    if len(sys.argv) > 3 and sys.argv[3] not in ("", "-"):
         over = load(sys.argv[3])
         gq.update(over["queries"])
         giso.update(over.get("isolated", {}))
