@@ -1996,18 +1996,63 @@ object LlmQueries {
     * floors and Spark `div` truncates — identical on these all-positive
     * operands.
     */
+  /** PageRank oracle with CLONE-COLLAPSED pair counting: the naive form
+    * (allPairsSql over doc_ids -> source pairs) is exact but its token
+    * join inflates quadratically with duplicate texts — at sf1 the
+    * GenScale fixtures (10 identical copies per original doc) pushed its
+    * DuckDB intermediate past a 50 GB temp budget. Identical texts have
+    * jaccard 1 by definition, so the pair MULTISET collapses exactly to
+    * the distinct-text quotient: with g(t, s) = #docs of text-class t in
+    * source s, the directed source-edge weight (the engine counts each
+    * unordered pair once per direction) is
+    *   w(x, y) = sum over ordered qualifying class pairs (t1, t2) of
+    *             g(t1, x) * g(t2, y)   minus, on the diagonal x = y,
+    *             sum_t g(t, x)          (the p = q same-doc terms),
+    * where (t, t) qualifies for every class (jaccard(t, t) = 1 — every
+    * doc has >= 1 shingle by the short-text fallback). The jaccard token
+    * join then runs over DISTINCT texts only, immune to clone inflation;
+    * w > 0 filtering reproduces the original node set (sources with at
+    * least one pair). Verified bit-equal to the naive form at sf0.01 and
+    * sf0.1 before the swap.
+    */
   private def pagerankSql(iterations: Int, dampingPct: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH pairs AS (${allPairsSql("a, b")}), "
-    sb ++= "e AS (SELECT da.source AS s, db.source AS d FROM pairs p " +
-      "JOIN documents da ON p.a = da.doc_id JOIN documents db ON p.b = db.doc_id), "
-    sb ++= "eg AS (SELECT s, d, count(1)::BIGINT AS w FROM " +
-      "(SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e) u GROUP BY s, d), "
+    sb ++= "WITH tidm AS (SELECT text, min(doc_id) AS tid FROM documents GROUP BY text), "
+    sb ++= "g AS (SELECT t.tid, d.source, count(*)::BIGINT AS m " +
+      "FROM documents d JOIN tidm t ON d.text = t.text GROUP BY 1, 2), "
+    sb ++= "t AS (SELECT tid AS doc_id, string_split(text, ' ') AS ws FROM tidm), "
+    sb ++= "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN " +
+      "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) " +
+      "ELSE [array_to_string(ws, ' ')] END AS sh FROM t), "
+    sb ++= "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), "
+    sb ++= "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), "
+    sb ++= "inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i " +
+      "FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id <= y.doc_id GROUP BY 1, 2), "
+    sb ++= "jp AS (SELECT ia, ib FROM (SELECT ia, ib, " +
+      "i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard " +
+      "FROM inter JOIN szs sa ON sa.doc_id = ia JOIN szs sb ON sb.doc_id = ib) p " +
+      "WHERE jaccard >= 0.5), "
+    sb ++= "ordp AS (SELECT ia AS t1, ib AS t2 FROM jp " +
+      "UNION ALL SELECT ib AS t1, ia AS t2 FROM jp WHERE ia != ib), "
+    sb ++= "wraw AS (SELECT gx.source AS s, gy.source AS d, " +
+      "sum(gx.m * gy.m)::BIGINT AS w FROM ordp o " +
+      "JOIN g gx ON gx.tid = o.t1 JOIN g gy ON gy.tid = o.t2 GROUP BY 1, 2), "
+    sb ++= "dg AS (SELECT source, sum(m)::BIGINT AS w FROM g GROUP BY source), "
+    // eg / er / nodes / tele are each referenced by EVERY power-iteration
+    // CTE below; without MATERIALIZED, DuckDB re-inlines the whole
+    // upstream pair pipeline once per iteration — 8 concurrent expansions
+    // spilled >46 GB temp at sf1 where one expansion needs ~2 GB.
+    // Materializing pins a single evaluation (eg is a few hundred
+    // source-edge rows; the iterations then read tables, not pipelines).
+    sb ++= "eg AS MATERIALIZED (SELECT s, d, w FROM (SELECT wraw.s, wraw.d, " +
+      "wraw.w - CASE WHEN wraw.s = wraw.d THEN coalesce(dg.w, 0) ELSE 0 END AS w " +
+      "FROM wraw LEFT JOIN dg ON wraw.s = dg.source AND wraw.s = wraw.d) ww " +
+      "WHERE w > 0), "
     sb ++= "ow AS (SELECT s, sum(w)::BIGINT AS ow FROM eg GROUP BY s), "
-    sb ++= "er AS (SELECT eg.s, eg.d, (eg.w * 1000000) // ow.ow AS rate FROM eg JOIN ow ON eg.s = ow.s), "
-    sb ++= "nodes AS (SELECT DISTINCT s AS node FROM eg), "
+    sb ++= "er AS MATERIALIZED (SELECT eg.s, eg.d, (eg.w * 1000000) // ow.ow AS rate FROM eg JOIN ow ON eg.s = ow.s), "
+    sb ++= "nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM eg), "
     sb ++= "nn AS (SELECT count(1)::BIGINT AS n FROM nodes), "
-    sb ++= s"tele AS (SELECT (${100 - dampingPct} * 1000000000000) // (100 * n) AS tv FROM nn), "
+    sb ++= s"tele AS MATERIALIZED (SELECT (${100 - dampingPct} * 1000000000000) // (100 * n) AS tv FROM nn), "
     sb ++= "p0 AS (SELECT node, 1000000000000 // n AS sc FROM nodes, nn)"
     for (i <- 1 to iterations) {
       sb ++= s", c$i AS (SELECT er.d AS node, sum((p${i - 1}.sc * er.rate) // 1000000)::BIGINT AS sm " +
@@ -2192,7 +2237,18 @@ object LlmQueries {
         "WHERE levenshtein(x.name, y.name) <= 1"
     },
     // record-level transitive closure over the same exhaustive pair set;
-    // the engine's value-collapsed components must agree exactly
+    // the engine's value-collapsed components must agree exactly.
+    // CLONE-COLLAPSED: the id-level recursive closure is exact but its
+    // frontier holds |cluster|^2 (id, label) rows — identical names form
+    // ed=0 cliques, so clone-heavy fixtures (sf1: ~175 ids per name) blew
+    // a 900 s DuckDB budget. Identical names are ALWAYS one component, so
+    // the closure collapses exactly to the distinct-NAME graph (ed <= 1
+    // edges between distinct names — same deletion-neighborhood
+    // completeness argument); each id inherits its name's component and
+    // entity_id = min(id) over the component, the same label min(lab)
+    // reached id-wise. The name universe is fixture-bounded (~2k), so the
+    // recursion is O(names), immune to id-count growth. Verified bit-equal
+    // to the id-level form at sf0.01 and sf0.1 before the swap.
     "q_entity_clusters" -> {
       val w = EntityWords.map(x => s"'$x'").mkString("[", ", ", "]")
       s"WITH RECURSIVE w AS (SELECT $w AS a), " +
@@ -2202,21 +2258,22 @@ object LlmQueries {
         "d AS (SELECT id + 1000000 AS id, CASE WHEN id % 3 = 0 THEN substr(name, 1, length(name) - 1) " +
         "WHEN id % 3 = 1 THEN substr(name, 2) ELSE name END AS name FROM c), " +
         "u AS (SELECT * FROM c UNION ALL SELECT * FROM d), " +
-        // same deletion-neighborhood candidate generation + levenshtein
-        // verify as q_entity_resolution (complete for ed <= 1)
-        "v AS (SELECT id, unnest(list_append(" +
-        "[substr(name, 1, i - 1) || substr(name, i + 1) for i in range(1, length(name) + 1)], name)) AS var FROM u), " +
-        "cand AS (SELECT DISTINCT x.id AS ca, y.id AS cb FROM v x JOIN v y ON x.var = y.var AND x.id < y.id), " +
-        "p AS (SELECT ca AS a, cb AS b FROM cand JOIN u x ON x.id = ca JOIN u y ON y.id = cb " +
-        "WHERE levenshtein(x.name, y.name) <= 1), " +
-        "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
-        "reach(id, lab) AS (SELECT id, id FROM u " +
-        "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b), " +
-        "comp AS (SELECT id, min(lab) AS entity_id FROM reach GROUP BY id) " +
-        "SELECT u.id, u.name, comp.entity_id, " +
-        "row_number() OVER (PARTITION BY comp.entity_id " +
+        "un AS (SELECT DISTINCT name FROM u), " +
+        "vn AS (SELECT name, unnest(list_append(" +
+        "[substr(name, 1, i - 1) || substr(name, i + 1) for i in range(1, length(name) + 1)], name)) AS var FROM un), " +
+        "candn AS (SELECT DISTINCT x.name AS na, y.name AS nb FROM vn x JOIN vn y " +
+        "ON x.var = y.var AND x.name < y.name), " +
+        "pn AS (SELECT na, nb FROM candn WHERE levenshtein(na, nb) <= 1), " +
+        "en AS (SELECT na, nb FROM pn UNION ALL SELECT nb AS na, na AS nb FROM pn), " +
+        "reachn(name, lab) AS (SELECT name, name FROM un " +
+        "UNION SELECT en.na, r.lab FROM en JOIN reachn r ON r.name = en.nb), " +
+        "compn AS (SELECT name, min(lab) AS nlab FROM reachn GROUP BY name), " +
+        "ent AS (SELECT compn.nlab, min(u.id) AS entity_id " +
+        "FROM u JOIN compn ON u.name = compn.name GROUP BY compn.nlab) " +
+        "SELECT u.id, u.name, ent.entity_id, " +
+        "row_number() OVER (PARTITION BY ent.entity_id " +
         "ORDER BY length(u.name) DESC, u.id ASC) = 1 AS keep " +
-        "FROM u JOIN comp ON u.id = comp.id"
+        "FROM u JOIN compn ON u.name = compn.name JOIN ent ON ent.nlab = compn.nlab"
     },
     // text equality stands in for the engine's sha-256 equality
     "q_corpus_diff" ->
