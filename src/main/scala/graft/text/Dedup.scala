@@ -88,17 +88,20 @@ object Dedup {
     * is milliseconds). `graft.verify.rowsPerPartition` overrides the
     * per-partition target; the cap bounds task-launch overhead.
     */
-  /** `rowsPerPartition <= 0` uses the `graft.verify.rowsPerPartition`
-    * default (150k — sized for shingle-array rows of 2-4 KB); payload-light
-    * verifies (embedding vectors, ~0.5 KB/row) pass a larger target.
+  /** `rowsPerPartition <= 0` uses the built-in 150k default (sized for
+    * shingle-array rows of 2-4 KB); payload-light verifies (embedding
+    * vectors, ~0.5 KB/row) pass a larger target. The
+    * `graft.verify.rowsPerPartition` system property, when set, overrides
+    * BOTH — it is the operational escape hatch and must be authoritative
+    * on every verify path, including ones with an explicit target (it was
+    * previously ignored wherever a caller passed one).
     */
   private[graft] def verifyPartitions(spark: org.apache.spark.sql.SparkSession,
                                       candRows: Long,
                                       rowsPerPartition: Long = 0L): Int = {
     val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val perPart =
-      if (rowsPerPartition > 0) rowsPerPartition
-      else sys.props.getOrElse("graft.verify.rowsPerPartition", "150000").toLong
+    val perPart = sys.props.get("graft.verify.rowsPerPartition").map(_.toLong)
+      .getOrElse(if (rowsPerPartition > 0) rowsPerPartition else 150000L)
     math.max(base, math.min(4096L, (candRows + perPart - 1) / perPart).toInt)
   }
 

@@ -273,4 +273,29 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("verifyPartitions: sys-prop escape hatch overrides explicit per-path targets") {
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // built-in default (150k/partition), floored at the session baseline
+    assert(Dedup.verifyPartitions(spark, 1L) == base)
+    assert(Dedup.verifyPartitions(spark, 15_000_000L) == 100)
+    // explicit per-path target (the embedding verify passes 500k)
+    assert(Dedup.verifyPartitions(spark, 15_000_000L, 500_000L) == 30)
+    assert(Dedup.verifyPartitions(spark, 50_000_000L, 500_000L) == 100)
+    // the operational override beats BOTH the default and the explicit
+    // target — an escape hatch that some paths ignore is not one
+    val prev = sys.props.get("graft.verify.rowsPerPartition")
+    try {
+      sys.props("graft.verify.rowsPerPartition") = "10000"
+      assert(Dedup.verifyPartitions(spark, 15_000_000L) == 1500)
+      assert(Dedup.verifyPartitions(spark, 15_000_000L, 500_000L) == 1500)
+      // cap holds regardless of the override
+      assert(Dedup.verifyPartitions(spark, 1_000_000_000_000L, 500_000L) == 4096)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.verify.rowsPerPartition") = v
+        case None => sys.props.remove("graft.verify.rowsPerPartition")
+      }
+    }
+  }
 }
