@@ -21,7 +21,12 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Fixture pre-build: reader/bucketed fixtures are sf-dir-derived test
     // data, not operator work — generate them before timing starts.
-    try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
+    // SPARK_GRAFT_SKIP_FIXTURES=1 skips the build for subset runs whose
+    // queries read no fixtures: the builders are test scaffolding with
+    // single-task sort+coalesce(1) dumps, fine at their sf0.1 design point
+    // but a transient multi-GB disk spike at probe scales (sf10).
+    if (sys.env.get("SPARK_GRAFT_SKIP_FIXTURES").isEmpty)
+      try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
