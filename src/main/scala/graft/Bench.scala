@@ -20,13 +20,12 @@ object Bench {
     // Warmup: pay JVM/codegen/scheduler init outside the timed loop.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Fixture pre-build: reader/bucketed fixtures are sf-dir-derived test
-    // data, not operator work — generate them before timing starts.
-    // SPARK_GRAFT_SKIP_FIXTURES=1 skips the build for subset runs whose
-    // queries read no fixtures: the builders are test scaffolding with
-    // single-task sort+coalesce(1) dumps, fine at their sf0.1 design point
-    // but a transient multi-GB disk spike at probe scales (sf10).
-    if (sys.env.get("SPARK_GRAFT_SKIP_FIXTURES").isEmpty)
-      try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
+    // data, not operator work — generate them before timing starts. The
+    // builders write distributed range-sorted layouts scaled to the source
+    // bytes (Fixtures.writeParts), so the build holds at probe scales; the
+    // r13 SPARK_GRAFT_SKIP_FIXTURES escape hatch is gone with the
+    // single-task sort+coalesce(1) spike that motivated it.
+    try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -61,6 +60,13 @@ object Bench {
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            // Failure isolation: a failed query (e.g. ENOSPC) leaves its
+            // shuffle files pending driver GC — at sf10 one query's
+            // droppings failed two healthy successors in the same JVM
+            // (SCALE.md r13). Release every registered shuffle now; later
+            // queries recompute anything they genuinely still need.
+            try org.apache.spark.GraftShuffleGc.cleanAll(spark.sparkContext)
+            catch { case _: Throwable => () }
         } finally {
           // Cache hygiene: queries persist intermediates (shingle tables,
           // record-indexed frames) whose lifetime must not outlive the query
@@ -131,7 +137,11 @@ object Bench {
     // here so cross-round in-suite comparisons are reproducible — two rounds
     // with the same "order" value interleave queries identically, so their
     // in-suite numbers are comparable; the isolated pass adjudicates the rest.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"rounds":$rnds,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    // Summary fields (total/failed/n/sf/order/reps) lead the line: the
+    // driver's bounded tail capture truncates long lines from the RIGHT, so
+    // totals survive even when the per-query maps are cut (r13's driver
+    // artifact lost them behind the maps).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${errors.size},"n":${timings.size},"sf":${jstr(sfDir)},"order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"rounds":$rnds,"errors":$errs}""")
     spark.stop()
   }
 }

@@ -379,9 +379,10 @@ object ContractQueries {
   private def orcFixture(s: SparkSession, dir: String): String = {
     val tmp = "/tmp/graft_q_reader_orc"
     Fixtures.ensure(tmp, dir) {
-      s.read.parquet(s"$dir/supplier.parquet")
-        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-        .sort("s_suppkey").coalesce(1)
+      Fixtures.sorted(
+          s.read.parquet(s"$dir/supplier.parquet")
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+          "s_suppkey", Fixtures.writeParts(s, s"$dir/supplier.parquet"))
         .write.mode("overwrite").orc(tmp)
     }
     tmp
@@ -390,9 +391,10 @@ object ContractQueries {
   private def csvFixture(s: SparkSession, dir: String): String = {
     val tmp = "/tmp/graft_q_reader_csv"
     Fixtures.ensure(tmp, dir) {
-      s.read.parquet(s"$dir/part.parquet")
-        .select("p_partkey", "p_name", "p_brand", "p_size")
-        .sort("p_partkey").coalesce(1)
+      Fixtures.sorted(
+          s.read.parquet(s"$dir/part.parquet")
+            .select("p_partkey", "p_name", "p_brand", "p_size"),
+          "p_partkey", Fixtures.writeParts(s, s"$dir/part.parquet"))
         .write.mode("overwrite").option("header", value = true).csv(tmp)
     }
     tmp
@@ -405,7 +407,8 @@ object ContractQueries {
         .select(col("n_nationkey"), concat(lit("  "), col("n_name"), lit(" ")).as("n_name"),
           when(col("n_regionkey") === 0, lit("NA"))
             .otherwise(col("n_regionkey").cast("string")).as("n_regionkey"))
-        .sort("n_nationkey").coalesce(1)
+        .transform(Fixtures.sorted(_, "n_nationkey",
+          Fixtures.writeParts(s, s"$dir/nation.parquet")))
         .write.mode("overwrite").option("header", value = false).csv(tmp)
     }
     tmp
@@ -430,9 +433,10 @@ object ContractQueries {
   private def jsonFixture(s: SparkSession, dir: String): String = {
     val tmp = "/tmp/graft_q_reader_json"
     Fixtures.ensure(tmp, dir) {
-      s.read.parquet(s"$dir/orders.parquet")
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .sort("o_orderkey").coalesce(1)
+      Fixtures.sorted(
+          s.read.parquet(s"$dir/orders.parquet")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderkey", Fixtures.writeParts(s, s"$dir/orders.parquet"))
         .write.mode("overwrite").json(tmp)
     }
     tmp
@@ -473,6 +477,9 @@ object ContractQueries {
       s.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey").as("N_NATIONKEY"), col("n_name"),
           col("n_regionkey").as("unexpected_extra"))
+        // single file by design: the query under test reads the HEADER of a
+        // submission (one-file ingest unit), and nation is KB-sized at
+        // every scale factor — not a scale-limited write
         .coalesce(1)
         .write.mode("overwrite").option("header", value = true).csv(tmp)
     }
@@ -482,9 +489,10 @@ object ContractQueries {
   private def xmlFixture(s: SparkSession, dir: String): String = {
     val tmp = "/tmp/graft_q_reader_xml"
     Fixtures.ensure(tmp, dir) {
-      s.read.parquet(s"$dir/nation.parquet")
-        .select("n_nationkey", "n_name", "n_regionkey")
-        .sort("n_nationkey").coalesce(1)
+      Fixtures.sorted(
+          s.read.parquet(s"$dir/nation.parquet")
+            .select("n_nationkey", "n_name", "n_regionkey"),
+          "n_nationkey", Fixtures.writeParts(s, s"$dir/nation.parquet"))
         .write.mode("overwrite").format("xml")
         .option("rowTag", "nation").option("rootTag", "nations").save(tmp)
     }

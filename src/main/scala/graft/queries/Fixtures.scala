@@ -53,4 +53,31 @@ object Fixtures {
   /** Run `write` only if the fixture is stale, then record the tag. */
   def ensure(path: String, tag: String)(write: => Unit): Unit =
     if (stale(path, tag)) { write; markFresh(path, tag) }
+
+  /** Write-parallelism for a fixture re-encode of `srcPath`: one output
+    * file per ~64 MB of source bytes (capped at 64). 1 at the sf0.1 design
+    * point — identical single-sorted-file layout to the historical
+    * `sort().coalesce(1)` — growing with the sf dir so no fixture build
+    * funnels a multi-GB sort through one task (the r13 sf10 disk spike
+    * that SPARK_GRAFT_SKIP_FIXTURES used to dodge).
+    */
+  def writeParts(spark: org.apache.spark.sql.SparkSession, srcPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    math.min(64L, math.max(1L, bytes / (64L * 1024 * 1024))).toInt
+  }
+
+  /** Globally sorted distributed layout: `k` range partitions ascending in
+    * `key`, each sorted within — part-00000 holds the lowest keys and file
+    * names sort lexically with the ranges, so the reader-side record index
+    * (which numbers files lexically, see graft.readers.Readers) equals
+    * `row_number() OVER (ORDER BY key)` for ANY k. k=1 degenerates to the
+    * historical single sorted file.
+    */
+  def sorted(df: org.apache.spark.sql.DataFrame, key: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(math.max(1, k), col(key)).sortWithinPartitions(col(key))
+  }
 }

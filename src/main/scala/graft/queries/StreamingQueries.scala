@@ -64,7 +64,8 @@ object StreamingQueries {
           s.createDataFrame(
             java.util.List.of(org.apache.spark.sql.Row(sentinel, "___sentinel___", -1L)),
             events.schema))
-        .coalesce(2).write.mode("overwrite").parquet(landing)
+        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/events.parquet")))
+        .write.mode("overwrite").parquet(landing)
     }
     landing
   }
@@ -75,7 +76,7 @@ object StreamingQueries {
       s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey").cast("string"), col("o_orderpriority").cast("string"),
           col("o_totalprice").cast("string"))
-        .coalesce(2)
+        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/orders.parquet")))
         .write.mode("overwrite").json(landing)
     }
     landing
@@ -85,7 +86,8 @@ object StreamingQueries {
     val landing = "/tmp/graft_q_stream_dedup/landing"
     Fixtures.ensure(landing, dir) {
       s.read.parquet(s"$dir/lineitem.parquet").select(col("l_orderkey"))
-        .coalesce(2).write.mode("overwrite").parquet(landing)
+        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/lineitem.parquet")))
+        .write.mode("overwrite").parquet(landing)
     }
     landing
   }
@@ -95,7 +97,8 @@ object StreamingQueries {
     Fixtures.ensure(landing, dir) {
       CoreQueries.loadEvents(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .coalesce(2).write.mode("overwrite").parquet(landing)
+        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/events.parquet")))
+        .write.mode("overwrite").parquet(landing)
     }
     landing
   }
@@ -107,11 +110,13 @@ object StreamingQueries {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       events.where(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
-        .coalesce(2).write.mode("overwrite").parquet(s"$landing/views")
+        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/events.parquet")))
+        .write.mode("overwrite").parquet(s"$landing/views")
       events.where(col("event_type") === "purchase")
         .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
           col("event_id").as("purchase_id"))
-        .coalesce(2).write.mode("overwrite").parquet(s"$landing/purchases")
+        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/events.parquet")))
+        .write.mode("overwrite").parquet(s"$landing/purchases")
     }
     landing
   }
@@ -135,6 +140,9 @@ object StreamingQueries {
                 org.apache.spark.sql.types.TimestampType),
               org.apache.spark.sql.types.StructField(idName,
                 org.apache.spark.sql.types.LongType)))))
+          // single file per side is a SEMANTIC choice (one landing unit
+          // carrying data + watermark sentinel), not a scale artifact: each
+          // side is a type-filtered slice of events
           .coalesce(1).write.mode("overwrite").parquet(s"$landing/$tpe")
       side("view", "view_ts", "view_id", -1L)
       side("purchase", "purchase_ts", "purchase_id", -2L)
@@ -146,7 +154,8 @@ object StreamingQueries {
     val landing = "/tmp/graft_q_stream_chat_validate/landing"
     Fixtures.ensure(landing, dir) {
       LlmQueries.chatFixture(s, dir)
-        .coalesce(2).write.mode("overwrite").parquet(landing)
+        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/documents.parquet")))
+        .write.mode("overwrite").parquet(landing)
     }
     landing
   }
@@ -157,7 +166,8 @@ object StreamingQueries {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
         .where(pmod(col("doc_id"), lit(3)) =!= 0)
-        .coalesce(2).write.mode("overwrite").parquet(landing)
+        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/documents.parquet")))
+        .write.mode("overwrite").parquet(landing)
     }
     landing
   }

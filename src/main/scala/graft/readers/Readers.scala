@@ -48,6 +48,50 @@ object Readers {
 
   def dropRecordIndex(df: DataFrame): DataFrame = df.drop(RecordIndexColumn)
 
+  /** Leaf data files under `path` in LEXICAL name order (hidden/_ files
+    * skipped); `path` itself when it is a single file or doesn't resolve.
+    */
+  private def leafDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq(path)
+    if (fs.getFileStatus(p).isFile) Seq(path)
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath)
+      .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** Record-indexed read of a possibly multi-file non-parquet input in
+    * LEXICAL file order — the same order the parquet metadata path uses
+    * ([[ParquetRecordIndex]]'s documented deviation), so a range-sorted
+    * multi-file fixture (part-00000 < part-00001 < …, ranges ascending)
+    * reads back with `__record_index__` equal to the global sort rank.
+    * zipWithIndex over a multi-file scan would instead follow Spark's
+    * size-descending split packing — content-dependent and unsorted.
+    *
+    * Each file is read, counted, and zipped separately with the running
+    * offset (one extra count pass per file over zipWithIndex's own two —
+    * fixture-lane inputs, not a hot path). Single-file inputs keep the
+    * exact historical plan.
+    */
+  private def indexedLexical(spark: SparkSession, path: String)
+                            (readOne: String => DataFrame): DataFrame = {
+    val files = leafDataFiles(spark, path)
+    if (files.lengthCompare(1) <= 0) addRecordIndex(readOne(path))
+    else {
+      var offset = 0L
+      val parts = files.map { f =>
+        val df = readOne(f)
+        val n = df.count()
+        val indexed = org.apache.spark.sql.graft.RecordIndexBridge
+          .zipWithRecordIndex(df, RecordIndexColumn, offset)
+        offset += n
+        indexed
+      }
+      org.apache.spark.sql.graft.ExpressionBridge.flatUnion(parts)
+    }
+  }
+
   private def stringSchema(spec: EntitySpec): StructType =
     StructType(spec.fields.map(f => StructField(f.name, StringType)))
 
@@ -70,19 +114,20 @@ object Readers {
       nullValues: Seq[String] = Nil)
 
   def readCsv(spark: SparkSession, path: String, spec: EntitySpec,
-              options: CsvOptions = CsvOptions()): DataFrame = {
-    val df = spark.read
-      .schema(stringSchema(spec)) // positional: field order = column order
-      .option("sep", options.sep)
-      .option("header", options.header)
-      .option("quote", options.quote)
-      .option("escape", options.escape)
-      .option("multiLine", options.multiLine)
-      .option("encoding", options.encoding)
-      .option("inferSchema", value = false)
-      .csv(path)
-    addRecordIndex(sanitize(df, options))
-  }
+              options: CsvOptions = CsvOptions()): DataFrame =
+    indexedLexical(spark, path) { p =>
+      val df = spark.read
+        .schema(stringSchema(spec)) // positional: field order = column order
+        .option("sep", options.sep)
+        .option("header", options.header)
+        .option("quote", options.quote)
+        .option("escape", options.escape)
+        .option("multiLine", options.multiLine)
+        .option("encoding", options.encoding)
+        .option("inferSchema", value = false)
+        .csv(p)
+      sanitize(df, options)
+    }
 
   /** Value sanitisation (ref: backends/readers/csv.py:182-200): optional
     * trim, then null out configured placeholder values and empty strings.
@@ -124,24 +169,25 @@ object Readers {
     * + validate lane as CSV/JSON/XML), and record-indexed. Extra columns in
     * the file are dropped, like the reference's column-projection readers.
     */
-  def readOrc(spark: SparkSession, path: String, spec: EntitySpec): DataFrame = {
-    val df = spark.read.orc(path)
-    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
-    val missing = spec.fields.map(_.name).filterNot(n => byLower.contains(n.toLowerCase))
-    if (missing.nonEmpty) throw new IllegalArgumentException(
-      s"ORC at $path lacks declared columns: ${missing.mkString(", ")}")
-    addRecordIndex(df.select(spec.fields.map(f =>
-      col(s"`${byLower(f.name.toLowerCase)}`").cast("string").as(f.name)): _*))
-  }
+  def readOrc(spark: SparkSession, path: String, spec: EntitySpec): DataFrame =
+    indexedLexical(spark, path) { p =>
+      val df = spark.read.orc(p)
+      val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+      val missing = spec.fields.map(_.name).filterNot(n => byLower.contains(n.toLowerCase))
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"ORC at $p lacks declared columns: ${missing.mkString(", ")}")
+      df.select(spec.fields.map(f =>
+        col(s"`${byLower(f.name.toLowerCase)}`").cast("string").as(f.name)): _*)
+    }
 
   def readJson(spark: SparkSession, path: String, spec: EntitySpec,
-               multiLine: Boolean = true): DataFrame = {
-    val df = spark.read
-      .schema(jsonSchema(spec))
-      .option("multiLine", multiLine)
-      .json(path)
-    addRecordIndex(df)
-  }
+               multiLine: Boolean = true): DataFrame =
+    indexedLexical(spark, path) { p =>
+      spark.read
+        .schema(jsonSchema(spec))
+        .option("multiLine", multiLine)
+        .json(p)
+    }
 
   private def jsonSchema(spec: EntitySpec): StructType = {
     def fieldType(f: graft.contract.FieldSpec): DataType = {
@@ -168,15 +214,20 @@ object Readers {
   def readXml(spark: SparkSession, path: String, spec: EntitySpec,
               rowTag: String, ignoreNamespace: Boolean = true,
               limit: Option[Int] = None): DataFrame = {
-    val df = spark.read
+    def readOne(p: String): DataFrame = spark.read
       .format("xml")
       .schema(jsonSchema(spec))
       .option("rowTag", rowTag)
       .option("ignoreNamespace", ignoreNamespace)
-      .load(path)
+      .load(p)
     // n_records_to_read (ref: readers/xml.py) — a header entity reads only
     // the first record(s) of its tag; applied before indexing so indexes
-    // stay 1..n over the records actually read
-    addRecordIndex(limit.fold(df)(df.limit))
+    // stay 1..n over the records actually read. Limited reads keep the
+    // single-frame path (header entities are single small files; a global
+    // limit across lexical per-file frames would re-order).
+    limit match {
+      case Some(n) => addRecordIndex(readOne(path).limit(n))
+      case None    => indexedLexical(spark, path)(readOne)
+    }
   }
 }

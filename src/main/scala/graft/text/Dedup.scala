@@ -100,9 +100,63 @@ object Dedup {
                                       candRows: Long,
                                       rowsPerPartition: Long = 0L): Int = {
     val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val perPart = sys.props.get("graft.verify.rowsPerPartition").map(_.toLong)
+    val perPart = longProp("graft.verify.rowsPerPartition")
       .getOrElse(if (rowsPerPartition > 0) rowsPerPartition else 150000L)
     math.max(base, math.min(4096L, (candRows + perPart - 1) / perPart).toInt)
+  }
+
+  /** Positive-long system property with malformed-value tolerance: a typo
+    * in an operational knob degrades to the built-in default with a stderr
+    * warning instead of a NumberFormatException on every verify path.
+    */
+  private[graft] def longProp(name: String): Option[Long] =
+    sys.props.get(name).flatMap { s =>
+      scala.util.Try(s.trim.toLong).toOption.filter(_ > 0L).orElse {
+        System.err.println(s"[dedup] ignoring malformed $name='$s' (want a positive long)")
+        None
+      }
+    }
+
+  /** Pass count for a bounded-footprint chunked verify: the verify join
+    * fans kilobyte payloads out to every candidate pair, and its shuffle
+    * files live until driver GC — at 10x the certified single-pass scale
+    * the one-shot footprint (~300M pairs x 2-4 KB, lz4'd) exceeded this
+    * box's free disk (ENOSPC with a healthy plan, SCALE.md r13). Splitting
+    * the candidate frame into K deterministic hash(a) bands and releasing
+    * each pass's shuffles before the next bounds peak disk at ~1/K, at the
+    * cost of re-exchanging the (cached) doc-payload side K times. On a
+    * disk-constrained cluster the same dial bounds per-executor shuffle
+    * spill. `graft.verify.chunks` forces K; `graft.verify.chunkRows` sets
+    * the per-pass row budget (default 80M — sf3's measured-good 37M single
+    * pass stays single-pass; the sf10 ~300M-candidate walls land at K=4).
+    */
+  private[graft] def verifyChunkCount(candRows: Long): Int =
+    longProp("graft.verify.chunks").map(_.toInt).getOrElse {
+      val perChunk = longProp("graft.verify.chunkRows").getOrElse(80000000L)
+      math.min(64L, math.max(1L, (candRows + perChunk - 1) / perChunk)).toInt
+    }
+
+  /** Run `pass` over K hash-banded slices of the (persisted, counted)
+    * candidate frame SEQUENTIALLY: each pass's small verified output is
+    * eagerly materialized (`localCheckpoint`), then every shuffle the pass
+    * registered is released ([[org.apache.spark.GraftShuffleGc]]) before
+    * the next pass runs — peak shuffle disk is one pass's, not the sum.
+    * Banding on `a` alone keeps every duplicate of a candidate pair in one
+    * slice, so per-slice verify + the caller's dropDuplicates semantics are
+    * unchanged; the union of slices is exactly the unchunked output.
+    */
+  private[graft] def chunkedVerify(cand: DataFrame, k: Int)
+                                  (pass: DataFrame => DataFrame): DataFrame = {
+    if (k <= 1) return pass(cand)
+    val sc = cand.sparkSession.sparkContext
+    val outs = (0 until k).map { i =>
+      val before = org.apache.spark.GraftShuffleGc.snapshot(sc)
+      val slice = cand.where(pmod(xxhash64(col("a")), lit(k.toLong)) === lit(i.toLong))
+      val out = pass(slice).localCheckpoint() // eager: the pass runs HERE
+      org.apache.spark.GraftShuffleGc.cleanNewSince(sc, before)
+      out
+    }
+    org.apache.spark.sql.graft.ExpressionBridge.flatUnion(outs)
   }
 
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
@@ -244,14 +298,18 @@ object Dedup {
     }
     val cand = candidates
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = verifyPartitions(candidates.sparkSession, cand.count())
-    val result = keepJaccardAtLeast(
-        cand.repartition(n, col("a"))
-          .join(left, "a")
-          .repartition(n, col("b"))
-          .join(right, "b"),
-        threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    val cnt = cand.count()
+    val k = verifyChunkCount(cnt)
+    val n = verifyPartitions(candidates.sparkSession, (cnt + k - 1) / k)
+    val result = chunkedVerify(cand, k) { slice =>
+      keepJaccardAtLeast(
+          slice.repartition(n, col("a"))
+            .join(left, "a")
+            .repartition(n, col("b"))
+            .join(right, "b"),
+          threshold)
+        .select(col("a"), col("b"), col("jaccard"))
+    }
     (result, cand)
   }
 
@@ -559,24 +617,31 @@ object Dedup {
     val spark = withShingles.sparkSession
     // demand-scaled verify parallelism, both exchanges pinned — see
     // [[verifyPairsOwned]] (the sf3 spill cliff was measured HERE: 98 s →
-    // 21 s; the persist keeps candidate generation at one execution)
+    // 21 s; the persist keeps candidate generation at one execution), and
+    // bounded-footprint K-pass chunking past the single-pass disk budget
+    // (the sf10 ENOSPC wall — see [[verifyChunkCount]]/[[chunkedVerify]])
+    val cnt = if (verifyScaled) candidates.count() else 0L
+    val k = if (verifyScaled) verifyChunkCount(cnt) else 1
     val n =
-      if (verifyScaled) verifyPartitions(spark, candidates.count())
+      if (verifyScaled) verifyPartitions(spark, (cnt + k - 1) / k)
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // early-exit verify: C(a->b) >= t needs an intersection of at least
     // ceil(t * |a|) (one-sided denominator; same ceil guard as alpha)
     val neededC = ceil(lit(threshold) * size(col("sh_a")).cast("double") - lit(1e-9)).cast("int")
-    val afterLeft = candidates.repartition(n, col("a")).join(left, "a")
-    val verified = (if (verifyScaled) afterLeft.repartition(n, col("b")) else afterLeft)
-      .join(right, "b")
-      .withColumn("__graft_i__",
-        SortedIntersectCountExpr.sortedIntersectAtLeast(col("sh_a"), col("sh_b"), neededC))
-      .where(col("__graft_i__") >= 0)
-      .withColumn("containment",
-        col("__graft_i__").cast("double") / size(col("sh_a")).cast("double"))
-      .where(col("containment") >= threshold)
-      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
-      .dropDuplicates("a", "b")
+    def onePass(slice: DataFrame): DataFrame = {
+      val afterLeft = slice.repartition(n, col("a")).join(left, "a")
+      (if (verifyScaled) afterLeft.repartition(n, col("b")) else afterLeft)
+        .join(right, "b")
+        .withColumn("__graft_i__",
+          SortedIntersectCountExpr.sortedIntersectAtLeast(col("sh_a"), col("sh_b"), neededC))
+        .where(col("__graft_i__") >= 0)
+        .withColumn("containment",
+          col("__graft_i__").cast("double") / size(col("sh_a")).cast("double"))
+        .where(col("containment") >= threshold)
+        .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+        .dropDuplicates("a", "b")
+    }
+    val verified = chunkedVerify(candidates, k)(onePass)
     (verified, Seq(withShingles, candidates))
   }
 

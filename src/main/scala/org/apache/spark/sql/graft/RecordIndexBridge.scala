@@ -20,7 +20,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object RecordIndexBridge {
 
-  def zipWithRecordIndex(df: DataFrame, colName: String): DataFrame = {
+  def zipWithRecordIndex(df: DataFrame, colName: String): DataFrame =
+    zipWithRecordIndex(df, colName, 0L)
+
+  /** `offset` shifts the assigned indices (first row = offset + 1): the
+    * multi-file lexical-order reader path ([[graft.readers.Readers]])
+    * indexes each file separately and stitches the per-file ranges together
+    * with prior-file row counts.
+    */
+  def zipWithRecordIndex(df: DataFrame, colName: String, offset: Long): DataFrame = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = classic.sparkSession
     val newSchema = StructType(df.schema.fields :+ StructField(colName, LongType, nullable = false))
@@ -28,7 +36,7 @@ object RecordIndexBridge {
       val joined = new JoinedRow
       val idxRow = new GenericInternalRow(1)
       it.map { case (row, i) =>
-        idxRow.update(0, i + 1L)
+        idxRow.update(0, offset + i + 1L)
         joined(row, idxRow)
       }
     }

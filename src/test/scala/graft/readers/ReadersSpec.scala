@@ -94,4 +94,33 @@ class ReadersSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("missing_col"))
   }
+
+  test("multi-file CSV dir: record index follows LEXICAL file order, 1-based contiguous") {
+    val d = java.nio.file.Files.createTempDirectory("graft_readers_multi_")
+    // deliberately size-skewed: Spark's split packing would order the BIG
+    // file first; lexical order must win for range-sorted fixture layouts
+    java.nio.file.Files.writeString(d.resolve("part-00000.csv"), "1,ada,london\n")
+    java.nio.file.Files.writeString(d.resolve("part-00001.csv"),
+      (2 to 40).map(i => s"$i,name$i,city$i").mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(d.resolve("part-00002.csv"), "41,zed,oslo\n")
+    java.nio.file.Files.writeString(d.resolve("_marker"), "ignored")
+    val df = Readers.readCsv(spark, d.toString, spec, Readers.CsvOptions(header = false))
+    val got = df.select("id", Readers.RecordIndexColumn).collect()
+      .map(r => (r.getString(0).toLong, r.getLong(1))).toSet
+    assert(got == (1L to 41L).map(i => (i, i)).toSet)
+  }
+
+  test("multi-file JSONL dir matches row_number over the range-sort key") {
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("graft_readers_multi_json_")
+    val src = spark.range(1, 101).selectExpr("id", "concat('n', id) AS name", "'x' AS city")
+    graft.queries.Fixtures.sorted(src.toDF(), "id", 4)
+      .write.mode("overwrite").json(d.toString)
+    val n = new java.io.File(d.toString).listFiles().count(_.getName.endsWith(".json"))
+    assert(n == 4, s"expected 4 range files, got $n")
+    val df = Readers.readJson(spark, d.toString, spec, multiLine = false)
+    val bad = df.where(col("id").cast("long") =!= col(Readers.RecordIndexColumn)).count()
+    assert(bad == 0, "record index must equal rank by the range-sort key")
+    assert(df.count() == 100)
+  }
 }

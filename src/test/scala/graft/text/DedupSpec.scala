@@ -298,4 +298,95 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("malformed rowsPerPartition/chunk props degrade to defaults, never throw") {
+    val prevRpp = sys.props.get("graft.verify.rowsPerPartition")
+    val prevChunks = sys.props.get("graft.verify.chunks")
+    try {
+      sys.props("graft.verify.rowsPerPartition") = "not-a-number"
+      // falls back to the explicit target / built-in default
+      assert(Dedup.verifyPartitions(spark, 15_000_000L, 500_000L) == 30)
+      assert(Dedup.verifyPartitions(spark, 15_000_000L) == 100)
+      sys.props("graft.verify.chunks") = "-3"
+      // rejected (must be positive): auto sizing applies
+      assert(Dedup.verifyChunkCount(10_000L) == 1)
+    } finally {
+      prevRpp.fold(sys.props.remove("graft.verify.rowsPerPartition"): Unit)(v =>
+        sys.props("graft.verify.rowsPerPartition") = v)
+      prevChunks.fold(sys.props.remove("graft.verify.chunks"): Unit)(v =>
+        sys.props("graft.verify.chunks") = v)
+    }
+  }
+
+  test("verifyChunkCount: single pass under the budget, K passes above, cap at 64") {
+    assert(Dedup.verifyChunkCount(0L) == 1)
+    assert(Dedup.verifyChunkCount(37_000_000L) == 1)   // sf3's measured-good single pass
+    assert(Dedup.verifyChunkCount(300_000_000L) == 4)  // the sf10 wall -> 4 bounded passes
+    assert(Dedup.verifyChunkCount(Long.MaxValue / 2) == 64)
+    val prev = sys.props.get("graft.verify.chunks")
+    try {
+      sys.props("graft.verify.chunks") = "7"
+      assert(Dedup.verifyChunkCount(10L) == 7) // explicit K wins
+    } finally prev.fold(sys.props.remove("graft.verify.chunks"): Unit)(v =>
+      sys.props("graft.verify.chunks") = v)
+  }
+
+  test("chunked verify output equals single-pass output (ppjoin, containment, minhash)") {
+    spark.catalog.clearCache()
+    // enough docs that every chunk is non-trivially populated: clone pairs,
+    // near-dup pairs, containment pairs across 30 docs
+    val docs = (0L until 30L).map { i =>
+      val fam = i % 10
+      val text =
+        if (fam < 4) s"alpha bravo charlie delta echo foxtrot golf hotel token$fam"
+        else if (fam < 7) s"india juliet kilo lima mike november oscar papa extra$i word$fam"
+        else (1 to 12).map(j => s"w${fam}_$j").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    def run[T](thunk: => T): T = thunk
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    val single = (
+      canon(run(Dedup.prefixFilterJoin(docs, "doc_id", "text", 2, 0.5))),
+      canon(run(Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.6))),
+      canon(run(Dedup.minHashDedup(docs, "doc_id", "text", 2, 64, 32, 0.5))))
+    spark.catalog.clearCache()
+    val prev = sys.props.get("graft.verify.chunks")
+    val chunked = try {
+      sys.props("graft.verify.chunks") = "3"
+      (
+        canon(run(Dedup.prefixFilterJoin(docs, "doc_id", "text", 2, 0.5))),
+        canon(run(Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.6))),
+        canon(run(Dedup.minHashDedup(docs, "doc_id", "text", 2, 64, 32, 0.5))))
+    } finally {
+      prev.fold(sys.props.remove("graft.verify.chunks"): Unit)(v =>
+        sys.props("graft.verify.chunks") = v)
+      spark.catalog.clearCache()
+    }
+    assert(chunked._1 == single._1 && chunked._1.nonEmpty)
+    assert(chunked._2 == single._2 && chunked._2.nonEmpty)
+    assert(chunked._3 == single._3 && chunked._3.nonEmpty)
+  }
+
+  test("chunked verify releases each pass's shuffles before the next") {
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    val docs = (0L until 20L).map(i =>
+      (i, s"alpha bravo charlie delta echo foxtrot tok${i % 5}")).toDF("doc_id", "text")
+    val prev = sys.props.get("graft.verify.chunks")
+    try {
+      sys.props("graft.verify.chunks") = "4"
+      val before = org.apache.spark.GraftShuffleGc.snapshot(sc)
+      Dedup.prefixFilterJoinWith(docs, "doc_id", "text", 2, 0.5)(_.count())
+      val after = org.apache.spark.GraftShuffleGc.snapshot(sc)
+      // the per-pass verify shuffles were cleaned as the passes finished;
+      // what survives is candidate-gen + the final consumption, bounded well
+      // under 4x a pass's shuffle count (8+ shuffles/pass if leaked)
+      assert((after -- before).size < 20, s"leaked shuffles: ${after -- before}")
+    } finally {
+      prev.fold(sys.props.remove("graft.verify.chunks"): Unit)(v =>
+        sys.props("graft.verify.chunks") = v)
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -43,20 +43,32 @@ def fast_signature(con, src_sql):
     """DuckDB-native equivalent of frame_signature for large SFs: the
     Python canon+sort path costs ~35 s per 6M-row side, so above sf0.1 the
     signature is computed inside DuckDB — name-sorted columns, NULLs
-    canonicalized to 'NULL', values VARCHAR-cast, rows reduced with an
-    ORDER-INSENSITIVE sum of per-row hashes. Both sides run the identical
-    wrapper on the same engine, so equal signatures still certify equal
-    row multisets over equal column sets; the hash VALUE is not comparable
-    with frame_signature's sha256 (both sides must use the same mode).
+    canonicalized to 'NULL', values VARCHAR-cast, rows reduced
+    ORDER-INSENSITIVELY. A bare sum of per-row hashes admits hash-SUM
+    collisions (distinct multisets with equal sums), so the signature
+    combines count + sum + bit_xor of the row hashes AND the same two
+    reductions at a second salt (hash(row || const)): a colliding pair
+    must now match four independent 64-bit reductions at two salts
+    simultaneously. Still a strictly weaker certificate than the slow
+    path's sorted-rows sha256 — the per-query results record which mode
+    produced them (signature_mode) so artifacts are honest about it.
+    Both sides run the identical wrapper on the same engine, so equal
+    signatures certify equal row multisets over equal column sets; the
+    hash VALUE is not comparable with frame_signature's sha256 (both
+    sides must use the same mode).
     """
     desc = con.sql(f"SELECT * FROM ({src_sql}) LIMIT 0").description
     cols = sorted(d[0] for d in desc)
     row = " || chr(31) || ".join(
         f"coalesce(CAST(\"{c}\" AS VARCHAR), 'NULL')" for c in cols)
-    n, h = con.sql(
-        f"SELECT count(*), coalesce(sum(hash({row})), 0)::HUGEINT "
+    n, h_sum, h_xor, g_sum, g_xor = con.sql(
+        f"SELECT count(*), "
+        f"coalesce(sum(hash({row})), 0)::HUGEINT, "
+        f"coalesce(bit_xor(hash({row})), 0)::HUGEINT, "
+        f"coalesce(sum(hash({row} || chr(30) || 'graft-salt-2')), 0)::HUGEINT, "
+        f"coalesce(bit_xor(hash({row} || chr(30) || 'graft-salt-2')), 0)::HUGEINT "
         f"FROM ({src_sql})").fetchone()
-    return cols, n, str(h)
+    return cols, n, f"{h_sum}|{h_xor}|{g_sum}|{g_xor}"
 
 
 def connect(sf_dir):
@@ -135,6 +147,10 @@ def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
                         fired = state["fired"]
                     timer.cancel()
                     if fired:
+                        try:
+                            con.close()  # release the interrupted handle
+                        except Exception:  # noqa: BLE001
+                            pass
                         con = connect(sf_dir)
             else:
                 if fast:
@@ -157,6 +173,10 @@ def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
                 # budget: recorded, named, and gated by the allowlist
                 results[name] = {"ok": None, "excluded":
                                  f"oracle exceeded temp-disk budget: {msg[:120]}"}
+                try:
+                    con.close()  # release the ENOSPC'd handle
+                except Exception:  # noqa: BLE001
+                    pass
                 con = connect(sf_dir)
                 continue
             results[name] = {"ok": False, "error": f"oracle: {msg}"}
@@ -165,6 +185,9 @@ def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
         results[name] = {
             "ok": ok, "rows": mn, "oracle_rows": rn,
             "cols_match": mc == rc, "hash_match": mh == rh,
+            # fast = DuckDB-native order-insensitive 4-reduction signature
+            # (weaker than slow's sorted-rows sha256 — see fast_signature)
+            "signature_mode": "fast" if fast else "sha256",
         }
         if mc != rc:
             results[name]["cols"] = mc
@@ -194,5 +217,8 @@ def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
 
 if __name__ == "__main__":
     t = float(sys.argv[3]) if len(sys.argv) > 3 else None
-    allow = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    # an empty-string argv[4] means "no allowlist", not allowlist=[''] —
+    # the latter flagged every REAL exclusion as unexpected
+    allow = ([a for a in sys.argv[4].split(",") if a.strip()] or None) \
+        if len(sys.argv) > 4 else None
     sys.exit(main(sys.argv[1], sys.argv[2], t, allow))
