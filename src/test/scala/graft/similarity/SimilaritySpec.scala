@@ -628,4 +628,31 @@ class SimilaritySpec extends SparkSpec {
       oversample = 4, rounds = 2).as[(Long, Long)].collect().toMap
     assert(out == Map(0L -> 10L)) // phi = 0 every round: no oversampling
   }
+
+  test("blocked brute-force pair comparator equals the naive join formulation") {
+    // naive reference: self-join a < b + the cosine expression — the exact
+    // semantics bruteForcePairsBlocked must reproduce bit-for-bit
+    val a = vecs.select(col("vec_id").as("a"), col("embedding").as("a_vec"))
+    val b = vecs.select(col("vec_id").as("b"), col("embedding").as("b_vec"))
+    val naive = a.join(b, col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosine(col("a_vec"), col("b_vec")))
+      .where(col("cosine") >= 0.45)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.45, bruteForce = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == naive)
+    assert(blocked.nonEmpty)
+    // and with a forced tiny block count the pairing/dedup logic still holds
+    val prev = sys.props.get("graft.brute.blocks")
+    try {
+      sys.props("graft.brute.blocks") = "3"
+      val blocked3 = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.45, bruteForce = true)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(blocked3 == naive)
+    } finally prev.fold(sys.props.remove("graft.brute.blocks"): Unit)(v =>
+      sys.props("graft.brute.blocks") = v)
+  }
 }
