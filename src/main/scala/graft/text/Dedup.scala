@@ -127,12 +127,19 @@ object Dedup {
     * cost of re-exchanging the (cached) doc-payload side K times. On a
     * disk-constrained cluster the same dial bounds per-executor shuffle
     * spill. `graft.verify.chunks` forces K; `graft.verify.chunkRows` sets
-    * the per-pass row budget (default 80M — sf3's measured-good 37M single
-    * pass stays single-pass; the sf10 ~300M-candidate walls land at K=4).
+    * the per-pass row budget. Default 30M rows/pass, sized by MEASUREMENT
+    * against shingle-array payloads (SCALE.md r14: 75M-row containment
+    * passes wrote ~43 GB lz4'd, so ~0.6 KB/row on disk -> 30M rows ~ 17 GB
+    * per pass). The chunk checkpoints also pin the verify to ONE execution
+    * regardless of downstream fan-out: pagerank references the pair frame
+    * twice (edge union), and at sf10 the un-chunked twice-executed verify
+    * (2 x ~44 GB) is exactly what ENOSPC'd a ~70 GB-free box while the
+    * single-consumer ngram query squeaked by. Each extra pass costs one
+    * re-exchange of the (cached) doc-payload side — seconds per pass.
     */
   private[graft] def verifyChunkCount(candRows: Long): Int =
     longProp("graft.verify.chunks").map(_.toInt).getOrElse {
-      val perChunk = longProp("graft.verify.chunkRows").getOrElse(80000000L)
+      val perChunk = longProp("graft.verify.chunkRows").getOrElse(30000000L)
       math.min(64L, math.max(1L, (candRows + perChunk - 1) / perChunk)).toInt
     }
 
@@ -149,11 +156,16 @@ object Dedup {
                                   (pass: DataFrame => DataFrame): DataFrame = {
     if (k <= 1) return pass(cand)
     val sc = cand.sparkSession.sparkContext
+    val debug = sys.props.get("graft.verify.debug").nonEmpty
     val outs = (0 until k).map { i =>
+      val t0 = System.nanoTime()
       val before = org.apache.spark.GraftShuffleGc.snapshot(sc)
       val slice = cand.where(pmod(xxhash64(col("a")), lit(k.toLong)) === lit(i.toLong))
       val out = pass(slice).localCheckpoint() // eager: the pass runs HERE
-      org.apache.spark.GraftShuffleGc.cleanNewSince(sc, before)
+      val cleaned = org.apache.spark.GraftShuffleGc.cleanNewSince(sc, before)
+      if (debug) System.err.println(
+        f"[chunked-verify] pass ${i + 1}/$k ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          s"cleaned ${cleaned.size} shuffles")
       out
     }
     org.apache.spark.sql.graft.ExpressionBridge.flatUnion(outs)
@@ -300,6 +312,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = cand.count()
     val k = verifyChunkCount(cnt)
+    if (sys.props.get("graft.verify.debug").nonEmpty)
+      System.err.println(s"[verify] candidates=$cnt chunks=$k")
     val n = verifyPartitions(candidates.sparkSession, (cnt + k - 1) / k)
     val result = chunkedVerify(cand, k) { slice =>
       keepJaccardAtLeast(
@@ -622,6 +636,8 @@ object Dedup {
     // (the sf10 ENOSPC wall — see [[verifyChunkCount]]/[[chunkedVerify]])
     val cnt = if (verifyScaled) candidates.count() else 0L
     val k = if (verifyScaled) verifyChunkCount(cnt) else 1
+    if (verifyScaled && sys.props.get("graft.verify.debug").nonEmpty)
+      System.err.println(s"[verify] containment candidates=$cnt chunks=$k")
     val n =
       if (verifyScaled) verifyPartitions(spark, (cnt + k - 1) / k)
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt

@@ -320,8 +320,12 @@ class DedupSpec extends SparkSpec {
 
   test("verifyChunkCount: single pass under the budget, K passes above, cap at 64") {
     assert(Dedup.verifyChunkCount(0L) == 1)
-    assert(Dedup.verifyChunkCount(37_000_000L) == 1)   // sf3's measured-good single pass
-    assert(Dedup.verifyChunkCount(300_000_000L) == 4)  // the sf10 wall -> 4 bounded passes
+    assert(Dedup.verifyChunkCount(25_000_000L) == 1)   // under the 30M/pass budget
+    // sf10 ppjoin measured 77.7M candidates: un-chunked (and twice-executed
+    // by pagerank's edge union) it ENOSPC'd this box; 3 checkpointed passes
+    // ran the whole query in 98 s (SCALE.md r14)
+    assert(Dedup.verifyChunkCount(77_700_000L) == 3)
+    assert(Dedup.verifyChunkCount(300_000_000L) == 10)
     assert(Dedup.verifyChunkCount(Long.MaxValue / 2) == 64)
     val prev = sys.props.get("graft.verify.chunks")
     try {
