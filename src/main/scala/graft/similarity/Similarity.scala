@@ -288,15 +288,11 @@ object Similarity {
           col("bucket"))
         val x = coded.select(col(idCol).as("a"), col("bucket"))
         val y = coded.select(col(idCol).as("b"), col("bucket"))
-        // NOT persisted: the verify-sizing signal below is a bucket-mass
-        // aggregation over `coded`, so the candidate chain executes once
-        // inside the single streaming verify plan — no second action ever
-        // touches it (the shingle paths persist+count instead because their
-        // candidates have no cheap occupancy bound; see verifyPairsOwned).
-        val cand0 = x.join(y, Seq("bucket")).where(col("a") < col("b"))
-          .select(col("a"), col("b")).dropDuplicates("a", "b")
         val vecA = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
         val vecB = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"))
+        val spark = corpus.sparkSession
+        def rawPairs = x.join(y, Seq("bucket")).where(col("a") < col("b"))
+          .select(col("a"), col("b"))
         if (graft.text.Dedup.verifyScaled) {
           // Demand-scaled verify parallelism, both vector-join exchanges
           // pinned (see Dedup.verifyPartitions): the exchanges below carry
@@ -313,13 +309,65 @@ object Similarity {
             .agg(count(lit(1)).as("__n__"))
             .agg(coalesce(sum(col("__n__") * (col("__n__") - 1) / 2), lit(0)).cast("long"))
             .head.getLong(0)
+          // The candidate DEDUP aggregate is sized by the PRE-dedup mass:
+          // multiprobe shows a pair once per shared probe bucket, so the
+          // distinct's input is rawMass rows, and at the session width
+          // (32) a 200k-corpus 8-plane run put ~200M rows in ONE reduce
+          // task's hash map — measured as 1-2 GB page allocations, GCLocker
+          // stalls, and a dead context at sf10 (SCALE.md r14). Pinning the
+          // exchange on (a, b) lets dropDuplicates reuse the partitioning
+          // (no second exchange) with ~2M tiny id-pair rows per task.
+          val nAgg = graft.text.Dedup.verifyPartitions(spark, rawMass, 2000000L)
+          val cand0 = rawPairs
+            .repartition(nAgg, col("a"), col("b")).dropDuplicates("a", "b")
           // each distinct pair is counted once PER shared probe bucket
           // (multiprobe emits numPlanes+1 codes per vector) — divide the
           // mass down to a distinct-pair estimate; this is a provisioning
           // signal, not a correctness bound, and the slack only moves the
           // partition count
           val pairMass = rawMass / (numPlanes + 1)
-          val spark = corpus.sparkSession
+          // Bounded-footprint chunking, embedding flavor. The trigger is
+          // the free occupancy bound; the budget is the shared chunkRows
+          // knob: a pass's dominant disk cost here is the PRE-dedup
+          // exchange riding along with it (rawMass/K tiny id-pair rows,
+          // measured ~70 B/row on disk at sf10 — 6.6G rows total at the
+          // 8-plane/200k geometry), so 30M distinct pairs/pass ≈ 270M
+          // pre-dedup rows ≈ ~18 GB/pass, safely under the wall.
+          // Fixed-plane occupancy growing quadratically with corpus is WHY
+          // this path needs the same treatment as the shingle verifies:
+          // the production dial is more planes, but the operator must stay
+          // disk-bounded at any geometry.
+          val embedBudget = graft.text.Dedup.longProp("graft.verify.chunkRows")
+            .getOrElse(30000000L)
+          if (pairMass > embedBudget) {
+            // Chunk BEFORE the dedup exchange, not just before the verify:
+            // the pre-dedup bucket-join output is rawMass rows (a pair once
+            // per shared probe bucket — 6.3G rows at sf10's 8-plane/200k
+            // geometry), and ONE dedup exchange of that stream is itself
+            // ~2x this box's disk (measured ENOSPC, SCALE.md r14). Each
+            // pass re-runs the bucket join (inputs are the tiny coded
+            // rows) and filters hash(a) map-side BEFORE any exchange, so
+            // a pass moves rawMass/K dedup rows + pairMass/K verify rows,
+            // both released before the next pass. hash(a) banding keeps
+            // every duplicate of a pair in one slice — per-slice dedup is
+            // exact.
+            val k = graft.text.Dedup.longProp("graft.verify.chunks").map(_.toInt)
+              .getOrElse(math.min(64L, math.max(1L, (pairMass + embedBudget - 1) / embedBudget)).toInt)
+            if (sys.props.get("graft.verify.debug").nonEmpty)
+              System.err.println(s"[verify] embed pairMass=$pairMass rawMass=$rawMass chunks=$k")
+            val nAggPass = graft.text.Dedup.verifyPartitions(spark, (rawMass + k - 1) / k, 2000000L)
+            val n = graft.text.Dedup.verifyPartitions(spark, (pairMass + k - 1) / k, 500000L)
+            return graft.text.Dedup.chunkedVerify(rawPairs, k) { slice =>
+              scoreVerified(
+                slice.repartition(nAggPass, col("a"), col("b"))
+                  .dropDuplicates("a", "b")
+                  .repartition(n, col("a"))
+                  .join(vecA, "a")
+                  .repartition(n, col("b"))
+                  .join(vecB, "b"),
+                threshold)
+            }
+          }
           // 500k rows/partition: a verify row carries two ~64-dim vectors
           // (~0.5 KB) vs the shingle paths' 2-4 KB arrays
           val n = graft.text.Dedup.verifyPartitions(spark, pairMass, 500000L)
@@ -331,13 +379,19 @@ object Similarity {
             .join(vecA, "a")
             .repartition(n, col("b"))
             .join(vecB, "b")
-        } else cand0.join(vecA, "a").join(vecB, "b")
+        } else rawPairs.dropDuplicates("a", "b").join(vecA, "a").join(vecB, "b")
       }
-    scored
+    scoreVerified(scored, threshold)
+  }
+
+  /** Exact-cosine verify projection shared by the streaming and chunked
+    * plans: score, threshold on the RAW value, round for the output.
+    */
+  private def scoreVerified(pairsWithVecs: DataFrame, threshold: Double): DataFrame =
+    pairsWithVecs
       .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
-  }
 
   /** SEMANTIC dedup (SemDeDup-style: Abbas et al. 2023 — duplicates by
     * embedding similarity rather than lexical overlap): resolve the cosine

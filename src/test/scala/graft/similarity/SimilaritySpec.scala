@@ -655,4 +655,26 @@ class SimilaritySpec extends SparkSpec {
     } finally prev.fold(sys.props.remove("graft.brute.blocks"): Unit)(v =>
       sys.props("graft.brute.blocks") = v)
   }
+
+  test("chunked embedding verify equals the streaming plan (forced tiny pass budget)") {
+    spark.catalog.clearCache()
+    val base = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.45, numPlanes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val prev = sys.props.get("graft.verify.chunkRows")
+    val chunked = try {
+      // budget = 4 pairs/pass: the occupancy bound trips, the candidate
+      // frame persists + counts, and the verify runs as K released passes
+      sys.props("graft.verify.chunkRows") = "1"
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4)
+        .as[(Long, Long, Double)].collect().toSet
+    } finally {
+      prev.fold(sys.props.remove("graft.verify.chunkRows"): Unit)(v =>
+        sys.props("graft.verify.chunkRows") = v)
+      spark.catalog.clearCache()
+    }
+    assert(chunked == base)
+    assert(chunked.nonEmpty)
+  }
 }
