@@ -22,10 +22,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Single-file dumps are the driver-friendly default, but a billion-row
+    // frame (q_dedup_simhash_pairs at sf3+) through one write task is the
+    // same single-task spike the bench fixtures had; the checker globs
+    // `<name>/*.parquet`, so scale runs set SPARK_GRAFT_VERIFY_ONEFILE=0
+    // to keep each dump at its natural (post-shuffle) parallelism.
+    val oneFile = !sys.env.get("SPARK_GRAFT_VERIFY_ONEFILE").contains("0")
     SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (oneFile) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally spark.catalog.clearCache() // no cross-query cache accumulation

@@ -162,6 +162,39 @@ object Similarity {
     array(code +: (0 until numPlanes).map(p =>
       code.bitwiseXOR(lit(1L << (numPlanes - 1 - p)))): _*)
 
+  /** First-shared-bucket predicate: true iff `bucket` is the MINIMUM element
+    * of P(u) ∩ P(v), where P(c) = {c} ∪ single-bit flips (the [[probeCodes]]
+    * probe set). A multiprobe bucket self-join emits a candidate pair once
+    * per shared bucket; keeping only the row whose bucket is the pair's
+    * min shared bucket dedups the candidate stream MAP-SIDE — the whole
+    * rawMass-row distinct exchange (6.6G rows at sf10's 8-plane/200k
+    * geometry, the measured ENOSPC driver of SCALE.md r14) disappears from
+    * the plan. The intersection has closed form by d = u xor v:
+    *   - popcount(d)=0: P(u)=P(v) = {u} ∪ flips(u); the min is u with its
+    *     highest SET bit cleared (clearing decreases, setting increases),
+    *     or u itself when u=0 (every flip only sets a bit).
+    *   - popcount(d)=1: exactly {u, v} (a one-flip of u equal to a one-flip
+    *     of v would need two distinct single bits xor-ing to a single bit).
+    *   - popcount(d)=2 (bits e, f): exactly {u^e, u^f} — the two one-flip
+    *     meet points (u^e = v^f and u^f = v^e).
+    *   - popcount(d)>2: empty — such pairs never meet in the join at all.
+    * All plain bitwise/long ops: stays inside whole-stage codegen, ~flat
+    * cost per joined row. Codes are non-negative (numPlanes < 63), so the
+    * arithmetic shifts in the highest-bit smear are safe.
+    */
+  private[graft] def firstSharedProbeBucket(u: Column, v: Column, bucket: Column): Column = {
+    val d = u.bitwiseXOR(v)
+    // highest set bit of u via OR-smear: s = u|u>>1|...|u>>32; hb = s - s>>1
+    val s = Seq(1, 2, 4, 8, 16, 32).foldLeft(u)((acc, i) => acc.bitwiseOR(shiftright(acc, i)))
+    val hb = s - shiftright(s, 1)
+    val e = d.bitwiseAND(-d) // lowest set bit of d
+    when(d === 0L, bucket === when(u === 0L, lit(0L)).otherwise(u.bitwiseXOR(hb)))
+      .when(bit_count(d) === 1, bucket === least(u, v))
+      .when(bit_count(d) === 2,
+        bucket === least(u.bitwiseXOR(e), u.bitwiseXOR(d.bitwiseXOR(e))))
+      .otherwise(lit(false))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored variant of
     * similarity search): candidates from shared sign-LSH buckets with
     * Hamming-1 probes, exact cosine verify at `threshold`. High-similarity
@@ -284,14 +317,21 @@ object Similarity {
         // for candidate joins)
         val coded = graft.text.Dedup.pinPartitions(corpus
           .select(col(idCol), lshCode(col(vecCol), numPlanes).as("__code__"))
-          .select(col(idCol), explode(probeCodes(col("__code__"), numPlanes)).as("bucket")),
+          .select(col(idCol), col("__code__"),
+            explode(probeCodes(col("__code__"), numPlanes)).as("bucket")),
           col("bucket"))
-        val x = coded.select(col(idCol).as("a"), col("bucket"))
-        val y = coded.select(col(idCol).as("b"), col("bucket"))
+        val x = coded.select(col(idCol).as("a"), col("__code__").as("__ca__"), col("bucket"))
+        val y = coded.select(col(idCol).as("b"), col("__code__").as("__cb__"), col("bucket"))
         val vecA = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
         val vecB = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"))
         val spark = corpus.sparkSession
-        def rawPairs = x.join(y, Seq("bucket")).where(col("a") < col("b"))
+        // Map-side candidate dedup: a pair materializes from exactly ONE
+        // joined row (its min shared probe bucket) — distinct by
+        // construction, so no dropDuplicates exchange exists anywhere in
+        // this operator. The coded rows carry the 8-byte base code to make
+        // the filter computable at the join.
+        def rawPairs = x.join(y, Seq("bucket")).where(col("a") < col("b") &&
+            firstSharedProbeBucket(col("__ca__"), col("__cb__"), col("bucket")))
           .select(col("a"), col("b"))
         if (graft.text.Dedup.verifyScaled) {
           // Demand-scaled verify parallelism, both vector-join exchanges
@@ -309,59 +349,36 @@ object Similarity {
             .agg(count(lit(1)).as("__n__"))
             .agg(coalesce(sum(col("__n__") * (col("__n__") - 1) / 2), lit(0)).cast("long"))
             .head.getLong(0)
-          // The candidate DEDUP aggregate is sized by the PRE-dedup mass:
-          // multiprobe shows a pair once per shared probe bucket, so the
-          // distinct's input is rawMass rows, and at the session width
-          // (32) a 200k-corpus 8-plane run put ~200M rows in ONE reduce
-          // task's hash map — measured as 1-2 GB page allocations, GCLocker
-          // stalls, and a dead context at sf10 (SCALE.md r14). Pinning the
-          // exchange on (a, b) lets dropDuplicates reuse the partitioning
-          // (no second exchange) with ~2M tiny id-pair rows per task.
-          val nAgg = graft.text.Dedup.verifyPartitions(spark, rawMass, 2000000L)
-          val cand0 = rawPairs
-            .repartition(nAgg, col("a"), col("b")).dropDuplicates("a", "b")
           // each distinct pair is counted once PER shared probe bucket
           // (multiprobe emits numPlanes+1 codes per vector) — divide the
           // mass down to a distinct-pair estimate; this is a provisioning
           // signal, not a correctness bound, and the slack only moves the
-          // partition count
+          // partition count. The first-shared-bucket filter collapses the
+          // rawMass join output to ~pairMass rows MAP-SIDE, so rawMass is
+          // now compute (codegen long ops inside the join task), not disk:
+          // the only exchanged rows on this path are the verify rows.
           val pairMass = rawMass / (numPlanes + 1)
-          // Bounded-footprint chunking, embedding flavor. The trigger is
-          // the free occupancy bound; the budget is the shared chunkRows
-          // knob: a pass's dominant disk cost here is the PRE-dedup
-          // exchange riding along with it (rawMass/K tiny id-pair rows,
-          // measured ~70 B/row on disk at sf10 — 6.6G rows total at the
-          // 8-plane/200k geometry), so 30M distinct pairs/pass ≈ 270M
-          // pre-dedup rows ≈ ~18 GB/pass, safely under the wall.
-          // Fixed-plane occupancy growing quadratically with corpus is WHY
-          // this path needs the same treatment as the shingle verifies:
-          // the production dial is more planes, but the operator must stay
-          // disk-bounded at any geometry.
+          // Bounded-footprint chunking, embedding flavor: one verify
+          // exchange carries two ~64-dim vectors per pair (~0.5 KB/row),
+          // so pairMass × 0.5 KB can exceed free disk even with the
+          // pre-dedup mass gone (738M distinct pairs ≈ 370 GB at sf10's
+          // 8-plane/200k geometry). Chunk by hash(a): the slice filter
+          // pushes below the bucket join into the coded x side, each pass
+          // exchanges only its pairMass/K verify rows, released before the
+          // next pass. Fixed-plane occupancy grows quadratically with
+          // corpus — the production dial is more planes, but the operator
+          // must stay disk-bounded at any geometry.
           val embedBudget = graft.text.Dedup.longProp("graft.verify.chunkRows")
             .getOrElse(30000000L)
           if (pairMass > embedBudget) {
-            // Chunk BEFORE the dedup exchange, not just before the verify:
-            // the pre-dedup bucket-join output is rawMass rows (a pair once
-            // per shared probe bucket — 6.3G rows at sf10's 8-plane/200k
-            // geometry), and ONE dedup exchange of that stream is itself
-            // ~2x this box's disk (measured ENOSPC, SCALE.md r14). Each
-            // pass re-runs the bucket join (inputs are the tiny coded
-            // rows) and filters hash(a) map-side BEFORE any exchange, so
-            // a pass moves rawMass/K dedup rows + pairMass/K verify rows,
-            // both released before the next pass. hash(a) banding keeps
-            // every duplicate of a pair in one slice — per-slice dedup is
-            // exact.
             val k = graft.text.Dedup.longProp("graft.verify.chunks").map(_.toInt)
               .getOrElse(math.min(64L, math.max(1L, (pairMass + embedBudget - 1) / embedBudget)).toInt)
             if (sys.props.get("graft.verify.debug").nonEmpty)
               System.err.println(s"[verify] embed pairMass=$pairMass rawMass=$rawMass chunks=$k")
-            val nAggPass = graft.text.Dedup.verifyPartitions(spark, (rawMass + k - 1) / k, 2000000L)
             val n = graft.text.Dedup.verifyPartitions(spark, (pairMass + k - 1) / k, 500000L)
             return graft.text.Dedup.chunkedVerify(rawPairs, k) { slice =>
               scoreVerified(
-                slice.repartition(nAggPass, col("a"), col("b"))
-                  .dropDuplicates("a", "b")
-                  .repartition(n, col("a"))
+                slice.repartition(n, col("a"))
                   .join(vecA, "a")
                   .repartition(n, col("b"))
                   .join(vecB, "b"),
@@ -374,12 +391,12 @@ object Similarity {
           val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
           // below the session baseline the pinned exchanges are pure
           // overhead (~3 s measured at sf1) — keep the streaming plan there
-          if (n <= base) cand0.join(vecA, "a").join(vecB, "b")
-          else cand0.repartition(n, col("a"))
+          if (n <= base) rawPairs.join(vecA, "a").join(vecB, "b")
+          else rawPairs.repartition(n, col("a"))
             .join(vecA, "a")
             .repartition(n, col("b"))
             .join(vecB, "b")
-        } else rawPairs.dropDuplicates("a", "b").join(vecA, "a").join(vecB, "b")
+        } else rawPairs.join(vecA, "a").join(vecB, "b")
       }
     scoreVerified(scored, threshold)
   }

@@ -656,6 +656,46 @@ class SimilaritySpec extends SparkSpec {
       sys.props("graft.brute.blocks") = v)
   }
 
+  test("firstSharedProbeBucket keeps exactly the min shared probe bucket (exhaustive codes)") {
+    // Brute-force reference: P(c) = {c} ∪ single-bit flips. For every code
+    // pair (u, v) over the full 8-plane code space and every bucket both
+    // sides emit, the predicate must admit EXACTLY the minimum of
+    // P(u) ∩ P(v) — one row per colliding pair, zero when disjoint. This is
+    // the closed-form case analysis (d=0 / |d|=1 / |d|=2) checked against
+    // set arithmetic, including the edge codes (0, all-ones).
+    val planes = 8
+    def probes(c: Long): Set[Long] =
+      Set(c) ++ (0 until planes).map(p => c ^ (1L << (planes - 1 - p)))
+    val rows = for {
+      u <- 0L until (1L << planes)
+      v <- u until (1L << planes)
+      w <- probes(u) ++ probes(v)
+    } yield (u, v, w)
+    val df = rows.toDF("u", "v", "w")
+    val kept = df.where(Similarity.firstSharedProbeBucket(col("u"), col("v"), col("w")))
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (for {
+      u <- 0L until (1L << planes)
+      v <- u until (1L << planes)
+      shared = probes(u) intersect probes(v)
+      if shared.nonEmpty
+    } yield (u, v, shared.min)).toSet
+    assert(kept == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("map-side candidate dedup: near-dup pairs are emitted exactly once") {
+    // The production plan has NO dropDuplicates — a pair must materialize
+    // from its single min-shared-bucket row. Duplicate (a, b) rows in the
+    // output would mean the predicate admitted two buckets for one pair.
+    val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.45, numPlanes = 4)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.length == out.toSet.size,
+      s"duplicate pair rows: ${out.groupBy(identity).filter(_._2.length > 1).keys.take(5)}")
+  }
+
   test("chunked embedding verify equals the streaming plan (forced tiny pass budget)") {
     spark.catalog.clearCache()
     val base = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
