@@ -18,6 +18,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // TopKByAgg (ObjectHashAggregate) keeps O(k) state per group; the
+      // default 128-group fallback-to-sort defeats its map-side combine on
+      // wide tasks. 16M groups x ~200 B is well inside executor memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16777216")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

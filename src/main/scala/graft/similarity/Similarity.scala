@@ -76,15 +76,21 @@ object Similarity {
     topK(scored, k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+  /** Top-k per query via [[TopKByAgg]] — identical row selection and rank
+    * numbering to `row_number() OVER (PARTITION BY query_id ORDER BY
+    * cosine DESC, neighbor_id) <= k`, but partial-aggregated: the window
+    * form exchanges + sorts the WHOLE candidate stream (~1B rows at sf10
+    * for the brute/seed/IVF shapes) where this ships k rows per query.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"),
-        round(col("cosine"), 6).as("cosine"))
-  }
+      .groupBy(col("query_id"))
+      .agg(TopKByAgg.topKBy(
+        struct(col("cosine"), col("neighbor_id")), k).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")).as(Seq("__pos__", "__e__")))
+      .select(col("query_id"), col("__e__.neighbor_id").as("neighbor_id"),
+        (col("__pos__") + 1).cast("bigint").as("rank"),
+        round(col("__e__.cosine"), 6).as("cosine"))
 
   /** MINSTD → xorshift → MINSTD integer mix on [0, 2^31-1). Chosen over
     * xxhash64 because every step is exactly replicable in ANSI SQL integer
@@ -147,10 +153,14 @@ object Similarity {
         lshCode(col(vecCol), numPlanes).as("__code__"))
       .select(col("query_id"), col("q_vec"),
         explode(probeCodes(col("__code__"), numPlanes)).as("probe"))
+    // no dedup needed: a corpus vector has exactly ONE bucket code and the
+    // numPlanes+1 probe values of a query are pairwise distinct (the base
+    // code plus single-bit flips), so a (query, neighbor) pair satisfies
+    // probe = bucket at most once — the candidate stream flows straight
+    // into topK's partial aggregate.
     val scored = broadcast(probes).join(c, col("probe") === col("bucket")
         && col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
-      .dropDuplicates("query_id", "neighbor_id")
     topK(scored, k)
   }
 
@@ -758,17 +768,24 @@ object Similarity {
   def seedQualityScore(corpus: DataFrame, seeds: DataFrame,
                        idCol: String, vecCol: String, k: Int,
                        threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = broadcast(seeds.select(col(idCol).as("seed_id"), col(vecCol).as("s_vec")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("seed_id"))
+    // top-k via the partial aggregate, not a window: the corpus × seeds
+    // stream never leaves the broadcast-join task — only k rows per corpus
+    // vector reach the exchange (the window form shuffled + sorted the
+    // whole stream; 493 s of the sf10 suite was exactly that sort). The
+    // second aggregate reuses the first's (idCol) partitioning — explode
+    // is narrow, so no extra exchange.
     corpus.select(col(idCol), col(vecCol).as("__v__"))
       .join(s, col(idCol) =!= col("seed_id"))
-      .withColumn("cos", round(cosine(col("__v__"), col("s_vec")), 6))
-      .withColumn("__rn__", row_number().over(w))
-      .where(col("__rn__") <= k)
+      .select(col(idCol),
+        round(cosine(col("__v__"), col("s_vec")), 6).as("cos"),
+        col("seed_id"))
+      .groupBy(col(idCol))
+      .agg(TopKByAgg.topKBy(struct(col("cos"), col("seed_id")), k).as("__top__"))
+      .select(col(idCol), explode(col("__top__")).as("__e__"))
       .groupBy(col(idCol))
       .agg(
-        round(sum(col("cos").cast("decimal(10,6)")).cast("double")
+        round(sum(col("__e__.cos").cast("decimal(10,6)")).cast("double")
           / count(lit(1)), 6).as("seed_score"))
       .withColumn("keep", col("seed_score") >= threshold)
   }
@@ -893,18 +910,16 @@ object Similarity {
     val subDim = dim / numSubspaces
     val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
     // nearest cell(s) by cosine, deterministic cell-id tiebreak — the same
-    // coarse quantizer as ivfKnn. The assignment cosine is rounded to 9 dp
-    // before the tiebreak so a last-ulp divergence between engines (Spark
+    // coarse quantizer as ivfKnn ([[argmaxAssign]] / [[probeAssign]]: the
+    // corpus-side keep=1 is a codegen argmax collapsed inside the
+    // broadcast-join task; the query-side keep=nProbe is the TopKByAgg
+    // partial aggregate). The assignment cosine is rounded to 9 dp before
+    // the tiebreak so a last-ulp divergence between engines (Spark
     // sqrt(Σa²)·sqrt(Σb²) vs an oracle's sqrt(Σa²·Σb²)) cannot flip a
     // near-tied cell choice.
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("cell_cos").desc, col("cell_id"))
-      df.join(cent)
-        .withColumn("cell_cos", round(cosine(col(vec), col("c_vec")), 9))
-        .withColumn("cell_rank", row_number().over(w))
-        .where(col("cell_rank") <= keep)
-        .drop("c_vec", "cell_cos", "cell_rank")
-    }
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      if (keep == 1) argmaxAssign(cent, df, id, vec)
+      else probeAssign(cent, df, id, vec, keep)
     // per-subspace codeword slices + their squared norms (for the min-L2
     // code selection below)
     val cbSub = broadcast(subspaced(
@@ -1096,25 +1111,55 @@ object Similarity {
 
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
     // assignment cosine rounded to 9 dp before the tiebreak — see ivfPqKnn
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("cell_cos").desc, col("cell_id"))
-      df.join(cent)
-        .withColumn("cell_cos", round(cosine(col(vec), col("c_vec")), 9))
-        .withColumn("cell_rank", row_number().over(w))
-        .where(col("cell_rank") <= keep)
-        .drop("c_vec", "cell_cos", "cell_rank")
-    }
-    val c = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec")),
-      "neighbor_id", "n_vec", 1)
-    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "query_id", "q_vec", nProbe)
+    val c = argmaxAssign(cent, corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("n_vec")), "neighbor_id", "n_vec")
+    val q = probeAssign(cent, queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")), "query_id", "q_vec", nProbe)
+    // no dedup needed: argmaxAssign puts each corpus vector in EXACTLY one
+    // cell, so a (query, neighbor) pair matches the cell equi-join at most
+    // once (iff the neighbor's unique cell is among the query's probes) —
+    // the stream flows straight into topK's partial aggregate with no
+    // exchange of its own.
     val scored = broadcast(q).join(c, Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
-      .dropDuplicates("query_id", "neighbor_id")
     topK(scored, k)
   }
+
+  /** Nearest-cell assignment (keep = 1) as a codegen argmax: group by the
+    * vector id and `max(struct(cell_cos, -cell_id, cell_id, vec))` — the
+    * struct ordering IS (cosine desc, cell_id asc), the rounded-to-9dp
+    * cosine keeps the tiebreak engine-stable (see ivfPqKnn), and the
+    * partial aggregate collapses the (vectors × centroids) stream inside
+    * the broadcast-join task, where the window form exchanged + sorted all
+    * of it (~800M rows at sf10). Same argmax discipline as pqCodes.
+    */
+  private def argmaxAssign(cent: DataFrame, df: DataFrame,
+                           id: String, vec: String): DataFrame =
+    df.join(cent)
+      .select(col(id), struct(
+        round(cosine(col(vec), col("c_vec")), 9).as("cos"),
+        (-col("cell_id")).as("neg"),
+        col("cell_id"),
+        col(vec)).as("__s__"))
+      .groupBy(col(id))
+      .agg(max(col("__s__")).as("__m__"))
+      .select(col(id), col("__m__.cell_id").as("cell_id"), col(s"__m__.$vec").as(vec))
+
+  /** nProbe-nearest-cells assignment for the QUERY side (queries are the
+    * small frame — centroids × queries rows): [[TopKByAgg]] on
+    * (cell_cos desc, cell_id asc), identical selection to the former
+    * window `cell_rank <= keep`.
+    */
+  private def probeAssign(cent: DataFrame, df: DataFrame, id: String,
+                          vec: String, keep: Int): DataFrame =
+    df.join(cent)
+      .select(col(id), col(vec),
+        round(cosine(col(vec), col("c_vec")), 9).as("cell_cos"), col("cell_id"))
+      .groupBy(col(id), col(vec))
+      .agg(TopKByAgg.topKBy(struct(col("cell_cos"), col("cell_id")), keep).as("__top__"))
+      .select(col(id), col(vec), explode(col("__top__")).as("__e__"))
+      .select(col(id), col(vec), col("__e__.cell_id").as("cell_id"))
 }
