@@ -31,4 +31,22 @@ object SparkEntry {
     CoreQueries.oracleSql ++ ContractQueries.oracleSql ++ LlmQueries.oracleSql ++
       DischemaQueries.oracleSql ++ ReportQueries.oracleSql ++ PipelineQueries.oracleSql ++
       StreamingQueries.oracleSql
+
+  /** Per-query compare-mode overrides for scale certification (absent =
+    * exact multiset equality, the driver's own gate semantics). The one
+    * non-exact mode is `subset_recall:<floor>`: every result row must
+    * appear in the oracle (precision 1 — LSH operators verify candidates
+    * exactly, so anything they emit is a true pair) and result/oracle row
+    * counts must reach the floor. This is the HONEST certificate for
+    * probabilistic candidate generation: banded MinHash misses a
+    * just-at-threshold pair with odds (1-t^r)^b per pair — ~1.95e-4 at
+    * t=0.5, r=3, b=64 — so at a large-enough borderline-pair census exact
+    * equality MUST eventually fail. First measured at 30x (sf3): 2 of
+    * 28,774 pairs missing, both at jaccard EXACTLY 0.5, against 5,721
+    * pairs at that worst-case similarity — expected misses 1.1, measured
+    * 2, zero false pairs. Exact-by-construction operators (the
+    * prefix-filter family) keep exact oracles at every scale instead.
+    */
+  def oracleCompare: Map[String, String] = Map(
+    "q_dedup_minhash" -> "subset_recall:0.999")
 }

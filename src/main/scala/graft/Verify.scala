@@ -57,6 +57,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => nameFilter(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // compare-mode overrides (subset_recall for probabilistic operators);
+    // checkers without support ignore the sidecar and compare exact
+    val modes = SparkEntry.oracleCompare.filter(kv => nameFilter(kv._1))
+    if (modes.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/oracle_compare.json"),
+        modes.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -591,9 +591,13 @@ object LlmQueries {
     // CROSS-corpus near-dup join (incremental-ingest dedup): docs with
     // doc_id % 3 == 0 stand in for the already-trained reference corpus,
     // the rest is the fresh crawl; pairs only ever cross the boundary.
+    // Exact prefix-filter form: LSH banding's per-pair miss odds
+    // ((1-t^r)^b) first materialized against the exact oracle at 30x
+    // scale, so the oracled operator is the deterministic one;
+    // minHashCrossDedup remains the probabilistic API (recall spec'd).
     "q_dedup_cross" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.minHashCrossDedup(
+      Dedup.prefixFilterCrossJoin(
         d.where(pmod(col("doc_id"), lit(3)) =!= 0),
         d.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text")
     }),

@@ -336,7 +336,7 @@ object StreamingQueries {
     }),
 
     // Continuous-crawl near-dup detection: streamed new docs checked per
-    // micro-batch against the static trained reference (banded MinHash
+    // micro-batch against the static trained reference (exact prefix-filter
     // cross join between sides only). With AvailableNow draining every
     // file, the appended pair set equals the batch cross-dedup exactly —
     // the oracle is the same exact cross-pairs SQL as q_dedup_cross.

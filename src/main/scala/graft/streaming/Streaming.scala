@@ -169,13 +169,18 @@ object Streaming {
 
   /** CONTINUOUS-CRAWL near-dup detection: every micro-batch of incoming
     * documents is checked against a TRAINED static reference corpus with
-    * the banded [[graft.text.Dedup.minHashCrossDedup]] (band equi-join
-    * BETWEEN sides only — batch-internal duplicate mass generates no
-    * pairs), and the (a = new id, b = ref id, jaccard, batch_id) matches
-    * append to the sink. A batch doc is novel iff it has no row here —
+    * the EXACT [[graft.text.Dedup.prefixFilterCrossJoin]] (prefix-token
+    * equi-join BETWEEN sides only — batch-internal duplicate mass
+    * generates no pairs), and the (a = new id, b = ref id, jaccard,
+    * batch_id) matches append to the sink. Exactness is per pair, so the
+    * appended union over micro-batches equals the batch cross join on the
+    * drained stream REGARDLESS of batch boundaries (the per-batch token
+    * order differs from the global one; any total order is complete — the
+    * banded minHash form's per-pair miss odds would instead compound with
+    * every batch). A batch doc is novel iff it has no row here —
     * downstream anti-joins on `a`. This is the streaming front door of the
     * incremental-ingest family ([[graft.text.IncrementalDedup]] is the
-    * Bloom-gated EXACT sibling); `foreachBatch` because the operator
+    * Bloom-gated exact-match sibling); `foreachBatch` because the operator
     * composes a bounded batch frame with a static frame per trigger —
     * the persistent state is the reference, not stream state.
     */
@@ -208,7 +213,7 @@ object Streaming {
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.text.Dedup.minHashCrossDedupWith(batch.toDF(), reference,
+        graft.text.Dedup.prefixFilterCrossJoinWith(batch.toDF(), reference,
           idCol, textCol, threshold = threshold) { pairs =>
           pairs.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)

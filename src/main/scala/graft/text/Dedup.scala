@@ -280,14 +280,28 @@ object Dedup {
     */
   private[graft] def verifyPairsOwned(candidates: DataFrame, docShingles: DataFrame,
                                       idCol: String, shingleCol: String,
-                                      threshold: Double): (DataFrame, DataFrame) = {
+                                      threshold: Double): (DataFrame, DataFrame) =
+    verifyPairsSidesOwned(candidates, docShingles, docShingles, idCol,
+      shingleCol, threshold)
+
+  /** [[verifyPairsOwned]] with DISTINCT shingle tables per pair side —
+    * the cross-corpus form, where `a` ids resolve only against the new
+    * side and `b` ids only against the reference (the two id namespaces
+    * may legitimately overlap). Self-join callers pass the same table
+    * twice via [[verifyPairsOwned]].
+    */
+  private[graft] def verifyPairsSidesOwned(candidates: DataFrame,
+                                           aShingles: DataFrame,
+                                           bShingles: DataFrame,
+                                           idCol: String, shingleCol: String,
+                                           threshold: Double): (DataFrame, DataFrame) = {
     // Sort once per DOC row (before the join fans each array out to its
     // candidates), merge-count once per PAIR: the sorted kernel does no
     // hashing and no per-pair allocation — the PPJoin probe measured the
     // hash-set formulation as the dominant stage at sf1.
-    val left = docShingles.select(col(idCol).as("a"),
+    val left = aShingles.select(col(idCol).as("a"),
       sort_array(col(shingleCol)).as("sh_a"))
-    val right = docShingles.select(col(idCol).as("b"),
+    val right = bShingles.select(col(idCol).as("b"),
       sort_array(col(shingleCol)).as("sh_b"))
     // Pin BOTH verify exchanges by number (REPARTITION_BY_NUM is exempt
     // from AQE coalescing), scaled to the measured candidate count: the
@@ -557,6 +571,89 @@ object Dedup {
     val (verified, candCache) =
       verifyPairsOwned(candidates, withShingles, idCol, "sh", threshold)
     (verified.dropDuplicates("a", "b"), Seq(withShingles, candCache))
+  }
+
+  /** EXACT cross-corpus Jaccard-threshold join via prefix filtering — the
+    * deterministic counterpart of [[minHashCrossDedup]]: every (new, ref)
+    * pair with jaccard >= `threshold`, none missed, at any corpus size.
+    *
+    * LSH banding is probabilistic per pair (miss odds ~(1-t^r)^b), so a
+    * corpus large enough to hold many just-at-threshold pairs WILL drop
+    * one — measured at 30x the design scale, where the banded operator
+    * first diverged from the exact oracle. Prefix filtering has no such
+    * term: with both corpora's tokens in ONE shared rare-first total
+    * order (union document frequency — any single order is complete, but
+    * it must be the same on both sides so qualifying pairs collide on a
+    * prefix token), the [[prefixFilterJoin]] length/position prunes apply
+    * verbatim to cross pairs, and candidate generation stays a token-key
+    * equi-join between the two prefix streams — never all-pairs, no
+    * bucket-occupancy cap to breach.
+    *
+    * Output: (a = new id, b = ref id, jaccard), exact. The id namespaces
+    * may overlap (each side resolves against its own shingle table).
+    */
+  def prefixFilterCrossJoin(newDocs: DataFrame, refDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleSize: Int = 3, threshold: Double = 0.5): DataFrame =
+    prefixFilterCrossJoinImpl(newDocs, refDocs, idCol, textCol, shingleSize, threshold)._1
+
+  /** [[prefixFilterCrossJoin]] with cache ownership — see [[minHashDedupWith]]. */
+  def prefixFilterCrossJoinWith[T](newDocs: DataFrame, refDocs: DataFrame,
+                                   idCol: String, textCol: String,
+                                   shingleSize: Int = 3, threshold: Double = 0.5)
+                                  (use: DataFrame => T): T = {
+    val (result, owned) =
+      prefixFilterCrossJoinImpl(newDocs, refDocs, idCol, textCol, shingleSize, threshold)
+    try use(result) finally owned.foreach(_.unpersist(blocking = false))
+  }
+
+  private def prefixFilterCrossJoinImpl(newDocs: DataFrame, refDocs: DataFrame,
+                                        idCol: String, textCol: String,
+                                        shingleSize: Int, threshold: Double
+                                       ): (DataFrame, Seq[DataFrame]) = {
+    def prep(docs: DataFrame): DataFrame = {
+      val sh = widen(docs)
+        .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // materialize before concurrent consumers (see minHashDedup)
+      sh
+    }
+    val shNew = prep(newDocs)
+    val shRef = prep(refDocs)
+    // Union document frequency as a window count over BOTH sides' exploded
+    // tokens: one shuffle on tok yields the shared order AND feeds the
+    // per-(side, id) re-sort — same single-exchange shape as
+    // prefixFilterJoinImpl's count. The side tag keeps overlapping id
+    // namespaces apart until the candidate join.
+    val ex = shNew.select(lit(0).as("side"), col(idCol), explode(col("sh")).as("tok"))
+      .unionByName(
+        shRef.select(lit(1).as("side"), col(idCol), explode(col("sh")).as("tok")))
+    val withCnt = ex.withColumn("cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    val sorted = withCnt
+      .groupBy(col("side"), col(idCol))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
+    val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
+    val prefixes = pinPartitions(sorted
+      .select(col("side"), col(idCol), size(col("sh_sorted")).as("sz"),
+        posexplode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("tok")))
+          .as(Seq("pos", "tok"))),
+      col("tok"))
+    // Length + position prunes exactly as in prefixFilterJoinImpl (both
+    // completeness-preserving; the PPJoin argument never uses a < b
+    // ordering, so it holds for cross pairs unchanged — including the
+    // 1e-9 ceil guard).
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")) - lit(1e-9))
+    val candidates = prefixes.where(col("side") === 0).as("x")
+      .join(prefixes.where(col("side") === 1).as("y"),
+        col("x.tok") === col("y.tok")
+          && col("y.sz") >= ceil(lit(threshold) * col("x.sz"))
+          && col("x.sz") >= ceil(lit(threshold) * col("y.sz"))
+          && alpha <= lit(1) + least(col("x.sz") - col("x.pos") - 1, col("y.sz") - col("y.pos") - 1))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    val (verified, candCache) =
+      verifyPairsSidesOwned(candidates, shNew, shRef, idCol, "sh", threshold)
+    (verified.dropDuplicates("a", "b"), Seq(shNew, shRef, candCache))
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: ordered pairs (a, b) with

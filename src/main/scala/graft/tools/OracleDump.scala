@@ -24,5 +24,11 @@ object OracleDump {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     println(s"wrote ${graft.SparkEntry.oracleSql.size} oracle entries to $outDir/oracle_sql.json")
+    val modes = graft.SparkEntry.oracleCompare
+    if (modes.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/oracle_compare.json"),
+        modes.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+      println(s"wrote ${modes.size} compare-mode entries to $outDir/oracle_compare.json")
+    }
   }
 }

@@ -86,6 +86,39 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("prefixFilterCrossJoin matches brute-force cross jaccard exactly") {
+    spark.catalog.clearCache()
+    // near-dup cluster {1,2,4} split across the boundary as in the
+    // minHashCrossDedup test — but verified against brute force, including
+    // jaccard values and a just-AT-threshold pair (the class of pair LSH
+    // banding can miss, which is the whole point of the exact form)
+    val fresh = corpus.where(col("doc_id") % 2 === 0)
+    val ref = corpus.where(col("doc_id") % 2 === 1)
+    val out = Dedup.prefixFilterCrossJoinWith(fresh, ref, "doc_id", "text")(
+      _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet)
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      a <- Seq(2L, 4L); b <- Seq(1L, 3L, 5L)
+      i = sh(a).toSet.intersect(sh(b).toSet).size.toDouble
+      j = i / (sh(a).size + sh(b).size - i)
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(out == brute && out.map(t => (t._1, t._2)) == Set((2L, 1L), (4L, 1L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+
+    // exactly-at-threshold: sets {A B C D} vs {A B C D E F G H} have
+    // j = 4/8 = 0.5 — must be found (completeness at the boundary);
+    // overlapping id namespaces across sides must resolve per side
+    val newSide = Seq((7L, "a b c d e f")).toDF("doc_id", "text") // 4 3-shingles
+    val refSide = Seq(
+      (7L, "a b c d e f g h i j"),  // 8 shingles sharing all 4 -> j = 0.5
+      (8L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val border = Dedup.prefixFilterCrossJoinWith(newSide, refSide, "doc_id", "text")(
+      _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet)
+    assert(border == Set((7L, 7L, 0.5)))
+  }
+
   test("connectedComponents resolves pair graphs into min-labelled clusters") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
     // two components {1,2,4} (via 1-2, 2-4) and {5,6}; 3 and 7 singletons

@@ -82,6 +82,14 @@ def connect(sf_dir):
     if tmp_gb:
         con.execute(f"SET temp_directory='/tmp/duckdb_check_tmp'")
         con.execute(f"SET max_temp_directory_size='{tmp_gb}GB'")
+    # bound oracle RAM the same way: DuckDB's default is 80% of the box,
+    # and one pathological oracle took the whole process to 130 GB RSS and
+    # an OOM kill (q_embed_ivfpq at sf3) — the kernel's kill loses every
+    # result of the run, unlike a clean per-query Out-of-Memory error,
+    # which the loop records as a resource exclusion and moves past
+    mem_gb = os.environ.get("GRAFT_CHECK_MEM_GB")
+    if mem_gb:
+        con.execute(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
         # driver fixtures are single files; GenScale fixtures (sf1/sf3) are
         # Spark-written directories of part files
@@ -93,24 +101,91 @@ def connect(sf_dir):
     return con
 
 
+def subset_recall_check(con, mine_sql, oracle_sql, floor):
+    """Compare mode for PROBABILISTIC operators (LSH candidate generation):
+    exact multiset equality must eventually fail at scale — banded MinHash
+    misses a just-at-threshold pair with odds (1-t^r)^b per pair — so the
+    honest certificate is (a) PRECISION 1: every emitted row appears in the
+    oracle (these operators verify candidates exactly, so a false pair is a
+    real bug, never tolerated), via a multiset EXCEPT ALL; (b) RECALL >=
+    the operator's theory floor. Exact-by-construction operators keep the
+    exact signature path instead."""
+    cols = sorted(d[0] for d in
+                  con.sql(f"SELECT * FROM ({mine_sql}) LIMIT 0").description)
+    ocols = sorted(d[0] for d in
+                   con.sql(f"SELECT * FROM ({oracle_sql}) LIMIT 0").description)
+    if cols != ocols:
+        return {"ok": False, "error": f"cols: {cols} vs {ocols}"}
+    collist = ", ".join(f'"{c}"' for c in cols)
+    n_extra, n_mine = con.sql(
+        f"SELECT (SELECT count(*) FROM (SELECT {collist} FROM ({mine_sql}) "
+        f"EXCEPT ALL SELECT {collist} FROM ({oracle_sql}))), "
+        f"(SELECT count(*) FROM ({mine_sql}))").fetchone()
+    n_oracle = con.sql(
+        f"SELECT count(*) FROM ({oracle_sql})").fetchone()[0]
+    recall = (n_mine / n_oracle) if n_oracle else 1.0
+    return {"ok": n_extra == 0 and recall >= floor,
+            "rows": n_mine, "oracle_rows": n_oracle,
+            "false_pairs": n_extra, "recall": round(recall, 6),
+            "recall_floor": floor, "signature_mode": "subset_recall"}
+
+
 def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
     import os
     fast = os.environ.get("GRAFT_CHECK_FAST") == "1"
     con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    modes = {}
+    if os.path.exists(f"{out_dir}/oracle_compare.json"):
+        modes = json.load(open(f"{out_dir}/oracle_compare.json"))
     results = {}
     import time
+    # crash insurance: every per-query result appends to a JSONL sidecar
+    # the moment it exists, and GRAFT_CHECK_RESUME=1 preloads + skips the
+    # queries already recorded there — a kernel OOM kill (measured: one
+    # run lost 40 minutes of results) costs one query, not the run
+    progress_path = f"{out_dir}/check_progress.jsonl"
+    if os.environ.get("GRAFT_CHECK_RESUME") == "1" \
+            and os.path.exists(progress_path):
+        for line in open(progress_path):
+            line = line.strip()
+            if line:
+                rec = json.loads(line)
+                results[rec.pop("__name__")] = rec
+        print(f"[check] resumed {len(results)} results from "
+              f"{progress_path}", file=sys.stderr, flush=True)
+    elif os.path.exists(progress_path):
+        os.remove(progress_path)
+
+    def record(name, res):
+        results[name] = res
+        with open(progress_path, "a") as f:
+            f.write(json.dumps({"__name__": name, **res}) + "\n")
     for name, sql in sorted(oracle.items()):
+        if name in results:
+            continue
         t_start = time.time()
         mine_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
-        try:
+        mode = modes.get(name, "exact")
+        recall_floor = (float(mode.split(":", 1)[1])
+                        if mode.startswith("subset_recall") else None)
+        if recall_floor is None:
+            try:
+                if fast:
+                    mc, mn, mh = fast_signature(con, mine_sql)
+                else:
+                    mc, mn, mh = frame_signature(con.sql(mine_sql))
+            except Exception as e:  # noqa: BLE001
+                record(name, {"ok": False, "error": f"result read: {e}"})
+                print(f"[check] {name} ERROR (result read) "
+                      f"{time.time() - t_start:.1f}s", file=sys.stderr, flush=True)
+                continue
+        def compute():
+            if recall_floor is not None:
+                return subset_recall_check(con, mine_sql, sql, recall_floor)
             if fast:
-                mc, mn, mh = fast_signature(con, mine_sql)
-            else:
-                mc, mn, mh = frame_signature(con.sql(mine_sql))
-        except Exception as e:  # noqa: BLE001
-            results[name] = {"ok": False, "error": f"result read: {e}"}
-            continue
+                return fast_signature(con, sql)
+            return frame_signature(con.sql(sql))
         fired = False
         try:
             if timeout_s:
@@ -137,10 +212,7 @@ def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
                 timer = threading.Timer(timeout_s, fire)
                 timer.start()
                 try:
-                    if fast:
-                        rc, rn, rh = fast_signature(con, sql)
-                    else:
-                        rc, rn, rh = frame_signature(con.sql(sql))
+                    computed = compute()
                 finally:
                     with lock:
                         state["done"] = True
@@ -153,45 +225,59 @@ def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
                             pass
                         con = connect(sf_dir)
             else:
-                if fast:
-                    rc, rn, rh = fast_signature(con, sql)
-                else:
-                    rc, rn, rh = frame_signature(con.sql(sql))
+                computed = compute()
         except KeyboardInterrupt:
-            results[name] = {"ok": None, "excluded":
-                             f"oracle exceeded {timeout_s}s budget"}
+            record(name, {"ok": None, "excluded":
+                              f"oracle exceeded {timeout_s}s budget"})
+            print(f"[check] {name} EXCLUDED (budget) "
+                  f"{time.time() - t_start:.1f}s", file=sys.stderr, flush=True)
             continue
         except Exception as e:  # noqa: BLE001
             if fired or "INTERRUPT" in str(e).upper():
-                results[name] = {"ok": None, "excluded":
-                                 f"oracle exceeded {timeout_s}s budget"}
+                record(name, {"ok": None, "excluded":
+                                  f"oracle exceeded {timeout_s}s budget"})
+                print(f"[check] {name} EXCLUDED (budget) "
+                      f"{time.time() - t_start:.1f}s", file=sys.stderr, flush=True)
                 continue
             msg = str(e)
             if ("max_temp_directory_size" in msg
-                    or "No space left" in msg):
-                # resource-bound exclusion, same standing as the time
-                # budget: recorded, named, and gated by the allowlist
-                results[name] = {"ok": None, "excluded":
-                                 f"oracle exceeded temp-disk budget: {msg[:120]}"}
+                    or "No space left" in msg
+                    or "Out of Memory" in msg
+                    or "OutOfMemory" in msg):
+                # resource-bound exclusion (temp disk or RAM), same
+                # standing as the time budget: recorded, named, and gated
+                # by the allowlist
+                record(name, {"ok": None, "excluded":
+                                  f"oracle exceeded resource budget: {msg[:120]}"})
+                print(f"[check] {name} EXCLUDED (resource) "
+                      f"{time.time() - t_start:.1f}s", file=sys.stderr, flush=True)
                 try:
                     con.close()  # release the ENOSPC'd handle
                 except Exception:  # noqa: BLE001
                     pass
                 con = connect(sf_dir)
                 continue
-            results[name] = {"ok": False, "error": f"oracle: {msg}"}
+            record(name, {"ok": False, "error": f"oracle: {msg}"})
+            print(f"[check] {name} ERROR {time.time() - t_start:.1f}s",
+                  file=sys.stderr, flush=True)
             continue
-        ok = (mc == rc) and (mn == rn) and (mh == rh)
-        results[name] = {
-            "ok": ok, "rows": mn, "oracle_rows": rn,
-            "cols_match": mc == rc, "hash_match": mh == rh,
-            # fast = DuckDB-native order-insensitive 4-reduction signature
-            # (weaker than slow's sorted-rows sha256 — see fast_signature)
-            "signature_mode": "fast" if fast else "sha256",
-        }
-        if mc != rc:
-            results[name]["cols"] = mc
-            results[name]["oracle_cols"] = rc
+        if recall_floor is not None:
+            record(name, computed)
+            ok = computed.get("ok")
+        else:
+            rc, rn, rh = computed
+            ok = (mc == rc) and (mn == rn) and (mh == rh)
+            res = {
+                "ok": ok, "rows": mn, "oracle_rows": rn,
+                "cols_match": mc == rc, "hash_match": mh == rh,
+                # fast = DuckDB-native order-insensitive 4-reduction signature
+                # (weaker than slow's sorted-rows sha256 — see fast_signature)
+                "signature_mode": "fast" if fast else "sha256",
+            }
+            if mc != rc:
+                res["cols"] = mc
+                res["oracle_cols"] = rc
+            record(name, res)
         print(f"[check] {name} {'ok' if ok else 'MISMATCH'} "
               f"{time.time() - t_start:.1f}s", file=sys.stderr, flush=True)
     n_ok = sum(1 for r in results.values() if r.get("ok"))

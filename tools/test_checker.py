@@ -113,6 +113,62 @@ def main():
     finally:
         shutil.rmtree(out2, ignore_errors=True)
 
+    # 6. subset_recall mode: result must be a SUBSET of the oracle
+    #    (precision 1) with row-count recall above the floor
+    def make_subset_outdir(mine_rows, floor):
+        import duckdb
+        d = tempfile.mkdtemp(prefix="graft_checker_subset_")
+        con = duckdb.connect()
+        os.makedirs(f"{d}/q_sub")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {mine_rows}) t(a, b)) "
+            f"TO '{d}/q_sub/part-0.parquet' (FORMAT PARQUET)")
+        with open(f"{d}/oracle_sql.json", "w") as f:
+            # oracle = the 4 pairs (1,2),(1,3),(2,3),(4,5)
+            json.dump({"q_sub": "SELECT * FROM (VALUES (1, 2), (1, 3), "
+                                "(2, 3), (4, 5)) t(a, b)"}, f)
+        with open(f"{d}/oracle_compare.json", "w") as f:
+            json.dump({"q_sub": f"subset_recall:{floor}"}, f)
+        con.close()
+        return d
+
+    # full set -> recall 1, passes at any floor
+    out6 = make_subset_outdir("(1, 2), (1, 3), (2, 3), (4, 5)", 0.999)
+    try:
+        rc6, res6, _ = run(out6, 5)
+        check("subset_recall passes the full set", rc6 == 0 and
+              res6.get("q_sub", {}).get("ok") is True, str(res6.get("q_sub")))
+        check("subset_recall records mode and recall",
+              res6.get("q_sub", {}).get("signature_mode") == "subset_recall"
+              and res6.get("q_sub", {}).get("recall") == 1.0)
+    finally:
+        shutil.rmtree(out6, ignore_errors=True)
+    # one miss at floor 0.999 -> recall 0.75 fails; at floor 0.7 passes
+    out7 = make_subset_outdir("(1, 2), (1, 3), (2, 3)", 0.999)
+    try:
+        rc7, res7, _ = run(out7, 5)
+        check("subset_recall fails below the floor", rc7 != 0 and
+              res7.get("q_sub", {}).get("ok") is False, str(res7.get("q_sub")))
+    finally:
+        shutil.rmtree(out7, ignore_errors=True)
+    out8 = make_subset_outdir("(1, 2), (1, 3), (2, 3)", 0.7)
+    try:
+        rc8, res8, _ = run(out8, 5)
+        check("subset_recall passes above the floor", rc8 == 0 and
+              res8.get("q_sub", {}).get("ok") is True, str(res8.get("q_sub")))
+    finally:
+        shutil.rmtree(out8, ignore_errors=True)
+    # a FALSE pair fails regardless of recall (precision is never relaxed)
+    out9 = make_subset_outdir("(1, 2), (1, 3), (2, 3), (4, 5), (9, 9)", 0.7)
+    try:
+        rc9, res9, _ = run(out9, 5)
+        check("subset_recall rejects a false pair", rc9 != 0 and
+              res9.get("q_sub", {}).get("ok") is False
+              and res9.get("q_sub", {}).get("false_pairs") == 1,
+              str(res9.get("q_sub")))
+    finally:
+        shutil.rmtree(out9, ignore_errors=True)
+
     if failures:
         print(f"[self-test] {len(failures)} FAILURES: {failures}", file=sys.stderr)
         return 1
