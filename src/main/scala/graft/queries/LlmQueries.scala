@@ -1195,21 +1195,51 @@ object LlmQueries {
     * exact cosine verify — so the LSH plan itself is hash-checked, not just
     * its high-recall subset.
     */
-  private def lshNearDupSql(numPlanes: Int, dim: Int, threshold: Double): String = {
+  /** Multiprobe LSH candidate CTEs (bv, pr, cand) shared by
+    * [[lshNearDupSql]]/[[semdedupSql]] — pairs deduped by the
+    * MIN-SHARED-PROBE closed form instead of DISTINCT. A pair colliding
+    * on k probe buckets appears k times in the bucket self-join, and the
+    * DISTINCT over that pre-dedup stream (hundreds of millions of rows at
+    * sf3's 8-plane occupancy) needed more than the bounded oracle temp.
+    * The shared-probe set of two codes has a closed form by
+    * bit_count(xor): 0 shared bits differing -> base + every flip (min =
+    * the code with its top set bit cleared), 1 -> {a, b}, 2 -> the two
+    * one-flip meet points, >2 -> disjoint (the join cannot match). Keeping
+    * only the row whose matched probe IS that minimum makes candidates
+    * distinct by construction and the whole pair stream pipelines into
+    * the verify join with no blocking operator — the same trick as the
+    * Spark operator's map-side LSH dedup. Pinned bit-equal to the
+    * DISTINCT form at sf0.01/sf0.1.
+    */
+  private def lshPairCandCtes(numPlanes: Int, dim: Int): String = {
     val bits = lshBitsSqlFragment(numPlanes, dim)
     // probe f = -1 is the vector's own code; f = p flips bit p (MSB-first
     // code, matching the Spark fold acc*2+b)
     val codes = (0 until numPlanes).map { p =>
       s"(CASE WHEN f = $p THEN 1 - bits[${p + 1}] ELSE bits[${p + 1}] END) * ${1L << (numPlanes - 1 - p)}"
     }.mkString(" + ")
-    s"WITH bv AS (SELECT vec_id, $bits AS bits FROM embeddings), " +
-      s"pr AS (SELECT vec_id, unnest(list_transform(range(-1, $numPlanes), f -> $codes)) AS probe FROM bv), " +
-      "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM pr x JOIN pr y ON x.probe = y.probe AND x.vec_id < y.vec_id) " +
-      "SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
+    val ownCode = (0 until numPlanes).map(p =>
+      s"bits[${p + 1}] * ${1L << (numPlanes - 1 - p)}").mkString(" + ")
+    val d = "xor(x.code, y.code)"
+    val low = s"($d & (-$d))"
+    val msbCleared =
+      "(CASE WHEN x.code = 0 THEN 0 ELSE x.code - (1::BIGINT << CAST(floor(log2(x.code)) AS INT)) END)"
+    val minShared = s"(CASE bit_count($d) WHEN 0 THEN $msbCleared " +
+      "WHEN 1 THEN least(x.code, y.code) " +
+      s"WHEN 2 THEN least(xor(x.code, $low), xor(x.code, $d - $low)) ELSE -1 END)"
+    s"bv AS (SELECT vec_id, $bits AS bits FROM embeddings), " +
+      s"bc AS (SELECT vec_id, $ownCode AS code, bits FROM bv), " +
+      s"pr AS (SELECT vec_id, code, unnest(list_transform(range(-1, $numPlanes), f -> $codes)) AS probe FROM bc), " +
+      "cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM pr x JOIN pr y " +
+      s"ON x.probe = y.probe AND x.vec_id < y.vec_id AND x.probe = $minShared), "
+  }
+
+  private def lshNearDupSql(numPlanes: Int, dim: Int, threshold: Double): String =
+    s"WITH ${lshPairCandCtes(numPlanes, dim)}" +
+      "v AS (SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
       "SELECT cand.a, cand.b, list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c " +
       "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a JOIN embeddings eb ON eb.vec_id = cand.b) t " +
-      s"WHERE c >= $threshold"
-  }
+      s"WHERE c >= $threshold) SELECT a, b, cosine FROM v"
 
   /** DuckDB replica of [[Similarity.lshKnn]]: the same plane bits as
     * [[lshNearDupSql]], query probes (own + Hamming-1 codes) against corpus
@@ -1242,24 +1272,21 @@ object LlmQueries {
     * connected-components resolution — the full SemDeDup plan is
     * hash-checked, pair graph included.
     */
-  private def semdedupSql(numPlanes: Int, dim: Int, threshold: Double): String = {
-    val bits = lshBitsSqlFragment(numPlanes, dim)
-    val codes = (0 until numPlanes).map { p =>
-      s"(CASE WHEN f = $p THEN 1 - bits[${p + 1}] ELSE bits[${p + 1}] END) * ${1L << (numPlanes - 1 - p)}"
-    }.mkString(" + ")
-    s"WITH RECURSIVE bv AS (SELECT vec_id, $bits AS bits FROM embeddings), " +
-      s"pr AS (SELECT vec_id, unnest(list_transform(range(-1, $numPlanes), f -> $codes)) AS probe FROM bv), " +
-      "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM pr x JOIN pr y ON x.probe = y.probe AND x.vec_id < y.vec_id), " +
-      "p AS (SELECT a, b FROM (SELECT cand.a, cand.b, " +
+  private def semdedupSql(numPlanes: Int, dim: Int, threshold: Double): String =
+    // candidate CTEs shared with lshNearDupSql (min-shared-probe dedup);
+    // p/e MATERIALIZED for the components recursion, as in
+    // q_dedup_components — without the pin DuckDB re-inlines the whole
+    // pair pipeline into both e branches and every fixpoint round
+    s"WITH RECURSIVE ${lshPairCandCtes(numPlanes, dim)}" +
+      "p AS MATERIALIZED (SELECT a, b FROM (SELECT cand.a, cand.b, " +
       "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c " +
       "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a JOIN embeddings eb ON eb.vec_id = cand.b) t " +
       s"WHERE c >= $threshold), " +
-      "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
+      "e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
       "reach(id, lab) AS (SELECT vec_id, vec_id FROM embeddings " +
       "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b) " +
       "SELECT id AS vec_id, min(lab) AS component, min(lab) = id AS keep " +
       "FROM reach GROUP BY id"
-  }
 
   /** DuckDB replica of [[Similarity.kmeansCentroids]] (2 Lloyd iterations,
     * dim 64): the same nearest-cell assignment tiebreak and the same
@@ -1329,9 +1356,11 @@ object LlmQueries {
       s"s2 AS (SELECT vec_id FROM d2, p2 WHERE vec_id NOT IN (SELECT cid FROM c2) AND ${bucket(":kmpp2")} * phi < 8 * di * 1000000), " +
       "cf AS (SELECT cid FROM c2 UNION ALL SELECT vec_id AS cid FROM s2), " +
       "cfv AS (SELECT e.vec_id AS cid, e.embedding AS cv FROM embeddings e JOIN cf ON e.vec_id = cf.cid), " +
-      "asg AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
-      "ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 9) DESC, c.cid) AS rn " +
-      "FROM embeddings e CROSS JOIN cfv c) " +
+      "asg AS (SELECT vec_id, cid, rn FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn " +
+      "FROM (SELECT e.vec_id, c.cid, " +
+      "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 9) AS cos " +
+      "FROM embeddings e CROSS JOIN cfv c) pc) w WHERE rn = 1) " +
       "SELECT cid AS center_id, count(*)::BIGINT AS weight FROM asg WHERE rn = 1 GROUP BY cid"
   }
 
@@ -1341,18 +1370,26 @@ object LlmQueries {
     "WITH c0 AS (SELECT vec_id AS cell_id, d, embedding[d+1]::DOUBLE AS cval " +
       s"FROM embeddings CROSS JOIN range($d) r(d) WHERE vec_id % 50 = 0), " +
       "c0v AS (SELECT cell_id, list(cval ORDER BY d) AS cv FROM c0 GROUP BY cell_id), " +
-      "a1 AS (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id " +
-      "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cell_id) AS rn " +
-      "FROM embeddings e CROSS JOIN c0v c), " +
+      // cosine in an inner projection, not the window ORDER BY: the window
+      // otherwise materializes the vectors-x-centroids cross join WITH both
+      // embedding arrays (the q_embed_ivfpq 130 GB pathology; see
+      // ivfAssignCte). rn = 1 applies inside, so nothing wider leaves.
+      "a1 AS (SELECT vec_id, cell_id, rn FROM (SELECT vec_id, cell_id, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn " +
+      "FROM (SELECT e.vec_id, c.cell_id, " +
+      "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 9) AS cos " +
+      "FROM embeddings e CROSS JOIN c0v c) pc) w WHERE rn = 1), " +
       "asg1 AS (SELECT vec_id, cell_id FROM a1 WHERE rn = 1), " +
       "m1 AS (SELECT cell_id, d, CAST(sum(CAST(e.embedding[d+1]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m " +
       s"FROM asg1 JOIN embeddings e USING (vec_id) CROSS JOIN range($d) r(d) GROUP BY cell_id, d), " +
       "c1 AS (SELECT c0.cell_id, c0.d, coalesce(m1.m, c0.cval) AS cval " +
       "FROM c0 LEFT JOIN m1 ON c0.cell_id = m1.cell_id AND c0.d = m1.d), " +
       "c1v AS (SELECT cell_id, list(cval ORDER BY d) AS cv FROM c1 GROUP BY cell_id), " +
-      "a2 AS (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id " +
-      "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cell_id) AS rn " +
-      "FROM embeddings e CROSS JOIN c1v c), " +
+      "a2 AS (SELECT vec_id, cell_id, rn FROM (SELECT vec_id, cell_id, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn " +
+      "FROM (SELECT e.vec_id, c.cell_id, " +
+      "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 9) AS cos " +
+      "FROM embeddings e CROSS JOIN c1v c) pc) w WHERE rn = 1), " +
       "asg2 AS (SELECT vec_id, cell_id FROM a2 WHERE rn = 1), " +
       "m2 AS (SELECT cell_id, d, CAST(sum(CAST(e.embedding[d+1]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m " +
       s"FROM asg2 JOIN embeddings e USING (vec_id) CROSS JOIN range($d) r(d) GROUP BY cell_id, d) " +
@@ -1361,15 +1398,35 @@ object LlmQueries {
       "FROM c1 LEFT JOIN m2 ON c1.cell_id = m2.cell_id AND c1.d = m2.d"
   }
 
+  /** Coarse-quantizer assignment CTE shared by [[ivfKnnSql]]/[[ivfPqKnnSql]]:
+    * every vector's nProbe nearest centroids with the (cos desc, cell_id)
+    * tiebreak. Three deliberate shapes, all evaluation-only (pinned
+    * bit-equal to the inlined-window original at sf0.01/sf0.1):
+    *  - the cosine is computed in an INNER projection, so the window's
+    *    input is 3 scalars per row — with the cosine inline in ORDER BY,
+    *    DuckDB materialized the vectors-x-centroids cross join WITH both
+    *    embedding arrays (~40 GB at sf3) as window input;
+    *  - `AS MATERIALIZED`, because the CTE is referenced twice
+    *    (corpus_cell + query_cell) and would otherwise run twice;
+    *  - pre-filtered to rn <= nProbe, so what materializes is vectors x
+    *    nProbe rows, not vectors x centroids. Together these took the
+    *    q_embed_ivfpq oracle from a 130 GB OOM kill at sf3 to streaming.
+    */
+  private def ivfAssignCte(nProbe: Int): String =
+    "ca AS MATERIALIZED (SELECT vec_id, cell_id, rn FROM " +
+      "(SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY cos DESC, cell_id) AS rn FROM " +
+      "(SELECT e.vec_id, cent.cell_id, " +
+      "round(list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]), 9) AS cos " +
+      s"FROM embeddings e CROSS JOIN cent) pc) w WHERE rn <= $nProbe), "
+
   /** DuckDB replica of [[Similarity.ivfKnn]]: centroids = vec_id % 50 == 0,
     * nearest-cell assignment with the (cos desc, cell_id) tiebreak, queries
     * probe the 3 nearest cells, exact re-rank within probed cells.
     */
   private def ivfKnnSql(k: Int, nProbe: Int): String =
     s"WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE $IvfCentroidPred), " +
-      "ca AS (SELECT e.vec_id, cent.cell_id, " +
-      "row_number() OVER (PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]), 9) DESC, cent.cell_id) AS rn " +
-      "FROM embeddings e CROSS JOIN cent), " +
+      ivfAssignCte(nProbe) +
       "corpus_cell AS (SELECT vec_id AS neighbor_id, cell_id FROM ca WHERE rn = 1), " +
       s"query_cell AS (SELECT vec_id AS query_id, cell_id FROM ca WHERE rn <= $nProbe AND $KnnQueryPred), " +
       "cand AS (SELECT DISTINCT query_id, neighbor_id FROM query_cell JOIN corpus_cell USING (cell_id) " +
@@ -1393,9 +1450,7 @@ object LlmQueries {
     val sd = dim / numSubspaces
     s"WITH cent AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE $IvfCentroidPred), " +
       s"cb AS (SELECT vec_id AS code_id, embedding AS b_emb FROM embeddings WHERE $PqCodebookPred), " +
-      "ca AS (SELECT e.vec_id, cent.cell_id, " +
-      "row_number() OVER (PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]), 9) DESC, cent.cell_id) AS rn " +
-      "FROM embeddings e CROSS JOIN cent), " +
+      ivfAssignCte(nProbe) +
       "corpus_cell AS (SELECT vec_id AS neighbor_id, cell_id FROM ca WHERE rn = 1), " +
       s"query_cell AS (SELECT vec_id AS query_id, cell_id FROM ca WHERE rn <= $nProbe AND $KnnQueryPred), " +
       // per-(code, sub) slice + squared norm, shared by every later CTE
@@ -2116,15 +2171,26 @@ object LlmQueries {
         "FROM inter JOIN szs sa ON sa.doc_id = ia) p WHERE c >= 0.8"),
     "q_dedup_minhash" -> allPairsSql("a, b"),
     "q_dedup_simhash" -> simhashSql,
+    // cand dedups by the MIN-SHARED-BAND closed form instead of DISTINCT:
+    // a pair colliding on k of the 4 bands appeared k times, and the
+    // DISTINCT over that stream needed ~2x this box's bounded temp at sf3
+    // (billions of pre-dedup rows). Keeping only the row whose band index
+    // has no earlier shared band emits each pair exactly once by
+    // construction — the whole oracle becomes one streamed hash-join probe
+    // into a constant-memory signature aggregate (same trick as the Spark
+    // operator's map-side LSH dedup). Pinned bit-equal at sf0.01/sf0.1.
     "q_dedup_simhash_pairs" ->
       (s"WITH s AS ($simhashSql), " +
         "k AS (SELECT doc_id, hi, lo, i AS ci, " +
         "CASE i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536 " +
         "WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS cv " +
         "FROM s CROSS JOIN range(4) r(i)), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, " +
+        "cand AS (SELECT x.doc_id AS a, y.doc_id AS b, " +
         "x.hi AS hi_a, x.lo AS lo_a, y.hi AS hi_b, y.lo AS lo_b " +
-        "FROM k x JOIN k y ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id) " +
+        "FROM k x JOIN k y ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id " +
+        "AND (x.ci < 1 OR x.hi // 65536 != y.hi // 65536) " +
+        "AND (x.ci < 2 OR x.hi % 65536 != y.hi % 65536) " +
+        "AND (x.ci < 3 OR x.lo // 65536 != y.lo // 65536)) " +
         "SELECT a, b, hamming FROM (SELECT a, b, " +
         "CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming " +
         "FROM cand) t WHERE hamming <= 3"),
@@ -2547,9 +2613,14 @@ object LlmQueries {
         "FROM embeddings e JOIN b ON e.vec_id != b.bench_id GROUP BY e.vec_id) " +
         "SELECT e.vec_id, coalesce(mbc, 0.0) AS max_bench_cosine, " +
         "coalesce(mbc, 0.0) < 0.95 AS keep FROM embeddings e LEFT JOIN p USING (vec_id)"),
+    // p/e MATERIALIZED: DuckDB otherwise re-inlines the full token-join
+    // pair pipeline into BOTH e branches and every recursion round — at
+    // sf3 that put a ~150 s pipeline inside a fixpoint loop and blew the
+    // 900 s oracle budget. Pure evaluation hint, plan-for-plan identical
+    // result (pinned bit-equal at sf0.01/sf0.1 before the swap).
     "q_dedup_components" ->
-      (s"WITH RECURSIVE p AS (${allPairsSql("a, b")}), " +
-        "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
+      (s"WITH RECURSIVE p AS MATERIALIZED (${allPairsSql("a, b")}), " +
+        "e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
         "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b) " +
         "SELECT id AS doc_id, min(lab) AS component, min(lab) = id AS keep " +
@@ -2562,8 +2633,8 @@ object LlmQueries {
           s" + (CASE WHEN len($ws) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) " +
           s" + (CASE WHEN list_sum(list_transform($ws, w -> length(w)))::DOUBLE / len($ws)::DOUBLE BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)" +
           ") / 4, 6) AS DOUBLE)"
-      s"WITH RECURSIVE p AS (${allPairsSql("a, b")}), " +
-        "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
+      s"WITH RECURSIVE p AS MATERIALIZED (${allPairsSql("a, b")}), " +
+        "e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
         "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b), " +
         "comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id), " +

@@ -502,9 +502,15 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("cval")))),
           x => x.getField("cval")).as("c_vec"))
       val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
+      // 9-dp-rounded assignment cosine, the ivfKnn discipline: two engines'
+      // dot products legitimately differ in the last ulp (accumulation
+      // order), and an UNROUNDED near-tie then flips a vector's cell and
+      // drifts the centroid mean — first measured at sf3 (2 of 76.8k
+      // output values off by 1e-9). Rounding both sides to 9 dp with the
+      // cell_id tiebreak makes the assignment engine-stable.
       val assigned = corpus.select(col(idCol), col(vecCol).as("__v__"))
         .join(broadcast(cvecs))
-        .withColumn("cell_cos", cosine(col("__v__"), col("c_vec")))
+        .withColumn("cell_cos", round(cosine(col("__v__"), col("c_vec")), 9))
         .withColumn("__rn__", row_number().over(w))
         .where(col("__rn__") === 1)
         .select(col("cell_id"), col("__v__"))
