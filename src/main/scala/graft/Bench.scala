@@ -29,7 +29,21 @@ object Bench {
     // bytes (Fixtures.writeParts), so the build holds at probe scales; the
     // r13 SPARK_GRAFT_SKIP_FIXTURES escape hatch is gone with the
     // single-task sort+coalesce(1) spike that motivated it.
-    try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
+    // A fixture-build failure must be LOUD: the r14 silent catch-all turned
+    // a would-be disk-full during a fixture write into 204 confusing
+    // downstream query errors. Each builder's failure is logged; if EVERY
+    // builder failed, abort with one clear message instead of benching a
+    // broken world. (Partial failure continues: queries re-ensure their own
+    // fixture, so a transient per-builder error self-heals in the body.)
+    val (fixOk, fixFailed) = SparkEntry.prepareFixturesCounted(spark, sfDir)
+    if (fixFailed > 0) {
+      System.err.println(s"[bench] fixture build: $fixOk ok, $fixFailed FAILED (see messages above)")
+      if (fixOk == 0) {
+        System.err.println("[bench] every fixture build failed — aborting (check disk space / permissions on the fixture dir)")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -146,6 +160,14 @@ object Bench {
     // totals survive even when the per-query maps are cut (r13's driver
     // artifact lost them behind the maps).
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${errors.size},"n":${timings.size},"sf":${jstr(sfDir)},"order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"rounds":$rnds,"errors":$errs}""")
+    // Summary trailer: the driver keeps the LAST ~2 KB of output, so a
+    // second, short, summary-only JSON line AFTER the long line always
+    // survives the tail capture even when the per-query maps are cut
+    // (r14's front-loaded fields were truncated away; r13's end-of-line
+    // fields survived — the tail keeps what's LAST).
+    val worst = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":${fmt(total)},"unit":"sec","failed":${errors.size},"n":${timings.size},"sf":${jstr(sfDir)},"reps":$reps,"isolated_n":${isolated.size},"top5":$worst}""")
     spark.stop()
   }
 }

@@ -58,7 +58,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // compare-mode overrides (subset_recall for probabilistic operators);
-    // checkers without support ignore the sidecar and compare exact
+    // checkers without support ignore the sidecar and compare exact.
+    // Always clear any pre-existing sidecar first: a reused outDir must not
+    // keep a stale mode map — a query later reverted to exact semantics
+    // would otherwise be silently checked with the weaker subset_recall.
+    Files.deleteIfExists(Paths.get(s"$outDir/oracle_compare.json"))
     val modes = SparkEntry.oracleCompare.filter(kv => nameFilter(kv._1))
     if (modes.nonEmpty)
       Files.writeString(Paths.get(s"$outDir/oracle_compare.json"),

@@ -855,6 +855,18 @@ object LlmQueries {
       Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
         threshold = 0.45, bruteForce = true)),
 
+    // The PRODUCTION near-dup entry point: planes scale with log2(corpus)
+    // (constant expected bucket occupancy — the pinned 8-plane geometry is
+    // quadratic in corpus growth and was 25% of the sf10 suite by itself).
+    // Certified by the subset_recall oracle mode: p-plane codes extend the
+    // 8-plane codes bitwise, so Hamming<=2 at p planes implies Hamming<=2
+    // on the first 8 bits — the adaptive output is ALWAYS a subset of the
+    // 8-plane oracle with identical exact cosines (precision 1 at any
+    // scale), and the recall floor is measured (SimilaritySpec + SCALE.md).
+    "q_embed_neardup_prod" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsAuto(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.45)),
+
     // SemDeDup-style semantic dedup: cosine near-dup pair graph (sign-LSH
     // buckets) resolved into clusters, one canonical keeper per cluster.
     "q_embed_semdedup" -> ((s, dir) =>
@@ -2763,6 +2775,9 @@ object LlmQueries {
         "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos AS cosine " +
         "FROM r WHERE rank <= 5"),
     "q_embed_neardup" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
+    // subset_recall oracle (see the query comment): the adaptive-geometry
+    // output is a provable subset of this 8-plane frame at any scale
+    "q_embed_neardup_prod" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
     "q_embed_neardup_exact" ->
       ("SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
         "SELECT a.vec_id AS a, b.vec_id AS b, " +

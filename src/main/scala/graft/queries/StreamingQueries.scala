@@ -163,10 +163,15 @@ object StreamingQueries {
   private def crossDedupFixture(s: SparkSession, dir: String): String = {
     val landing = "/tmp/graft_q_stream_cross_dedup/landing"
     Fixtures.ensure(landing, dir) {
+      // repartition, not coalesce: coalesce cannot INCREASE partition count,
+      // so a small source collapsed the landing to ONE file and the "stream"
+      // ran as a single micro-batch — the multi-batch exactness claim was
+      // never exercised. Three files minimum gives >= 3 real batches with
+      // maxFilesPerTrigger below.
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
         .where(pmod(col("doc_id"), lit(3)) =!= 0)
-        .coalesce(math.max(2, Fixtures.writeParts(s, s"$dir/documents.parquet")))
+        .repartition(math.max(3, Fixtures.writeParts(s, s"$dir/documents.parquet")))
         .write.mode("overwrite").parquet(landing)
     }
     landing
@@ -360,7 +365,24 @@ object StreamingQueries {
       val reference = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
         .where(pmod(col("doc_id"), lit(3)) === 0)
-      val q = Streaming.crossDedupSink(stream(s, landing), reference,
+      // Run as ~3 micro-batches at ANY scale (maxFilesPerTrigger bounds an
+      // AvailableNow batch): exercises the operator's per-pair-exact
+      // "appended union == batch answer regardless of batch boundaries"
+      // claim for real — a single drain-everything batch never splits the
+      // stream side — while the batch count stays fixed as the fixture's
+      // file count grows with sf. The reference-side index is built once
+      // (Dedup.PrefixCrossIndex), so extra batches cost probes, not
+      // reference re-derivations.
+      val nFiles = Option(new java.io.File(landing).listFiles())
+        .map(_.count(f => f.getName.startsWith("part-"))).getOrElse(1)
+      // graft.stream.crossBatches overrides the target batch count (A/B
+      // probes measuring how cost scales with batches; default 3)
+      val targetBatches = sys.props.get("graft.stream.crossBatches")
+        .map(_.toInt).getOrElse(3)
+      val perTrigger = math.max(1, nFiles / math.max(1, targetBatches))
+      val src = s.readStream.schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(landing)
+      val q = Streaming.crossDedupSink(src, reference,
         "doc_id", "text", s"$base/out", s"$base/ckpt")
       q.awaitTermination()
       s.read.parquet(s"$base/out").select(col("a"), col("b"), col("jaccard"))

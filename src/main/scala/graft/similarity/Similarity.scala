@@ -310,6 +310,47 @@ object Similarity {
     }(enc).toDF("a", "b", "cosine")
   }
 
+  /** Scale-adaptive sign-LSH plane count: p ≈ log2(n / targetOccupancy),
+    * clamped to [minPlanes, maxPlanes]. Fixed-plane geometry saturates as
+    * the corpus grows — 2^p buckets at occupancy n/2^p generate
+    * n²/2^(p+1) in-bucket pairs, so a pinned p pays quadratically for
+    * corpus growth (measured: the 8-plane geometry is 25% of the sf10
+    * suite) while p = log2(n) - log2(occupancy) holds expected occupancy
+    * (and so candidate mass per vector) CONSTANT at any scale.
+    *
+    * Recall trade, stated honestly: more planes lower the per-pair
+    * collision odds ((1 - theta/pi)^p with Hamming<=2 multiprobe slack),
+    * so the adaptive geometry is the PRODUCTION dial, certified by
+    * measurement (SimilaritySpec recall floor vs the blocked-exact
+    * baseline; SCALE.md sf3/sf10 ratios vs the pinned-8 output). A
+    * key containment property keeps certification cheap: plane p's bit is
+    * a pure function of (vector, p), so a p-plane code is a PREFIX
+    * EXTENSION of the 8-plane code, Hamming(p-bit codes) <= 2 implies
+    * Hamming on the first 8 bits <= 2, and therefore the adaptive
+    * candidate set (hence verified output) is ALWAYS A SUBSET of the
+    * pinned-8 output with identical exact-cosine scores — the
+    * subset_recall oracle mode certifies precision 1 against the 8-plane
+    * SQL at every scale.
+    */
+  def adaptivePlanes(n: Long, targetOccupancy: Long = 16L,
+                     minPlanes: Int = 8, maxPlanes: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1L, n / math.max(1L, targetOccupancy)).toDouble) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
+  /** [[cosineNearDupPairs]] at the production geometry: one corpus count
+    * picks [[adaptivePlanes]]. The pinned-plane form stays for callers
+    * needing a reproducible fixed geometry (e.g. the hash-exact oracle).
+    */
+  def cosineNearDupPairsAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val planes = adaptivePlanes(corpus.count())
+    if (sys.props.get("graft.verify.debug").nonEmpty)
+      System.err.println(s"[neardup] adaptive planes=$planes")
+    cosineNearDupPairs(corpus, idCol, vecCol, threshold, planes)
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, numPlanes: Int = 8,
                          bruteForce: Boolean = false): DataFrame = {

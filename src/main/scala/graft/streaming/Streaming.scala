@@ -210,19 +210,54 @@ object Streaming {
                      idCol: String, textCol: String,
                      outPath: String, checkpointDir: String,
                      threshold: Double = 0.5,
-                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    stream.writeStream
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // The reference corpus is immutable across micro-batches, so its
+    // shingle table / token frequencies / rare-first prefix stream are
+    // built and persisted ONCE here (graft.text.Dedup.PrefixCrossIndex) —
+    // re-deriving them per batch was most of the per-batch cost. Exactness
+    // is unchanged: the index freezes the shared token order to
+    // (ref-corpus frequency, token), which the prefix-filter completeness
+    // lemma accepts like any other total order (see the index's Scaladoc).
+    // graft.crossindex.disabled=true reverts to the r14 per-batch
+    // re-derivation (A/B adjudication on a noisy box + operational escape
+    // hatch, same pattern as graft.verify.scaled)
+    val useIndex = !sys.props.get("graft.crossindex.disabled").exists(_.toBoolean)
+    val index =
+      if (useIndex) Some(graft.text.Dedup.buildPrefixCrossIndex(
+        reference, idCol, textCol, threshold = threshold))
+      else None
+    val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.text.Dedup.prefixFilterCrossJoinWith(batch.toDF(), reference,
-          idCol, textCol, threshold = threshold) { pairs =>
+        def sink(pairs: DataFrame): Unit =
           pairs.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outPath)
+        index match {
+          case Some(idx) => idx.joinBatchWith(batch.toDF())(sink)
+          case None => graft.text.Dedup.prefixFilterCrossJoinWith(
+            batch.toDF(), reference, idCol, textCol, threshold = threshold)(sink)
         }
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+    // release the index caches when the stream terminates (AvailableNow
+    // drains finish; long-lived streams release on stop)
+    stream.sparkSession.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            index.foreach(_.release())
+            stream.sparkSession.streams.removeListener(this)
+          }
+      })
+    q
+  }
 
   /** Streaming exact-dedup on key columns via the engine's own state-store
     * operator (`dropDuplicates` on a stream): codegen'd, no typed

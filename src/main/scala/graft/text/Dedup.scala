@@ -153,14 +153,24 @@ object Dedup {
     * unchanged; the union of slices is exactly the unchunked output.
     */
   private[graft] def chunkedVerify(cand: DataFrame, k: Int)
-                                  (pass: DataFrame => DataFrame): DataFrame = {
+                                  (pass: DataFrame => DataFrame): DataFrame =
+    chunkedVerifyOn(cand, k, col("a"))(pass)
+
+  /** [[chunkedVerify]] generalized to any banding key — the slice filter
+    * must key on a column that is CONSTANT per logical pair (so every
+    * duplicate of a pair lands in one slice and per-slice dedup semantics
+    * equal the global ones); pair-frames band on `a`, the
+    * signature-banded Hamming path bands on its x-side representative.
+    */
+  private[graft] def chunkedVerifyOn(cand: DataFrame, k: Int, key: Column)
+                                    (pass: DataFrame => DataFrame): DataFrame = {
     if (k <= 1) return pass(cand)
     val sc = cand.sparkSession.sparkContext
     val debug = sys.props.get("graft.verify.debug").nonEmpty
     val outs = (0 until k).map { i =>
       val t0 = System.nanoTime()
       val before = org.apache.spark.GraftShuffleGc.snapshot(sc)
-      val slice = cand.where(pmod(xxhash64(col("a")), lit(k.toLong)) === lit(i.toLong))
+      val slice = cand.where(pmod(xxhash64(key), lit(k.toLong)) === lit(i.toLong))
       val out = pass(slice).localCheckpoint() // eager: the pass runs HERE
       val cleaned = org.apache.spark.GraftShuffleGc.cleanNewSince(sc, before)
       if (debug) System.err.println(
@@ -170,6 +180,16 @@ object Dedup {
     }
     org.apache.spark.sql.graft.ExpressionBridge.flatUnion(outs)
   }
+
+  /** Upper bound on a bucketed self-join's pair output: Σ n·(n-1)/2 over
+    * the `keys` occupancies — one narrow aggregation, the provisioning
+    * signal shared by every chunk-dial consumer (see cosineNearDupPairs'
+    * rawMass for the multiprobe variant).
+    */
+  private[graft] def pairMassBound(df: DataFrame, keys: Column*): Long =
+    df.groupBy(keys: _*).agg(count(lit(1)).as("__n__"))
+      .agg(coalesce(sum(col("__n__") * (col("__n__") - 1) / 2), lit(0)).cast("long"))
+      .head.getLong(0)
 
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
                     numBands: Int, rowsPerBand: Int,
@@ -533,7 +553,12 @@ object Dedup {
     val sorted = withCnt
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
-    val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
+    // The ceil here (and in every length filter below) carries the same
+    // 1e-9 guard as alpha: an epsilon-above-integer double product would
+    // inflate the ceil, shrinking the prefix / tightening the length
+    // filter past a just-qualifying pair — a completeness break for
+    // non-dyadic thresholds.
+    val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted")) - lit(1e-9)).cast("int") + 1).cast("int")
     // partitioning pinned on the join key: the candidate join's output is
     // quadratic in bucket occupancy while its input is byte-small — see
     // pinPartitions (AQE would otherwise coalesce the exchange)
@@ -560,8 +585,8 @@ object Dedup {
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")) - lit(1e-9))
     val candidates = prefixes.as("x").join(prefixes.as("y"),
         col("x.tok") === col("y.tok") && col(s"x.$idCol") < col(s"y.$idCol")
-          && col("y.sz") >= ceil(lit(threshold) * col("x.sz"))
-          && col("x.sz") >= ceil(lit(threshold) * col("y.sz"))
+          && col("y.sz") >= ceil(lit(threshold) * col("x.sz") - lit(1e-9))
+          && col("x.sz") >= ceil(lit(threshold) * col("y.sz") - lit(1e-9))
           && alpha <= lit(1) + least(col("x.sz") - col("x.pos") - 1, col("y.sz") - col("y.pos") - 1))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
     // A pair sharing k prefix tokens appears k times — but the position
@@ -633,7 +658,9 @@ object Dedup {
     val sorted = withCnt
       .groupBy(col("side"), col(idCol))
       .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
-    val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
+    // same 1e-9 ceil guard as the self-join path (completeness at
+    // non-dyadic thresholds)
+    val prefixLen = (size(col("sh_sorted")) - ceil(lit(threshold) * size(col("sh_sorted")) - lit(1e-9)).cast("int") + 1).cast("int")
     val prefixes = pinPartitions(sorted
       .select(col("side"), col(idCol), size(col("sh_sorted")).as("sz"),
         posexplode(transform(slice(col("sh_sorted"), lit(1), prefixLen), x => x.getField("tok")))
@@ -647,13 +674,152 @@ object Dedup {
     val candidates = prefixes.where(col("side") === 0).as("x")
       .join(prefixes.where(col("side") === 1).as("y"),
         col("x.tok") === col("y.tok")
-          && col("y.sz") >= ceil(lit(threshold) * col("x.sz"))
-          && col("x.sz") >= ceil(lit(threshold) * col("y.sz"))
+          && col("y.sz") >= ceil(lit(threshold) * col("x.sz") - lit(1e-9))
+          && col("x.sz") >= ceil(lit(threshold) * col("y.sz") - lit(1e-9))
           && alpha <= lit(1) + least(col("x.sz") - col("x.pos") - 1, col("y.sz") - col("y.pos") - 1))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
     val (verified, candCache) =
       verifyPairsSidesOwned(candidates, shNew, shRef, idCol, "sh", threshold)
     (verified.dropDuplicates("a", "b"), Seq(shNew, shRef, candCache))
+  }
+
+  /** Pre-built, persisted reference-side index for REPEATED exact
+    * prefix-filter cross joins against one immutable corpus — the
+    * streaming front door ([[graft.streaming.Streaming]] crossDedupSink)
+    * probes the same reference every micro-batch, and re-deriving its
+    * shingle table, token frequencies and rare-first prefixes per batch
+    * was most of the per-batch cost (the r14 2.3× exactness-upgrade tax).
+    *
+    * Order change vs [[prefixFilterCrossJoin]], exactness preserved: the
+    * shared total order is (REFERENCE-corpus token frequency, token), with
+    * batch tokens unseen in the reference ordered first (cnt 0). The
+    * prefix-filter completeness lemma holds for ANY total order applied
+    * identically to both sides; this one is a pure token function, so it
+    * can be frozen with the index instead of recomputed over the union per
+    * batch. A token shared by a qualifying (new, ref) pair is by
+    * definition in the reference, so it carries a real frequency on both
+    * sides; unseen-in-ref tokens occupy early prefix slots on the batch
+    * side only and can never collide (the reference has no such token) —
+    * they cost nothing and drop nothing. Length and position prunes are
+    * verbatim [[prefixFilterJoin]]; the verify pass is exact Jaccard.
+    *
+    * Release with [[PrefixCrossIndex.release]] (or a session
+    * `catalog.clearCache()`).
+    */
+  final class PrefixCrossIndex private[text] (
+      private[text] val idCol: String,
+      private[text] val textCol: String,
+      private[text] val shingleSize: Int,
+      private[text] val threshold: Double,
+      private[text] val shRef: DataFrame,
+      private[text] val tokenCounts: DataFrame,
+      private[text] val refPrefixes: DataFrame,
+      private[text] val vocabBroadcastable: Boolean) {
+
+    /** Exact cross pairs (a = new id, b = ref id, jaccard) for one batch
+      * of new documents against the indexed reference.
+      */
+    def joinBatch(newDocs: DataFrame): DataFrame =
+      joinBatchImpl(newDocs)._1
+
+    /** [[joinBatch]] releasing the per-batch caches (batch shingles +
+      * verified-candidate cache) when `use` returns; the index's own
+      * caches live on for the next batch.
+      */
+    def joinBatchWith[T](newDocs: DataFrame)(use: DataFrame => T): T = {
+      val (result, owned) = joinBatchImpl(newDocs)
+      try use(result) finally owned.foreach(_.unpersist(blocking = false))
+    }
+
+    private def joinBatchImpl(newDocs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+      val shNew = widen(newDocs)
+        .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shNew.count() // materialize before concurrent consumers (see minHashDedup)
+      // Batch tokens take the FROZEN reference frequency (left join; unseen
+      // tokens get cnt 0 = rarest) — the shared (cnt, tok) total order the
+      // index's own prefixes were sorted under.
+      val exNew = shNew.select(col(idCol), explode(col("sh")).as("tok"))
+      // frequency lookup: broadcast the frozen vocabulary when it fits
+      // (measured at build time) so the ONLY per-batch exchange before the
+      // candidate probe is the groupBy(id) re-sort; a scale-out vocabulary
+      // falls back to the shuffle join against the tok-partitioned cache
+      val lookup =
+        if (vocabBroadcastable) org.apache.spark.sql.functions.broadcast(tokenCounts)
+        else tokenCounts
+      val withCnt = exNew.join(lookup, Seq("tok"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val sorted = withCnt
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
+      val prefixLen = (size(col("sh_sorted"))
+        - ceil(lit(threshold) * size(col("sh_sorted")) - lit(1e-9)).cast("int") + 1).cast("int")
+      val newPrefixes = pinPartitions(sorted
+        .select(col(idCol), size(col("sh_sorted")).as("sz"),
+          posexplode(transform(slice(col("sh_sorted"), lit(1), prefixLen),
+            x => x.getField("tok"))).as(Seq("pos", "tok"))),
+        col("tok"))
+      // Length + position prunes verbatim from prefixFilterCrossJoinImpl
+      // (completeness-preserving for cross pairs under any shared order,
+      // 1e-9 ceil guards throughout).
+      val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")) - lit(1e-9))
+      val candidates = newPrefixes.as("x").join(refPrefixes.as("y"),
+          col("x.tok") === col("y.tok")
+            && col("y.sz") >= ceil(lit(threshold) * col("x.sz") - lit(1e-9))
+            && col("x.sz") >= ceil(lit(threshold) * col("y.sz") - lit(1e-9))
+            && alpha <= lit(1) + least(col("x.sz") - col("x.pos") - 1, col("y.sz") - col("y.pos") - 1))
+        .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      val (verified, candCache) =
+        verifyPairsSidesOwned(candidates, shNew, shRef, idCol, "sh", threshold)
+      (verified.dropDuplicates("a", "b"), Seq(shNew, candCache))
+    }
+
+    def release(): Unit = {
+      shRef.unpersist(blocking = false)
+      tokenCounts.unpersist(blocking = false)
+      refPrefixes.unpersist(blocking = false)
+    }
+  }
+
+  /** Build a [[PrefixCrossIndex]] over an immutable reference corpus: its
+    * shingle table, token document frequencies, and rare-first prefix
+    * stream are computed ONCE and persisted for every subsequent
+    * [[PrefixCrossIndex.joinBatch]].
+    */
+  def buildPrefixCrossIndex(refDocs: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, threshold: Double = 0.5): PrefixCrossIndex = {
+    val shRef = widen(refDocs)
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shRef.count()
+    val ex = shRef.select(col(idCol), explode(col("sh")).as("tok"))
+    // groupBy(tok) leaves the counts hash-partitioned on tok, and the
+    // persisted InMemoryRelation PRESERVES that outputPartitioning — every
+    // per-batch frequency lookup join then shuffles only the (small) batch
+    // token side, never the vocabulary. Same for refPrefixes below (already
+    // pinned on tok by pinPartitions).
+    val tokenCounts = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabRows = tokenCounts.count()
+    // the materializing count doubles as the broadcastability measurement:
+    // ~40 B/row keeps 4M tokens near 160 MB — inside executor broadcast
+    // budgets; beyond that the lookup stays a shuffle join
+    val vocabBroadcastable = vocabRows <=
+      longProp("graft.crossindex.broadcastVocabRows").getOrElse(4000000L)
+    val sorted = ex.join(tokenCounts, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
+    val prefixLen = (size(col("sh_sorted"))
+      - ceil(lit(threshold) * size(col("sh_sorted")) - lit(1e-9)).cast("int") + 1).cast("int")
+    val refPrefixes = pinPartitions(sorted
+      .select(col(idCol), size(col("sh_sorted")).as("sz"),
+        posexplode(transform(slice(col("sh_sorted"), lit(1), prefixLen),
+          x => x.getField("tok"))).as(Seq("pos", "tok"))),
+      col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    refPrefixes.count()
+    new PrefixCrossIndex(idCol, textCol, shingleSize, threshold,
+      shRef, tokenCounts, refPrefixes, vocabBroadcastable)
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: ordered pairs (a, b) with
@@ -698,8 +864,10 @@ object Dedup {
     val sorted = withCnt
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
+    // same 1e-9 ceil guard as prefixFilterJoin (completeness at
+    // non-dyadic thresholds)
     val prefixLen = (size(col("sh_sorted"))
-      - ceil(lit(threshold) * size(col("sh_sorted"))).cast("int") + 1).cast("int")
+      - ceil(lit(threshold) * size(col("sh_sorted")) - lit(1e-9)).cast("int") + 1).cast("int")
     val prefixes = pinPartitions(sorted
       .select(col(idCol).as("a"), size(col("sh_sorted")).as("a_sz"),
         explode(transform(slice(col("sh_sorted"), lit(1), prefixLen),
@@ -716,7 +884,7 @@ object Dedup {
     // filter, duplication here scales with the overlap itself.
     val candidates0 = prefixes.join(full,
         prefixes("tok") === full("tok") && col("a") =!= col("b")
-          && col("b_sz") >= ceil(lit(threshold) * col("a_sz")))
+          && col("b_sz") >= ceil(lit(threshold) * col("a_sz") - lit(1e-9)))
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
     val candidates =
@@ -1128,22 +1296,52 @@ object Dedup {
         .drop("__bucket_n__")
     // Distinct signatures differ in >= 1 bit, so every rep pair here has
     // Hamming in [1, maxHamming] — the Hamming-0 pairs are withinPairs'.
-    val repPairs = keyed.as("x").join(keyed.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.rep") < col("y.rep"))
-      .select(col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
-        col("y.hi").as("hi_b"), col("y.lo").as("lo_b"))
-      .dropDuplicates("hi_a", "lo_a", "hi_b", "lo_b")
-      .withColumn("hamming",
-        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
-          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("bigint"))
-      .where(col("hamming") <= maxHamming)
+    def repPairsFrom(xSide: DataFrame, ySide: DataFrame): DataFrame =
+      xSide.as("x").join(ySide.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+            col("x.rep") < col("y.rep"))
+        .select(col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
+          col("y.hi").as("hi_b"), col("y.lo").as("lo_b"))
+        .dropDuplicates("hi_a", "lo_a", "hi_b", "lo_b")
+        .withColumn("hamming",
+          (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+            bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("bigint"))
+        .where(col("hamming") <= maxHamming)
+    // Bounded-footprint chunking, Hamming flavor: the rep-pair self-join's
+    // output (Σ n·(n-1)/2 over chunk-bucket occupancies of DISTINCT
+    // signatures) crosses ONE dropDuplicates exchange before the Hamming
+    // filter prunes it — at 10×+ the certified scale that single exchange
+    // is the same disk wall the shingle verifies hit (SCALE.md r14). Above
+    // the shared budget dial, slice the x side by hash(rep) — a pair's
+    // duplicates across agreeing chunks all carry the same (smaller)
+    // x.rep, so per-slice dropDuplicates equals the global one — and
+    // release each pass's shuffles before the next (chunkedVerifyOn).
+    // Only the quadratic rep-pair stage is chunked; the member fan-out
+    // below runs once over the Hamming-filtered survivors (output-bounded,
+    // and `members` — possibly a decode lane — is not recomputed per pass).
+    val survivors =
+      if (!verifyScaled) repPairsFrom(keyed, keyed)
+      else {
+        val mass = pairMassBound(keyed, col("ci"), col("cv"))
+        val k = verifyChunkCount(mass)
+        if (sys.props.get("graft.verify.debug").nonEmpty)
+          System.err.println(s"[verify] hamming pairMass=$mass chunks=$k")
+        if (k <= 1) repPairsFrom(keyed, keyed)
+        else {
+          val keyedP = keyed
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          keyedP.count() // materialize once for the K x-slices + full y side
+          try chunkedVerifyOn(keyedP, k, col("rep"))(xSlice =>
+            repPairsFrom(xSlice, keyedP))
+          finally keyedP.unpersist(blocking = false) // passes ran eagerly
+        }
+      }
     // Fan the surviving signature pairs back out to member pairs — two
-    // shuffle joins keyed on the signature, output-bounded by the true pair
-    // count.
+    // shuffle joins keyed on the signature, output-bounded by the true
+    // pair count.
     val mA = members.select(col(idCol).as("__ma__"), col("hi").as("hi_a"), col("lo").as("lo_a"))
     val mB = members.select(col(idCol).as("__mb__"), col("hi").as("hi_b"), col("lo").as("lo_b"))
-    val crossPairs = pinPartitions(repPairs, col("hi_a"), col("lo_a"))
+    val crossPairs = pinPartitions(survivors, col("hi_a"), col("lo_a"))
       .join(mA, Seq("hi_a", "lo_a"))
       .join(mB, Seq("hi_b", "lo_b"))
       .select(least(col("__ma__"), col("__mb__")).as("a"),

@@ -28,6 +28,16 @@ object EditDistance {
 
   /** Pairs (a, b, edit_distance) with a < b and edit_distance <= maxDist,
     * among candidates sharing a `keyLen`-char prefix or suffix.
+    *
+    * Scale shape (r15): candidates are ID-ONLY through the key joins, the
+    * union, and the dedup exchange — the texts join back per verify slice.
+    * The previous form carried BOTH text payloads on every candidate row
+    * across the dropDuplicates exchange, which is quadratic in key-group
+    * occupancy: the exact one-shot-exchange wall the shingle verifies hit
+    * at 10× their certified scale (SCALE.md r14). The verify is routed
+    * through the same chunk dial (Dedup.verifyChunkCount /
+    * Dedup.chunkedVerify): K hash(a)-banded passes, each releasing its
+    * shuffles before the next.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, keyLen: Int = 32): DataFrame = {
@@ -37,20 +47,42 @@ object EditDistance {
       substring(col(textCol), 1, keyLen).as("__pk__"),
       substring(col(textCol), -keyLen, keyLen).as("__sk__"))
     def half(key: String): DataFrame = {
-      val a = d.select(col("__id__").as("a"), col("__text__").as("__ta__"),
-        col("__len__").as("__la__"), col(key).as("__k__"))
-      val b = d.select(col("__id__").as("b"), col("__text__").as("__tb__"),
-        col("__len__").as("__lb__"), col(key).as("__k__"))
+      val a = d.select(col("__id__").as("a"), col("__len__").as("__la__"),
+        col(key).as("__k__"))
+      val b = d.select(col("__id__").as("b"), col("__len__").as("__lb__"),
+        col(key).as("__k__"))
       a.join(b, Seq("__k__"))
         .where(col("a") < col("b") &&
           abs(col("__la__") - col("__lb__")) <= maxDist)
-        .select(col("a"), col("b"), col("__ta__"), col("__tb__"))
+        .select(col("a"), col("b"))
     }
-    half("__pk__").unionByName(half("__sk__"))
-      .dropDuplicates("a", "b")
+    val tA = d.select(col("__id__").as("a"), col("__text__").as("__ta__"))
+    val tB = d.select(col("__id__").as("b"), col("__text__").as("__tb__"))
+    def verify(withTexts: DataFrame): DataFrame = withTexts
       .withColumn("edit_distance",
         levenshtein(col("__ta__"), col("__tb__"), maxDist + 1))
       .where(col("edit_distance") >= 0 && col("edit_distance") <= maxDist)
       .select(col("a"), col("b"), col("edit_distance").cast("bigint"))
+    val cand0 = half("__pk__").unionByName(half("__sk__"))
+      .dropDuplicates("a", "b")
+    if (!graft.text.Dedup.verifyScaled)
+      return verify(cand0.join(tA, "a").join(tB, "b"))
+    // persist + count the candidate frame once: the count picks the chunk
+    // count and sizes the verify exchanges, and the cache keeps candidate
+    // generation single-execution across the K passes (same discipline as
+    // Dedup.verifyPairsOwned; released by the per-query cache clear)
+    val cand = cand0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = cand.count()
+    val k = graft.text.Dedup.verifyChunkCount(cnt)
+    if (sys.props.get("graft.verify.debug").nonEmpty)
+      System.err.println(s"[verify] editdistance candidates=$cnt chunks=$k")
+    val n = graft.text.Dedup.verifyPartitions(docs.sparkSession, (cnt + k - 1) / k)
+    graft.text.Dedup.chunkedVerify(cand, k) { slice =>
+      verify(slice.repartition(n, col("a"))
+        .join(tA, "a")
+        .repartition(n, col("b"))
+        .join(tB, "b"))
+    }
   }
 }

@@ -24,6 +24,9 @@ object OracleDump {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     println(s"wrote ${graft.SparkEntry.oracleSql.size} oracle entries to $outDir/oracle_sql.json")
+    // clear first: a stale sidecar in a reused outDir would silently check
+    // a reverted-to-exact query with the weaker subset_recall mode
+    Files.deleteIfExists(Paths.get(s"$outDir/oracle_compare.json"))
     val modes = graft.SparkEntry.oracleCompare
     if (modes.nonEmpty) {
       Files.writeString(Paths.get(s"$outDir/oracle_compare.json"),

@@ -431,6 +431,45 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("adaptivePlanes holds occupancy: log2 growth, clamped, 8 at gate scales") {
+    // driver-gate corpora (sf0.01: ~200 vectors; sf0.1: ~2k) stay at the
+    // pinned geometry, so the subset_recall oracle sees recall exactly 1
+    assert(Similarity.adaptivePlanes(200L) == 8)
+    assert(Similarity.adaptivePlanes(2000L) == 8)
+    assert(Similarity.adaptivePlanes(20000L) == 11)  // sf1
+    assert(Similarity.adaptivePlanes(60000L) == 12)  // sf3
+    assert(Similarity.adaptivePlanes(200000L) == 14) // sf10
+    assert(Similarity.adaptivePlanes(Long.MaxValue) == 24) // clamp high
+    assert(Similarity.adaptivePlanes(1L) == 8)             // clamp low
+  }
+
+  test("adaptive-geometry near-dup output is a subset of the pinned-8 output, high recall") {
+    val rnd = new scala.util.Random(7)
+    // 40 base vectors with jittered twins: enough rows that a 14-plane
+    // geometry exercises real code paths while twins stay near-identical
+    val data = (0 until 40).flatMap { i =>
+      val base = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      Seq((i.toLong * 2, base.toSeq),
+        (i.toLong * 2 + 1, base.map(v => v + rnd.nextFloat() * 0.01f).toSeq))
+    }.toDF("vec_id", "embedding")
+    val pinned = Similarity.cosineNearDupPairs(data, "vec_id", "embedding", 0.9, numPlanes = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val wide = Similarity.cosineNearDupPairs(data, "vec_id", "embedding", 0.9, numPlanes = 14)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.cosineNearDupPairs(data, "vec_id", "embedding", 0.9,
+      bruteForce = true).as[(Long, Long, Double)].collect().toSet
+    // structural subset property (the subset_recall oracle's precision leg):
+    // 14-plane codes extend 8-plane codes, Hamming<=2 at 14 implies
+    // Hamming<=2 on the 8-bit prefix — including identical cosine values
+    assert(wide.subsetOf(pinned), s"wide \\ pinned: ${wide.diff(pinned)}")
+    assert(pinned.subsetOf(exact))
+    // recall floor vs the blocked-exact baseline on near-identical twins
+    val twins = exact.filter { case (a, b, _) => b == a + 1 && a % 2 == 0 }
+    val found = wide.count { case (a, b, _) => twins.exists(t => t._1 == a && t._2 == b) }
+    assert(found.toDouble / twins.size >= 0.9,
+      s"twin recall ${found.toDouble / twins.size}")
+  }
+
   test("DoubleDotProductExpr codegen compiles with non-nullable array inputs") {
     // kmeansCentroids feeds dot() arrays built by transform(collect_list(..))
     // which Catalyst marks non-nullable; the expression can still produce

@@ -119,6 +119,40 @@ class DedupSpec extends SparkSpec {
     assert(border == Set((7L, 7L, 0.5)))
   }
 
+  test("PrefixCrossIndex batched joins equal the one-shot exact cross join") {
+    spark.catalog.clearCache()
+    // streaming shape: the reference is indexed ONCE (frozen ref-frequency
+    // token order), then probed by micro-batch slices; the union over
+    // batches must equal the one-shot exact operator REGARDLESS of batch
+    // boundaries — including the just-at-threshold pair
+    val fresh = corpus.where(col("doc_id") % 2 === 0)
+    val ref = corpus.where(col("doc_id") % 2 === 1)
+    val oneShot = Dedup.prefixFilterCrossJoinWith(fresh, ref, "doc_id", "text")(
+      _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet)
+    val index = Dedup.buildPrefixCrossIndex(ref, "doc_id", "text")
+    try {
+      val batched = Seq(
+          fresh.where(col("doc_id") <= 2), fresh.where(col("doc_id") > 2))
+        .flatMap(b => index.joinBatchWith(b)(
+          _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect()))
+        .toSet
+      assert(batched == oneShot)
+      // boundary pair at exactly the threshold, batch token unseen in ref:
+      // {a b c d e f} vs ref {a b c d e f g h i j} -> j = 4/8 = 0.5
+      val refSide = Seq((7L, "a b c d e f g h i j"),
+        (8L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+      val idx2 = Dedup.buildPrefixCrossIndex(refSide, "doc_id", "text")
+      try {
+        val border = idx2.joinBatchWith(
+            Seq((7L, "a b c d e f")).toDF("doc_id", "text"))(
+          _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet)
+        assert(border == Set((7L, 7L, 0.5)))
+      } finally idx2.release()
+    } finally index.release()
+    index.release() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("connectedComponents resolves pair graphs into min-labelled clusters") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
     // two components {1,2,4} (via 1-2, 2-4) and {5,6}; 3 and 7 singletons
@@ -209,6 +243,37 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L, 0L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("hamming chunked rep-pair verify (forced K=3) equals single-pass, caches released") {
+    spark.catalog.clearCache()
+    // families of 1-word variants produce Hamming 1-3 signature pairs across
+    // distinct signatures (the chunked stage), plus exact clones (within)
+    val docs = (0L until 24L).map { i =>
+      val fam = i % 6
+      val tweak = if (i < 12) "" else s" tail${i % 3}"
+      (i, s"family $fam common words shared across variants$tweak")
+    }.toDF("doc_id", "text")
+    def canon = Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(_.toSeq.mkString("|")).toSet
+    val single = canon
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val prev = sys.props.get("graft.verify.chunks")
+    val chunked = try {
+      sys.props("graft.verify.chunks") = "3"
+      canon
+    } finally prev.fold(sys.props.remove("graft.verify.chunks"): Unit)(v =>
+      sys.props("graft.verify.chunks") = v)
+    assert(chunked == single && single.nonEmpty)
+    // the chunked path persists the keyed signature frame internally and
+    // must release it (passes run eagerly inside the call). The K=3
+    // localCheckpoint slice RDDs legitimately stay cached until the result
+    // frame is GC'd (ContextCleaner owns them; isLocallyCheckpointed is
+    // private[spark], so count rather than classify): any cache beyond
+    // those 3 is a real leak (e.g. the keyed frame).
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 3, s"leaked caches beyond the 3 checkpoint slices: $leaked")
   }
 
   test("nearDupComponentsWith / nearDupKeepBestWith release their caches") {

@@ -69,6 +69,22 @@ class EditDistanceSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L)))
   }
 
+  test("chunked verify (forced K=3) equals the single-pass output") {
+    spark.catalog.clearCache()
+    def canon = EditDistance.editDistancePairs(corpus, "doc_id", "text",
+      maxDist = 10, keyLen = 8).collect().map(_.toSeq.mkString("|")).toSet
+    val single = canon
+    spark.catalog.clearCache()
+    val prev = sys.props.get("graft.verify.chunks")
+    val chunked = try {
+      sys.props("graft.verify.chunks") = "3"
+      canon
+    } finally prev.fold(sys.props.remove("graft.verify.chunks"): Unit)(v =>
+      sys.props("graft.verify.chunks") = v)
+    spark.catalog.clearCache()
+    assert(chunked == single && single.nonEmpty)
+  }
+
   test("threshold semantics: distances above maxDist are dropped, zero kept") {
     val dup = Seq((1L, "same text here padded out"), (2L, "same text here padded out"),
       (3L, "same text here padded ouX")).toDF("doc_id", "text")

@@ -117,12 +117,26 @@ def subset_recall_check(con, mine_sql, oracle_sql, floor):
     if cols != ocols:
         return {"ok": False, "error": f"cols: {cols} vs {ocols}"}
     collist = ", ".join(f'"{c}"' for c in cols)
-    n_extra, n_mine = con.sql(
-        f"SELECT (SELECT count(*) FROM (SELECT {collist} FROM ({mine_sql}) "
-        f"EXCEPT ALL SELECT {collist} FROM ({oracle_sql}))), "
-        f"(SELECT count(*) FROM ({mine_sql}))").fetchone()
-    n_oracle = con.sql(
-        f"SELECT count(*) FROM ({oracle_sql})").fetchone()[0]
+    # Materialize the oracle ONCE: these are exactly the all-pairs oracles
+    # whose runtime motivated the timeout/resource budgets, so running the
+    # SQL both inside the EXCEPT ALL and again for the standalone count
+    # doubled the dominant cost of every subset_recall query.
+    con.execute("DROP TABLE IF EXISTS __graft_oracle_once")
+    con.execute(
+        f"CREATE TEMP TABLE __graft_oracle_once AS SELECT {collist} "
+        f"FROM ({oracle_sql})")
+    try:
+        n_extra, n_mine = con.sql(
+            f"SELECT (SELECT count(*) FROM (SELECT {collist} FROM ({mine_sql}) "
+            f"EXCEPT ALL SELECT {collist} FROM __graft_oracle_once)), "
+            f"(SELECT count(*) FROM ({mine_sql}))").fetchone()
+        n_oracle = con.sql(
+            "SELECT count(*) FROM __graft_oracle_once").fetchone()[0]
+    finally:
+        try:
+            con.execute("DROP TABLE IF EXISTS __graft_oracle_once")
+        except Exception:  # noqa: BLE001 — interrupted handle; caller reconnects
+            pass
     recall = (n_mine / n_oracle) if n_oracle else 1.0
     return {"ok": n_extra == 0 and recall >= floor,
             "rows": n_mine, "oracle_rows": n_oracle,
@@ -147,13 +161,32 @@ def main(sf_dir, out_dir, timeout_s=None, allowed_exclusions=None):
     progress_path = f"{out_dir}/check_progress.jsonl"
     if os.environ.get("GRAFT_CHECK_RESUME") == "1" \
             and os.path.exists(progress_path):
+        dropped = 0
         for line in open(progress_path):
             line = line.strip()
-            if line:
+            if not line:
+                continue
+            # a kernel OOM kill mid-append (the exact scenario this sidecar
+            # insures against) can truncate the final line — skip unparseable
+            # lines instead of crashing every subsequent resume
+            try:
                 rec = json.loads(line)
+            except ValueError:
+                dropped += 1
+                continue
+            # skip only settled results: ok==true (pass) or an excluded
+            # marker (ok is None). A recorded error/mismatch (ok==false) may
+            # be transient (e.g. a half-written parquet dir) — re-run it so
+            # a resumed run can heal instead of pinning the failure
+            if rec.get("ok") is True or "excluded" in rec:
                 results[rec.pop("__name__")] = rec
+            else:
+                dropped += 1
         print(f"[check] resumed {len(results)} results from "
-              f"{progress_path}", file=sys.stderr, flush=True)
+              f"{progress_path}"
+              + (f" ({dropped} unparseable/failed lines re-run)"
+                 if dropped else ""),
+              file=sys.stderr, flush=True)
     elif os.path.exists(progress_path):
         os.remove(progress_path)
 

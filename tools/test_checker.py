@@ -49,11 +49,14 @@ def make_outdir(tweak=False):
     return d
 
 
-def run(outdir, timeout, allow_arg=None, fast=False):
+def run(outdir, timeout, allow_arg=None, fast=False, env_extra=None):
     env = dict(os.environ)
     env.pop("GRAFT_CHECK_FAST", None)
+    env.pop("GRAFT_CHECK_RESUME", None)
     if fast:
         env["GRAFT_CHECK_FAST"] = "1"
+    if env_extra:
+        env.update(env_extra)
     cmd = [sys.executable, CHECKER, SF, outdir, str(timeout)]
     if allow_arg is not None:
         cmd.append(allow_arg)
@@ -168,6 +171,43 @@ def main():
               str(res9.get("q_sub")))
     finally:
         shutil.rmtree(out9, ignore_errors=True)
+
+    # 7. resume semantics: a truncated trailing progress line (kernel kill
+    #    mid-append) must not crash the resume; a recorded FAILURE must be
+    #    re-run (it may have been transient); a recorded PASS is skipped.
+    out10 = make_outdir()
+    try:
+        with open(f"{out10}/check_progress.jsonl", "w") as f:
+            # settled exclusion: skipped on resume (stays excluded)
+            f.write(json.dumps({"__name__": "q_slow_oracle", "ok": None,
+                                "excluded": "oracle exceeded 0.2s budget"}) + "\n")
+            # recorded transient failure: must be RE-RUN (and now passes)
+            f.write(json.dumps({"__name__": "q_ok", "ok": False,
+                                "error": "result read: transient"}) + "\n")
+            # truncated final line: must be tolerated, not crash the resume
+            f.write('{"__name__": "q_trunc", "ok": tr')
+        rc10, res10, err10 = run(out10, 30, allow_arg="q_slow_oracle",
+                                 env_extra={"GRAFT_CHECK_RESUME": "1"})
+        check("resume tolerates truncated line + heals failure", rc10 == 0,
+              f"rc={rc10} stderr={err10[-200:]}")
+        check("resume re-ran the recorded failure to a pass",
+              res10.get("q_ok", {}).get("ok") is True, str(res10.get("q_ok")))
+        check("resume kept the settled exclusion without re-running",
+              res10.get("q_slow_oracle", {}).get("ok") is None,
+              str(res10.get("q_slow_oracle")))
+        # a recorded PASS is skipped: seed an impossible marker value and
+        # verify it survives (a re-run would have replaced it)
+        with open(f"{out10}/check_progress.jsonl", "w") as f:
+            f.write(json.dumps({"__name__": "q_ok", "ok": True,
+                                "rows": -1}) + "\n")
+            f.write(json.dumps({"__name__": "q_slow_oracle", "ok": None,
+                                "excluded": "oracle exceeded 0.2s budget"}) + "\n")
+        rc11, res11, _ = run(out10, 30, allow_arg="q_slow_oracle",
+                             env_extra={"GRAFT_CHECK_RESUME": "1"})
+        check("resume skips a settled pass", rc11 == 0 and
+              res11.get("q_ok", {}).get("rows") == -1, str(res11.get("q_ok")))
+    finally:
+        shutil.rmtree(out10, ignore_errors=True)
 
     if failures:
         print(f"[self-test] {len(failures)} FAILURES: {failures}", file=sys.stderr)
