@@ -161,13 +161,17 @@ object Bench {
     // artifact lost them behind the maps).
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${errors.size},"n":${timings.size},"sf":${jstr(sfDir)},"order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"rounds":$rnds,"errors":$errs}""")
     // Summary trailer: the driver keeps the LAST ~2 KB of output, so a
-    // second, short, summary-only JSON line AFTER the long line always
-    // survives the tail capture even when the per-query maps are cut
-    // (r14's front-loaded fields were truncated away; r13's end-of-line
-    // fields survived — the tail keeps what's LAST).
+    // second, short JSON line AFTER the long line always survives the tail
+    // capture even when the long line's per-query maps are cut (r14's
+    // front-loaded fields were truncated away; r13's end-of-line fields
+    // survived — the tail keeps what's LAST). It repeats metric:"total" so
+    // a parser taking the last stdout line still sees a valid bench result;
+    // "queries" carries the 5 most expensive entries (the cross-round
+    // regression watchlist) and "isolated" fits whole (<= 10 entries,
+    // ~400 bytes total).
     val worst = timings.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":${fmt(total)},"unit":"sec","failed":${errors.size},"n":${timings.size},"sf":${jstr(sfDir)},"reps":$reps,"isolated_n":${isolated.size},"top5":$worst}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${errors.size},"n":${timings.size},"sf":${jstr(sfDir)},"reps":$reps,"summary":true,"queries":$worst,"isolated":$iso}""")
     spark.stop()
   }
 }
