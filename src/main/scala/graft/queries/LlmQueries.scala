@@ -1376,6 +1376,24 @@ object LlmQueries {
       "SELECT cid AS center_id, count(*)::BIGINT AS weight FROM asg WHERE rn = 1 GROUP BY cid"
   }
 
+  /** 9-dp EXACT centroid mean (shared by both Lloyd iterations): u = s·10¹²
+    * as HUGEINT (decimal ops only), den = n·10³, half-away-from-zero
+    * integer rounding, one double division of exact integers — mirrors
+    * [[graft.similarity.Similarity.kmeansCentroids]]'s arithmetic, closing
+    * the divide-then-round ulp hole measured at sf3.
+    */
+  private def kmeansMeanCte(name: String, asg: String, d: Int): String =
+    s"$name AS (SELECT cell_id, d, " +
+      "CAST(CASE WHEN u < 0 THEN -q ELSE q END AS DOUBLE) / 1000000000.0 AS m " +
+      "FROM (SELECT cell_id, d, u, " +
+      "(abs(u) // den) + CASE WHEN 2 * (abs(u) % den) >= den THEN 1 ELSE 0 END AS q " +
+      "FROM (SELECT cell_id, d, " +
+      "CAST(CAST(sum(CAST(e.embedding[d+1]::DOUBLE AS DECIMAL(30,12))) AS DECIMAL(20,12)) " +
+      "* CAST(1000000 AS DECIMAL(7,0)) * CAST(1000000 AS DECIMAL(7,0)) AS HUGEINT) AS u, " +
+      "CAST(count(*) * 1000 AS HUGEINT) AS den " +
+      s"FROM $asg JOIN embeddings e USING (vec_id) CROSS JOIN range($d) r(d) " +
+      "GROUP BY cell_id, d) t1) t2)"
+
   private def kmeansSql(dim: Int, iterations: Int): String = {
     require(iterations == 2, "oracle is written for 2 iterations")
     val d = dim
@@ -1392,8 +1410,7 @@ object LlmQueries {
       "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 9) AS cos " +
       "FROM embeddings e CROSS JOIN c0v c) pc) w WHERE rn = 1), " +
       "asg1 AS (SELECT vec_id, cell_id FROM a1 WHERE rn = 1), " +
-      "m1 AS (SELECT cell_id, d, CAST(sum(CAST(e.embedding[d+1]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m " +
-      s"FROM asg1 JOIN embeddings e USING (vec_id) CROSS JOIN range($d) r(d) GROUP BY cell_id, d), " +
+      kmeansMeanCte("m1", "asg1", d) + ", " +
       "c1 AS (SELECT c0.cell_id, c0.d, coalesce(m1.m, c0.cval) AS cval " +
       "FROM c0 LEFT JOIN m1 ON c0.cell_id = m1.cell_id AND c0.d = m1.d), " +
       "c1v AS (SELECT cell_id, list(cval ORDER BY d) AS cv FROM c1 GROUP BY cell_id), " +
@@ -1403,8 +1420,7 @@ object LlmQueries {
       "round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 9) AS cos " +
       "FROM embeddings e CROSS JOIN c1v c) pc) w WHERE rn = 1), " +
       "asg2 AS (SELECT vec_id, cell_id FROM a2 WHERE rn = 1), " +
-      "m2 AS (SELECT cell_id, d, CAST(sum(CAST(e.embedding[d+1]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m " +
-      s"FROM asg2 JOIN embeddings e USING (vec_id) CROSS JOIN range($d) r(d) GROUP BY cell_id, d) " +
+      kmeansMeanCte("m2", "asg2", d) + " " +
       "SELECT c1.cell_id, c1.d::BIGINT AS dim, " +
       "CAST(round(coalesce(m2.m, c1.cval), 9) AS DOUBLE) AS val " +
       "FROM c1 LEFT JOIN m2 ON c1.cell_id = m2.cell_id AND c1.d = m2.d"

@@ -555,10 +555,30 @@ object Similarity {
         .withColumn("__rn__", row_number().over(w))
         .where(col("__rn__") === 1)
         .select(col("cell_id"), col("__v__"))
-      val means = assigned
+      // 9-dp EXACT mean, integer arithmetic end to end: the previous
+      // sum(decimal)→double / count then round(…,9) left one ulp hole —
+      // two engines' double quotients can straddle a half-up boundary
+      // (first measured at sf3: 2 of 76,800 output values off by 1e-9).
+      // Here u = s·10¹² is an exact integer (decimal ops only), den =
+      // n·10³, q = |u| div den (+1 when 2·(|u| mod den) ≥ den — half away
+      // from zero, matching round()), and q/1e9 is ONE correctly-rounded
+      // double division of exact integers — identical in any IEEE engine.
+      // The refined centroids are therefore "9-dp Lloyd updates" by
+      // definition, on both the Spark and oracle sides.
+      val mil = lit(1000000L).cast("decimal(7,0)")
+      val agg = assigned
         .select(col("cell_id"), posexplode(col("__v__").cast("array<double>")).as(Seq("dim", "v")))
         .groupBy("cell_id", "dim")
-        .agg((sum(col("v").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("m"))
+        .agg(sum(col("v").cast("decimal(30,12)")).cast("decimal(20,12)").as("__s__"),
+          count(lit(1)).as("__n__"))
+      val u = ((col("__s__") * mil) * mil).cast("decimal(38,0)")
+      val den = (col("__n__") * lit(1000L)).cast("decimal(38,0)")
+      val aAbs = abs(u)
+      val rem = aAbs % den
+      val qExact = ((aAbs - rem) / den).cast("decimal(38,0)") +
+        when(rem * lit(2) >= den, lit(1)).otherwise(lit(0))
+      val means = agg.select(col("cell_id"), col("dim"),
+        (when(u < 0, -qExact).otherwise(qExact).cast("double") / lit(1e9)).as("m"))
       cents = cents.join(means, Seq("cell_id", "dim"), "left")
         .select(col("cell_id"), col("dim"), coalesce(col("m"), col("cval")).as("cval"))
     }
