@@ -2113,9 +2113,41 @@ object LlmQueries {
       "ELSE [array_to_string(ws, ' ')] END AS sh FROM t), "
     sb ++= "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), "
     sb ++= "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), "
-    sb ++= "inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i " +
-      "FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id <= y.doc_id GROUP BY 1, 2), "
-    sb ++= "jp AS (SELECT ia, ib FROM (SELECT ia, ib, " +
+    // Exact candidate pruning BEFORE the intersection count: the raw
+    // token-collision aggregation is 478M rows at sf3 (distinct texts
+    // 149,760) and its hash state exceeded this box's temp at any CTE
+    // plumbing. Prefix filtering is completeness-preserving (PPJoin,
+    // Xiao et al. 2008 — same lemma the engine's own operator documents,
+    // and the same oracle-rewrite precedent as r12's deletion-neighborhood
+    // edit-distance oracle): two sets with jaccard >= 1/2 must share a
+    // token among each one's (sz - ceil(sz/2) + 1) RAREST tokens under any
+    // shared total order. At t = 1/2 every bound is exact INTEGER
+    // arithmetic — prefixLen = sz // 2 + 1, length filter
+    // other >= (sz + 1) // 2, position bound alpha = (sa + sb + 2) // 3 —
+    // so no float ceil enters the oracle. The verify (intersection count +
+    // exact jaccard threshold) is unchanged and still independent of the
+    // engine's plan (no banding, rare-first order recomputed from scratch
+    // in SQL). Pinned value-equal to the unpruned form at sf0.01/sf0.1.
+    sb ++= "tokcnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+    sb ++= "rk AS (SELECT t.doc_id, t.tok, s.sz, " +
+      "row_number() OVER (PARTITION BY t.doc_id ORDER BY tc.c, t.tok) AS rn " +
+      "FROM toks t JOIN tokcnt tc USING (tok) JOIN szs s USING (doc_id)), "
+    sb ++= "pref AS (SELECT doc_id, tok, sz, rn FROM rk WHERE rn <= sz // 2 + 1), "
+    sb ++= "cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib " +
+      "FROM pref x JOIN pref y ON x.tok = y.tok AND x.doc_id <= y.doc_id " +
+      "WHERE y.sz >= (x.sz + 1) // 2 AND x.sz >= (y.sz + 1) // 2 " +
+      "AND (x.sz + y.sz + 2) // 3 <= 1 + least(x.sz - x.rn, y.sz - y.rn)), "
+    sb ++= "inter AS (SELECT c.ia, c.ib, count(*) AS i " +
+      "FROM cand c JOIN toks x ON x.doc_id = c.ia " +
+      "JOIN toks y ON y.doc_id = c.ib AND y.tok = x.tok GROUP BY 1, 2), "
+    // MATERIALIZED: ordp references jp TWICE (both edge directions), and
+    // an inlined jp re-expands the whole `inter` token-collision
+    // aggregation per reference — two concurrent expansions blew a 60 GB
+    // temp budget at sf3 where one fits in 45 GB (the DuckDB analog of the
+    // r14 Spark finding: the pair frame consumed twice via the edge
+    // union). jp itself is tiny (~55k pairs at sf1); pinning one
+    // evaluation changes nothing semantically.
+    sb ++= "jp AS MATERIALIZED (SELECT ia, ib FROM (SELECT ia, ib, " +
       "i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard " +
       "FROM inter JOIN szs sa ON sa.doc_id = ia JOIN szs sb ON sb.doc_id = ib) p " +
       "WHERE jaccard >= 0.5), "
