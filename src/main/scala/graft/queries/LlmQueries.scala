@@ -107,12 +107,42 @@ object LlmQueries {
     * budget at sf0.1 (verified equal output at sf0.01; 7.1 s -> 0.1 s
     * there, > 120 s -> 1.3 s at sf0.1).
     */
+  /** Prefix-pruned exact-candidate CTE chain shared by the Jaccard-family
+    * oracles (r15, ported from the pagerank oracle fix): the raw token
+    * collision aggregation is quadratic in token-group occupancy (478M
+    * rows at sf3 on distinct texts; blows this box's temp at sf10), while
+    * the PPJoin prefix lemma prunes candidates COMPLETENESS-PRESERVINGLY —
+    * two sets with jaccard >= 1/2 share a token among each one's
+    * (sz // 2 + 1) rarest tokens under any shared total order. At t = 1/2
+    * every bound is exact INTEGER arithmetic (no float ceil). The verify
+    * (full intersection count + exact jaccard) is unchanged, so the oracle
+    * stays an independent comparator: no banding, rare-first order
+    * recomputed from scratch in SQL. `xFilter`/`yFilter` restrict the two
+    * candidate sides (cross-corpus oracles); `cmp` is `<` for unordered
+    * pairs, `<=` where self-pairs are semantic (pagerank's quotient).
+    * Pinned value-equal to the raw form at sf0.01/sf0.1 per user.
+    */
+  private def prunedPairCtes(cmp: String = "<", xFilter: String = "TRUE",
+                             yFilter: String = "TRUE"): String =
+    "tokcnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), " +
+      "rk AS (SELECT t.doc_id, t.tok, s.sz, " +
+      "row_number() OVER (PARTITION BY t.doc_id ORDER BY tc.c, t.tok) AS rn " +
+      "FROM toks t JOIN tokcnt tc USING (tok) JOIN szs s USING (doc_id)), " +
+      "pref AS (SELECT doc_id, tok, sz, rn FROM rk WHERE rn <= sz // 2 + 1), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib " +
+      s"FROM pref x JOIN pref y ON x.tok = y.tok AND x.doc_id $cmp y.doc_id " +
+      s"WHERE ($xFilter) AND ($yFilter) " +
+      "AND y.sz >= (x.sz + 1) // 2 AND x.sz >= (y.sz + 1) // 2 " +
+      "AND (x.sz + y.sz + 2) // 3 <= 1 + least(x.sz - x.rn, y.sz - y.rn)), " +
+      "inter AS (SELECT c.ia, c.ib, count(*) AS i " +
+      "FROM cand c JOIN toks x ON x.doc_id = c.ia " +
+      "JOIN toks y ON y.doc_id = c.ib AND y.tok = x.tok GROUP BY 1, 2)"
+
   private def allPairsSql(selectCols: String): String =
     s"$shingleCte, " +
       "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), " +
       "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), " +
-      "inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i " +
-      "FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+      prunedPairCtes() + " " +
       s"SELECT $selectCols FROM (" +
       "SELECT ia AS a, ib AS b, " +
       "i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard " +
@@ -2113,33 +2143,13 @@ object LlmQueries {
       "ELSE [array_to_string(ws, ' ')] END AS sh FROM t), "
     sb ++= "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), "
     sb ++= "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), "
-    // Exact candidate pruning BEFORE the intersection count: the raw
-    // token-collision aggregation is 478M rows at sf3 (distinct texts
-    // 149,760) and its hash state exceeded this box's temp at any CTE
-    // plumbing. Prefix filtering is completeness-preserving (PPJoin,
-    // Xiao et al. 2008 — same lemma the engine's own operator documents,
-    // and the same oracle-rewrite precedent as r12's deletion-neighborhood
-    // edit-distance oracle): two sets with jaccard >= 1/2 must share a
-    // token among each one's (sz - ceil(sz/2) + 1) RAREST tokens under any
-    // shared total order. At t = 1/2 every bound is exact INTEGER
-    // arithmetic — prefixLen = sz // 2 + 1, length filter
-    // other >= (sz + 1) // 2, position bound alpha = (sa + sb + 2) // 3 —
-    // so no float ceil enters the oracle. The verify (intersection count +
-    // exact jaccard threshold) is unchanged and still independent of the
-    // engine's plan (no banding, rare-first order recomputed from scratch
-    // in SQL). Pinned value-equal to the unpruned form at sf0.01/sf0.1.
-    sb ++= "tokcnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
-    sb ++= "rk AS (SELECT t.doc_id, t.tok, s.sz, " +
-      "row_number() OVER (PARTITION BY t.doc_id ORDER BY tc.c, t.tok) AS rn " +
-      "FROM toks t JOIN tokcnt tc USING (tok) JOIN szs s USING (doc_id)), "
-    sb ++= "pref AS (SELECT doc_id, tok, sz, rn FROM rk WHERE rn <= sz // 2 + 1), "
-    sb ++= "cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib " +
-      "FROM pref x JOIN pref y ON x.tok = y.tok AND x.doc_id <= y.doc_id " +
-      "WHERE y.sz >= (x.sz + 1) // 2 AND x.sz >= (y.sz + 1) // 2 " +
-      "AND (x.sz + y.sz + 2) // 3 <= 1 + least(x.sz - x.rn, y.sz - y.rn)), "
-    sb ++= "inter AS (SELECT c.ia, c.ib, count(*) AS i " +
-      "FROM cand c JOIN toks x ON x.doc_id = c.ia " +
-      "JOIN toks y ON y.doc_id = c.ib AND y.tok = x.tok GROUP BY 1, 2), "
+    // Exact candidate pruning BEFORE the intersection count (see
+    // prunedPairCtes — the raw collision aggregation was 478M rows at sf3
+    // on distinct texts and exceeded this box's temp at any CTE plumbing;
+    // r15 first landed the rewrite here, then shared it with the whole
+    // Jaccard-family oracle set). `<=` keeps self-pairs: jaccard(t,t)=1
+    // drives the identical-text quotient's diagonal correction below.
+    sb ++= prunedPairCtes(cmp = "<=") + ", "
     // MATERIALIZED: ordp references jp TWICE (both edge directions), and
     // an inlined jp re-expands the whole `inter` token-collision
     // aggregation per reference — two concurrent expansions blew a 60 GB
@@ -2654,13 +2664,16 @@ object LlmQueries {
     "q_chunk_cdc" -> cdcSql,
     // cross-corpus (new x reference) exact jaccard via the same token
     // equi-join as allPairsSql, restricted to the two corpus partitions
+    // The two corpus partitions are doc_id%3-disjoint, so `!=` places no
+    // ordering constraint; the shared rare-first order (corpus-wide token
+    // counts over BOTH sides) keeps the prefix lemma complete for cross
+    // pairs exactly as the engine's own prefixFilterCrossJoin documents.
     "q_dedup_cross" ->
       (s"$shingleCte, " +
         "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), " +
         "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), " +
-        "inter AS (SELECT n.doc_id AS ia, r.doc_id AS ib, count(*) AS i " +
-        "FROM toks n JOIN toks r ON n.tok = r.tok " +
-        "AND n.doc_id % 3 != 0 AND r.doc_id % 3 = 0 GROUP BY 1, 2) " +
+        prunedPairCtes(cmp = "!=", xFilter = "x.doc_id % 3 != 0",
+          yFilter = "y.doc_id % 3 = 0") + " " +
         "SELECT a, b, jaccard FROM (" +
         "SELECT ia AS a, ib AS b, " +
         "i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard " +
