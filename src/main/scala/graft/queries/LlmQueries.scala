@@ -1237,51 +1237,72 @@ object LlmQueries {
     * exact cosine verify — so the LSH plan itself is hash-checked, not just
     * its high-recall subset.
     */
-  /** Multiprobe LSH candidate CTEs (bv, pr, cand) shared by
-    * [[lshNearDupSql]]/[[semdedupSql]] — pairs deduped by the
-    * MIN-SHARED-PROBE closed form instead of DISTINCT. A pair colliding
-    * on k probe buckets appears k times in the bucket self-join, and the
-    * DISTINCT over that pre-dedup stream (hundreds of millions of rows at
-    * sf3's 8-plane occupancy) needed more than the bounded oracle temp.
-    * The shared-probe set of two codes has a closed form by
-    * bit_count(xor): 0 shared bits differing -> base + every flip (min =
-    * the code with its top set bit cleared), 1 -> {a, b}, 2 -> the two
-    * one-flip meet points, >2 -> disjoint (the join cannot match). Keeping
-    * only the row whose matched probe IS that minimum makes candidates
-    * distinct by construction and the whole pair stream pipelines into
-    * the verify join with no blocking operator — the same trick as the
-    * Spark operator's map-side LSH dedup. Pinned bit-equal to the
-    * DISTINCT form at sf0.01/sf0.1.
+  /** Multiprobe LSH candidate CTEs (bc, cand) shared by
+    * [[lshNearDupSql]]/[[semdedupSql]]. Equivalence used (r15): a pair
+    * collides under own+Hamming-1 multiprobe iff some probe code h has
+    * Ham(ca,h) <= 1 AND Ham(cb,h) <= 1, iff Ham(ca,cb) <= 2 (triangle
+    * inequality one way; for d = Ham(ca,cb) in {0,1,2} an explicit meet
+    * point exists: ca itself, the lower code, or either one-flip midpoint).
+    * So the candidate set is EXACTLY the vector pairs whose codes differ in
+    * at most 2 bits. Earlier forms enumerated every probe-bucket collision
+    * before dedup (even min-shared-probe's join INPUT was the full
+    * collision mass — 6.6G rows at sf10's 8-plane occupancy); this form
+    * joins the DISTINCT code frame (<= 2^p rows) at Hamming <= 2 and
+    * expands back through per-code membership, so the join input is
+    * O(4^p) tiny rows and the output is exactly the distinct candidate
+    * set — no blocking dedup anywhere. Pinned value-equal to the probe
+    * form at sf0.01/sf0.1/sf1 (checker ladder, r15).
     */
   private def lshPairCandCtes(numPlanes: Int, dim: Int): String = {
     val bits = lshBitsSqlFragment(numPlanes, dim)
-    // probe f = -1 is the vector's own code; f = p flips bit p (MSB-first
-    // code, matching the Spark fold acc*2+b)
-    val codes = (0 until numPlanes).map { p =>
-      s"(CASE WHEN f = $p THEN 1 - bits[${p + 1}] ELSE bits[${p + 1}] END) * ${1L << (numPlanes - 1 - p)}"
-    }.mkString(" + ")
     val ownCode = (0 until numPlanes).map(p =>
       s"bits[${p + 1}] * ${1L << (numPlanes - 1 - p)}").mkString(" + ")
-    val d = "xor(x.code, y.code)"
-    val low = s"($d & (-$d))"
-    val msbCleared =
-      "(CASE WHEN x.code = 0 THEN 0 ELSE x.code - (1::BIGINT << CAST(floor(log2(x.code)) AS INT)) END)"
-    val minShared = s"(CASE bit_count($d) WHEN 0 THEN $msbCleared " +
-      "WHEN 1 THEN least(x.code, y.code) " +
-      s"WHEN 2 THEN least(xor(x.code, $low), xor(x.code, $d - $low)) ELSE -1 END)"
     s"bv AS (SELECT vec_id, $bits AS bits FROM embeddings), " +
-      s"bc AS (SELECT vec_id, $ownCode AS code, bits FROM bv), " +
-      s"pr AS (SELECT vec_id, code, unnest(list_transform(range(-1, $numPlanes), f -> $codes)) AS probe FROM bc), " +
-      "cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM pr x JOIN pr y " +
-      s"ON x.probe = y.probe AND x.vec_id < y.vec_id AND x.probe = $minShared), "
+      s"bc AS (SELECT vec_id, $ownCode AS code FROM bv), " +
+      "cds AS (SELECT DISTINCT code FROM bc), " +
+      "cp AS (SELECT x.code AS ca, y.code AS cb FROM cds x JOIN cds y " +
+      "ON x.code <= y.code AND bit_count(xor(x.code, y.code)) <= 2), " +
+      "cand AS (SELECT least(pa.vec_id, pb.vec_id) AS a, greatest(pa.vec_id, pb.vec_id) AS b " +
+      "FROM cp JOIN bc pa ON pa.code = cp.ca JOIN bc pb ON pb.code = cp.cb " +
+      "WHERE cp.ca < cp.cb OR pa.vec_id < pb.vec_id), "
   }
 
+  /** Normalized FLOAT[dim] arrays for the SIMD cosine prefilter: DuckDB's
+    * array_inner_product over a 4-byte-lane fixed array is ~25x the
+    * double-list cosine's throughput AND carries a quarter of its payload
+    * through the pair joins. Zero vectors normalize to NaN arrays, whose
+    * inner product fails every >= — matching the exact predicate, where a
+    * zero vector's cosine is NaN too.
+    */
+  private def normFloatCte(dim: Int): String =
+    "nf AS (SELECT vec_id, " +
+      s"list_transform(e, x -> (x / sqrt(nrm)))::FLOAT[$dim] AS emb " +
+      "FROM (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS nrm " +
+      "FROM embeddings) nq), "
+
+  /** Exact-cosine verify with a float-dot PREFILTER (r15): the guard
+    * 5e-4 is > 100x the worst-case |float dot - exact cosine| on 64-dim
+    * unit vectors (d*eps_f ~ 4e-6), so every pair the exact predicate
+    * accepts survives the prefilter (completeness), while precision comes
+    * from the unchanged exact list_cosine_similarity pass on the tiny
+    * survivor band. Same two-phase shape as the engine's blocked-GEMM
+    * verify. Emits CTE `vp(a, b, c)`.
+    */
+  private def verifiedPairsCte(threshold: Double): String =
+    s"fc AS (SELECT cand.a, cand.b FROM cand " +
+      "JOIN nf na ON na.vec_id = cand.a JOIN nf nb ON nb.vec_id = cand.b " +
+      s"WHERE array_inner_product(na.emb, nb.emb) >= $threshold - 0.0005), " +
+      "vp AS (SELECT a, b, c FROM (SELECT fc.a, fc.b, " +
+      "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c " +
+      "FROM fc JOIN embeddings ea ON ea.vec_id = fc.a " +
+      "JOIN embeddings eb ON eb.vec_id = fc.b) t " +
+      s"WHERE c >= $threshold)"
+
   private def lshNearDupSql(numPlanes: Int, dim: Int, threshold: Double): String =
-    s"WITH ${lshPairCandCtes(numPlanes, dim)}" +
-      "v AS (SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
-      "SELECT cand.a, cand.b, list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c " +
-      "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a JOIN embeddings eb ON eb.vec_id = cand.b) t " +
-      s"WHERE c >= $threshold) SELECT a, b, cosine FROM v"
+    s"WITH ${lshPairCandCtes(numPlanes, dim)}${normFloatCte(dim)}" +
+      verifiedPairsCte(threshold) +
+      " SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM vp"
 
   /** DuckDB replica of [[Similarity.lshKnn]]: the same plane bits as
     * [[lshNearDupSql]], query probes (own + Hamming-1 codes) against corpus
@@ -1315,15 +1336,14 @@ object LlmQueries {
     * hash-checked, pair graph included.
     */
   private def semdedupSql(numPlanes: Int, dim: Int, threshold: Double): String =
-    // candidate CTEs shared with lshNearDupSql (min-shared-probe dedup);
-    // p/e MATERIALIZED for the components recursion, as in
-    // q_dedup_components — without the pin DuckDB re-inlines the whole
-    // pair pipeline into both e branches and every fixpoint round
-    s"WITH RECURSIVE ${lshPairCandCtes(numPlanes, dim)}" +
-      "p AS MATERIALIZED (SELECT a, b FROM (SELECT cand.a, cand.b, " +
-      "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c " +
-      "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a JOIN embeddings eb ON eb.vec_id = cand.b) t " +
-      s"WHERE c >= $threshold), " +
+    // candidate CTEs shared with lshNearDupSql (code-pair Hamming<=2 join
+    // + float-dot prefilter); p/e MATERIALIZED for the components
+    // recursion, as in q_dedup_components — without the pin DuckDB
+    // re-inlines the whole pair pipeline into both e branches and every
+    // fixpoint round
+    s"WITH RECURSIVE ${lshPairCandCtes(numPlanes, dim)}${normFloatCte(dim)}" +
+      verifiedPairsCte(threshold) + ", " +
+      "p AS MATERIALIZED (SELECT a, b FROM vp), " +
       "e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), " +
       "reach(id, lab) AS (SELECT vec_id, vec_id FROM embeddings " +
       "UNION SELECT e.a, r.lab FROM e JOIN reach r ON r.id = e.b) " +
@@ -2230,12 +2250,30 @@ object LlmQueries {
     // completeness-preserving, so the sets must match exactly); token
     // equi-join instead of all ordered pairs: C(a->b) >= 0.8 > 0 needs a
     // shared shingle, and the denominator is |sh(a)| alone
+    // One-sided prefix pruning (r15, same lemma family as prunedPairCtes
+    // but asymmetric): C(a->b) = |A∩B|/|A| >= 0.8 needs an overlap of at
+    // least ceil(0.8|A|) = (4|A|+4)//5 — exact integer arithmetic — so a
+    // qualifying pair shares a token within A's (|A| - (4|A|+4)//5 + 1)
+    // RAREST tokens against ANY token of B (only the subject side prunes;
+    // containment is asymmetric). Length filter: |B| >= the same overlap
+    // bound. The raw token-collision aggregate this replaces is quadratic
+    // in token-group occupancy (the exact shape that blew the sf10 temp cap
+    // for q_dedup_ngram). Pinned value-equal at sf0.01/sf0.1/sf1.
     "q_dedup_containment" ->
       (s"$shingleCte, " +
         "toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh), " +
         "szs AS (SELECT doc_id, len(sh) AS sz FROM sh), " +
-        "inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i " +
-        "FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id != y.doc_id GROUP BY 1, 2) " +
+        "tokcnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), " +
+        "rk AS (SELECT t.doc_id, t.tok, s.sz, " +
+        "row_number() OVER (PARTITION BY t.doc_id ORDER BY tc.c, t.tok) AS rn " +
+        "FROM toks t JOIN tokcnt tc USING (tok) JOIN szs s USING (doc_id)), " +
+        "pref AS (SELECT doc_id, tok, sz FROM rk WHERE rn <= sz - (4 * sz + 4) // 5 + 1), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib " +
+        "FROM pref x JOIN rk y ON x.tok = y.tok AND x.doc_id != y.doc_id " +
+        "AND y.sz >= (4 * x.sz + 4) // 5), " +
+        "inter AS (SELECT c.ia, c.ib, count(*) AS i FROM cand c " +
+        "JOIN toks x ON x.doc_id = c.ia " +
+        "JOIN toks y ON y.doc_id = c.ib AND y.tok = x.tok GROUP BY 1, 2) " +
         "SELECT a, b, round(c, 6)::DOUBLE AS containment FROM (" +
         "SELECT ia AS a, ib AS b, i::DOUBLE / sa.sz::DOUBLE AS c " +
         "FROM inter JOIN szs sa ON sa.doc_id = ia) p WHERE c >= 0.8"),
@@ -2839,11 +2877,21 @@ object LlmQueries {
     // subset_recall oracle (see the query comment): the adaptive-geometry
     // output is a provable subset of this 8-plane frame at any scale
     "q_embed_neardup_prod" -> lshNearDupSql(numPlanes = 8, dim = 64, threshold = 0.45),
+    // N^2/2 pairs by definition, but the per-pair work is the float-dot
+    // prefilter (SIMD, quarter payload — 27M pairs/s on this box vs 8M for
+    // the direct double-list form, which stalled DuckDB at 83 GB RSS at
+    // sf10); the exact list-cosine predicate runs only on the guard band.
+    // Pinned value-equal to the direct form at sf0.01/sf0.1/sf1.
     "q_embed_neardup_exact" ->
-      ("SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
-        "SELECT a.vec_id AS a, b.vec_id AS b, " +
-        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p WHERE c >= 0.45"),
+      (s"WITH ${normFloatCte(64)}" +
+        "cand AS (SELECT a.vec_id AS a, b.vec_id AS b FROM nf a JOIN nf b " +
+        "ON a.vec_id < b.vec_id " +
+        "AND array_inner_product(a.emb, b.emb) >= 0.45 - 0.0005) " +
+        "SELECT a, b, CAST(round(c, 6) AS DOUBLE) AS cosine FROM (" +
+        "SELECT cand.a, cand.b, " +
+        "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c " +
+        "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a " +
+        "JOIN embeddings eb ON eb.vec_id = cand.b) p WHERE c >= 0.45"),
     "q_embed_semdedup" -> semdedupSql(numPlanes = 12, dim = 64, threshold = 0.45),
     "q_embed_ann_lsh" -> lshKnnSql(numPlanes = 8, dim = 64, k = 5),
     "q_embed_binary_knn" -> binaryKnnSql(numPlanes = 16, dim = 64, k = 5, overscan = 4),
