@@ -35,6 +35,19 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the two norms precomputed per SIDE instead of per
+    * pair: `dot(a, b) / (an * bn)`, where `an`/`bn` carry the same
+    * `sqrt(dot(v, v))` doubles [[cosine]] evaluates inline. Bit-identical
+    * output (identical IEEE ops on identical values), but a candidate
+    * stream of P pairs evaluates P dot products instead of 3P — inline
+    * norms re-derive each row's norm once per PARTNER (the broadcast
+    * KNN/seed/decontaminate shapes are ~1B pairs at sf10, so the hoist
+    * removes two 64-dim MAC loops per joined row from the suite's
+    * hottest expression).
+    */
+  private def cosineN(a: Column, an: Column, b: Column, bn: Column): Column =
+    dot(a, b) / (an * bn)
+
   /** Exact top-k by cosine for the rows of `queries` against `corpus`.
     * `queries` is broadcast (it is the small side by construction); the
     * corpus is scanned once, cosine computed per (query, vector) pair, and
@@ -43,10 +56,12 @@ object Similarity {
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("__qn__")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("__nn__"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cosine", cosineN(col("q_vec"), col("__qn__"), col("n_vec"), col("__nn__")))
     topK(scored, k)
   }
 
@@ -65,10 +80,12 @@ object Similarity {
                     vecCol: String, k: Int, floor: Double,
                     ceiling: Double): DataFrame = {
     require(floor < ceiling, s"need floor < ceiling, got [$floor, $ceiling)")
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("__qn__")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("__nn__"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cosine", cosineN(col("q_vec"), col("__qn__"), col("n_vec"), col("__nn__")))
       // band on the ROUNDED cosine (the cross-engine-stable value; the raw
       // double would make boundary rows engine-dependent)
       .withColumn("cosine", round(col("cosine"), 6))
@@ -143,6 +160,7 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("__nn__"),
       lshCode(col(vecCol), numPlanes).as("bucket"))
     // query probes: own bucket + every Hamming-1 bucket (flip one bit).
     // Code computed in its own projection so the probe array references the
@@ -150,8 +168,9 @@ object Similarity {
     // keeps multi-referenced non-trivial aliases).
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("__qn__"),
         lshCode(col(vecCol), numPlanes).as("__code__"))
-      .select(col("query_id"), col("q_vec"),
+      .select(col("query_id"), col("q_vec"), col("__qn__"),
         explode(probeCodes(col("__code__"), numPlanes)).as("probe"))
     // no dedup needed: a corpus vector has exactly ONE bucket code and the
     // numPlanes+1 probe values of a query are pairwise distinct (the base
@@ -160,7 +179,7 @@ object Similarity {
     // into topK's partial aggregate.
     val scored = broadcast(probes).join(c, col("probe") === col("bucket")
         && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cosine", cosineN(col("q_vec"), col("__qn__"), col("n_vec"), col("__nn__")))
     topK(scored, k)
   }
 
@@ -373,8 +392,12 @@ object Similarity {
           col("bucket"))
         val x = coded.select(col(idCol).as("a"), col("__code__").as("__ca__"), col("bucket"))
         val y = coded.select(col(idCol).as("b"), col("__code__").as("__cb__"), col("bucket"))
-        val vecA = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"))
-        val vecB = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"))
+        // per-side norms ride the vector joins (8 bytes next to a ~0.5 KB
+        // vector) so the verify evaluates ONE dot per pair, not three
+        val vecA = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"),
+          norm(col(vecCol)).as("a_norm"))
+        val vecB = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"),
+          norm(col(vecCol)).as("b_norm"))
         val spark = corpus.sparkSession
         // Map-side candidate dedup: a pair materializes from exactly ONE
         // joined row (its min shared probe bucket) — distinct by
@@ -457,7 +480,8 @@ object Similarity {
     */
   private def scoreVerified(pairsWithVecs: DataFrame, threshold: Double): DataFrame =
     pairsWithVecs
-      .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
+      .withColumn("cosine",
+        cosineN(col("a_vec"), col("a_norm"), col("b_vec"), col("b_norm")))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
 
@@ -542,6 +566,7 @@ object Similarity {
       val cvecs = cents.groupBy("cell_id")
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("cval")))),
           x => x.getField("cval")).as("c_vec"))
+        .withColumn("__cn__", norm(col("c_vec")))
       val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
       // 9-dp-rounded assignment cosine, the ivfKnn discipline: two engines'
       // dot products legitimately differ in the last ulp (accumulation
@@ -549,9 +574,11 @@ object Similarity {
       // drifts the centroid mean — first measured at sf3 (2 of 76.8k
       // output values off by 1e-9). Rounding both sides to 9 dp with the
       // cell_id tiebreak makes the assignment engine-stable.
-      val assigned = corpus.select(col(idCol), col(vecCol).as("__v__"))
+      val assigned = corpus.select(col(idCol), col(vecCol).as("__v__"),
+          norm(col(vecCol)).as("__vn__"))
         .join(broadcast(cvecs))
-        .withColumn("cell_cos", round(cosine(col("__v__"), col("c_vec")), 9))
+        .withColumn("cell_cos",
+          round(cosineN(col("__v__"), col("__vn__"), col("c_vec"), col("__cn__")), 9))
         .withColumn("__rn__", row_number().over(w))
         .where(col("__rn__") === 1)
         .select(col("cell_id"), col("__v__"))
@@ -617,11 +644,13 @@ object Similarity {
     var centerIds: Seq[Any] = Seq(seedId)
     for (r <- 1 to rounds) {
       val centers = broadcast(corpus.where(col(idCol).isin(centerIds: _*))
-        .select(col(vecCol).as("__cvec__")))
-      val di = corpus.select(col(idCol), col(vecCol).as("__v__"))
+        .select(col(vecCol).as("__cvec__"), norm(col(vecCol)).as("__cn__")))
+      val di = corpus.select(col(idCol), col(vecCol).as("__v__"),
+          norm(col(vecCol)).as("__vn__"))
         .join(centers) // broadcast cross: |centers| rows per corpus row
         .groupBy(col(idCol))
-        .agg(max(cosine(col("__v__"), col("__cvec__"))).as("__maxcos__"))
+        .agg(max(cosineN(col("__v__"), col("__vn__"), col("__cvec__"), col("__cn__")))
+          .as("__maxcos__"))
         .select(col(idCol),
           floor(round(lit(1.0) - col("__maxcos__"), 6) * 1000000.0)
             .cast("long").as("__di__"))
@@ -645,12 +674,14 @@ object Similarity {
       centerIds = centerIds ++ sel.map(_.get(0))
     }
     val centers = broadcast(corpus.where(col(idCol).isin(centerIds: _*))
-      .select(col(idCol).as("center_id"), col(vecCol).as("__cvec__")))
+      .select(col(idCol).as("center_id"), col(vecCol).as("__cvec__"),
+        norm(col(vecCol)).as("__cn__")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(round(col("__cos__"), 9).desc, col("center_id"))
-    corpus.select(col(idCol), col(vecCol).as("__v__"))
+    corpus.select(col(idCol), col(vecCol).as("__v__"), norm(col(vecCol)).as("__vn__"))
       .join(centers)
-      .select(col(idCol), col("center_id"), cosine(col("__v__"), col("__cvec__")).as("__cos__"))
+      .select(col(idCol), col("center_id"),
+        cosineN(col("__v__"), col("__vn__"), col("__cvec__"), col("__cn__")).as("__cos__"))
       .withColumn("__rn__", row_number().over(w)).where(col("__rn__") === 1)
       .groupBy(col("center_id")).agg(count(lit(1)).as("weight"))
   }
@@ -676,10 +707,13 @@ object Similarity {
     require(k > 0 && shortlist >= k)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val q = broadcast(query.select(col(vecCol).as("__q__")).limit(1))
-    val short = corpus.select(col(idCol), col(vecCol).as("__v__"))
+    val q = broadcast(query.select(col(vecCol).as("__q__")).limit(1)
+      .withColumn("__qn__", norm(col("__q__"))))
+    val short = corpus.select(col(idCol), col(vecCol).as("__v__"),
+        norm(col(vecCol)).as("__vn__"))
       .join(q)
-      .select(col(idCol), col("__v__"), cosine(col("__v__"), col("__q__")).as("__cos__"))
+      .select(col(idCol), col("__v__"),
+        cosineN(col("__v__"), col("__vn__"), col("__q__"), col("__qn__")).as("__cos__"))
       .orderBy(round(col("__cos__"), 9).desc, col(idCol))
       .limit(shortlist)
       .select(col(idCol), col("__v__"),
@@ -757,12 +791,14 @@ object Similarity {
     val subDim = dim / numSubspaces
     val cb = broadcast(subspaced(
       codebook.select(col(idCol).as("code_id"), col(vecCol)),
-      vecCol = vecCol, id = "code_id", out = "__cs__", numSubspaces, subDim))
+      vecCol = vecCol, id = "code_id", out = "__cs__", numSubspaces, subDim)
+      .withColumn("__csn__", norm(col("__cs__"))))
     val v = subspaced(corpus.select(col(idCol), col(vecCol)),
       vecCol, idCol, "__vs__", numSubspaces, subDim)
+      .withColumn("__vsn__", norm(col("__vs__")))
     v.join(cb, "sub")
       .select(col(idCol), col("sub"),
-        struct(cosine(col("__vs__"), col("__cs__")).as("cos"),
+        struct(cosineN(col("__vs__"), col("__vsn__"), col("__cs__"), col("__csn__")).as("cos"),
           (-col("code_id")).cast("long").as("nc")).as("__s__"))
       .groupBy(col(idCol), col("sub"))
       .agg(max(col("__s__")).as("__m__"))
@@ -835,17 +871,18 @@ object Similarity {
   def seedQualityScore(corpus: DataFrame, seeds: DataFrame,
                        idCol: String, vecCol: String, k: Int,
                        threshold: Double): DataFrame = {
-    val s = broadcast(seeds.select(col(idCol).as("seed_id"), col(vecCol).as("s_vec")))
+    val s = broadcast(seeds.select(col(idCol).as("seed_id"), col(vecCol).as("s_vec"),
+      norm(col(vecCol)).as("__sn__")))
     // top-k via the partial aggregate, not a window: the corpus × seeds
     // stream never leaves the broadcast-join task — only k rows per corpus
     // vector reach the exchange (the window form shuffled + sorted the
     // whole stream; 493 s of the sf10 suite was exactly that sort). The
     // second aggregate reuses the first's (idCol) partitioning — explode
     // is narrow, so no extra exchange.
-    corpus.select(col(idCol), col(vecCol).as("__v__"))
+    corpus.select(col(idCol), col(vecCol).as("__v__"), norm(col(vecCol)).as("__vn__"))
       .join(s, col(idCol) =!= col("seed_id"))
       .select(col(idCol),
-        round(cosine(col("__v__"), col("s_vec")), 6).as("cos"),
+        round(cosineN(col("__v__"), col("__vn__"), col("s_vec"), col("__sn__")), 6).as("cos"),
         col("seed_id"))
       .groupBy(col(idCol))
       .agg(TopKByAgg.topKBy(struct(col("cos"), col("seed_id")), k).as("__top__"))
@@ -892,12 +929,14 @@ object Similarity {
       .withColumn("__hr__", row_number().over(w1))
       .where(col("__hr__") <= k * overscan)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv__"))
-    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv__"),
+      norm(col(vecCol)).as("__nn__"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
+      norm(col(vecCol)).as("__qn__")))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     shortlist.join(cv, "neighbor_id").join(qv, "query_id")
-      .withColumn("cosine", cosine(col("__qv__"), col("__nv__")))
+      .withColumn("cosine", cosineN(col("__qv__"), col("__qn__"), col("__nv__"), col("__nn__")))
       .withColumn("rank", row_number().over(w2))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -923,11 +962,14 @@ object Similarity {
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                             idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val b = broadcast(benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("b_vec")))
-    val scored = corpus.select(col(idCol), col(vecCol).as("__v__"))
+    val b = broadcast(benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("b_vec"),
+      norm(col(vecCol)).as("__bn__")))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__v__"),
+        norm(col(vecCol)).as("__vn__"))
       .join(b, col(idCol) =!= col("bench_id"))
       .groupBy(col(idCol))
-      .agg(max(round(cosine(col("__v__"), col("b_vec")), 6)).as("max_bench_cosine"))
+      .agg(max(round(cosineN(col("__v__"), col("__vn__"), col("b_vec"), col("__bn__")), 6))
+        .as("max_bench_cosine"))
     corpus.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
@@ -1189,9 +1231,10 @@ object Similarity {
     // once (iff the neighbor's unique cell is among the query's probes) —
     // the stream flows straight into topK's partial aggregate with no
     // exchange of its own.
-    val scored = broadcast(q).join(c, Seq("cell_id"))
+    val scored = broadcast(q.withColumn("__qn__", norm(col("q_vec"))))
+      .join(c.withColumn("__nn__", norm(col("n_vec"))), Seq("cell_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cosine", cosineN(col("q_vec"), col("__qn__"), col("n_vec"), col("__nn__")))
     topK(scored, k)
   }
 
@@ -1205,9 +1248,10 @@ object Similarity {
     */
   private def argmaxAssign(cent: DataFrame, df: DataFrame,
                            id: String, vec: String): DataFrame =
-    df.join(cent)
+    df.withColumn("__dn__", norm(col(vec)))
+      .join(cent.withColumn("__cn__", norm(col("c_vec"))))
       .select(col(id), struct(
-        round(cosine(col(vec), col("c_vec")), 9).as("cos"),
+        round(cosineN(col(vec), col("__dn__"), col("c_vec"), col("__cn__")), 9).as("cos"),
         (-col("cell_id")).as("neg"),
         col("cell_id"),
         col(vec)).as("__s__"))
@@ -1222,9 +1266,11 @@ object Similarity {
     */
   private def probeAssign(cent: DataFrame, df: DataFrame, id: String,
                           vec: String, keep: Int): DataFrame =
-    df.join(cent)
+    df.withColumn("__dn__", norm(col(vec)))
+      .join(cent.withColumn("__cn__", norm(col("c_vec"))))
       .select(col(id), col(vec),
-        round(cosine(col(vec), col("c_vec")), 9).as("cell_cos"), col("cell_id"))
+        round(cosineN(col(vec), col("__dn__"), col("c_vec"), col("__cn__")), 9)
+          .as("cell_cos"), col("cell_id"))
       .groupBy(col(id), col(vec))
       .agg(TopKByAgg.topKBy(struct(col("cell_cos"), col("cell_id")), keep).as("__top__"))
       .select(col(id), col(vec), explode(col("__top__")).as("__e__"))
