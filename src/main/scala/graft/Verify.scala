@@ -7,11 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated substrings — only run queries whose
-    // name contains one (local iteration aid; the driver passes 2 args)
+    // name contains one (local iteration aid; the driver passes 2 args).
+    // An entry prefixed with '=' matches exactly — scale-run resumes pass
+    // the precise unsettled-name list so a substring can't drag an
+    // already-settled heavy query (q_embed_ivf vs q_embed_ivfpq) back in.
     val nameFilter: String => Boolean =
       if (args.length > 2) {
         val subs = args(2).split(',').toSeq
-        (n: String) => subs.exists(n.contains)
+        (n: String) => subs.exists(s =>
+          if (s.startsWith("=")) n == s.drop(1) else n.contains(s))
       } else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
