@@ -567,21 +567,29 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("cval")))),
           x => x.getField("cval")).as("c_vec"))
         .withColumn("__cn__", norm(col("c_vec")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
       // 9-dp-rounded assignment cosine, the ivfKnn discipline: two engines'
       // dot products legitimately differ in the last ulp (accumulation
       // order), and an UNROUNDED near-tie then flips a vector's cell and
       // drifts the centroid mean — first measured at sf3 (2 of 76.8k
       // output values off by 1e-9). Rounding both sides to 9 dp with the
       // cell_id tiebreak makes the assignment engine-stable.
+      // Argmax as max(struct(cos, -cell_id, …)) — identical selection to the
+      // former row_number() over (partition idCol order by cell_cos desc,
+      // cell_id) == 1, but partial-aggregated: the corpus × k assignment
+      // stream collapses inside the broadcast-join task instead of being
+      // exchanged + sorted whole per Lloyd round ([[argmaxAssign]]
+      // discipline).
       val assigned = corpus.select(col(idCol), col(vecCol).as("__v__"),
           norm(col(vecCol)).as("__vn__"))
         .join(broadcast(cvecs))
-        .withColumn("cell_cos",
-          round(cosineN(col("__v__"), col("__vn__"), col("c_vec"), col("__cn__")), 9))
-        .withColumn("__rn__", row_number().over(w))
-        .where(col("__rn__") === 1)
-        .select(col("cell_id"), col("__v__"))
+        .select(col(idCol), struct(
+          round(cosineN(col("__v__"), col("__vn__"), col("c_vec"), col("__cn__")), 9)
+            .as("cell_cos"),
+          (-col("cell_id")).cast("long").as("__neg__"),
+          col("cell_id"), col("__v__")).as("__s__"))
+        .groupBy(col(idCol))
+        .agg(max(col("__s__")).as("__m__"))
+        .select(col("__m__.cell_id").as("cell_id"), col("__m__.__v__").as("__v__"))
       // 9-dp EXACT mean, integer arithmetic end to end: the previous
       // sum(decimal)→double / count then round(…,9) left one ulp hole —
       // two engines' double quotients can straddle a half-up boundary
@@ -606,7 +614,10 @@ object Similarity {
         when(rem * lit(2) >= den, lit(1)).otherwise(lit(0))
       val means = agg.select(col("cell_id"), col("dim"),
         (when(u < 0, -qExact).otherwise(qExact).cast("double") / lit(1e9)).as("m"))
-      cents = cents.join(means, Seq("cell_id", "dim"), "left")
+      // means is ≤ k × dim rows by construction — without the hint the
+      // planner's post-aggregate size estimate picked a SortMergeJoin,
+      // exchanging + sorting both sides of a k·dim-row join every round
+      cents = cents.join(broadcast(means), Seq("cell_id", "dim"), "left")
         .select(col("cell_id"), col("dim"), coalesce(col("m"), col("cval")).as("cval"))
     }
     cents.select(col("cell_id"), col("dim").cast("bigint").as("dim"),
@@ -676,13 +687,21 @@ object Similarity {
     val centers = broadcast(corpus.where(col(idCol).isin(centerIds: _*))
       .select(col(idCol).as("center_id"), col(vecCol).as("__cvec__"),
         norm(col(vecCol)).as("__cn__")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(round(col("__cos__"), 9).desc, col("center_id"))
+    // nearest-seed vote as max(struct(cos9, -center_id, center_id)) —
+    // identical selection to the former row_number() == 1 under
+    // (round(cos, 9) desc, center_id asc), but the corpus × seeds stream
+    // collapses map-side inside the broadcast-join task instead of being
+    // exchanged + sorted whole ([[argmaxAssign]] discipline)
     corpus.select(col(idCol), col(vecCol).as("__v__"), norm(col(vecCol)).as("__vn__"))
       .join(centers)
-      .select(col(idCol), col("center_id"),
-        cosineN(col("__v__"), col("__vn__"), col("__cvec__"), col("__cn__")).as("__cos__"))
-      .withColumn("__rn__", row_number().over(w)).where(col("__rn__") === 1)
+      .select(col(idCol), struct(
+        round(cosineN(col("__v__"), col("__vn__"), col("__cvec__"), col("__cn__")), 9)
+          .as("__cos__"),
+        (-col("center_id")).cast("long").as("__neg__"),
+        col("center_id")).as("__s__"))
+      .groupBy(col(idCol))
+      .agg(max(col("__s__")).as("__m__"))
+      .select(col("__m__.center_id").as("center_id"))
       .groupBy(col("center_id")).agg(count(lit(1)).as("weight"))
   }
 
@@ -842,16 +861,20 @@ object Similarity {
     val lut = broadcast(qSub.join(cbSub, "sub")
       .select(col("query_id"), col("sub"), col("code_id").as("code"),
         dot(col("__qs__"), col("__cs__")).cast("decimal(30,12)").as("__pd__")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+    // top-k per query via [[TopKByAgg]] (selection identical to the former
+    // row_number() window under (score desc, neighbor_id asc)): ships k
+    // rows per query instead of exchanging + sorting the full
+    // queries × corpus ADC score stream a second time
     codes.join(lut, Seq("sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__pd__")).cast("double").as("score"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("score"), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByAgg.topKBy(struct(col("score"), col("neighbor_id")), k).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")).as(Seq("__pos__", "__e__")))
+      .select(col("query_id"), col("__e__.neighbor_id").as("neighbor_id"),
+        (col("__pos__") + 1).cast("long").as("rank"),
+        round(col("__e__.score"), 6).as("score"))
   }
 
   /** Embedding-based QUALITY scoring against a curated seed set (the
@@ -921,26 +944,36 @@ object Similarity {
       lshCode(col(vecCol), numPlanes).as("__cc__"))
     val qCodes = broadcast(queries.select(col(idCol).as("query_id"),
       lshCode(col(vecCol), numPlanes).as("__qc__")))
-    val w1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming"), col("neighbor_id"))
+    // Hamming shortlist via ASCENDING [[TopKByAgg]] — identical row set to
+    // the former row_number() <= k·overscan under (hamming asc, neighbor_id
+    // asc), but the queries × corpus Hamming stream collapses to k·overscan
+    // rows per query inside the broadcast-join task instead of being
+    // exchanged + sorted whole (the ord double carries hamming exactly:
+    // bit_count ≤ 63 is exact in double)
     val shortlist = qCodes.join(cCodes, col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming",
         bit_count(col("__qc__").bitwiseXOR(col("__cc__"))).cast("bigint"))
-      .withColumn("__hr__", row_number().over(w1))
-      .where(col("__hr__") <= k * overscan)
-      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+      .groupBy(col("query_id"))
+      .agg(TopKByAgg.topKBy(
+        struct(col("hamming").cast("double").as("__hd__"), col("neighbor_id"),
+          col("hamming")), k * overscan, ascending = true).as("__top__"))
+      .select(col("query_id"), explode(col("__top__")).as("__e__"))
+      .select(col("query_id"), col("__e__.neighbor_id").as("neighbor_id"),
+        col("__e__.hamming").as("hamming"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv__"),
       norm(col(vecCol)).as("__nn__"))
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
       norm(col(vecCol)).as("__qn__")))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // rerank rank via [[TopKByAgg]]: same selection/numbering as the former
+    // row_number() window under (cosine desc, neighbor_id asc)
     shortlist.join(cv, "neighbor_id").join(qv, "query_id")
       .withColumn("cosine", cosineN(col("__qv__"), col("__qn__"), col("__nv__"), col("__nn__")))
-      .withColumn("rank", row_number().over(w2))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("bigint").as("rank"), round(col("cosine"), 6).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(TopKByAgg.topKBy(struct(col("cosine"), col("neighbor_id")), k).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")).as(Seq("__pos__", "__e__")))
+      .select(col("query_id"), col("__e__.neighbor_id").as("neighbor_id"),
+        (col("__pos__") + 1).cast("bigint").as("rank"),
+        round(col("__e__.cosine"), 6).as("cosine"))
   }
 
   /** SEMANTIC benchmark decontamination — the embedding-space complement
@@ -1088,8 +1121,11 @@ object Similarity {
     val qc = broadcast(probed.join(cent, "cell_id")
       .select(col("query_id"), col("cell_id"),
         dot(col("q_vec"), col("c_vec")).cast("decimal(30,12)").as("__qc__")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+    // top-k per query via [[TopKByAgg]] — identical selection and rank
+    // numbering to the former row_number() window under (score desc,
+    // neighbor_id asc), but partial-aggregated: only k rows per query
+    // cross the final exchange instead of the whole ADC candidate stream
+    // being exchanged + sorted a second time after the per-pair aggregate
     codes.join(lut, Seq("cell_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"), col("cell_id"))
       .agg(sum(col("__pd__")).as("__sum__"))
@@ -1097,10 +1133,12 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (col("__sum__") + col("__qc__")).cast("double").as("score"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("score"), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByAgg.topKBy(struct(col("score"), col("neighbor_id")), k).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")).as(Seq("__pos__", "__e__")))
+      .select(col("query_id"), col("__e__.neighbor_id").as("neighbor_id"),
+        (col("__pos__") + 1).cast("long").as("rank"),
+        round(col("__e__.score"), 6).as("score"))
   }
 
   /** Scalar quantization (SQ8 — the FAISS `ScalarQuantizer` lane): each
@@ -1207,15 +1245,20 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("__rv__")))),
         s => s.getField("__rv__")).as("__r_vec__"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__q__")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+    // top-k per query via [[TopKByAgg]] (selection identical to the former
+    // row_number() window under (score desc, neighbor_id asc)): the
+    // queries × corpus reconstruction-dot stream collapses to k rows per
+    // query inside the broadcast-join task instead of being exchanged +
+    // sorted whole
     q.join(recon, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("__q__"), col("__r_vec__")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("bigint").as("rank"), round(col("score"), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByAgg.topKBy(struct(col("score"), col("neighbor_id")), k).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")).as(Seq("__pos__", "__e__")))
+      .select(col("query_id"), col("__e__.neighbor_id").as("neighbor_id"),
+        (col("__pos__") + 1).cast("bigint").as("rank"),
+        round(col("__e__.score"), 6).as("score"))
   }
 
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
