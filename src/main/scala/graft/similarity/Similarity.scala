@@ -80,6 +80,22 @@ object Similarity {
                     vecCol: String, k: Int, floor: Double,
                     ceiling: Double): DataFrame = {
     require(floor < ceiling, s"need floor < ceiling, got [$floor, $ceiling)")
+    if (BruteKernels.enabled)
+      // fused kernel (bit-equal by BruteKernelSpec): banded per-partition
+      // top-k heaps inside the scan task; the global TopKByAgg merge below
+      // selects the identical final k (top-k is a semilattice)
+      topK(BruteKernels.hardNegativeCandidates(
+        corpus, queries, idCol, vecCol, k, floor, ceiling), k)
+    else hardNegativesExpr(corpus, queries, idCol, vecCol, k, floor, ceiling)
+  }
+
+  /** Expression formulation of [[hardNegatives]] — the bit-equality
+    * reference for the kernel path (BruteKernelSpec) and the
+    * `-Dgraft.brute.kernel=off` fallback.
+    */
+  private[similarity] def hardNegativesExpr(corpus: DataFrame, queries: DataFrame,
+                                            idCol: String, vecCol: String, k: Int,
+                                            floor: Double, ceiling: Double): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("__qn__")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
@@ -893,7 +909,22 @@ object Similarity {
     */
   def seedQualityScore(corpus: DataFrame, seeds: DataFrame,
                        idCol: String, vecCol: String, k: Int,
-                       threshold: Double): DataFrame = {
+                       threshold: Double): DataFrame =
+    if (BruteKernels.enabled)
+      // fused row-local kernel (bit-equal by BruteKernelSpec): top-k over
+      // the broadcast seeds + exact decimal mean collapse inside the scan
+      // task — the plan has ZERO exchanges (the expression form shuffled
+      // two corpus-id-keyed aggregates)
+      BruteKernels.seedQuality(corpus, seeds, idCol, vecCol, k, threshold)
+    else seedQualityScoreExpr(corpus, seeds, idCol, vecCol, k, threshold)
+
+  /** Expression formulation of [[seedQualityScore]] — the bit-equality
+    * reference for the kernel path and the `-Dgraft.brute.kernel=off`
+    * fallback.
+    */
+  private[similarity] def seedQualityScoreExpr(corpus: DataFrame, seeds: DataFrame,
+                                               idCol: String, vecCol: String, k: Int,
+                                               threshold: Double): DataFrame = {
     val s = broadcast(seeds.select(col(idCol).as("seed_id"), col(vecCol).as("s_vec"),
       norm(col(vecCol)).as("__sn__")))
     // top-k via the partial aggregate, not a window: the corpus × seeds
@@ -1046,9 +1077,35 @@ object Similarity {
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
                numSubspaces: Int, k: Int, nProbe: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(numSubspaces > 0 && dim % numSubspaces == 0,
       s"dim $dim must divide into $numSubspaces subspaces")
+    if (BruteKernels.enabled) {
+      // fused kernel (bit-equal by BruteKernelSpec): coarse assignment +
+      // residual PQ codes + exact-pico LUT scoring per corpus row in one
+      // scan task; the broadcast LUT/correction tables are precomputed once
+      // from the collected (tiny) sides with the identical arithmetic
+      val cand = BruteKernels.ivfPqCandidates(corpus, queries, centroids,
+        codebook, idCol, vecCol, dim, numSubspaces, k, nProbe)
+      return cand
+        .groupBy(col("query_id"))
+        .agg(TopKByAgg.topKBy(struct(col("score"), col("neighbor_id")), k).as("__top__"))
+        .select(col("query_id"), posexplode(col("__top__")).as(Seq("__pos__", "__e__")))
+        .select(col("query_id"), col("__e__.neighbor_id").as("neighbor_id"),
+          (col("__pos__") + 1).cast("long").as("rank"),
+          round(col("__e__.score"), 6).as("score"))
+    }
+    ivfPqKnnExpr(corpus, queries, centroids, codebook, idCol, vecCol, dim,
+      numSubspaces, k, nProbe)
+  }
+
+  /** Expression formulation of [[ivfPqKnn]] — the bit-equality reference for
+    * the kernel path and the `-Dgraft.brute.kernel=off` fallback.
+    */
+  private[similarity] def ivfPqKnnExpr(corpus: DataFrame, queries: DataFrame,
+                                       centroids: DataFrame, codebook: DataFrame,
+                                       idCol: String, vecCol: String, dim: Int,
+                                       numSubspaces: Int, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val subDim = dim / numSubspaces
     val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
     // nearest cell(s) by cosine, deterministic cell-id tiebreak — the same
@@ -1262,7 +1319,22 @@ object Similarity {
   }
 
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-             idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
+             idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame =
+    if (BruteKernels.enabled)
+      // fused kernel (bit-equal by BruteKernelSpec): nearest-cell argmax +
+      // probed-cell scoring + per-partition top-k heaps in one scan task;
+      // the expression form paid one BigDecimal round(_, 9) per
+      // (corpus row x centroid), the kernel only within the proven margin
+      topK(BruteKernels.ivfCandidates(
+        corpus, queries, centroids, idCol, vecCol, k, nProbe), k)
+    else ivfKnnExpr(corpus, queries, centroids, idCol, vecCol, k, nProbe)
+
+  /** Expression formulation of [[ivfKnn]] — the bit-equality reference for
+    * the kernel path and the `-Dgraft.brute.kernel=off` fallback.
+    */
+  private[similarity] def ivfKnnExpr(corpus: DataFrame, queries: DataFrame,
+                                     centroids: DataFrame, idCol: String, vecCol: String,
+                                     k: Int, nProbe: Int): DataFrame = {
     val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
     // assignment cosine rounded to 9 dp before the tiebreak — see ivfPqKnn
     val c = argmaxAssign(cent, corpus.select(col(idCol).as("neighbor_id"),

@@ -211,13 +211,30 @@ class PlanSpec extends SparkSpec {
     assert(analyzed.contains("Join Inner"), analyzed)
   }
 
-  test("SQ and IVF-PQ search paths plan with broadcast joins only") {
+  test("SQ and IVF-PQ search paths plan with broadcast joins / fused kernel only") {
     for (q <- Seq("q_embed_sq_knn", "q_embed_ivfpq")) {
       val p = plan(q)
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"$q regressed to a non-broadcast join:\n$p")
-      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     }
+    // SQ search still rides broadcast joins
+    assert(plan("q_embed_sq_knn").contains("BroadcastHashJoin"), plan("q_embed_sq_knn"))
+    // IVF-PQ is the fused mapPartitions kernel (r16): assignment + codes +
+    // LUT scoring in the scan task, TopKByAgg the only aggregation after it
+    val pq = plan("q_embed_ivfpq")
+    assert(pq.contains("MapPartitions"), pq)
+    assert(pq.contains("topk_by"), pq)
+  }
+
+  test("brute-cosine quartet runs the fused kernel: no join, no per-pair projection") {
+    for (q <- Seq("q_embed_quality", "q_embed_hard_negatives", "q_embed_ivf")) {
+      val p = plan(q)
+      assert(p.contains("MapPartitions"), s"$q lost its fused kernel:\n$p")
+      assert(!p.contains("NestedLoopJoin"), s"$q regressed to per-pair join rows:\n$p")
+    }
+    // quality is row-local end to end: ZERO exchanges in the whole plan
+    assert(!plan("q_embed_quality").contains("Exchange"),
+      s"q_embed_quality gained a shuffle:\n${plan("q_embed_quality")}")
   }
 
   test("z-order key is pure codegen column arithmetic (no shuffle, no fallback)") {
