@@ -18,6 +18,21 @@ object Bench {
       // default 128-group fallback-to-sort defeats its map-side combine on
       // wide tasks. 16M groups x ~200 B is well inside executor memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16777216")
+      // InferFiltersFromGenerate synthesizes `size(e)>0 && isnotnull(e)`
+      // below every explode(e); predicate pushdown then substitutes the
+      // FULL generator-input expression through the projections down to the
+      // scan, so each row evaluates the tree twice — and on the contract
+      // family the duplicated error-array tree made one 15k-line
+      // processNext() that failed janino's 64KB method limit, silently
+      // running the whole stage INTERPRETED (1.08MB codegen span, CgProbe
+      // r16). explode already emits nothing for empty/null arrays, so the
+      // inferred filter never changes results; every generator input in
+      // this engine is a computed expression (split/transform/concat), so
+      // the filter can never become a cheap scan-level prune here. Same
+      // rationale as the optimization guide's "optimizer duplicates
+      // expensive expressions below filters" caveat (guide section 4.4).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -159,7 +174,17 @@ object Bench {
     // driver's bounded tail capture truncates long lines from the RIGHT, so
     // totals survive even when the per-query maps are cut (r13's driver
     // artifact lost them behind the maps).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${errors.size},"n":${timings.size},"sf":${jstr(sfDir)},"order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"rounds":$rnds,"errors":$errs}""")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${errors.size},"n":${timings.size},"sf":${jstr(sfDir)},"order":"name-asc","reps":$reps,"queries":$qs,"isolated":$iso,"rounds":$rnds,"errors":$errs}"""
+    println(fullLine)
+    // File artifact beside stdout (stdout contract unchanged): the driver's
+    // bounded tail capture truncates the long line, so cross-round per-query
+    // forensics had to be salvaged from cut tails (r15 verdict item 6/8).
+    // BENCH_LAST.json always holds the complete map for the round that
+    // wrote it; failures to write must never fail the bench.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LAST.json write failed: ${e.getMessage}") }
     // Summary trailer: the driver keeps the LAST ~2 KB of output, so a
     // second, short JSON line AFTER the long line always survives the tail
     // capture even when the long line's per-query maps are cut (r14's

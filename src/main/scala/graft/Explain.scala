@@ -12,6 +12,13 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench/Verify: inferred generate-filters re-inline generator
+      // inputs below the projections (rationale in Bench.scala).
+      // -Dgraft.explain.excludedRules= (empty) prints the rule-on plan for
+      // before/after captures.
+      .config("spark.sql.optimizer.excludedRules",
+        sys.props.getOrElse("graft.explain.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

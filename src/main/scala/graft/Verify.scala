@@ -26,6 +26,12 @@ object Verify {
       // default 128-group fallback-to-sort defeats its map-side combine on
       // wide tasks. 16M groups x ~200 B is well inside executor memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16777216")
+      // exclude InferFiltersFromGenerate: its inferred size()>0 filter
+      // re-inlines the full generator-input tree below the projections
+      // (janino-failing 1MB spans on the contract family) and never changes
+      // results — see the rationale comment in Bench.scala
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -750,7 +750,15 @@ object Contract {
             concat(elemLoc, lit("." + sub.name))))
           .reduce(concat(_, _))
       }
-    val elems = df.select(baseCols ++ Seq(posexplode(raw).as(Seq("__pos__", "__elem__"))): _*)
+    // Explicit cheap pre-prune: posexplode emits nothing for null/empty
+    // arrays, so this drops exactly the rows it would drop — but as an
+    // attribute-level predicate it costs nothing and pushes isnotnull into
+    // the scan. (InferFiltersFromGenerate used to synthesize it; the rule is
+    // excluded session-wide because on COMPUTED generator inputs its filter
+    // re-inlines the whole tree below the projections — see Bench.scala.
+    // Here the input is a plain column, the one case where it was a win.)
+    val elems = df.where(raw.isNotNull && size(raw) > 0)
+      .select(baseCols ++ Seq(posexplode(raw).as(Seq("__pos__", "__elem__"))): _*)
       .select(explode(elemErrArray).as("e") +: baseNames.map(n => col(s"`$n`")): _*)
     presence :+ elems
   }
