@@ -714,7 +714,26 @@ object Dedup {
       private[text] val shRef: DataFrame,
       private[text] val tokenCounts: DataFrame,
       private[text] val refPrefixes: DataFrame,
-      private[text] val vocabBroadcastable: Boolean) {
+      private[text] val vocabBroadcastable: Boolean,
+      // r16 per-batch-cost additions (joinBatchImpl uses them when present):
+      // the frozen vocabulary as a DRIVER-BROADCAST map (token -> ref doc
+      // frequency), so a batch's rare-first prefix derivation is one narrow
+      // kernel pass instead of broadcast-build + lookup join + groupBy
+      // re-sort PER BATCH; and the reference VERIFY side (b, sorted sh_b)
+      // sorted + hash-partitioned on b ONCE — the r15 code re-sorted and
+      // re-exchanged the full reference shingle table every micro-batch,
+      // an O(|ref|) per-batch cost that dominated the isolated profile
+      // (4.2 s of 9.8 s at sf0.1; JobProfiler r16).
+      private[text] val tokFreq: Option[org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]]],
+      private[text] val refVerify: DataFrame,
+      private[text] val refVerifyParts: Int,
+      // Tier-1 full-kernel structures (present when the WHOLE reference fits
+      // the broadcast budget, measured at build): the per-batch probe then
+      // runs candidates + position/length prunes + exact-Jaccard verify as
+      // ONE narrow pass against broadcast postings and shingle sets — zero
+      // per-batch exchanges, one write job per micro-batch (the same
+      // broadcast-small-side shape as the r16 brute-cosine kernels).
+      private[text] val refKernel: Option[PrefixCrossIndex.RefKernel]) {
 
     /** Exact cross pairs (a = new id, b = ref id, jaccard) for one batch
       * of new documents against the indexed reference.
@@ -732,52 +751,323 @@ object Dedup {
     }
 
     private def joinBatchImpl(newDocs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+      val sc = newDocs.sparkSession.sparkContext
+      refKernel match {
+        case Some(rk) =>
+          // Tier 1: no batch-side persist, count, or candidate frame — the
+          // kernel's per-row candidate set is already (a, b)-distinct, so
+          // the downstream dropDuplicates contract is met by construction.
+          sc.setJobDescription("xdedup: kernel probe")
+          val shNew = widen(newDocs)
+            .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+          return (PrefixCrossIndex.kernelProbe(shNew, idCol, threshold, rk), Nil)
+        case None => ()
+      }
+      sc.setJobDescription("xdedup: batch shingles")
       val shNew = widen(newDocs)
         .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      shNew.count() // materialize before concurrent consumers (see minHashDedup)
-      // Batch tokens take the FROZEN reference frequency (left join; unseen
-      // tokens get cnt 0 = rarest) — the shared (cnt, tok) total order the
-      // index's own prefixes were sorted under.
-      val exNew = shNew.select(col(idCol), explode(col("sh")).as("tok"))
-      // frequency lookup: broadcast the frozen vocabulary when it fits
-      // (measured at build time) so the ONLY per-batch exchange before the
-      // candidate probe is the groupBy(id) re-sort; a scale-out vocabulary
-      // falls back to the shuffle join against the tok-partitioned cache
-      val lookup =
-        if (vocabBroadcastable) org.apache.spark.sql.functions.broadcast(tokenCounts)
-        else tokenCounts
-      val withCnt = exNew.join(lookup, Seq("tok"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      val sorted = withCnt
-        .groupBy(col(idCol))
-        .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
-      val prefixLen = (size(col("sh_sorted"))
-        - ceil(lit(threshold) * size(col("sh_sorted")) - lit(1e-9)).cast("int") + 1).cast("int")
-      val newPrefixes = pinPartitions(sorted
-        .select(col(idCol), size(col("sh_sorted")).as("sz"),
-          posexplode(transform(slice(col("sh_sorted"), lit(1), prefixLen),
-            x => x.getField("tok"))).as(Seq("pos", "tok"))),
-        col("tok"))
+      // materialize before the multiple consumers below (see minHashDedup);
+      // the row count also drives the verify's batch-side broadcast decision
+      val batchRows = shNew.count()
+      sc.setJobDescription("xdedup: candidates")
+      // Batch tokens take the FROZEN reference frequency (unseen tokens get
+      // cnt 0 = rarest) — the shared (cnt, tok) total order the index's own
+      // prefixes were sorted under.
+      val newPrefixes = tokFreq match {
+        // One narrow kernel pass per batch row: look the frequency up in the
+        // broadcast map, sort by (cnt, tok-utf8-bytes) — bit-equal to
+        // sort_array over struct(cnt, tok) (long asc, then binary-collation
+        // string asc; shingles are DISTINCT so equal keys cannot reorder
+        // observable output) — and emit the rare-first prefix slots. The
+        // r15 formulation spent a broadcast BUILD, a lookup join and a
+        // groupBy(id) re-sort exchange on this, PER BATCH.
+        case Some(bc) => prefixKernel(shNew, bc)
+        case None =>
+          // scale-out vocabulary: the r15 shuffle-join chain against the
+          // tok-partitioned cache
+          val exNew = shNew.select(col(idCol), explode(col("sh")).as("tok"))
+          val withCnt = exNew.join(tokenCounts, Seq("tok"), "left")
+            .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          val sorted = withCnt
+            .groupBy(col(idCol))
+            .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
+          val prefixLen = (size(col("sh_sorted"))
+            - ceil(lit(threshold) * size(col("sh_sorted")) - lit(1e-9)).cast("int") + 1).cast("int")
+          sorted.select(col(idCol), size(col("sh_sorted")).as("sz"),
+            posexplode(transform(slice(col("sh_sorted"), lit(1), prefixLen),
+              x => x.getField("tok"))).as(Seq("pos", "tok")))
+      }
       // Length + position prunes verbatim from prefixFilterCrossJoinImpl
       // (completeness-preserving for cross pairs under any shared order,
       // 1e-9 ceil guards throughout).
+      val pinnedPrefixes = pinPartitions(newPrefixes, col("tok"))
       val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz")) - lit(1e-9))
-      val candidates = newPrefixes.as("x").join(refPrefixes.as("y"),
+      val candidates = pinnedPrefixes.as("x").join(refPrefixes.as("y"),
           col("x.tok") === col("y.tok")
             && col("y.sz") >= ceil(lit(threshold) * col("x.sz") - lit(1e-9))
             && col("x.sz") >= ceil(lit(threshold) * col("y.sz") - lit(1e-9))
             && alpha <= lit(1) + least(col("x.sz") - col("x.pos") - 1, col("y.sz") - col("y.pos") - 1))
         .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
-      val (verified, candCache) =
-        verifyPairsSidesOwned(candidates, shNew, shRef, idCol, "sh", threshold)
+      val (verified, candCache) = verifyAgainstIndex(candidates, shNew, batchRows)
+      sc.setJobDescription("xdedup: verify+sink")
       (verified.dropDuplicates("a", "b"), Seq(shNew, candCache))
+    }
+
+    /** Rare-first prefix rows (id, sz, pos, tok) for one batch, as a single
+      * narrow pass with the frozen vocabulary map — the kernel counterpart
+      * of the broadcast-join + groupBy + sort_array + posexplode chain (see
+      * [[joinBatchImpl]]). Sort order is EXACTLY sort_array's over
+      * struct(cnt: long, tok: string): ascending cnt, ties by the string's
+      * BINARY collation = unsigned UTF-8 byte order.
+      */
+    private def prefixKernel(
+        shNew: DataFrame,
+        bc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]]): DataFrame = {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val t = threshold
+      val outSchema = StructType(Seq(
+        shNew.schema(idCol),
+        StructField("sz", IntegerType, nullable = false),
+        StructField("pos", IntegerType, nullable = false),
+        StructField("tok", StringType, nullable = true)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      shNew.select(col(idCol), col("sh")).mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val id = r.get(0)
+            val sh = r.getSeq[String](1)
+            val n = sh.length
+            if (n == 0) Iterator.empty
+            else {
+              val toks = new Array[(Long, Array[Byte], String)](n)
+              var i = 0
+              while (i < n) {
+                val s = sh(i)
+                val c = m.get(s)
+                toks(i) = (if (c == null) 0L else c.longValue(),
+                  s.getBytes(java.nio.charset.StandardCharsets.UTF_8), s)
+                i += 1
+              }
+              java.util.Arrays.sort(toks, new java.util.Comparator[(Long, Array[Byte], String)] {
+                override def compare(x: (Long, Array[Byte], String),
+                                     y: (Long, Array[Byte], String)): Int = {
+                  if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+                  else java.util.Arrays.compareUnsigned(x._2, y._2)
+                }
+              })
+              // same arithmetic as the expression plan: prefixLen =
+              // n - cast(ceil(t*n - 1e-9) as int) + 1, sliced to [1, prefixLen]
+              val prefixLen = n - math.ceil(t * n - 1e-9).toInt + 1
+              val take = math.max(0, math.min(prefixLen, n))
+              Iterator.tabulate(take)(p =>
+                org.apache.spark.sql.Row(id, n, p, toks(p)._3))
+            }
+          }
+        }
+      }(enc)
+    }
+
+    /** Per-batch exact-Jaccard verify against the PRE-SORTED, PRE-PARTITIONED
+      * reference verify side: the batch side (small by construction in a
+      * streaming probe) attaches by broadcast when it fits, and the candidate
+      * stream is the only thing exchanged — hash(b) into the reference's
+      * frozen layout. The r15 path re-sorted and re-exchanged the whole
+      * reference shingle table per batch AND double-exchanged the candidates.
+      * Chunk-dial semantics preserved ([[chunkedVerify]]); oversized batches
+      * or chunk slices fall back to the demand-sized two-exchange join
+      * (bounded per-task pair fan-out, the sf3 lesson), still reusing the
+      * pre-sorted right side.
+      */
+    private def verifyAgainstIndex(candidates: DataFrame, shNew: DataFrame,
+                                   batchRows: Long): (DataFrame, DataFrame) = {
+      val spark = candidates.sparkSession
+      val left = shNew.select(col(idCol).as("a"), sort_array(col("sh")).as("sh_a"))
+      if (!verifyScaled) {
+        val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        val result = keepJaccardAtLeast(
+            candidates.repartition(n, col("a")).join(left, "a")
+              .join(refVerify, "b"),
+            threshold)
+          .select(col("a"), col("b"), col("jaccard"))
+        return (result, candidates.limit(0))
+      }
+      val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = cand.count()
+      val k = verifyChunkCount(cnt)
+      if (sys.props.get("graft.verify.debug").nonEmpty)
+        System.err.println(s"[verify] candidates=$cnt chunks=$k (indexed)")
+      val perChunk = (cnt + k - 1) / k
+      // broadcast budget for the batch-side shingle arrays (~2-4 KB/row);
+      // override with graft.crossindex.broadcastBatchRows
+      val leftBroadcastable = batchRows <=
+        longProp("graft.crossindex.broadcastBatchRows").getOrElse(100000L)
+      // per-task pair fan-out stays within the verify row target when the
+      // chunk slice spreads over the reference's frozen partition count
+      val perPart = longProp("graft.verify.rowsPerPartition").getOrElse(150000L)
+      val fitsFrozenLayout = perChunk <= perPart * refVerifyParts
+      val result = chunkedVerify(cand, k) { slice =>
+        val joined =
+          if (leftBroadcastable && fitsFrozenLayout)
+            slice.join(org.apache.spark.sql.functions.broadcast(left), "a")
+              .repartition(refVerifyParts, col("b"))
+              .join(refVerify, "b")
+          else {
+            val n = verifyPartitions(spark, perChunk)
+            slice.repartition(n, col("a")).join(left, "a")
+              .repartition(n, col("b")).join(refVerify, "b")
+          }
+        keepJaccardAtLeast(joined, threshold)
+          .select(col("a"), col("b"), col("jaccard"))
+      }
+      (result, cand)
     }
 
     def release(): Unit = {
       shRef.unpersist(blocking = false)
       tokenCounts.unpersist(blocking = false)
       refPrefixes.unpersist(blocking = false)
+      refVerify.unpersist(blocking = false)
+      tokFreq.foreach(_.destroy())
+      refKernel.foreach { rk =>
+        rk.tokFreq.destroy(); rk.postings.destroy(); rk.refShingles.destroy()
+      }
+    }
+  }
+
+  object PrefixCrossIndex {
+    /** Compact postings list for one token: the reference rows whose
+      * rare-first PREFIX contains it, as parallel arrays (id boxed — the
+      * operator is id-type-generic; sz/pos primitive).
+      */
+    private[text] final case class Postings(ids: Array[Any], sz: Array[Int], pos: Array[Int])
+
+    /** Tier-1 broadcast index: frozen token frequencies, the token → prefix
+      * postings map, and every reference doc's shingle set (id → tokens).
+      */
+    private[text] final case class RefKernel(
+        tokFreq: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]],
+        postings: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, Postings]],
+        refShingles: org.apache.spark.broadcast.Broadcast[java.util.HashMap[Any, Array[String]]],
+        refIdField: org.apache.spark.sql.types.StructField)
+
+    /** Sort `toks` in place-equivalent fashion by (frozen frequency asc,
+      * UTF-8 byte order asc) — the shared rare-first total order. Returns
+      * the sorted token array.
+      */
+    private[text] def rareFirst(toks: scala.collection.Seq[String],
+                                freq: java.util.HashMap[String, java.lang.Long]): Array[String] = {
+      val n = toks.length
+      val keyed = new Array[(Long, Array[Byte], String)](n)
+      var i = 0
+      while (i < n) {
+        val s = toks(i)
+        val c = freq.get(s)
+        keyed(i) = (if (c == null) 0L else c.longValue(),
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8), s)
+        i += 1
+      }
+      java.util.Arrays.sort(keyed, new java.util.Comparator[(Long, Array[Byte], String)] {
+        override def compare(x: (Long, Array[Byte], String),
+                             y: (Long, Array[Byte], String)): Int =
+          if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+          else java.util.Arrays.compareUnsigned(x._2, y._2)
+      })
+      val out = new Array[String](n)
+      i = 0
+      while (i < n) { out(i) = keyed(i)._3; i += 1 }
+      out
+    }
+
+    /** Rare-first prefix length — the same arithmetic as the expression
+      * plan: n - cast(ceil(t*n - 1e-9) as int) + 1, clamped to [0, n].
+      */
+    private[text] def prefixLen(n: Int, t: Double): Int =
+      math.max(0, math.min(n - math.ceil(t * n - 1e-9).toInt + 1, n))
+
+    /** The tier-1 per-batch probe: for each batch row, derive the rare-first
+      * prefix under the frozen order, probe the broadcast postings with the
+      * PPJoin length + position prunes (same ceil/1e-9 arithmetic as the
+      * join conditions), collect the candidate reference ids ONCE each, and
+      * verify with exact Jaccard (i / (|a| + |b| - i) in double — identical
+      * to [[keepJaccardAtLeast]]'s arithmetic). Emits (a, b, jaccard),
+      * (a, b)-distinct by construction.
+      */
+    private[text] def kernelProbe(shNew: DataFrame, idCol: String, threshold: Double,
+                                  rk: RefKernel): DataFrame = {
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        shNew.schema(idCol).copy(name = "a"),
+        rk.refIdField.copy(name = "b"),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val t = threshold
+      val tFrac = threshold / (1 + threshold)
+      shNew.mapPartitions { it =>
+        val freq = rk.tokFreq.value
+        val posts = rk.postings.value
+        val refSh = rk.refShingles.value
+        it.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val a = r.get(0)
+            val sh = r.getSeq[String](1)
+            val n = sh.length
+            if (n == 0) Iterator.empty
+            else {
+              val sorted = rareFirst(sh, freq)
+              val take = prefixLen(n, t)
+              val cands = new java.util.LinkedHashSet[Any]()
+              var p = 0
+              while (p < take) {
+                val post = posts.get(sorted(p))
+                if (post != null) {
+                  var j = 0
+                  val m = post.ids.length
+                  while (j < m) {
+                    val szY = post.sz(j)
+                    // length filter (both directions), then position filter
+                    if (szY >= math.ceil(t * n - 1e-9) &&
+                        n >= math.ceil(t * szY - 1e-9)) {
+                      val alpha = math.ceil(tFrac * (n + szY) - 1e-9)
+                      if (alpha <= 1L + math.min(n - p - 1, szY - post.pos(j) - 1))
+                        cands.add(post.ids(j))
+                    }
+                    j += 1
+                  }
+                }
+                p += 1
+              }
+              if (cands.isEmpty) Iterator.empty
+              else {
+                val set = new java.util.HashSet[String](n * 2)
+                var i = 0
+                while (i < n) { set.add(sorted(i)); i += 1 }
+                val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+                val itc = cands.iterator()
+                while (itc.hasNext) {
+                  val b = itc.next()
+                  val bSh = refSh.get(b)
+                  if (bSh != null) {
+                    var inter = 0
+                    var k = 0
+                    while (k < bSh.length) {
+                      if (set.contains(bSh(k))) inter += 1
+                      k += 1
+                    }
+                    val jac = inter.toDouble /
+                      (n.toDouble + bSh.length.toDouble - inter.toDouble)
+                    if (jac >= t) out += org.apache.spark.sql.Row(a, b, jac)
+                  }
+                }
+                out.iterator
+              }
+            }
+          }
+        }
+      }(enc).toDF("a", "b", "jaccard")
     }
   }
 
@@ -788,10 +1078,12 @@ object Dedup {
     */
   def buildPrefixCrossIndex(refDocs: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, threshold: Double = 0.5): PrefixCrossIndex = {
+    val sc = refDocs.sparkSession.sparkContext
+    sc.setJobDescription("xdedup: build index")
     val shRef = widen(refDocs)
       .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shRef.count()
+    val refRows = shRef.count()
     val ex = shRef.select(col(idCol), explode(col("sh")).as("tok"))
     // groupBy(tok) leaves the counts hash-partitioned on tok, and the
     // persisted InMemoryRelation PRESERVES that outputPartitioning — every
@@ -806,6 +1098,68 @@ object Dedup {
     // budgets; beyond that the lookup stays a shuffle join
     val vocabBroadcastable = vocabRows <=
       longProp("graft.crossindex.broadcastVocabRows").getOrElse(4000000L)
+    // Frozen vocabulary as a driver map (broadcast once, looked up per batch
+    // token in the prefix kernel) — same budget gate as the r15 broadcast
+    // join it replaces. A scale-out vocabulary keeps the shuffle-join chain.
+    val freqMap =
+      if (vocabBroadcastable) {
+        val m = new java.util.HashMap[String, java.lang.Long](
+          math.max(16, (vocabRows * 4 / 3).toInt))
+        tokenCounts.collect().foreach(r =>
+          m.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+        m
+      } else null
+    val tokFreq = Option(freqMap).map(sc.broadcast(_))
+    // Tier 1: the whole reference fits the broadcast budget (measured rows;
+    // ~2-4 KB of shingles per doc keeps the default 100k near a few hundred
+    // MB — the guide's workable broadcast range). The postings + shingle-set
+    // maps are derived ON THE DRIVER from one collect of the (persisted)
+    // shingle table under the SAME frozen (freq, token-bytes) order, then
+    // broadcast once; every micro-batch probe is a single narrow kernel
+    // pass. Beyond the gate, tier 2/3 keep the distributed relations.
+    val refKernelGate = longProp("graft.crossindex.broadcastRefRows").getOrElse(100000L)
+    if (vocabBroadcastable && refRows <= refKernelGate) {
+      val t = threshold
+      val refShMap = new java.util.HashMap[Any, Array[String]](
+        math.max(16, (refRows * 4 / 3).toInt))
+      val postBuild = new java.util.HashMap[String,
+        scala.collection.mutable.ArrayBuffer[(Any, Int, Int)]]()
+      shRef.collect().foreach { r =>
+        if (!r.isNullAt(1)) {
+          val id = r.get(0)
+          val sorted = PrefixCrossIndex.rareFirst(r.getSeq[String](1), freqMap)
+          val n = sorted.length
+          refShMap.put(id, sorted)
+          val take = PrefixCrossIndex.prefixLen(n, t)
+          var p = 0
+          while (p < take) {
+            var buf = postBuild.get(sorted(p))
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Int, Int)]
+              postBuild.put(sorted(p), buf)
+            }
+            buf += ((id, n, p))
+            p += 1
+          }
+        }
+      }
+      val postings = new java.util.HashMap[String, PrefixCrossIndex.Postings](
+        math.max(16, postBuild.size() * 4 / 3))
+      postBuild.forEach { (tok, buf) =>
+        postings.put(tok, PrefixCrossIndex.Postings(
+          buf.map(_._1).toArray, buf.map(_._2).toArray, buf.map(_._3).toArray))
+      }
+      val refIdField = shRef.schema(idCol)
+      shRef.unpersist(blocking = false)
+      tokenCounts.unpersist(blocking = false)
+      val rk = PrefixCrossIndex.RefKernel(
+        tokFreq.get, sc.broadcast(postings), sc.broadcast(refShMap), refIdField)
+      // distributed relations stay as UNMATERIALIZED plans (never persisted
+      // in this tier); release() on them is a no-op
+      return new PrefixCrossIndex(idCol, textCol, shingleSize, threshold,
+        shRef, tokenCounts, shRef.limit(0), vocabBroadcastable,
+        tokFreq, shRef.limit(0), 1, Some(rk))
+    }
     val sorted = ex.join(tokenCounts, Seq("tok"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("cnt"), col("tok")))).as("sh_sorted"))
@@ -818,8 +1172,20 @@ object Dedup {
       col("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     refPrefixes.count()
+    // Reference VERIFY side, sorted + hash-partitioned on b ONCE: every
+    // batch's exact-Jaccard verify joins into this frozen layout instead of
+    // re-sorting and re-exchanging the full reference per batch. Partition
+    // count is demand-sized from the measured reference row count (the same
+    // rows-not-bytes rule as verifyPartitions).
+    val refVerifyParts = verifyPartitions(refDocs.sparkSession, refRows)
+    val refVerify = shRef
+      .select(col(idCol).as("b"), sort_array(col("sh")).as("sh_b"))
+      .repartition(refVerifyParts, col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    refVerify.count()
     new PrefixCrossIndex(idCol, textCol, shingleSize, threshold,
-      shRef, tokenCounts, refPrefixes, vocabBroadcastable)
+      shRef, tokenCounts, refPrefixes, vocabBroadcastable,
+      tokFreq, refVerify, refVerifyParts, None)
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: ordered pairs (a, b) with

@@ -48,7 +48,11 @@ object JobProfiler {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(e.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
             .getOrElse("")
-          jobs.put(e.jobId, JobRec(e.jobId, e.time, desc = desc.take(110)))
+            .replace('\n', ' ').replaceAll("\\s+", " ")
+          val rec = JobRec(e.jobId, e.time, desc = desc.take(110))
+          rec.stages = e.stageInfos.size
+          rec.tasks = e.stageInfos.map(_.numTasks).sum
+          jobs.put(e.jobId, rec)
           order.add(e.jobId)
         }
         override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -75,7 +79,7 @@ object JobProfiler {
         val gap = if (prevEnd > 0) j.start - prevEnd else 0
         if (dur > 0) jobSum += dur
         if (gap > 0) gapSum += gap
-        println(f"job ${j.id}%4d  ${dur}%6d ms  gap ${gap}%6d ms  ${j.desc}")
+        println(f"job ${j.id}%4d  ${dur}%6d ms  gap ${gap}%6d ms  st=${j.stages}%2d tk=${j.tasks}%4d  ${j.desc}")
         if (j.end > 0) prevEnd = math.max(prevEnd, j.end)
       }
       println(f"sum(job) = ${jobSum} ms, sum(gaps between jobs) = ${gapSum} ms, " +
