@@ -925,14 +925,20 @@ object Dedup {
       (result, cand)
     }
 
-    def release(): Unit = {
+    // release() must stay idempotent (unpersist always was; Broadcast.destroy
+    // throws on a second call), and in tier 1 `refKernel.tokFreq` is the SAME
+    // broadcast instance as `tokFreq` — destroy each broadcast exactly once.
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def release(): Unit = if (released.compareAndSet(false, true)) {
       shRef.unpersist(blocking = false)
       tokenCounts.unpersist(blocking = false)
       refPrefixes.unpersist(blocking = false)
       refVerify.unpersist(blocking = false)
       tokFreq.foreach(_.destroy())
       refKernel.foreach { rk =>
-        rk.tokFreq.destroy(); rk.postings.destroy(); rk.refShingles.destroy()
+        if (!tokFreq.exists(_ eq rk.tokFreq)) rk.tokFreq.destroy()
+        rk.postings.destroy(); rk.refShingles.destroy()
       }
     }
   }

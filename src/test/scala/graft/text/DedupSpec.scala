@@ -153,6 +153,41 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("PrefixCrossIndex tiers 2 and 3 (forced gates) equal the one-shot join") {
+    spark.catalog.clearCache()
+    // the default gates put any test-sized corpus on the tier-1 broadcast
+    // kernel; force the distributed tiers so the prefix-kernel + frozen
+    // verify layout (tier 2) and the shuffle-vocabulary fallback (tier 3)
+    // keep their exactness contract too
+    val fresh = corpus.where(col("doc_id") % 2 === 0)
+    val ref = corpus.where(col("doc_id") % 2 === 1)
+    val oneShot = Dedup.prefixFilterCrossJoinWith(fresh, ref, "doc_id", "text")(
+      _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet)
+    val prevRef = sys.props.get("graft.crossindex.broadcastRefRows")
+    val prevVocab = sys.props.get("graft.crossindex.broadcastVocabRows")
+    def runBatched(): Set[(Long, Long, Double)] = {
+      val index = Dedup.buildPrefixCrossIndex(ref, "doc_id", "text")
+      try Seq(fresh.where(col("doc_id") <= 2), fresh.where(col("doc_id") > 2))
+        .flatMap(b => index.joinBatchWith(b)(
+          _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect()))
+        .toSet
+      finally { index.release(); index.release() /* idempotent per tier */ }
+    }
+    try {
+      sys.props("graft.crossindex.broadcastRefRows") = "0" // tier 2
+      assert(runBatched() == oneShot)
+      sys.props("graft.crossindex.broadcastVocabRows") = "0" // tier 3
+      assert(runBatched() == oneShot)
+    } finally {
+      prevRef.fold(sys.props.remove("graft.crossindex.broadcastRefRows"): Unit)(v =>
+        sys.props("graft.crossindex.broadcastRefRows") = v)
+      prevVocab.fold(sys.props.remove("graft.crossindex.broadcastVocabRows"): Unit)(v =>
+        sys.props("graft.crossindex.broadcastVocabRows") = v)
+    }
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("connectedComponents resolves pair graphs into min-labelled clusters") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
     // two components {1,2,4} (via 1-2, 2-4) and {5,6}; 3 and 7 singletons
