@@ -1324,51 +1324,53 @@ object Dedup {
   val lastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** [[connectedComponents]] internals: returns (result, a release thunk
-    * freeing the final label cache AND the final localCheckpoint blocks,
-    * converged?). Label propagation needs
+    * freeing the final label blocks, converged?). Label propagation needs
     * O(max component diameter) rounds; when `maxRounds` cuts it short the
     * labels are PARTIAL (one real cluster can carry several labels), so
     * non-convergence is loudly logged — callers needing a hard guarantee
-    * check the flag. Every 2 rounds the labels are `localCheckpoint`ed:
-    * persist cuts recomputation but not the LOGICAL plan, and `labels`
-    * feeds BOTH join inputs each round, so the plan tree doubles per round
-    * — tree-walking consumers (AQE's per-stage explainString, treeString,
-    * cache lookup) cost O(2^rounds-since-checkpoint) because shared
-    * subtrees print once per PATH. CcProbe measured the blow-up directly
-    * at the old every-5 cadence (sf1, 4 rounds on a 5.5k-edge graph:
-    * 1.6 s, 2.4 s, 14.8 s, 32.6 s — rounds 3-4 are pure plan overhead,
-    * the frames SHRINK as labels converge); every-2 bounds the tree at
-    * 2^2 and holds the per-round cost flat. The checkpoint itself is ~free:
-    * the labels frame is already materialized each round by the
-    * convergence count. Checkpoint blocks are freed when the frame is
-    * GC'd. Cadence overridable via -Dgraft.cc.checkpointEvery for probes.
+    * check the flag.
+    *
+    * Every frame that survives a round boundary is `localCheckpoint`ed to a
+    * LogicalRDD — including the EDGE frame and the SEED labels, which
+    * otherwise carry the caller's full upstream plan (e.g. the whole PPJoin
+    * pipeline) into every round's tree. The driver stringifies the round
+    * plan once per action (SQL-start explainString), once per persist
+    * (CachedRDDBuilder.cachedName = cachedPlan.toString) and once per
+    * checkpoint, and shared subtrees print once per PATH, so an
+    * un-truncated tree costs O(2^rounds × upstream plan) of pure
+    * single-thread driver string building — jstack-measured 12-22 s of
+    * TreeNode.generateTreeString per q_dedup_components run at sf0.1 (r16)
+    * on top of the CcProbe r13 blow-up (sf1, every-5 cadence: rounds of
+    * 1.6 s, 2.4 s, 14.8 s, 32.6 s while the frames SHRINK). Checkpointing
+    * costs the same single materialization the old persist+count flow paid,
+    * and the convergence count then scans the checkpoint blocks. Superseded
+    * checkpoint blocks are dropped eagerly; the LAST one is released by the
+    * returned thunk once the caller has consumed the labels. (Unpersisting
+    * a localCheckpointed RDD that will never be recomputed is safe;
+    * recomputing one is not — hence thunk-on-consume.) Cadence overridable
+    * via -Dgraft.cc.checkpointEvery (k>1 restores the persist-per-round /
+    * checkpoint-every-k flow for A/B probes).
     */
   private[graft] def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
                                              idCol: String, maxRounds: Int
                                             ): (DataFrame, () => Unit, Boolean) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val checkpointEvery = sys.props.get("graft.cc.checkpointEvery").map(_.toInt).getOrElse(2)
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist(lvl)
-    // `owned` is always the HANDLE that was persisted — unpersisting a
-    // derived frame (e.g. a drop() projection) is a silent no-op because
-    // the cached plan no longer sameResult's it, and every round would leak
-    var labels = nodes.select(col(idCol).as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
-    var owned: Option[DataFrame] = Some(labels)
-    // The live localCheckpoint's blocks: a checkpoint RDD is NOT in the
-    // CacheManager, so DataFrame.unpersist can't free it — each checkpoint
-    // supersedes the previous one (the new blocks are self-contained), so
-    // the superseded RDD's blocks are dropped eagerly and the LAST one is
-    // released by the returned thunk once the caller has consumed the
-    // labels. (Unpersisting a localCheckpointed RDD that will never be
-    // recomputed is safe; recomputing one is not — hence thunk-on-consume.)
-    var lastCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    val checkpointEvery = sys.props.get("graft.cc.checkpointEvery").map(_.toInt).getOrElse(1)
     def cpRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val symRdd = cpRdd(sym)
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var lastCp: Option[org.apache.spark.rdd.RDD[_]] = cpRdd(labels)
+    // `owned` is the persisted HANDLE of the off-cadence flow (k>1) —
+    // unpersisting a derived frame (e.g. a drop() projection) is a silent
+    // no-op because the cached plan no longer sameResult's it
+    var owned: Option[DataFrame] = None
     var round = 0
     var changed = 1L
     val ccDebug = sys.props.get("graft.cc.debug").nonEmpty
@@ -1382,27 +1384,29 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (coalesce(col("nmin"), col("label")) < col("label")).as("__chg__"))
-        .persist(lvl)
-      changed = next.agg(count(when(col("__chg__"), true))).head().getLong(0)
-      owned.foreach(_.unpersist(blocking = false))
       if ((round + 1) % checkpointEvery == 0) {
-        // eager by default: materializes from the (already populated) cache
-        // and truncates the accumulated join lineage to a LogicalRDD
+        // checkpoint FIRST (the round's one materialization, eager), then
+        // count convergence over the checkpoint blocks — no CacheManager
+        // entry, no cachedName toString, constant-size plans throughout
         val cp = next.localCheckpoint()
-        next.unpersist(blocking = false)
+        changed = cp.agg(count(when(col("__chg__"), true))).head().getLong(0)
+        owned.foreach(_.unpersist(blocking = false))
         lastCp.foreach(_.unpersist(blocking = false)) // superseded checkpoint
         lastCp = cpRdd(cp)
         owned = None
         labels = cp.drop("__chg__")
       } else {
-        owned = Some(next)
-        labels = next.drop("__chg__")
+        val nextP = next.persist(lvl)
+        changed = nextP.agg(count(when(col("__chg__"), true))).head().getLong(0)
+        owned.foreach(_.unpersist(blocking = false))
+        owned = Some(nextP)
+        labels = nextP.drop("__chg__")
       }
       round += 1
       if (ccDebug) System.err.println(
         f"[components] round $round: ${(System.nanoTime() - roundT0) / 1e9}%.1f s changed=$changed")
     }
-    sym.unpersist(blocking = false)
+    symRdd.foreach(_.unpersist(blocking = false))
     lastRounds.set(round)
     // probe hook: -Dgraft.cc.debug=1 prints the round count (scale probes
     // verify "same rounds at 10x data" claims against this)

@@ -60,8 +60,15 @@ class EntityResolutionSpec extends SparkSpec {
     }
     guard(EntityResolution.collapsedPairs(records, "id", "name", 1, 8)
       .queryExecution.analyzed)
-    guard(EntityResolution.resolveClusters(records, "id", "name",
-      length(col("name")).cast("double"), 1, 8).queryExecution.analyzed)
+    // resolveClusters' OUTPUT plan truncates at the label-propagation
+    // checkpoint (connectedComponents cuts lineage to a LogicalRDD each
+    // round), so the candidate join is guarded on the pair frame it feeds
+    // into the iteration: editDistancePairs over the distinct-value frame —
+    // the exact construction at EntityResolution.resolveClusters
+    val distinctVals = records
+      .select(col("name").as("__vid__"), col("name").as("__val__")).distinct()
+    guard(EditDistance.editDistancePairs(distinctVals, "__vid__", "__val__", 1, 8)
+      .queryExecution.analyzed)
   }
 
   test("resolveClusters: entity id is cluster-min record id, keeper is score argmax") {
