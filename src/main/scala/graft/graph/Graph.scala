@@ -53,6 +53,8 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
                iterations: Int = 8, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val sc0 = edges.sparkSession.sparkContext
+    sc0.setJobDescription("pagerank: edge setup")
     // Hash-partition the edge list on the SOURCE key before checkpointing:
     // `Dataset.localCheckpoint` preserves the physical outputPartitioning
     // into the LogicalRDD, so every iteration's rates-to-scores join is
@@ -91,7 +93,8 @@ object Graph {
     // per round without touching semantics (dm == 0 exactly).
     val hasDangling = nodes.where(col("__dangling__")).limit(1).count() > 0
     var lastCkpt: DataFrame = null
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
+      sc0.setJobDescription(s"pagerank: iteration $it")
       // Materialize the previous iteration ONCE per round. Both consumers
       // below (the dangling-mass aggregate and the contributions join) then
       // read a checkpoint scan, so the plan stays constant-size across
@@ -130,6 +133,7 @@ object Graph {
               expr(s"(${dampingPct}L * coalesce(__in__, 0L)) div 100L"))
               .as("__sc__"))
     }
+    sc0.setJobDescription("pagerank: result")
     scores.select(col("__node__").as("node"), col("__sc__").as("pr_e12"))
   }
 }

@@ -541,7 +541,25 @@ object Dedup {
                                    shingleSize: Int, threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val withShingles = widen(docs).select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withShingles.count() // materialize before concurrent consumers (see minHashDedup)
+    val nRows = withShingles.count() // materialize before concurrent consumers (see minHashDedup)
+    // Tier-1 broadcast kernel (measured gate, same budget shape as the
+    // streaming cross index): when the corpus fits the broadcast budget and
+    // ids are integral, the whole prefix/candidate/verify pipeline runs as
+    // one narrow self-ordered kernel pass — bit-equal output (see
+    // PrefixCrossIndex.selfKernelPairs), zero candidate exchanges. Beyond
+    // the gate (or -Dgraft.ppjoin.kernel=off) the distributed expression
+    // pipeline below is the scale path.
+    val kernelOff = sys.props.get("graft.ppjoin.kernel").contains("off")
+    val kernelGate = longProp("graft.ppjoin.broadcastRows").getOrElse(100000L)
+    val idIntegral = withShingles.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (!kernelOff && idIntegral && nRows <= kernelGate)
+      return (PrefixCrossIndex.selfKernelPairs(withShingles, idCol, threshold),
+        Seq(withShingles))
     val exploded = withShingles.select(col(idCol), explode(col("sh")).as("tok"))
     // corpus frequency as a window count: one shuffle of the exploded rows
     // on tok, instead of a count aggregation joined back on (a second
@@ -1002,7 +1020,7 @@ object Dedup {
       * (a, b)-distinct by construction.
       */
     private[text] def kernelProbe(shNew: DataFrame, idCol: String, threshold: Double,
-                                  rk: RefKernel): DataFrame = {
+                                  rk: RefKernel, selfOrdered: Boolean = false): DataFrame = {
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         shNew.schema(idCol).copy(name = "a"),
         rk.refIdField.copy(name = "b"),
@@ -1019,6 +1037,11 @@ object Dedup {
           if (r.isNullAt(1)) Iterator.empty
           else {
             val a = r.get(0)
+            // self-join mode (one corpus on both sides): keep only a < b,
+            // the expression plan's pair-orientation condition — integral
+            // ids only (the tier gate checks), compared as longs like
+            // Catalyst's numeric <
+            val aLong = if (selfOrdered) a.asInstanceOf[Number].longValue() else 0L
             val sh = r.getSeq[String](1)
             val n = sh.length
             if (n == 0) Iterator.empty
@@ -1034,8 +1057,11 @@ object Dedup {
                   val m = post.ids.length
                   while (j < m) {
                     val szY = post.sz(j)
-                    // length filter (both directions), then position filter
-                    if (szY >= math.ceil(t * n - 1e-9) &&
+                    // pair orientation (self mode), then length filter
+                    // (both directions), then position filter
+                    if ((!selfOrdered ||
+                          aLong < post.ids(j).asInstanceOf[Number].longValue()) &&
+                        szY >= math.ceil(t * n - 1e-9) &&
                         n >= math.ceil(t * szY - 1e-9)) {
                       val alpha = math.ceil(tFrac * (n + szY) - 1e-9)
                       if (alpha <= 1L + math.min(n - p - 1, szY - post.pos(j) - 1))
@@ -1074,6 +1100,76 @@ object Dedup {
           }
         }
       }(enc).toDF("a", "b", "jaccard")
+    }
+
+    /** Tier-1 SELF-join kernel ([[prefixFilterJoin]]'s broadcast gate): one
+      * driver collect of the (already persisted and counted) shingle table
+      * builds the frozen frequency map, the prefix postings, and the
+      * id → shingles map — the same structures [[buildPrefixCrossIndex]]
+      * derives for the streaming cross index — then the pair set is one
+      * narrow [[kernelProbe]] pass in self-ordered mode (a < b, exactly the
+      * expression join's pair orientation). Candidate prunes and the exact
+      * Jaccard verify carry the identical ceil/1e-9 arithmetic, so the
+      * output equals the expression plan's bit-for-bit; candidates are
+      * (a, b)-distinct by construction (LinkedHashSet per probing row), so
+      * the caller's dropDuplicates contract is met without a shuffle.
+      * Broadcasts are released by the ContextCleaner when the result frame
+      * is GC'd (the BruteKernels per-call pattern — the long-lived destroy
+      * discipline is only for the streaming index).
+      */
+    private[text] def selfKernelPairs(sh: DataFrame, idCol: String,
+                                      threshold: Double): DataFrame = {
+      val sc = sh.sparkSession.sparkContext
+      val idField = sh.schema(idCol)
+      val rows = sh.select(col(idCol), col("sh")).collect()
+      // frozen corpus frequency: docs per token (per-doc shingles are
+      // DISTINCT, so row-count per token == document frequency == the
+      // expression plan's count(1) over the exploded (id, tok) stream)
+      val freqMap = new java.util.HashMap[String, java.lang.Long]()
+      rows.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val toks = r.getSeq[String](1)
+          var i = 0
+          while (i < toks.length) {
+            val c = freqMap.get(toks(i))
+            freqMap.put(toks(i),
+              java.lang.Long.valueOf(if (c == null) 1L else c.longValue() + 1L))
+            i += 1
+          }
+        }
+      }
+      val refShMap = new java.util.HashMap[Any, Array[String]](
+        math.max(16, rows.length * 4 / 3))
+      val postBuild = new java.util.HashMap[String,
+        scala.collection.mutable.ArrayBuffer[(Any, Int, Int)]]()
+      rows.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val id = r.get(0)
+          val sorted = rareFirst(r.getSeq[String](1), freqMap)
+          val n = sorted.length
+          refShMap.put(id, sorted)
+          val take = prefixLen(n, threshold)
+          var p = 0
+          while (p < take) {
+            var buf = postBuild.get(sorted(p))
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Int, Int)]
+              postBuild.put(sorted(p), buf)
+            }
+            buf += ((id, n, p))
+            p += 1
+          }
+        }
+      }
+      val postings = new java.util.HashMap[String, Postings](
+        math.max(16, postBuild.size() * 4 / 3))
+      postBuild.forEach { (tok, buf) =>
+        postings.put(tok, Postings(
+          buf.map(_._1).toArray, buf.map(_._2).toArray, buf.map(_._3).toArray))
+      }
+      val rk = RefKernel(sc.broadcast(freqMap), sc.broadcast(postings),
+        sc.broadcast(refShMap), idField)
+      kernelProbe(sh, idCol, threshold, rk, selfOrdered = true)
     }
   }
 

@@ -153,6 +153,25 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("prefixFilterJoin tier-1 self kernel is bit-equal to the expression pipeline") {
+    spark.catalog.clearCache()
+    // the default gate puts any test-sized corpus on the broadcast kernel;
+    // force the expression pipeline and pin both outputs equal — including
+    // the jaccard doubles (Set equality on Double is bitwise for non-NaN)
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.prefixFilterJoinWith(corpus, "doc_id", "text", 3, 0.5)(
+        _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet)
+    val kernel = run()
+    assert(kernel.nonEmpty)
+    val prev = sys.props.get("graft.ppjoin.kernel")
+    try {
+      sys.props("graft.ppjoin.kernel") = "off"
+      assert(run() == kernel)
+    } finally prev.fold(sys.props.remove("graft.ppjoin.kernel"): Unit)(v =>
+      sys.props("graft.ppjoin.kernel") = v)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("PrefixCrossIndex tiers 2 and 3 (forced gates) equal the one-shot join") {
     spark.catalog.clearCache()
     // the default gates put any test-sized corpus on the tier-1 broadcast
