@@ -63,7 +63,7 @@ import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
   * Kill switch: `-Dgraft.brute.kernel=off` falls back to the expression
   * formulation (the A/B + equivalence-spec hook).
   */
-private[similarity] object BruteKernels {
+private[graft] object BruteKernels {
 
   def enabled: Boolean = !sys.props.get("graft.brute.kernel").contains("off")
 

@@ -663,6 +663,16 @@ object Dedup {
     }
     val shNew = prep(newDocs)
     val shRef = prep(refDocs)
+    // Tier-1 broadcast kernel: when the REFERENCE side fits the broadcast
+    // budget, the pair set is one narrow probe pass of the new side against
+    // driver-built reference maps (see PrefixCrossIndex.crossKernelPairs —
+    // output-identical under the order change; -Dgraft.ppjoin.kernel=off
+    // keeps the distributed pipeline, the only path past the gate).
+    val kernelOff = sys.props.get("graft.ppjoin.kernel").contains("off")
+    val refGate = longProp("graft.crossindex.broadcastRefRows").getOrElse(100000L)
+    if (!kernelOff && shRef.count() <= refGate)
+      return (PrefixCrossIndex.crossKernelPairs(shNew, shRef, idCol, threshold),
+        Seq(shNew, shRef))
     // Union document frequency as a window count over BOTH sides' exploded
     // tokens: one shuffle on tok yields the shared order AND feeds the
     // per-(side, id) re-sort — same single-exchange shape as
@@ -1119,12 +1129,120 @@ object Dedup {
       */
     private[text] def selfKernelPairs(sh: DataFrame, idCol: String,
                                       threshold: Double): DataFrame = {
+      val rk = driverKernel(sh, idCol, threshold)
+      kernelProbe(sh, idCol, threshold, rk, selfOrdered = true)
+    }
+
+    /** Tier-1 CROSS kernel ([[prefixFilterCrossJoin]]'s broadcast gate):
+      * the REFERENCE side's maps are driver-built under the (ref frequency,
+      * token-bytes) order — unseen batch tokens sort first (cnt 0), the
+      * completeness argument documented at [[buildPrefixCrossIndex]] — and
+      * the new side probes in one narrow pass. The shared order DIFFERS
+      * from the expression pipeline's union frequency, which changes only
+      * which collisions generate each candidate, never the output: any
+      * single total order applied to both sides is complete, and the
+      * verify (exact Jaccard, identical double arithmetic) decides
+      * membership.
+      */
+    private[text] def crossKernelPairs(shNew: DataFrame, shRef: DataFrame,
+                                       idCol: String, threshold: Double): DataFrame = {
+      val rk = driverKernel(shRef, idCol, threshold)
+      kernelProbe(shNew, idCol, threshold, rk)
+    }
+
+    /** Tier-1 CONTAINMENT kernel ([[containmentPairs]]' broadcast gate):
+      * postings index EVERY token (the expression plan joins a's prefix
+      * against b's FULL token table), the probe applies the one-sided
+      * length prune `|b| >= ceil(t*|a| - 1e-9)` and a != b, and the verify
+      * computes C(a->b) = |a∩b| / |a| with the same double division and
+      * Spark `round(_, 6)` (HALF_UP on the canonical decimal form,
+      * [[graft.similarity.BruteKernels.roundAt]]) as the expression plan.
+      * Emits (a, b, containment), (a, b)-distinct by construction.
+      */
+    private[text] def containmentKernelPairs(sh: DataFrame, idCol: String,
+                                             threshold: Double): DataFrame = {
+      val rk = driverKernel(sh, idCol, threshold, fullPostings = true)
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        sh.schema(idCol).copy(name = "a"),
+        sh.schema(idCol).copy(name = "b"),
+        org.apache.spark.sql.types.StructField("containment",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val t = threshold
+      sh.mapPartitions { it =>
+        val freq = rk.tokFreq.value
+        val posts = rk.postings.value
+        val refSh = rk.refShingles.value
+        it.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val a = r.get(0)
+            val shA = r.getSeq[String](1)
+            val n = shA.length
+            if (n == 0) Iterator.empty
+            else {
+              val sorted = rareFirst(shA, freq)
+              val take = prefixLen(n, t)
+              val cands = new java.util.LinkedHashSet[Any]()
+              var p = 0
+              while (p < take) {
+                val post = posts.get(sorted(p))
+                if (post != null) {
+                  var j = 0
+                  val m = post.ids.length
+                  while (j < m) {
+                    // one-sided length prune + a != b (value equality, the
+                    // expression plan's =!=)
+                    if (post.sz(j) >= math.ceil(t * n - 1e-9) && post.ids(j) != a)
+                      cands.add(post.ids(j))
+                    j += 1
+                  }
+                }
+                p += 1
+              }
+              if (cands.isEmpty) Iterator.empty
+              else {
+                val set = new java.util.HashSet[String](n * 2)
+                var i = 0
+                while (i < n) { set.add(sorted(i)); i += 1 }
+                val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+                val itc = cands.iterator()
+                while (itc.hasNext) {
+                  val b = itc.next()
+                  val bSh = refSh.get(b)
+                  if (bSh != null) {
+                    var inter = 0
+                    var k = 0
+                    while (k < bSh.length) {
+                      if (set.contains(bSh(k))) inter += 1
+                      k += 1
+                    }
+                    val c = inter.toDouble / n.toDouble
+                    if (c >= t)
+                      out += org.apache.spark.sql.Row(a, b,
+                        graft.similarity.BruteKernels.round6(c))
+                  }
+                }
+                out.iterator
+              }
+            }
+          }
+        }
+      }(enc).toDF("a", "b", "containment")
+    }
+
+    /** One driver collect of an (id, sh) shingle table → broadcast
+      * [[RefKernel]]: frozen token document frequencies (per-doc shingles
+      * are DISTINCT, so row-count per token == the expression plan's
+      * count(1) over the exploded (id, tok) stream), rare-first prefix
+      * postings (or the FULL token postings for the containment kernel),
+      * and the id → sorted-shingles map.
+      */
+    private[text] def driverKernel(sh: DataFrame, idCol: String, threshold: Double,
+                                   fullPostings: Boolean = false): RefKernel = {
       val sc = sh.sparkSession.sparkContext
       val idField = sh.schema(idCol)
       val rows = sh.select(col(idCol), col("sh")).collect()
-      // frozen corpus frequency: docs per token (per-doc shingles are
-      // DISTINCT, so row-count per token == document frequency == the
-      // expression plan's count(1) over the exploded (id, tok) stream)
       val freqMap = new java.util.HashMap[String, java.lang.Long]()
       rows.foreach { r =>
         if (!r.isNullAt(1)) {
@@ -1148,7 +1266,9 @@ object Dedup {
           val sorted = rareFirst(r.getSeq[String](1), freqMap)
           val n = sorted.length
           refShMap.put(id, sorted)
-          val take = prefixLen(n, threshold)
+          // fullPostings: index EVERY token (the containment operator joins
+          // a's prefix against b's full token table), else the prefix only
+          val take = if (fullPostings) n else prefixLen(n, threshold)
           var p = 0
           while (p < take) {
             var buf = postBuild.get(sorted(p))
@@ -1167,9 +1287,8 @@ object Dedup {
         postings.put(tok, Postings(
           buf.map(_._1).toArray, buf.map(_._2).toArray, buf.map(_._3).toArray))
       }
-      val rk = RefKernel(sc.broadcast(freqMap), sc.broadcast(postings),
+      RefKernel(sc.broadcast(freqMap), sc.broadcast(postings),
         sc.broadcast(refShMap), idField)
-      kernelProbe(sh, idCol, threshold, rk, selfOrdered = true)
     }
   }
 
@@ -1325,7 +1444,13 @@ object Dedup {
                                    shingleSize: Int, threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val withShingles = widen(docs).select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withShingles.count()
+    val nRows = withShingles.count()
+    // Tier-1 broadcast kernel, same gate/escape as prefixFilterJoinImpl
+    // (no id-type restriction: the pair condition is a != b, not an order)
+    if (!sys.props.get("graft.ppjoin.kernel").contains("off") &&
+        nRows <= longProp("graft.ppjoin.broadcastRows").getOrElse(100000L))
+      return (PrefixCrossIndex.containmentKernelPairs(withShingles, idCol, threshold),
+        Seq(withShingles))
     val exploded = withShingles.select(col(idCol), explode(col("sh")).as("tok"))
     val withCnt = exploded.withColumn("cnt",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))

@@ -158,15 +158,25 @@ class DedupSpec extends SparkSpec {
     // the default gate puts any test-sized corpus on the broadcast kernel;
     // force the expression pipeline and pin both outputs equal — including
     // the jaccard doubles (Set equality on Double is bitwise for non-NaN)
-    def run(): Set[(Long, Long, Double)] =
+    def runSelf(): Set[(Long, Long, Double)] =
       Dedup.prefixFilterJoinWith(corpus, "doc_id", "text", 3, 0.5)(
         _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet)
-    val kernel = run()
-    assert(kernel.nonEmpty)
+    def runCross(): Set[(Long, Long, Double)] =
+      Dedup.prefixFilterCrossJoinWith(
+        corpus.where(col("doc_id") % 2 === 0), corpus.where(col("doc_id") % 2 === 1),
+        "doc_id", "text")(
+        _.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet)
+    def runContain(): Set[(Long, Long, Double)] =
+      Dedup.containmentPairsWith(corpus, "doc_id", "text", 3, 0.5)(
+        _.select("a", "b", "containment").as[(Long, Long, Double)].collect().toSet)
+    val (kSelf, kCross, kContain) = (runSelf(), runCross(), runContain())
+    assert(kSelf.nonEmpty && kCross.nonEmpty && kContain.nonEmpty)
     val prev = sys.props.get("graft.ppjoin.kernel")
     try {
       sys.props("graft.ppjoin.kernel") = "off"
-      assert(run() == kernel)
+      assert(runSelf() == kSelf)
+      assert(runCross() == kCross)
+      assert(runContain() == kContain)
     } finally prev.fold(sys.props.remove("graft.ppjoin.kernel"): Unit)(v =>
       sys.props("graft.ppjoin.kernel") = v)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
